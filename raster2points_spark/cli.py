@@ -1,0 +1,62 @@
+"""CLI — the reference's console entry point, Spark-edition.
+
+reference (reconstructed): ``raster2csv in1.tif [in2.tif ...] out.csv
+[--col_names ...] [--separator {,|;|t}] [--calc_area]``.
+
+here: tile-table parquet in, CSV/Parquet directory out:
+
+    python -m raster2points_spark.cli TILES_PARQUET OUT_DIR \
+        --bands b1 b2 [--col-names elev slope] [--separator ';'] \
+        [--calc-area] [--format csv|parquet]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from raster2points_spark.api import raster2csv, raster2df
+from raster2points_spark.session import get_spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="raster2points-spark")
+    ap.add_argument("tiles")
+    ap.add_argument("output")
+    ap.add_argument("--bands", nargs="+", required=True)
+    ap.add_argument("--col-names", nargs="+", default=None)
+    ap.add_argument("--separator", default=",", choices=[",", ";", "t"])
+    ap.add_argument("--calc-area", action="store_true")
+    ap.add_argument("--format", default="csv", choices=["csv", "parquet"])
+    args = ap.parse_args(argv)
+
+    sep = "\t" if args.separator == "t" else args.separator
+    spark = get_spark("raster2points_cli")
+
+    # eager band validation: a typo'd band silently yields an empty
+    # point table otherwise (the library API stays lazy; the CLI is
+    # the user-facing surface, so it checks).  Tiny column scan.
+    from pyspark.sql import functions as F
+
+    from raster2points_spark.api import _as_tiles
+
+    present = {
+        r[0] for r in _as_tiles(spark, args.tiles).select(F.col("band_id")).distinct().collect()
+    }
+    missing = [b for b in args.bands if b not in present]
+    if missing:
+        ap.error(f"band(s) not in tile table: {missing}; present: {sorted(present)}")
+    if args.format == "csv":
+        raster2csv(
+            spark, args.tiles, args.bands, args.output,
+            col_names=args.col_names, calc_area=args.calc_area, separator=sep,
+        )
+    else:
+        df = raster2df(
+            spark, args.tiles, args.bands, col_names=args.col_names, calc_area=args.calc_area
+        )
+        df.write.mode("overwrite").parquet(args.output)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

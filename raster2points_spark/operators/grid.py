@@ -1,0 +1,170 @@
+"""Raster→points core operators (SURVEY.md §2.2).
+
+The reference's dataflow (raster2points/raster2points.py::raster2df —
+reconstructed; /root/reference was empty, SURVEY §0) is:
+
+    windows → read block → mask NoData (band 1) → affine lon/lat →
+    read bands 2..N for same window → [geodesic area] → pandas chunk →
+    concat / CSV append
+
+Here each stage is a DataFrame transformation over the tile table
+(§1.2 schema: one row per tile, dense payload as array<double>), so
+Catalyst pipelines the whole thing per-partition — the "chunked
+streaming" the reference hand-codes with parallelpipe workers is just
+Spark partition execution.  Nothing ever materializes a full raster:
+at 100 TB the tile table is millions of rows, and every operator here
+is embarrassingly parallel per tile except the multi-band zip, which
+is an equi-join on (tile_id, pos) — co-partitionable by tile_id
+(bucketed layout at scale ⇒ shuffle-free).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: WGS84 semi-major axis, metres — radius used for geodesic pixel area.
+WGS84_RADIUS = 6378137.0
+
+TILE_COLS = (
+    "band_id",
+    "tile_id",
+    "col_off",
+    "row_off",
+    "width",
+    "height",
+    "transform",
+    "nodata",
+    "data",
+)
+
+
+def grid_unpivot(tiles: DataFrame) -> DataFrame:
+    """Dense→sparse melt: explode each tile's row-major payload into
+    one row per pixel with absolute (row, col) plus the value, NoData
+    mapped to NULL (Spark-native null beats carrying a sentinel).
+
+    Mirrors the per-window ``np.where``/flatten step of the reference
+    (::raster2df), as a single JVM-side posexplode — no Python.
+    """
+    ex = tiles.select(
+        "band_id",
+        "tile_id",
+        "col_off",
+        "row_off",
+        "width",
+        "transform",
+        "nodata",
+        F.posexplode("data").alias("pos", "raw"),
+    )
+    return ex.select(
+        "band_id",
+        "tile_id",
+        "pos",
+        "transform",
+        (F.col("col_off") + F.col("pos") % F.col("width")).alias("col"),
+        (F.col("row_off") + F.floor(F.col("pos") / F.col("width")).cast("int")).alias("row"),
+        F.when(F.col("raw") == F.col("nodata"), F.lit(None)).otherwise(F.col("raw")).alias(
+            "value"
+        ),
+    )
+
+
+def nodata_filter(pixels: DataFrame, value_col: str = "value") -> DataFrame:
+    """Band-1 mask: a pixel becomes an output row iff its mask-band
+    value is valid (reference semantics: first raster is the mask)."""
+    return pixels.filter(F.col(value_col).isNotNull())
+
+
+def affine_lon(transform: Column, col: Column, row: Column) -> Column:
+    """lon = c + (col+0.5)·a + (row+0.5)·b  (pixel-CENTER, like
+    rasterio.transform.xy(..., offset='center') in the reference)."""
+    return transform[2] + (col + 0.5) * transform[0] + (row + 0.5) * transform[1]
+
+
+def affine_lat(transform: Column, col: Column, row: Column) -> Column:
+    """lat = f + (col+0.5)·d + (row+0.5)·e."""
+    return transform[5] + (col + 0.5) * transform[3] + (row + 0.5) * transform[4]
+
+
+def affine_coords(pixels: DataFrame) -> DataFrame:
+    c, r, tf = F.col("col"), F.col("row"), F.col("transform")
+    return pixels.withColumn("lon", affine_lon(tf, c, r)).withColumn(
+        "lat", affine_lat(tf, c, r)
+    )
+
+
+def band_zip(base: DataFrame, other: DataFrame, value_name: str) -> DataFrame:
+    """Positional multi-band alignment: left-join a second exploded
+    band on (tile_id, pos).  NoData in bands 2..N yields NULL but the
+    row is kept (reference contract).  At scale both sides share the
+    tile_id partitioning, so a bucketed layout makes this shuffle-free.
+    """
+    rhs = other.select("tile_id", "pos", F.col("value").alias(value_name))
+    return base.join(rhs, ["tile_id", "pos"], "left")
+
+
+def geodesic_area(lat: Column, transform: Column) -> Column:
+    """Geodesic pixel area in m² — pure function of latitude (the
+    reference computes one area per row of pixels; same formula here,
+    applied per pixel):
+
+        area = |Δlon_rad| · R² · |sin(lat + |Δlat|/2) − sin(lat − |Δlat|/2)|
+
+    with R the WGS84 semi-major axis and Δlon/Δlat the pixel size
+    from the affine transform.
+    """
+    dlon = F.abs(transform[0])
+    half_dlat = F.abs(transform[4]) / 2
+    r2 = F.lit(WGS84_RADIUS * WGS84_RADIUS)
+    return (
+        F.radians(dlon)
+        * r2
+        * F.abs(F.sin(F.radians(lat + half_dlat)) - F.sin(F.radians(lat - half_dlat)))
+    )
+
+
+def geodesic_area_py(lat: float, dlon: float, dlat: float) -> float:
+    """Driver-side twin of :func:`geodesic_area` for golden tests."""
+    r2 = WGS84_RADIUS * WGS84_RADIUS
+    return abs(
+        math.radians(abs(dlon))
+        * r2
+        * (math.sin(math.radians(lat + abs(dlat) / 2)) - math.sin(math.radians(lat - abs(dlat) / 2)))
+    )
+
+
+def raster2points(
+    tiles: DataFrame,
+    bands: list[str],
+    col_names: list[str] | None = None,
+    calc_area: bool = False,
+) -> DataFrame:
+    """Full reference pipeline over a tile table: band 1 masks, bands
+    2..N left-join their values, output (lon, lat, val…[, area]).
+
+    Equivalent of raster2points/raster2points.py::raster2df
+    (reconstructed), Spark-first: one posexplode + (N-1) co-partitioned
+    joins, fully pipelined, no driver-side concat (the reference's
+    pd.concat step is simply Spark's unioned partitions).
+    """
+    if not bands:
+        raise ValueError("need at least one band")
+    names = col_names or [f"val{i+1}" for i in range(len(bands))]
+    if len(names) != len(bands):
+        raise ValueError("col_names must match bands")
+
+    per_band = {
+        b: grid_unpivot(tiles.filter(F.col("band_id") == b)) for b in bands
+    }
+    base = nodata_filter(per_band[bands[0]])
+    base = affine_coords(base).withColumnRenamed("value", names[0])
+    for b, name in zip(bands[1:], names[1:]):
+        base = band_zip(base, per_band[b], name)
+    out_cols = ["lon", "lat", *names]
+    if calc_area:
+        base = base.withColumn("area", geodesic_area(F.col("lat"), F.col("transform")))
+        out_cols.append("area")
+    return base.select(*out_cols)

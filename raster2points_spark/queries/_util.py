@@ -1,0 +1,39 @@
+"""Shared helpers for registered queries.
+
+Determinism helpers implement SURVEY.md §7 risks:
+- ``unix_secs`` — events.ts is parquet timestamp[ns]; Spark truncates
+  to µs while DuckDB keeps ns, so every declared query compares time
+  at whole-second granularity (epoch seconds as BIGINT).  Oracle-side
+  twin: ``cast(floor(epoch(ts)) as bigint)``.
+- floats: round in BOTH engines before hashing (see each query).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from raster2points_spark.io import table
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+GRID_DIR = os.path.join(REPO_ROOT, "fixtures", "grid")
+SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/r2p_spark_scratch")
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return table(spark, sf_dir, name)
+
+
+def unix_secs(col: Column) -> Column:
+    """Epoch seconds as BIGINT from a (possibly NTZ) timestamp column.
+
+    Session TZ is UTC, so NTZ→TZ cast is identity; unix_seconds
+    truncates sub-second parts — matching the DuckDB oracle expression
+    ``cast(floor(epoch(ts)) as bigint)``.
+    """
+    return F.unix_seconds(col.cast("timestamp"))
+
+
+ORACLE_TSEC = "cast(floor(epoch({c})) as bigint)"

@@ -1,0 +1,242 @@
+"""§2.5 aggregations.
+
+All groupBy().agg() — Spark plans partial (map-side) + final
+aggregation automatically, so these scale with group count, not row
+count.  Float outputs are rounded identically in the oracle SQL
+(SURVEY §7 R1); grouping() flags are emitted per-column (never
+grouping_id(), whose bit order is engine-specific).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from raster2points_spark.io import register_views
+from raster2points_spark.registry import register
+from raster2points_spark.queries._util import t
+
+
+@register(
+    "agg_groupby",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 2) AS avg_qty,
+           round(avg(l_extendedprice), 2) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_groupby(spark, sf_dir):
+    """TPC-H Q1 shape (pricing summary report)."""
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+    FROM orders GROUP BY o_custkey HAVING count(*) >= 12
+    """,
+)
+def agg_having(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_count_distinct(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"), F.count("*").alias("n_events"))
+    )
+
+
+@register("agg_approx_distinct", check="rows-only")
+def agg_approx_distinct(spark, sf_dir):
+    """HLL++ sketch — approx by design, never oracle-checked (R5)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT n_name, c_mktsegment,
+           grouping(n_name) AS g_n, grouping(c_mktsegment) AS g_m,
+           count(*) AS n, round(sum(c_acctbal), 2) AS sum_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, c_mktsegment)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    c, n = t(spark, sf_dir, "customer"), t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .rollup("n_name", "c_mktsegment")
+        .agg(
+            F.grouping("n_name").alias("g_n"),
+            F.grouping("c_mktsegment").alias("g_m"),
+            F.count("*").alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag) AS g_r, grouping(l_linestatus) AS g_l,
+           count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").alias("g_r"),
+            F.grouping("l_linestatus").alias("g_l"),
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT n_name, c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS sum_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit grouping sets via Spark SQL (same Catalyst Expand plan
+    as rollup/cube)."""
+    register_views(spark, sf_dir, ("customer", "nation"))
+    return spark.sql(
+        """
+        SELECT n_name, c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS sum_bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+        """
+    )
+
+
+@register(
+    "agg_filtered",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice) FILTER (WHERE l_linestatus = 'O'), 2) AS sum_open,
+           count(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_filtered(spark, sf_dir):
+    """sum(x) FILTER (WHERE p) ≡ sum(when(p, x)) — conditional
+    aggregation without a second scan."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_extendedprice"))), 2
+        ).alias("sum_open"),
+        F.count(F.when(F.col("l_discount") > 0.05, F.lit(1))).alias("n_disc"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+    )
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+           round(quantile_cont(l_quantity, 0.50), 4) AS p50,
+           round(quantile_cont(l_quantity, 0.75), 4) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark, sf_dir):
+    """Exact interpolated percentiles (Spark percentile == DuckDB
+    quantile_cont semantics)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_quantity", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 4).alias("p75"),
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT c_mktsegment, list(c_custkey ORDER BY c_custkey) AS custkeys
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def agg_collect_sorted(spark, sf_dir):
+    """collect_list is unordered across tasks — always sort_array
+    before comparing/emitting (R2)."""
+    return (
+        t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(F.sort_array(F.collect_list("c_custkey")).alias("custkeys"))
+    )

@@ -1,0 +1,125 @@
+"""§2.3 filters / projections / predicates.
+
+All plain Column expressions — Catalyst pushes them into the parquet
+scan and keeps them inside WholeStageCodegen; nothing here crosses
+into Python at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from raster2points_spark.registry import register
+from raster2points_spark.queries._util import t
+
+
+@register(
+    "filter_pred",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag, l_linestatus
+    FROM lineitem
+    WHERE (l_quantity > 30 AND l_discount <= 0.05)
+       OR ((NOT (l_returnflag = 'N')) AND l_linestatus = 'F')
+    """,
+)
+def filter_pred(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    cond = ((F.col("l_quantity") > 30) & (F.col("l_discount") <= 0.05)) | (
+        (~(F.col("l_returnflag") == "N")) & (F.col("l_linestatus") == "F")
+    )
+    return li.filter(cond).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag", "l_linestatus"
+    )
+
+
+@register(
+    "filter_between_in",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+      AND l_returnflag IN ('A', 'R')
+      AND (nullif(l_linestatus, 'F') IS NOT DISTINCT FROM nullif(l_returnflag, 'R'))
+    """,
+)
+def filter_between_in(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(10, 20)
+        & F.col("l_returnflag").isin("A", "R")
+        & F.nullif(F.col("l_linestatus"), F.lit("F")).eqNullSafe(
+            F.nullif(F.col("l_returnflag"), F.lit("R"))
+        )
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus")
+
+
+@register(
+    "filter_like",
+    oracle="""
+    SELECT p_partkey, p_name, p_type
+    FROM part
+    WHERE (p_type LIKE 'S%' OR p_type LIKE '%O%')
+      AND regexp_matches(p_name, '[0-9]')
+    """,
+)
+def filter_like(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    return p.filter(
+        (F.col("p_type").like("S%") | F.col("p_type").like("%O%"))
+        & F.col("p_name").rlike("[0-9]")
+    ).select("p_partkey", "p_name", "p_type")
+
+
+@register(
+    "project_expr",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 2) AS revenue,
+           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge
+    FROM lineitem
+    """,
+)
+def project_expr(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(rev, 2).alias("revenue"),
+        F.round(rev * (F.lit(1) + F.col("l_tax")), 2).alias("charge"),
+    )
+
+
+@register(
+    "case_when",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'big'
+                WHEN o_totalprice > 150000 THEN 'mid'
+                ELSE 'small' END AS bucket,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status2,
+           round(greatest(o_totalprice, 200000.0), 2) AS hi,
+           round(least(o_totalprice, 200000.0), 2) AS lo
+    FROM orders
+    """,
+)
+def case_when(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "big")
+        .when(F.col("o_totalprice") > 150000, "mid")
+        .otherwise("small")
+        .alias("bucket"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias("status2"),
+        F.round(F.greatest(F.col("o_totalprice"), F.lit(200000.0)), 2).alias("hi"),
+        F.round(F.least(F.col("o_totalprice"), F.lit(200000.0)), 2).alias("lo"),
+    )
+
+
+@register(
+    "distinct_rows",
+    oracle="SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+)
+def distinct_rows(spark, sf_dir):
+    return t(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment").distinct()

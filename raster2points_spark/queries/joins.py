@@ -1,0 +1,290 @@
+"""§2.4 joins.
+
+Scale notes baked into each plan:
+- dimension tables (region 5, nation 25, customer ~1.5k/sf) carry
+  explicit ``broadcast()`` hints — at 100 TB the fact side never
+  shuffles for a star join.
+- the theta/as-of/interval joins keep an equi component (user_id) so
+  Spark plans a hash/sort-merge join with the range predicate as a
+  post-join filter instead of a cartesian product; the as-of join is
+  a single shuffle + window (no O(n²) blowup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from raster2points_spark.registry import register
+from raster2points_spark.queries._util import ORACLE_TSEC, t, unix_secs
+
+
+@register(
+    "join_inner_eq",
+    oracle="""
+    SELECT o_orderkey, c_name, o_totalprice, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_inner_eq(spark, sf_dir):
+    o, c = t(spark, sf_dir, "orders"), t(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_name", "o_totalprice", "c_mktsegment"
+    )
+
+
+@register(
+    "join_broadcast_star",
+    oracle="""
+    SELECT r_name, l_returnflag,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, l_returnflag
+    """,
+)
+def join_broadcast_star(spark, sf_dir):
+    """4-way star: fact lineitem joins only broadcast dims after the
+    orders join — one shuffle (lineitem⋈orders), everything else
+    map-side."""
+    li, o, c, n, r = (
+        t(spark, sf_dir, x) for x in ("lineitem", "orders", "customer", "nation", "region")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "l_returnflag")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_BIG = 400000.0
+
+
+@register(
+    "join_left",
+    oracle=f"""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > {_BIG}) big
+      ON c_custkey = o_custkey
+    """,
+)
+def join_left(spark, sf_dir):
+    c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > _BIG)
+    return c.join(big, c.c_custkey == big.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "join_right",
+    oracle=f"""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM (SELECT * FROM orders WHERE o_totalprice > {_BIG}) big RIGHT JOIN customer
+      ON o_custkey = c_custkey
+    """,
+)
+def join_right(spark, sf_dir):
+    c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > _BIG)
+    return big.join(c, big.o_custkey == c.c_custkey, "right").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "join_full",
+    oracle="""
+    WITH a AS (SELECT o_custkey AS k, count(*) AS n_f FROM orders
+               WHERE o_orderstatus = 'F' GROUP BY 1),
+         b AS (SELECT o_custkey AS k, count(*) AS n_p FROM orders
+               WHERE o_orderstatus = 'P' GROUP BY 1)
+    SELECT coalesce(a.k, b.k) AS k,
+           coalesce(a.n_f, -1) AS n_f,
+           coalesce(b.n_p, -1) AS n_p
+    FROM a FULL JOIN b ON a.k = b.k
+    """,
+)
+def join_full(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    a = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").alias("n_f"))
+    )
+    b = (
+        o.filter(F.col("o_orderstatus") == "P")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").alias("n_p"))
+    )
+    return a.join(b, "k", "full").select(
+        "k",
+        F.coalesce("n_f", F.lit(-1)).alias("n_f"),
+        F.coalesce("n_p", F.lit(-1)).alias("n_p"),
+    )
+
+
+@register(
+    "join_semi",
+    oracle=f"""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > {_BIG})
+    """,
+)
+def join_semi(spark, sf_dir):
+    c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > _BIG)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle=f"""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > {_BIG})
+    """,
+)
+def join_anti(spark, sf_dir):
+    c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > _BIG)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+_TSEC = ORACLE_TSEC.format(c="ts")
+
+
+@register(
+    "join_theta_range",
+    oracle=f"""
+    WITH ev AS (SELECT event_id, user_id, {_TSEC} AS tsec FROM events)
+    SELECT e1.user_id, count(*) AS n_pairs
+    FROM ev e1 JOIN ev e2
+      ON e1.user_id = e2.user_id
+     AND e2.tsec >= e1.tsec AND e2.tsec < e1.tsec + 300
+     AND e1.event_id <> e2.event_id
+    GROUP BY e1.user_id
+    """,
+)
+def join_theta_range(spark, sf_dir):
+    """Non-equi self-pair: the user_id equi key keeps this a hash join
+    (range condition applied post-match), so it scales with per-user
+    event counts, not total rows²."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", unix_secs(F.col("ts")).alias("tsec")
+    )
+    e1 = ev.alias("e1")
+    e2 = ev.alias("e2")
+    cond = (
+        (F.col("e1.user_id") == F.col("e2.user_id"))
+        & (F.col("e2.tsec") >= F.col("e1.tsec"))
+        & (F.col("e2.tsec") < F.col("e1.tsec") + 300)
+        & (F.col("e1.event_id") != F.col("e2.event_id"))
+    )
+    return e1.join(e2, cond).groupBy(F.col("e1.user_id").alias("user_id")).agg(
+        F.count("*").alias("n_pairs")
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r_name, n_name, r_name || '/' || n_name AS pair
+    FROM region CROSS JOIN nation
+    """,
+)
+def join_cross(spark, sf_dir):
+    r, n = t(spark, sf_dir, "region"), t(spark, sf_dir, "nation")
+    return r.crossJoin(n).select(
+        "r_name", "n_name", F.concat_ws("/", "r_name", "n_name").alias("pair")
+    )
+
+
+@register(
+    "join_asof",
+    oracle=f"""
+    WITH ev AS (SELECT event_id, user_id, event_type, {_TSEC} AS tsec FROM events)
+    SELECT p.event_id, p.user_id, p.tsec AS purchase_tsec,
+           coalesce((SELECT max(v.tsec) FROM ev v
+                     WHERE v.user_id = p.user_id AND v.event_type = 'view'
+                       AND v.tsec <= p.tsec), -1) AS last_view_tsec
+    FROM ev p WHERE p.event_type = 'purchase'
+    """,
+)
+def join_asof(spark, sf_dir):
+    """As-of join, Spark-first: instead of a correlated subquery (one
+    probe per row) we union views+purchases, shuffle ONCE by user_id,
+    and carry the latest view timestamp forward with a running
+    last(ignoreNulls) window — O(n log n) per user, no join blowup.
+    Views sort before purchases at equal timestamps so a simultaneous
+    view is visible to the purchase (matches the oracle's <=)."""
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            unix_secs(F.col("ts")).alias("tsec"),
+            F.when(F.col("event_type") == "view", 0).otherwise(1).alias("kind"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tsec", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    view_ts = F.last(F.when(F.col("kind") == 0, F.col("tsec")), ignorenulls=True).over(w)
+    return (
+        ev.withColumn("last_view_tsec", F.coalesce(view_ts, F.lit(-1)))
+        .filter(F.col("kind") == 1)
+        .select(
+            "event_id", "user_id", F.col("tsec").alias("purchase_tsec"), "last_view_tsec"
+        )
+    )
+
+
+@register(
+    "join_interval",
+    oracle=f"""
+    WITH ev AS (SELECT event_id, user_id, event_type, {_TSEC} AS tsec FROM events)
+    SELECT s.event_id AS signup_event_id, s.user_id,
+           count(e.event_id) AS n_in_hour
+    FROM ev s LEFT JOIN ev e
+      ON e.user_id = s.user_id
+     AND e.tsec >= s.tsec AND e.tsec < s.tsec + 3600
+     AND e.event_id <> s.event_id
+    WHERE s.event_type = 'signup'
+    GROUP BY s.event_id, s.user_id
+    """,
+)
+def join_interval(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", unix_secs(F.col("ts")).alias("tsec")
+    )
+    s = ev.filter(F.col("event_type") == "signup").alias("s")
+    e = ev.alias("e")
+    cond = (
+        (F.col("e.user_id") == F.col("s.user_id"))
+        & (F.col("e.tsec") >= F.col("s.tsec"))
+        & (F.col("e.tsec") < F.col("s.tsec") + 3600)
+        & (F.col("e.event_id") != F.col("s.event_id"))
+    )
+    return (
+        s.join(e, cond, "left")
+        .groupBy(F.col("s.event_id").alias("signup_event_id"), F.col("s.user_id").alias("user_id"))
+        .agg(F.count(F.col("e.event_id")).alias("n_in_hour"))
+    )

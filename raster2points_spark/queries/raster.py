@@ -1,0 +1,239 @@
+"""§2.1 scan_tiles + §2.2 raster→points core, oracle-checked.
+
+The DuckDB oracle reads the SAME grid fixture parquet (committed
+under fixtures/grid/) and melts it with zipped unnests — positions
+via unnest(generate_series(...)) zipped against unnest(data), DuckDB's
+equivalent of posexplode.  Affine expressions are written with
+identical association on both sides so doubles match bitwise; only
+the libm-dependent area is rounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from raster2points_spark.operators.grid import (
+    affine_coords,
+    geodesic_area,
+    grid_unpivot,
+    nodata_filter,
+    raster2points,
+)
+from raster2points_spark.registry import register
+from raster2points_spark.sources.tiles import ensure_grid_fixtures, read_tiles
+from raster2points_spark.queries._util import GRID_DIR
+
+ensure_grid_fixtures(GRID_DIR)
+GRID64 = f"{GRID_DIR}/grid64.parquet"
+
+# DuckDB twin of operators.grid.grid_unpivot (1-indexed lists):
+# pos zipped with value via parallel unnest; nodata → NULL.
+_PX = f"""
+    WITH px AS (
+        SELECT band_id, tile_id, col_off, row_off, width, transform,
+               unnest(generate_series(0, len(data) - 1)) AS pos,
+               unnest(list_transform(data, v -> CASE WHEN v = nodata THEN NULL ELSE v END)) AS value
+        FROM read_parquet('{GRID64}')
+    ),
+    pix AS (
+        SELECT band_id, tile_id, pos, transform, value,
+               col_off + pos % width AS col,
+               row_off + cast(floor(pos / width) AS int) AS row
+        FROM px
+    )
+"""
+
+
+def _tiles(spark, sf_dir):
+    return read_tiles(spark, GRID64)
+
+
+@register(
+    "scan_tiles",
+    oracle=f"""
+    SELECT band_id, count(*) AS n_tiles, cast(sum(len(data)) AS bigint) AS n_pixels,
+           cast(sum(width) AS bigint) AS sum_w, cast(sum(height) AS bigint) AS sum_h
+    FROM read_parquet('{GRID64}')
+    GROUP BY band_id
+    """,
+)
+def scan_tiles(spark, sf_dir):
+    """Tile-table source sanity: per-band tile/pixel counts.  Reads
+    only 4 columns — column pruning keeps the (huge) payload column
+    out of queries that don't need it... except n_pixels, which uses
+    size(data) without exploding."""
+    tl = _tiles(spark, sf_dir)
+    return tl.groupBy("band_id").agg(
+        F.count("*").alias("n_tiles"),
+        F.sum(F.size("data")).alias("n_pixels"),
+        F.sum("width").alias("sum_w"),
+        F.sum("height").alias("sum_h"),
+    )
+
+
+@register(
+    "grid_unpivot",
+    oracle=f"""
+    {_PX}
+    SELECT band_id, tile_id, pos, row, col, value FROM pix
+    """,
+)
+def grid_unpivot_q(spark, sf_dir):
+    """Dense→sparse melt of every band (values incl. NULLs — the mask
+    is a separate operator)."""
+    return grid_unpivot(_tiles(spark, sf_dir)).select(
+        "band_id", "tile_id", "pos", "row", "col", "value"
+    )
+
+
+@register(
+    "nodata_filter",
+    oracle=f"""
+    {_PX}
+    SELECT band_id, count(*) AS n_valid, round(sum(value), 3) AS sum_valid
+    FROM pix WHERE value IS NOT NULL
+    GROUP BY band_id
+    """,
+)
+def nodata_filter_q(spark, sf_dir):
+    px = nodata_filter(grid_unpivot(_tiles(spark, sf_dir)))
+    return px.groupBy("band_id").agg(
+        F.count("*").alias("n_valid"), F.round(F.sum("value"), 3).alias("sum_valid")
+    )
+
+
+@register(
+    "affine_coords",
+    oracle=f"""
+    {_PX}
+    SELECT tile_id, row, col, value,
+           round(transform[3] + (col + 0.5) * transform[1] + (row + 0.5) * transform[2], 9) AS lon,
+           round(transform[6] + (col + 0.5) * transform[4] + (row + 0.5) * transform[5], 9) AS lat
+    FROM pix WHERE band_id = 'b1' AND value IS NOT NULL
+    """,
+)
+def affine_coords_q(spark, sf_dir):
+    """Pixel→geo projection of the masked band (pixel centers)."""
+    px = nodata_filter(grid_unpivot(_tiles(spark, sf_dir).filter(F.col("band_id") == "b1")))
+    px = affine_coords(px)
+    return px.select(
+        "tile_id",
+        "row",
+        "col",
+        "value",
+        F.round("lon", 9).alias("lon"),
+        F.round("lat", 9).alias("lat"),
+    )
+
+
+@register(
+    "band_zip_join",
+    oracle=f"""
+    {_PX}
+    SELECT b1.tile_id, b1.row, b1.col, b1.value AS val1, b2.value AS val2
+    FROM (SELECT * FROM pix WHERE band_id = 'b1' AND value IS NOT NULL) b1
+    LEFT JOIN (SELECT * FROM pix WHERE band_id = 'b2') b2
+      ON b1.tile_id = b2.tile_id AND b1.pos = b2.pos
+    """,
+)
+def band_zip_join_q(spark, sf_dir):
+    """Positional multi-band alignment; band-2 NoData keeps the row
+    with NULL (reference contract)."""
+    tl = _tiles(spark, sf_dir)
+    b1 = nodata_filter(grid_unpivot(tl.filter(F.col("band_id") == "b1")))
+    b2 = grid_unpivot(tl.filter(F.col("band_id") == "b2"))
+    return b1.join(
+        b2.select("tile_id", "pos", F.col("value").alias("val2")), ["tile_id", "pos"], "left"
+    ).select("tile_id", "row", "col", F.col("value").alias("val1"), "val2")
+
+
+@register(
+    "geodesic_area",
+    oracle=f"""
+    {_PX}
+    SELECT tile_id, row, col,
+           round(
+             radians(abs(transform[1])) * 40680631590769.0 *
+             abs(sin(radians((transform[6] + (col + 0.5) * transform[4] + (row + 0.5) * transform[5]) + abs(transform[5]) / 2))
+               - sin(radians((transform[6] + (col + 0.5) * transform[4] + (row + 0.5) * transform[5]) - abs(transform[5]) / 2))),
+             0) AS area_m2
+    FROM pix WHERE band_id = 'b1' AND value IS NOT NULL
+    """,
+)
+def geodesic_area_q(spark, sf_dir):
+    """WGS84 pixel area (R² = 6378137² = 40680631590769).  Rounded to
+    whole m² — sin() differs between JVM and libm in the last ulp."""
+    px = affine_coords(
+        nodata_filter(grid_unpivot(_tiles(spark, sf_dir).filter(F.col("band_id") == "b1")))
+    )
+    return px.select(
+        "tile_id",
+        "row",
+        "col",
+        F.round(geodesic_area(F.col("lat"), F.col("transform")), 0).alias("area_m2"),
+    )
+
+
+@register(
+    "col_rename",
+    oracle=f"""
+    {_PX}
+    SELECT b1.tile_id, b1.row, b1.col, b1.value AS elevation, b2.value AS slope
+    FROM (SELECT * FROM pix WHERE band_id = 'b1' AND value IS NOT NULL) b1
+    LEFT JOIN (SELECT * FROM pix WHERE band_id = 'b2') b2
+      ON b1.tile_id = b2.tile_id AND b1.pos = b2.pos
+    """,
+)
+def col_rename_q(spark, sf_dir):
+    """User-supplied column names (reference ``col_names`` param)."""
+    tl = _tiles(spark, sf_dir)
+    b1 = nodata_filter(grid_unpivot(tl.filter(F.col("band_id") == "b1")))
+    b2 = grid_unpivot(tl.filter(F.col("band_id") == "b2"))
+    return b1.join(
+        b2.select("tile_id", "pos", F.col("value").alias("slope")), ["tile_id", "pos"], "left"
+    ).select("tile_id", "row", "col", F.col("value").alias("elevation"), "slope")
+
+
+@register(
+    "chunk_union",
+    oracle=f"""
+    {_PX}
+    SELECT count(*) AS n, round(sum(value), 3) AS s FROM (
+        SELECT value FROM pix WHERE band_id = 'b1' AND value IS NOT NULL AND tile_id < 8
+        UNION ALL
+        SELECT value FROM pix WHERE band_id = 'b1' AND value IS NOT NULL AND tile_id >= 8
+    )
+    """,
+)
+def chunk_union_q(spark, sf_dir):
+    """The reference's chunked pd.concat, relationalized: unionAll of
+    per-chunk results is free in Spark (partitions concatenate
+    logically; no data moves)."""
+    px = nodata_filter(grid_unpivot(_tiles(spark, sf_dir).filter(F.col("band_id") == "b1")))
+    lo = px.filter(F.col("tile_id") < 8).select("value")
+    hi = px.filter(F.col("tile_id") >= 8).select("value")
+    return lo.unionAll(hi).agg(F.count("*").alias("n"), F.round(F.sum("value"), 3).alias("s"))
+
+
+@register(
+    "tile_stats",
+    oracle=f"""
+    {_PX}
+    SELECT band_id, tile_id,
+           count(value) AS n_valid,
+           round(min(value), 3) AS min_v,
+           round(max(value), 3) AS max_v,
+           round(avg(value), 3) AS mean_v
+    FROM pix GROUP BY band_id, tile_id
+    """,
+)
+def tile_stats_q(spark, sf_dir):
+    """Per-tile aggregate — the building block for raster overview /
+    pyramid levels at scale."""
+    px = grid_unpivot(_tiles(spark, sf_dir))
+    return px.groupBy("band_id", "tile_id").agg(
+        F.count("value").alias("n_valid"),
+        F.round(F.min("value"), 3).alias("min_v"),
+        F.round(F.max("value"), 3).alias("max_v"),
+        F.round(F.avg("value"), 3).alias("mean_v"),
+    )

@@ -1,0 +1,98 @@
+"""§2.1 scans / sources / sinks.
+
+The reference's whole purpose is a scan→transform→CSV pipeline
+(raster2points/raster2points.py::raster2csv); here sources and sinks
+are Spark readers/writers so column pruning + predicate pushdown
+reach the parquet scan (verify with .explain: PushedFilters/ReadSchema).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from raster2points_spark.io import write_csv, write_parquet
+from raster2points_spark.registry import register
+from raster2points_spark.queries._util import SCRATCH, t
+
+
+@register(
+    "scan_parquet",
+    oracle="""
+    SELECT count(*) AS n_rows, round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem WHERE l_quantity > 45
+    """,
+)
+def scan_parquet(spark, sf_dir):
+    """Parquet scan with filter+projection pushdown: the scan should
+    read only (l_quantity, l_extendedprice) and push l_quantity > 45
+    into the parquet reader (row-group stats pruning at scale)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity") > 45)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "gen_range",
+    oracle="""
+    SELECT range % 7 AS bucket, count(*) AS n, cast(sum(range) AS bigint) AS s
+    FROM range(0, 100000) GROUP BY 1
+    """,
+)
+def gen_range(spark, sf_dir):
+    """In-memory generator — spark.range is a parallel, partitioned
+    source (no driver-side materialization)."""
+    return (
+        spark.range(0, 100000)
+        .groupBy((F.col("id") % 7).alias("bucket"))
+        .agg(F.count("*").alias("n"), F.sum("id").alias("s"))
+    )
+
+
+@register("scan_csv_roundtrip", check="rows-only")
+def scan_csv_roundtrip(spark, sf_dir):
+    """CSV sink + scan with a non-default separator — the reference
+    CLI contract (::raster2csv supports ,/;/tab).  Schema is supplied
+    on re-read (never inferred: at 100 TB inference is a full extra
+    pass)."""
+    path = os.path.join(SCRATCH, "csv_roundtrip")
+    pts = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") <= 10)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+    write_csv(pts, path, sep=";")
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+        ]
+    )
+    back = spark.read.schema(schema).option("sep", ";").option("header", "true").csv(path)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@register("sink_parquet", check="rows-only")
+def sink_parquet(spark, sf_dir):
+    """Parquet sink → re-read → aggregate.  Each task writes its own
+    file; at scale you'd partitionBy a low-cardinality column."""
+    path = os.path.join(SCRATCH, "sink_parquet")
+    sel = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    write_parquet(sel, path)
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
