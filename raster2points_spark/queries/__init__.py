@@ -3,7 +3,10 @@
 from raster2points_spark.queries import (  # noqa: F401
     aggs,
     filters,
+    functions,
     joins,
     raster,
     scans,
+    sorts_setops,
+    windows,
 )

@@ -72,21 +72,29 @@ def filter_like(spark, sf_dir):
 
 @register(
     "project_expr",
+    # Per-row money products land on exact .xx5 ties constantly, and
+    # Spark (BigDecimal HALF_UP) vs DuckDB (nearbyint) break ties
+    # differently.  floor(x*100 + 0.5)/100 is pure IEEE double
+    # arithmetic — bit-identical in both engines (SURVEY §7 R1).
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           round(l_extendedprice * (1 - l_discount), 2) AS revenue,
-           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge
+           floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS revenue,
+           floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) / 100 AS charge
     FROM lineitem
     """,
 )
 def project_expr(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+
+    def cents(c):
+        return F.floor(c * 100 + F.lit(0.5)) / 100
+
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(rev, 2).alias("revenue"),
-        F.round(rev * (F.lit(1) + F.col("l_tax")), 2).alias("charge"),
+        cents(rev).alias("revenue"),
+        cents(rev * (F.lit(1) + F.col("l_tax"))).alias("charge"),
     )
 
 

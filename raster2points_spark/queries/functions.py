@@ -1,0 +1,225 @@
+"""§2.8 scalar function families — one query per family, many exprs.
+
+Everything stays JVM-side (built-in functions, whole-stage codegen).
+Engine-semantics traps handled per family:
+- dayofweek: Spark is 1=Sunday..7, DuckDB dayofweek is 0=Sunday → +1.
+- double→int casts: DuckDB rounds, Spark(ANSI) truncates → always go
+  through an explicit floor/round first.
+- libm-backed math (exp/ln/sqrt/sin) differs in the last ulp between
+  JVM and C — rounded before hashing.
+- DuckDB lists are 1-indexed; slices are inclusive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from raster2points_spark.registry import register
+from raster2points_spark.queries._util import t
+
+
+@register(
+    "fn_string",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS up_name,
+           lower(c_mktsegment) AS lo_seg,
+           substr(c_name, 1, 8) AS name8,
+           length(c_name) AS name_len,
+           trim(concat_ws('|', c_mktsegment, c_name)) AS joined,
+           lpad(cast(c_custkey AS varchar), 10, '0') AS padded,
+           replace(c_name, 'Customer', 'Cust') AS replaced,
+           string_split(c_name, '#')[2] AS num_part,
+           regexp_extract(c_name, '([0-9]+)$', 1) AS num_re
+    FROM customer
+    """,
+)
+def fn_string(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("up_name"),
+        F.lower("c_mktsegment").alias("lo_seg"),
+        F.substring("c_name", 1, 8).alias("name8"),
+        F.length("c_name").alias("name_len"),
+        F.trim(F.concat_ws("|", "c_mktsegment", "c_name")).alias("joined"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("replaced"),
+        F.element_at(F.split("c_name", "#"), 2).alias("num_part"),
+        F.regexp_extract("c_name", r"([0-9]+)$", 1).alias("num_re"),
+    )
+
+
+@register(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS y,
+           month(o_orderdate) AS m,
+           day(o_orderdate) AS d,
+           dayofweek(o_orderdate) + 1 AS dow,
+           cast(extract(quarter FROM o_orderdate) AS int) AS q,
+           datediff('day', cast(o_orderdate AS date), DATE '2000-01-01') AS days_to_y2k,
+           cast(cast(cast(o_orderdate AS date) + INTERVAL 30 DAY AS date) AS varchar) AS plus30,
+           cast(cast(date_trunc('month', o_orderdate) AS date) AS varchar) AS month_start,
+           cast(cast(o_orderdate AS date) AS varchar) AS iso_day
+    FROM orders
+    """,
+)
+def fn_date(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.quarter("o_orderdate").alias("q"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d).alias("days_to_y2k"),
+        # date-typed outputs are stringified: pandas converts DATE to
+        # datetime64 on the DuckDB side but keeps datetime.date on the
+        # Spark side, which breaks value hashing
+        F.date_add(d, 30).cast("string").alias("plus30"),
+        F.date_trunc("month", "o_orderdate").cast("date").cast("string").alias("month_start"),
+        d.cast("string").alias("iso_day"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_discount - 0.05), 6) AS a,
+           cast(ceil(l_quantity / 7) AS bigint) AS c,
+           cast(floor(l_quantity / 7) AS bigint) AS f,
+           round(pow(l_quantity, 2), 6) AS p2,
+           round(sqrt(l_quantity), 6) AS sq,
+           round(exp(l_discount), 6) AS ex,
+           round(ln(l_quantity), 6) AS lnq,
+           round(log10(l_quantity), 6) AS lg,
+           cast(sign(l_discount - 0.05) AS int) AS sg,
+           l_orderkey % 7 AS md
+    FROM lineitem
+    """,
+)
+def fn_math(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("a"),
+        F.ceil(q / 7).alias("c"),
+        F.floor(q / 7).alias("f"),
+        F.round(F.pow(q, 2), 6).alias("p2"),
+        F.round(F.sqrt(q), 6).alias("sq"),
+        F.round(F.exp("l_discount"), 6).alias("ex"),
+        F.round(F.log(q), 6).alias("lnq"),
+        F.round(F.log10(q), 6).alias("lg"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("sg"),
+        F.pmod("l_orderkey", F.lit(7)).alias("md"),
+    )
+
+
+@register(
+    "fn_cast",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           cast(round(l_quantity, 0) AS int) AS qty_int,
+           cast(l_quantity AS varchar) AS qty_str,
+           cast(l_orderkey AS varchar) AS key_str,
+           cast(cast(l_shipdate AS date) AS varchar) AS ship_day,
+           coalesce(try_cast(l_returnflag AS int), -1) AS flag_int,
+           cast(cast(l_linenumber AS smallint) AS int) AS ln_small
+    FROM lineitem
+    """,
+)
+def fn_cast(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_quantity", 0).cast("int").alias("qty_int"),
+        F.col("l_quantity").cast("string").alias("qty_str"),
+        F.col("l_orderkey").cast("string").alias("key_str"),
+        F.col("l_shipdate").cast("date").cast("string").alias("ship_day"),
+        F.coalesce(F.col("l_returnflag").try_cast("int"), F.lit(-1)).alias("flag_int"),
+        F.col("l_linenumber").cast("smallint").cast("int").alias("ln_small"),
+    )
+
+
+@register(
+    "fn_array",
+    oracle="""
+    SELECT vec_id, label,
+           len(embedding) AS n_dim,
+           embedding[1] AS e1,
+           embedding[64] AS e64,
+           list_sort(embedding[1:4]) AS first4_sorted,
+           len(list_distinct(embedding)) AS n_uniq,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos
+    FROM embeddings
+    """,
+)
+def fn_array(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("n_dim"),
+        F.element_at("embedding", 1).alias("e1"),
+        F.element_at("embedding", 64).alias("e64"),
+        F.sort_array(F.slice("embedding", 1, 4)).alias("first4_sorted"),
+        F.size(F.array_distinct("embedding")).alias("n_uniq"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+    )
+
+
+@register(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           cast(json_extract(props, '$.k') AS int) AS k_int,
+           coalesce(json_extract_string(props, '$.missing'), '-') AS k_missing
+    FROM events
+    """,
+)
+def fn_json(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.from_json("props", "map<string,int>")["k"].alias("k_int"),
+        F.coalesce(F.get_json_object("props", "$.missing"), F.lit("-")).alias("k_missing"),
+    )
+
+
+@register(
+    "fn_higher_order",
+    oracle="""
+    SELECT vec_id,
+           round(list_aggregate(embedding, 'sum'), 4) AS sum_e,
+           round(list_aggregate(list_transform(embedding, x -> x * x), 'sum'), 4) AS sq_norm,
+           len(list_filter(embedding, x -> abs(x) > 0.1)) AS n_big
+    FROM embeddings
+    """,
+)
+def fn_higher_order(spark, sf_dir):
+    """Lambda higher-order functions — JVM-evaluated per element, no
+    Python round trip (this is the idiom that replaces most UDFs)."""
+    e = t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.round(
+            F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("sum_e"),
+        F.round(
+            F.aggregate(
+                F.transform("embedding", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+            ),
+            4,
+        ).alias("sq_norm"),
+        F.size(F.filter("embedding", lambda x: F.abs(x) > 0.1)).alias("n_big"),
+    )

@@ -1,0 +1,169 @@
+"""§2.6 window functions.
+
+One shuffle per distinct (partitionBy, orderBy) spec; every orderBy
+carries a total-order tiebreak (SURVEY §7 R2) so ranks are
+deterministic across engines.  Nullable lag/lead outputs are
+coalesced to -1 so both engines emit non-null int64 (pandas would
+silently promote nullable ints to float64 and break value hashing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from raster2points_spark.registry import register
+from raster2points_spark.queries._util import ORACLE_TSEC, t, unix_secs
+
+_TSEC = ORACLE_TSEC.format(c="ts")
+
+
+@register(
+    "win_rank",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           row_number() OVER w AS rn,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4) OVER w AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def win_rank(spark, sf_dir):
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "win_topk_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def win_topk_group(spark, sf_dir):
+    """Top-3 orders per customer — the grouped-top-k idiom: one
+    shuffle by key, rank, filter.  Never a per-group sort+collect."""
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle=f"""
+    WITH ev AS (SELECT event_id, user_id, {_TSEC} AS tsec FROM events)
+    SELECT event_id, user_id, tsec,
+           coalesce(lag(tsec) OVER w, -1) AS prev_tsec,
+           coalesce(lead(tsec) OVER w, -1) AS next_tsec,
+           coalesce(tsec - lag(tsec) OVER w, -1) AS gap_sec
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)
+    """,
+)
+def win_lag_lead(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", unix_secs(F.col("ts")).alias("tsec")
+    )
+    w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+    lag = F.lag("tsec").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "tsec",
+        F.coalesce(lag, F.lit(-1)).alias("prev_tsec"),
+        F.coalesce(F.lead("tsec").over(w), F.lit(-1)).alias("next_tsec"),
+        F.coalesce(F.col("tsec") - lag, F.lit(-1)).alias("gap_sec"),
+    )
+
+
+@register(
+    "win_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+)
+def win_running(spark, sf_dir):
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@register(
+    "win_moving",
+    oracle=f"""
+    WITH ev AS (SELECT event_id, user_id, value, {_TSEC} AS tsec FROM events)
+    SELECT event_id, user_id, tsec,
+           round(avg(value) OVER (
+               PARTITION BY user_id ORDER BY tsec
+               RANGE BETWEEN 600 PRECEDING AND CURRENT ROW), 4) AS avg_10min
+    FROM ev
+    """,
+)
+def win_moving(spark, sf_dir):
+    """Time-based moving average: RANGE frame over epoch seconds —
+    peers at equal timestamps share the frame, so no tiebreak is
+    needed for determinism."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", unix_secs(F.col("ts")).alias("tsec")
+    )
+    w = Window.partitionBy("user_id").orderBy("tsec").rangeBetween(-600, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "tsec",
+        F.round(F.avg("value").over(w), 4).alias("avg_10min"),
+    )
+
+
+@register(
+    "win_analytic",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           first_value(o_orderkey) OVER w AS cheapest_key,
+           last_value(o_orderkey) OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS priciest_key,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def win_analytic(spark, sf_dir):
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+        F.last("o_orderkey").over(w_full).alias("priciest_key"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
