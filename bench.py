@@ -1,0 +1,95 @@
+"""Benchmark harness — driver contract (one JSON line on stdout).
+
+Runs the headline queries from the registry at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``, forcing
+full materialization through the no-op sink (measures compute + shuffle,
+not driver-collect). Prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+All diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from raster2points_spark.registry import load_all
+from raster2points_spark.session import get_spark
+
+# Representative spread: scan, filter, agg, star join, window, asof,
+# raster pipeline, and (as they land) LLM-pipeline ops.
+HEADLINE = [
+    "agg_groupby",
+    "join_broadcast_star",
+    "join_inner_eq",
+    "join_asof",
+    "win_topk_group",
+    "filter_pred",
+    "agg_percentile",
+    "col_rename",  # full raster2points pipeline incl. geodesic area
+    "fn_string",
+    "set_union_distinct",
+    # LLM-pipeline ops (skipped silently until registered)
+    "dedup_exact",
+    "dedup_near",
+    "sim_knn",
+    "text_tokens",
+    "text_tfidf",
+    "stream_tumbling",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+    registry = load_all()
+    spark = get_spark("bench")
+
+    # Warm the JVM + parquet footer caches once so per-query numbers
+    # measure the plan, not cold-start.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for key in HEADLINE:
+        spec = registry.get(key)
+        if spec is None:
+            continue
+        try:
+            t0 = time.time()
+            df = spec.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+        except Exception as exc:  # pragma: no cover - bench robustness
+            print(f"bench: {key} FAILED: {exc}", file=sys.stderr)
+            continue
+        timings[key] = round(dt, 3)
+        total += dt
+        print(f"bench: {key} {dt:.2f}s", file=sys.stderr)
+
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_num,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -5,6 +5,7 @@ from raster2points_spark.queries import (  # noqa: F401
     filters,
     functions,
     joins,
+    llm,
     raster,
     scans,
     sorts_setops,

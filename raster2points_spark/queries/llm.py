@@ -1,0 +1,626 @@
+"""§2.9 LLM-data-pipeline operators over documents/embeddings.
+
+Scale notes (the 100 TB story per operator):
+- dedup_exact: hash-groupBy — map-side partial agg, shuffle carries one
+  row per distinct hash, not per doc.
+- dedup_jaccard: shingle equi-join — docs pair ONLY when they share a
+  3-gram shingle (inverted-index join), never an O(n²) cross join.
+- dedup_near: MinHashLSH banding (MLlib) — the sub-quadratic path when
+  even the shingle join is too hot.
+- sim_knn: probe set is broadcast; corpus side is a single linear scan
+  with JVM-side higher-order-function dot products (no shuffle of the
+  corpus, no Python in the hot path).
+- text_*: pure built-in expressions → whole-stage codegen.
+
+Determinism (SURVEY §7 R1/R2): every float is round()'d identically in
+Spark and oracle SQL; every ranking orders by the ROUNDED value with a
+total-order tiebreak.
+
+Reference parity: the reference (wri/raster2points) has none of these;
+they are the BASELINE.json:6 north-star mandate ([N] rows in SURVEY §2.9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from raster2points_spark.registry import register
+from raster2points_spark.queries._util import t
+
+# Tokenizer twins — identical semantics, engine-native syntax.
+TOKS_SPARK = "filter(split(lower(text), ' '), x -> x != '')"
+TOKS_DUCK = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on md5(text), survivor = min doc_id."""
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+_SHINGLES_SPARK = (
+    f"CASE WHEN size({TOKS_SPARK}) >= 3 THEN "
+    f"array_distinct(transform(sequence(0, size({TOKS_SPARK}) - 3), "
+    f"i -> concat_ws(' ', {TOKS_SPARK}[i], {TOKS_SPARK}[i+1], {TOKS_SPARK}[i+2]))) "
+    "ELSE array() END"
+)
+
+_SHINGLES_DUCK = (
+    f"CASE WHEN len({TOKS_DUCK}) >= 3 THEN "
+    f"list_distinct(list_transform(generate_series(1, len({TOKS_DUCK}) - 2), "
+    f"i -> concat_ws(' ', {TOKS_DUCK}[i], {TOKS_DUCK}[i+1], {TOKS_DUCK}[i+2]))) "
+    "ELSE [] END"
+)
+
+
+@register(
+    "dedup_jaccard",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.4
+    """,
+)
+def dedup_jaccard(spark, sf_dir):
+    """Near-dup pairs by 3-gram shingle Jaccard >= 0.4.
+
+    Inverted-index join: only docs sharing a shingle ever meet, so the
+    shuffle is proportional to shared-shingle pairs, not |docs|².
+    """
+    docs = t(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = F.col("n_inter") * F.lit(1.0) / (F.col("sa.n") + F.col("sb.n") - F.col("n_inter"))
+    return (
+        inter.join(F.broadcast(sizes.alias("sa")), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(F.broadcast(sizes.alias("sb")), F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= 0.4)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@register("dedup_near", check="rows-only")
+def dedup_near(spark, sf_dir):
+    """Approx near-dup via MinHashLSH banding (MLlib), seed-pinned.
+
+    The sub-quadratic scale path: shingles -> hashed term freq ->
+    minhash signatures -> band-bucket join.  rows-only (LSH candidate
+    sets are not SQL-reproducible).
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SHINGLES_SPARK).alias("shingles")
+    )
+    docs = docs.filter(F.size("shingles") > 0)
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True)
+    feat = tf.transform(docs)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42)
+    model = lsh.fit(feat)
+    pairs = model.approxSimilarityJoin(feat, feat, 0.6, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(F.col("jaccard_dist"), 4).alias("jaccard_dist"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _simhash_exprs(hash_col: str, shift: str) -> tuple[list[str], str]:
+    """Per-bit vote aggregates + final bit-assembly expression.
+
+    ``shift``: "shiftright({h}, {j})" for Spark, "({h} >> {j})" for DuckDB.
+    32-bit simhash from the low bits of a 60-bit md5-derived token hash.
+    """
+    votes = []
+    assemble = []
+    for j in range(32):
+        sh = shift.format(h=hash_col, j=j)
+        votes.append(f"sum(CASE WHEN ({sh}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}")
+        assemble.append(f"CASE WHEN s{j} > 0 THEN cast({1 << j} AS bigint) ELSE cast(0 AS bigint) END")
+    return votes, " + ".join(assemble)
+
+
+_SH_VOTES_SPARK, _SH_ASSEMBLE_SPARK = _simhash_exprs("h", "shiftright({h}, {j})")
+_SH_VOTES_DUCK, _SH_ASSEMBLE_DUCK = _simhash_exprs("h", "({h} >> {j})")
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest({TOKS_DUCK}) AS w FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, cast(concat('0x', substr(md5(w), 1, 15)) AS bigint) AS h FROM tok
+    ),
+    votes AS (
+        SELECT doc_id, {", ".join(_SH_VOTES_DUCK)} FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, {_SH_ASSEMBLE_DUCK} AS simhash FROM votes
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """32-bit SimHash fingerprint per doc from md5 token hashes.
+
+    Two-level aggregation: per-bit majority vote (map-side partial) then
+    bit assembly — one shuffle keyed by doc_id, no token-level shuffle
+    beyond the explode.
+    """
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.expr(TOKS_SPARK)).alias("w")).distinct()
+    hashed = tok.select(
+        "doc_id",
+        F.expr("cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint)").alias("h"),
+    )
+    votes = hashed.groupBy("doc_id").agg(*[F.expr(v) for v in _SH_VOTES_SPARK])
+    return votes.select("doc_id", F.expr(_SH_ASSEMBLE_SPARK).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings are unit-norm [V] so cosine == dot)
+# ---------------------------------------------------------------------------
+
+_DOT_SPARK = (
+    "aggregate(zip_with(pe, ce, (x, y) -> x * y), cast(0.0 AS double), (acc, v) -> acc + v)"
+)
+
+
+def _knn_pairs(spark, sf_dir, n_probes=5, k=10):
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ce"), "label"
+    )
+    probes = emb.filter(F.col("vec_id") < n_probes).select(
+        F.col("vec_id").alias("probe_id"), F.col("ce").alias("pe")
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            "label",
+            F.round(F.expr(_DOT_SPARK), 4).alias("sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+_KNN_ORACLE_CTE = """
+    WITH e AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) AS pos,
+               cast(unnest(embedding) AS double) AS v
+        FROM embeddings
+    ),
+    p AS (SELECT vec_id AS probe_id, pos, v FROM e WHERE vec_id < 5),
+    dots AS (
+        SELECT p.probe_id, c.vec_id, any_value(c.label) AS label,
+               round(sum(p.v * c.v), 4) AS sim
+        FROM p JOIN e c ON p.pos = c.pos AND c.vec_id <> p.probe_id
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT probe_id, vec_id, label, sim,
+               row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
+        FROM dots
+    )
+"""
+
+
+@register(
+    "sim_knn",
+    oracle=_KNN_ORACLE_CTE
+    + """
+    SELECT probe_id, vec_id, sim, rn FROM ranked WHERE rn <= 10
+    """,
+)
+def sim_knn(spark, sf_dir):
+    """Brute-force cosine top-10 for a broadcast probe set.
+
+    Corpus side is one linear scan; dot product runs JVM-side via
+    zip_with/aggregate (whole-stage codegen, no Python).  At 100 TB the
+    probe set stays broadcast and the scan parallelizes freely.
+    """
+    return _knn_pairs(spark, sf_dir).select("probe_id", "vec_id", "sim", "rn")
+
+
+@register(
+    "sim_knn_label",
+    oracle=_KNN_ORACLE_CTE
+    + """
+    , votes AS (
+        SELECT probe_id, label, count(*) AS votes, round(avg(sim), 4) AS avg_sim
+        FROM ranked WHERE rn <= 10 GROUP BY 1, 2
+    )
+    SELECT probe_id, label AS pred_label, votes, avg_sim
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY votes DESC, label) AS rn2
+        FROM votes
+    ) WHERE rn2 = 1
+    """,
+)
+def sim_knn_label(spark, sf_dir):
+    """kNN majority-label classify (k=10, tiebreak = smaller label)."""
+    from pyspark.sql import Window
+
+    votes = (
+        _knn_pairs(spark, sf_dir)
+        .groupBy("probe_id", "label")
+        .agg(F.count("*").alias("votes"), F.round(F.avg("sim"), 4).alias("avg_sim"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("votes").desc(), F.col("label"))
+    return (
+        votes.withColumn("rn2", F.row_number().over(w))
+        .filter(F.col("rn2") == 1)
+        .select("probe_id", F.col("label").alias("pred_label"), "votes", "avg_sim")
+    )
+
+
+@register("sim_lsh", check="rows-only")
+def sim_lsh(spark, sf_dir):
+    """Approx ANN via random-hyperplane LSH (MLlib, seed-pinned).
+
+    The scale path for all-pairs similarity: bucket join instead of
+    cross join.  rows-only (bucket boundaries are not SQL-reproducible).
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=0.5, numHashTables=3, seed=42
+    )
+    model = lsh.fit(emb)
+    pairs = model.approxSimilarityJoin(emb, emb, 1.0, distCol="euclid")
+    return (
+        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("vec_a"),
+            F.col("datasetB.vec_id").alias("vec_b"),
+            F.round(F.col("euclid"), 4).alias("euclid"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_tokens",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({TOKS_DUCK}) AS word FROM documents),
+    counted AS (SELECT word, count(*) AS n FROM tok GROUP BY word)
+    SELECT word, n FROM counted ORDER BY n DESC, word LIMIT 50
+    """,
+)
+def text_tokens(spark, sf_dir):
+    """Corpus-wide token counts, top-50 (tiebreak: word asc)."""
+    return (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.expr(TOKS_SPARK)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(50)
+    )
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+    SELECT lang, source, count(*) AS n_docs,
+           round(avg(n_chars), 2) AS avg_chars,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+           cast(sum(len({TOKS_DUCK})) AS bigint) AS total_tokens
+    FROM documents GROUP BY lang, source
+    """,
+)
+def text_stats(spark, sf_dir):
+    """Per-(lang, source) document stats."""
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum(F.size(F.expr(TOKS_SPARK))).alias("total_tokens"),
+        )
+    )
+
+
+_STOPWORDS = "'the','a','and','of','to','in','is'"
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, text, {TOKS_DUCK} AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct,
+           round(len(list_distinct(toks)) * 1.0 / len(toks), 4) AS ttr,
+           round(list_aggregate(list_transform(toks, x -> len(x)), 'sum') * 1.0 / len(toks), 4)
+               AS avg_token_len,
+           round(len(list_filter(toks, x -> list_contains([{_STOPWORDS}], x))) * 1.0
+                 / len(toks), 4) AS stopword_ratio,
+           len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct
+    FROM base WHERE len(toks) > 0
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Per-doc quality features: token counts, type-token ratio,
+    avg token length, stopword ratio, punctuation count — all built-in
+    expressions (whole-stage codegen; no UDF)."""
+    docs = t(spark, sf_dir, "documents").withColumn("toks", F.expr(TOKS_SPARK))
+    n_tok = F.size("toks")
+    return docs.filter(n_tok > 0).select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.round(F.size(F.array_distinct("toks")) * F.lit(1.0) / n_tok, 4).alias("ttr"),
+        F.round(
+            F.expr("aggregate(transform(toks, x -> length(x)), 0, (acc, v) -> acc + v)")
+            * F.lit(1.0)
+            / n_tok,
+            4,
+        ).alias("avg_token_len"),
+        F.round(
+            F.size(F.expr(f"filter(toks, x -> array_contains(array({_STOPWORDS}), x))"))
+            * F.lit(1.0)
+            / n_tok,
+            4,
+        ).alias("stopword_ratio"),
+        F.length(F.regexp_replace("text", "[a-z0-9 ]", "")).alias("n_punct"),
+    )
+
+
+_LANGID_CASE_SQL = r"""
+    CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+         WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+         WHEN regexp_matches(text, '[ñ¿¡]') THEN 'es'
+         WHEN regexp_matches(text, '[éèêàçùâîô]') THEN 'fr'
+         ELSE 'en' END
+"""
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    SELECT lang, {_LANGID_CASE_SQL} AS pred_lang, count(*) AS n
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def text_langid(spark, sf_dir):
+    """Heuristic char-class language ID + confusion matrix vs the
+    labeled lang column.  Pure regex CASE — codegen'd, no UDF."""
+    pred = (
+        F.when(F.col("text").rlike(r"[\x{4e00}-\x{9fff}]"), "zh")
+        .when(F.col("text").rlike("[äöüß]"), "de")
+        .when(F.col("text").rlike("[ñ¿¡]"), "es")
+        .when(F.col("text").rlike("[éèêàçùâîô]"), "fr")
+        .otherwise("en")
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct({TOKS_DUCK})), ' ')) AS bag_fp,
+           md5(lower(text)) AS raw_fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprints: md5 of the sorted distinct token bag
+    (order-insensitive near-identity) + md5 of normalized raw text."""
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.sort_array(F.array_distinct(F.expr(TOKS_SPARK))))).alias(
+            "bag_fp"
+        ),
+        F.md5(F.lower("text")).alias("raw_fp"),
+    )
+
+
+@register(
+    "text_tfidf",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({TOKS_DUCK}) AS word FROM documents),
+    tf AS (SELECT doc_id, word, count(*) AS cnt FROM tok GROUP BY 1, 2),
+    dlen AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+    df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    nd AS (SELECT count(*) AS nd FROM documents),
+    weighted AS (
+        SELECT tf.doc_id, tf.word,
+               round((tf.cnt * 1.0 / dlen.n) * ln(nd.nd * 1.0 / df.df), 4) AS tfidf
+        FROM tf
+        JOIN dlen ON dlen.doc_id = tf.doc_id
+        JOIN df ON df.word = tf.word
+        CROSS JOIN nd
+    )
+    SELECT doc_id, word, tfidf, rn FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rn
+        FROM weighted
+    ) WHERE rn <= 3
+    """,
+)
+def text_tfidf(spark, sf_dir):
+    """Top-3 tf-idf terms per doc (tiebreak word asc).
+
+    df (small: one row per distinct word) and the corpus count are
+    broadcast; only the token explode shuffles by doc_id.
+    """
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.expr(TOKS_SPARK)).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
+    dlen = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    df = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    nd = docs.agg(F.count("*").alias("nd"))
+    weighted = (
+        tf.join(dlen, "doc_id")
+        .join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                (F.col("cnt") * F.lit(1.0) / F.col("n"))
+                * F.log(F.col("nd") * F.lit(1.0) / F.col("df")),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word"))
+    return weighted.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_struct",
+    oracle="""
+    SELECT d.doc_id, e.label, len(e.embedding) AS emb_dim, len(d.text) AS text_len
+    FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    """,
+)
+def mm_struct(spark, sf_dir):
+    """Multimodal record assembly: documents ⋈ embeddings into a typed
+    struct, then scalar field projection (the hash-checkable part)."""
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    rec = (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .select(
+            docs.doc_id,
+            F.struct(docs.text, emb.embedding, emb.label).alias("rec"),
+        )
+    )
+    return rec.select(
+        "doc_id",
+        F.col("rec.label").alias("label"),
+        F.size("rec.embedding").alias("emb_dim"),
+        F.length("rec.text").alias("text_len"),
+    )
+
+
+@register(
+    "mm_decode",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS payload_md5,
+           lower(substr(hex(encode(text)), 1, 16)) AS head_hex
+    FROM documents
+    """,
+)
+def mm_decode(spark, sf_dir):
+    """Opaque-binary column plumbing: text→binary payload, byte length,
+    checksum, head-of-payload sample — all JVM-side.  Stands in for
+    image/audio blob handling (schema + codegen path is the real part;
+    actual media decode is the mm_features stub)."""
+    docs = t(spark, sf_dir, "documents").withColumn("payload", F.col("text").cast("binary"))
+    return docs.select(
+        "doc_id",
+        F.octet_length("payload").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+        F.lower(F.substring(F.hex("payload"), 1, 16)).alias("head_hex"),
+    )
+
+
+@register("mm_features", check="rows-only")
+def mm_features(spark, sf_dir):
+    """Multimodal feature extraction over binary payloads via
+    mapInPandas (Arrow-batched).
+
+    STUB: real image/audio decode libs are unavailable in this
+    container; the decode is a deterministic fake (dimensions derived
+    from byte stats).  The Spark plumbing — binary column in, typed
+    feature schema out, partition-parallel Arrow batches — is real and
+    is exactly the shape a torchvision/librosa kernel would slot into.
+    """
+    import pandas as pd
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+    def fake_decode(batches):
+        for pdf in batches:
+            n = pdf["payload"].map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": 64 + (n % 64),          # deterministic fake "image" dims
+                    "height": 64 + ((n * 7) % 64),
+                    "n_bytes": n,
+                }
+            )
+
+    out = docs.mapInPandas(
+        fake_decode, schema="doc_id long, width long, height long, n_bytes long"
+    )
+    return out.orderBy("doc_id")
