@@ -9,5 +9,6 @@ from raster2points_spark.queries import (  # noqa: F401
     raster,
     scans,
     sorts_setops,
+    streaming,
     windows,
 )

@@ -1,0 +1,191 @@
+"""§2.10 streaming operators over events.
+
+Batch `window()` / `session_window()` are the SAME functions Structured
+Streaming executes incrementally, so the oracle-checked keys here run
+them in batch (hash-comparable against DuckDB bucket arithmetic), and
+the smoke keys run genuinely-streaming plans (watermark, stateful
+dedup) through an availableNow replay into a memory sink.
+
+Determinism (SURVEY §7 R3): events.ts is parquet timestamp[ns]; Spark
+reads µs, DuckDB ns.  Every comparison here happens at whole-second or
+coarser granularity — window starts are emitted as epoch-second
+BIGINTs, session gap logic runs on second-truncated timestamps in BOTH
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from raster2points_spark.registry import register
+from raster2points_spark.queries._util import t, unix_secs
+from raster2points_spark.streaming import read_events_stream, run_available_now
+
+
+@register(
+    "stream_tumbling",
+    oracle="""
+    SELECT cast(floor(epoch(date_trunc('hour', ts))) AS bigint) AS ws,
+           event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark, sf_dir):
+    """1-hour tumbling counts/sums per event_type — `window()` is the
+    streaming aggregation function, run in batch for the oracle."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            unix_secs(F.col("w.start")).alias("ws"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_sliding",
+    oracle="""
+    WITH s AS (
+        SELECT cast(floor(epoch(ts) / 1800) AS bigint) * 1800 - k * 1800 AS ws,
+               event_type, value
+        FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+    )
+    SELECT ws, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM s GROUP BY 1, 2
+    """,
+)
+def stream_sliding(spark, sf_dir):
+    """1-hour window sliding every 30 min (each event lands in exactly
+    2 windows); oracle materializes the 2 bucket offsets via unnest."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            unix_secs(F.col("w.start")).alias("ws"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_session",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, cast(floor(epoch(ts)) AS bigint) AS ts_s, value FROM events
+    ),
+    flg AS (
+        SELECT user_id, ts_s, value,
+               CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) > 600
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e
+    ),
+    sess AS (
+        SELECT user_id, ts_s, value,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_s
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flg
+    )
+    SELECT user_id, min(ts_s) AS sess_start, count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def stream_session(spark, sf_dir):
+    """Per-user session windows, 10-min inactivity gap.
+
+    `session_window()` (the streaming stateful operator, in batch) on
+    second-truncated ts; the oracle is the classic gaps-and-islands
+    rewrite (lag + cumulative sum).  Session split rule matches Spark
+    (verified empirically at sf0.01): an event exactly gap seconds
+    after the last still MERGES; only delta > gap starts a new session.
+    """
+    ev = t(spark, sf_dir, "events").withColumn("tss", F.date_trunc("second", F.col("ts")))
+    return (
+        ev.groupBy("user_id", F.session_window("tss", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            unix_secs(F.col("w.start")).alias("sess_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_funnel",
+    oracle="""
+    WITH stages AS (
+        SELECT user_id,
+               min(cast(floor(epoch(ts)) AS bigint)) FILTER (WHERE event_type = 'signup')
+                   AS t_signup,
+               min(cast(floor(epoch(ts)) AS bigint)) FILTER (WHERE event_type = 'view')
+                   AS t_view,
+               min(cast(floor(epoch(ts)) AS bigint)) FILTER (WHERE event_type = 'purchase')
+                   AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, t_signup, t_view, t_purchase
+    FROM stages
+    WHERE t_signup IS NOT NULL AND t_view IS NOT NULL AND t_purchase IS NOT NULL
+      AND t_signup <= t_view AND t_view <= t_purchase
+    """,
+)
+def stream_funnel(spark, sf_dir):
+    """signup→view→purchase funnel: users whose earliest stage
+    timestamps are monotonically ordered.  One shuffle (by user_id)
+    with conditional-min partial aggregation — the scalable funnel
+    shape (no per-stage self-joins)."""
+    ev = t(spark, sf_dir, "events")
+
+    def stage_min(et):
+        return F.min(F.when(F.col("event_type") == et, unix_secs(F.col("ts"))))
+
+    stages = ev.groupBy("user_id").agg(
+        stage_min("signup").alias("t_signup"),
+        stage_min("view").alias("t_view"),
+        stage_min("purchase").alias("t_purchase"),
+    )
+    return stages.filter(
+        F.col("t_signup").isNotNull()
+        & F.col("t_view").isNotNull()
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_signup") <= F.col("t_view"))
+        & (F.col("t_view") <= F.col("t_purchase"))
+    )
+
+
+@register("stream_watermark", check="smoke")
+def stream_watermark(spark, sf_dir):
+    """Real Structured Streaming: 15-min watermark + 1-h tumbling agg,
+    replayed with trigger(availableNow).  Append mode emits only
+    windows the watermark has closed — the late-data-drop invariant the
+    unit test asserts."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "15 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(unix_secs(F.col("w.start")).alias("ws"), "event_type", "n")
+    )
+    return run_available_now(agg, "wm_tumbling", output_mode="append").orderBy(
+        "ws", "event_type"
+    )
+
+
+@register("stream_dedup_state", check="smoke")
+def stream_dedup_state(spark, sf_dir):
+    """Stateful streaming dedup on event_id within the watermark
+    (dropDuplicatesWithinWatermark), then per-type counts of the
+    deduplicated stream."""
+    ev = read_events_stream(spark, sf_dir)
+    deduped = ev.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["event_id"])
+    out = run_available_now(deduped, "dedup_state", output_mode="append")
+    return out.groupBy("event_type").agg(F.count("*").alias("n")).orderBy("event_type")
