@@ -10,5 +10,6 @@ from raster2points_spark.queries import (  # noqa: F401
     scans,
     sorts_setops,
     streaming,
+    udfs,
     windows,
 )

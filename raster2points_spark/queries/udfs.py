@@ -1,0 +1,221 @@
+"""§2.11 UDF / UDAF / UDTF surface.
+
+The reference (wri/raster2points) is architecturally ONE big Python
+kernel applied per raster block (raster2points.py::raster2df, via
+parallelpipe workers — reconstructed, SURVEY §0).  This module shows
+every Spark shape that kernel style maps onto, ordered slow→fast:
+
+- ``udf_scalar_py``   row-at-a-time Python UDF — the anti-pattern kept
+                      for surface completeness (and to benchmark against
+                      the vectorized twin below).
+- ``udf_pandas_scalar`` Arrow-vectorized scalar UDF — the right way to
+                      run Python per-row logic (~10-100x the row UDF).
+- ``udf_grouped_agg`` pandas UDAF (numpy trimmed mean per group).
+- ``udf_grouped_map`` ``groupBy().applyInPandas`` — the reference's
+                      per-block kernel shape: one pandas frame per tile.
+- ``udf_map_in_pandas`` partition-wise Arrow batch iterator.
+- ``udtf_py``         PySpark 4 Python UDTF (table function).
+
+Every Python-side float is rounded identically in the oracle SQL
+(SURVEY §7 R1); libm-heavy outputs (trig) are scaled to km² before
+rounding so last-ulp sin() differences cannot cross the rounding grid.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+from raster2points_spark.registry import register
+from raster2points_spark.queries._util import t
+from raster2points_spark.queries.raster import _PX  # DuckDB tile-melt CTE twin
+from raster2points_spark.sources.tiles import read_tiles
+from raster2points_spark.queries.raster import GRID64
+
+_DEG = math.pi / 180.0
+_R = 6378137.0  # WGS84 semi-major axis (m) — matches operators.grid
+
+# Fake per-customer latitude: deterministic, in [-89.5, 89.5].
+_LAT_SQL = "cast(c_custkey % 179 AS double) - 89.0 + 0.25"
+
+
+@register(
+    "udf_scalar_py",
+    oracle=f"""
+    SELECT c_custkey,
+           round(abs(2.0 * 6.378137e6 * 6.378137e6 * 0.25 * (pi() / 180.0)
+                 * cos(({_LAT_SQL}) * pi() / 180.0)
+                 * sin(0.25 * pi() / 180.0 / 2.0)) / 1e6, 4) AS area_km2
+    FROM customer
+    """,
+)
+def udf_scalar_py(spark, sf_dir):
+    """Row-at-a-time Python UDF computing geodesic pixel area (km²) for
+    a 0.5°x0.5° cell at a synthetic latitude.  Slow path by design —
+    benchmarked against udf_pandas_scalar."""
+
+    @F.udf(DoubleType())
+    def cell_area_km2(lat: float) -> float:
+        d = 0.25 * _DEG
+        area = abs(2.0 * _R * _R * d * math.cos(lat * _DEG) * math.sin(d / 2.0))
+        return round(area / 1e6, 4)
+
+    cust = t(spark, sf_dir, "customer")
+    lat = (F.col("c_custkey") % 179).cast("double") - 89.0 + 0.25
+    return cust.select("c_custkey", cell_area_km2(lat).alias("area_km2"))
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle=f"""
+    SELECT c_custkey,
+           round(abs(2.0 * 6.378137e6 * 6.378137e6 * 0.25 * (pi() / 180.0)
+                 * cos(({_LAT_SQL}) * pi() / 180.0)
+                 * sin(0.25 * pi() / 180.0 / 2.0)) / 1e6, 4) AS area_km2
+    FROM customer
+    """,
+)
+def udf_pandas_scalar(spark, sf_dir):
+    """Same kernel as udf_scalar_py but Arrow-vectorized: one numpy
+    expression per Arrow batch instead of one Python call per row."""
+    import numpy as np
+
+    @pandas_udf(DoubleType())
+    def cell_area_km2(lat: pd.Series) -> pd.Series:
+        d = 0.25 * _DEG
+        area = np.abs(2.0 * _R * _R * d * np.cos(lat * _DEG) * np.sin(d / 2.0))
+        return (area / 1e6).round(4)
+
+    cust = t(spark, sf_dir, "customer")
+    lat = (F.col("c_custkey") % 179).cast("double") - 89.0 + 0.25
+    return cust.select("c_custkey", cell_area_km2(lat).alias("area_km2"))
+
+
+@register(
+    "udf_grouped_agg",
+    oracle="""
+    WITH q AS (
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.1) AS lo,
+               quantile_cont(l_quantity, 0.9) AS hi
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag, round(avg(l_quantity), 4) AS trimmed_mean
+    FROM lineitem l JOIN q ON q.l_returnflag = l.l_returnflag
+    WHERE l_quantity BETWEEN q.lo AND q.hi
+    GROUP BY l.l_returnflag
+    """,
+)
+def udf_grouped_agg(spark, sf_dir):
+    """pandas UDAF: 10-90 percentile trimmed mean of l_quantity per
+    returnflag (numpy linear quantiles == DuckDB quantile_cont)."""
+    import numpy as np
+
+    @pandas_udf(DoubleType())
+    def trimmed_mean(v: pd.Series) -> float:
+        a = v.to_numpy(dtype="float64")
+        lo, hi = np.quantile(a, [0.1, 0.9])
+        return round(float(a[(a >= lo) & (a <= hi)].mean()), 4)
+
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        trimmed_mean(F.col("l_quantity")).alias("trimmed_mean")
+    )
+
+
+@register(
+    "udf_grouped_map",
+    oracle=f"""
+    {_PX},
+    filled AS (
+        SELECT tile_id, pos, value,
+               avg(value) OVER (PARTITION BY tile_id) AS tile_mean
+        FROM pix WHERE band_id = 'b1'
+    )
+    SELECT tile_id, pos,
+           round(coalesce(value, tile_mean), 4) AS filled_value
+    FROM filled
+    """,
+)
+def udf_grouped_map(spark, sf_dir):
+    """The reference's per-block kernel shape: groupBy(tile_id) →
+    applyInPandas numpy kernel (mean-fill NoData pixels from the tile's
+    valid-pixel mean).  One pandas frame per tile, Arrow-batched — this
+    is where a real raster kernel (hillshade, NDVI, …) would go."""
+    import numpy as np
+
+    from raster2points_spark.operators.grid import grid_unpivot
+
+    tiles = read_tiles(spark, GRID64).filter(F.col("band_id") == "b1")
+    px = grid_unpivot(tiles).select("tile_id", "pos", "value")
+
+    def mean_fill(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].to_numpy(dtype="float64")
+        mean = np.nanmean(v) if not np.all(np.isnan(v)) else np.nan
+        filled = np.where(np.isnan(v), mean, v)
+        return pd.DataFrame(
+            {
+                "tile_id": pdf["tile_id"],
+                "pos": pdf["pos"],
+                "filled_value": np.round(filled, 4),
+            }
+        )
+
+    return px.groupBy("tile_id").applyInPandas(
+        mean_fill, schema="tile_id long, pos int, filled_value double"
+    )
+
+
+@register("udf_map_in_pandas", check="rows-only")
+def udf_map_in_pandas(spark, sf_dir):
+    """Partition-wise Arrow batch pipeline (mapInPandas): per-batch
+    revenue computation + batch-id bookkeeping.  rows-only: batch
+    boundaries are partitioning-dependent, so only aggregate invariants
+    are stable — the returned result is a per-orderkey aggregate, which
+    IS deterministic, but kept rows-only to honour the declared check
+    class for partition-imperative code."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+
+    def revenue_batches(batches):
+        for pdf in batches:
+            out = pdf.assign(revenue=pdf["l_extendedprice"] * (1.0 - pdf["l_discount"]))
+            yield out[["l_orderkey", "revenue"]]
+
+    rev = li.mapInPandas(revenue_batches, schema="l_orderkey long, revenue double")
+    return (
+        rev.groupBy("l_orderkey")
+        .agg(F.round(F.sum("revenue"), 2).alias("order_revenue"))
+        .orderBy("l_orderkey")
+    )
+
+
+@register("udtf_py", check="rows-only")
+def udtf_py(spark, sf_dir):
+    """PySpark 4 Python UDTF: one table-function call per tile row
+    explodes the dense payload into (pos, value) point rows — the
+    reference's raster2df as a lateral join."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="tile_id: bigint, pos: int, value: double")
+    class ExplodeTile:
+        def eval(self, tile_id, nodata, data):
+            for pos, v in enumerate(data):
+                if v is not None and v != nodata:
+                    yield tile_id, pos, float(v)
+
+    spark.udtf.register("explode_tile", ExplodeTile)
+    read_tiles(spark, GRID64).filter(F.col("band_id") == "b1").createOrReplaceTempView(
+        "udtf_tiles"
+    )
+    return spark.sql(
+        """
+        SELECT p.tile_id, p.pos, p.value
+        FROM udtf_tiles t,
+        LATERAL explode_tile(t.tile_id, t.nodata, t.data) p
+        ORDER BY p.tile_id, p.pos
+        """
+    )
