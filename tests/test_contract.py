@@ -1,0 +1,44 @@
+"""Driver-contract invariants (SURVEY §5 t1/t2 preconditions)."""
+
+from __future__ import annotations
+
+from tests.conftest import SF0001
+
+
+def test_entry_returns_rows(spark):
+    import __spark_entry__ as E
+
+    df = E.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema.fields) > 0
+
+
+def test_queries_and_oracles_consistent():
+    import __spark_entry__ as E
+
+    q = E.queries()
+    o = E.oracle_sql()
+    assert len(q) >= 80
+    assert set(o) <= set(q), "every oracle key must be a declared query"
+    assert all(callable(f) for f in q.values())
+    assert all(isinstance(s, str) and "SELECT" in s.upper() for s in o.values())
+
+
+def test_oracle_keys_match_check_class(registry):
+    for name, spec in registry.items():
+        if spec.check == "oracle":
+            assert spec.oracle, f"{name} declared oracle but has no SQL"
+        else:
+            assert spec.check in ("rows-only", "smoke")
+
+
+def test_every_query_plans_at_sf0001(spark, registry):
+    """Every registered key must at least produce an analyzable plan
+    (schema resolution) against the smallest corpus — catches broken
+    column refs without paying full execution for all keys."""
+    skip_exec = {"stream_watermark", "stream_dedup_state"}  # real streams, tested separately
+    for name, spec in registry.items():
+        if name in skip_exec:
+            continue
+        df = spec.fn(spark, SF0001)
+        assert df.schema is not None and len(df.schema.fields) > 0, name

@@ -1,0 +1,106 @@
+"""LLM-pipeline operator semantics on tiny literal inputs + the sf0.001
+corpus (golden where hand-checkable, invariants elsewhere)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF0001
+
+
+def test_dedup_exact_no_dups_at_small_sf(spark, registry):
+    """FIXTURES.md: duplicate texts exist only at sf0.1 — at sf0.001
+    every text is unique, so survivors == docs and n_copies == 1."""
+    out = registry["dedup_exact"].fn(spark, SF0001)
+    n_docs = spark.read.parquet(f"{SF0001}/documents.parquet").count()
+    rows = out.collect()
+    assert len(rows) == n_docs
+    assert all(r.n_copies == 1 for r in rows)
+
+
+def test_dedup_jaccard_self_pairs_excluded(spark, registry):
+    out = registry["dedup_jaccard"].fn(spark, SF0001)
+    assert all(r.doc_a < r.doc_b for r in out.collect())
+
+
+def test_simhash_identical_texts_collide(spark):
+    """SimHash is a pure function of the token multiset."""
+    from raster2points_spark.registry import load_all
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "zeta eta theta iota")],
+        "doc_id long, text string",
+    )
+    df.createOrReplaceTempView("documents_tmp")
+    # reuse the registered plan by swapping the table: simplest is to
+    # re-run its expression logic on the literal frame
+    fn = load_all()["dedup_simhash"].fn
+
+    class FakeDir(str):
+        pass
+
+    # monkey-route: write literal docs to a temp dir the key can read
+    import tempfile, os
+
+    d = tempfile.mkdtemp(prefix="simhash_t_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {r.doc_id: r.simhash for r in fn(spark, d).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+
+
+def test_knn_is_top10_per_probe(spark, registry):
+    out = registry["sim_knn"].fn(spark, SF0001).collect()
+    by_probe = {}
+    for r in out:
+        by_probe.setdefault(r.probe_id, []).append(r)
+    assert set(by_probe) == {0, 1, 2, 3, 4}
+    for probe, rows in by_probe.items():
+        assert len(rows) == 10
+        assert all(r.vec_id != probe for r in rows), "self excluded"
+        sims = [r.sim for r in sorted(rows, key=lambda r: r.rn)]
+        assert sims == sorted(sims, reverse=True), "ranked by similarity"
+        assert all(-1.0001 <= s <= 1.0001 for s in sims), "cosine bounds (unit-norm)"
+
+
+def test_knn_label_majority(spark, registry):
+    knn = registry["sim_knn"].fn(spark, SF0001)
+    labels = registry["sim_knn_label"].fn(spark, SF0001).collect()
+    assert len(labels) == 5
+    assert all(0 <= r.pred_label <= 9 for r in labels)
+    assert all(1 <= r.votes <= 10 for r in labels)
+
+
+def test_text_tokens_counts(spark):
+    from raster2points_spark.registry import load_all
+    import tempfile, os
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "a  c")], "doc_id long, text string"
+    ).withColumn("lang", __import__("pyspark").sql.functions.lit("en"))
+    d = tempfile.mkdtemp(prefix="tok_t_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {r.word: r.n for r in load_all()["text_tokens"].fn(spark, d).collect()}
+    assert out == {"a": 3, "b": 1, "c": 1}  # double space yields no empty token
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    from raster2points_spark.registry import load_all
+    import tempfile, os
+
+    df = spark.createDataFrame(
+        [(1, "common rare common"), (2, "common common common"), (3, "common other common")],
+        "doc_id long, text string",
+    )
+    d = tempfile.mkdtemp(prefix="tfidf_t_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = load_all()["text_tfidf"].fn(spark, d).collect()
+    doc1 = sorted((r for r in out if r.doc_id == 1), key=lambda r: r.rn)
+    assert doc1[0].word == "rare", "idf must dominate the common term"
+
+
+def test_mm_struct_join_integrity(spark, registry):
+    out = registry["mm_struct"].fn(spark, SF0001)
+    rows = out.collect()
+    assert all(r.emb_dim == 64 for r in rows)
+    assert all(r.text_len > 0 for r in rows)

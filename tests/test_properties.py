@@ -1,0 +1,88 @@
+"""Property-based invariants (hypothesis on pure helpers; cheap literal
+DataFrames for engine-level laws) — SURVEY §5.4."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+
+from raster2points_spark.operators.grid import geodesic_area_py
+
+lat_st = st.floats(min_value=-89.0, max_value=89.0, allow_nan=False)
+d_st = st.floats(min_value=1e-4, max_value=1.0, allow_nan=False)
+
+
+@given(lat=lat_st, dlon=d_st, dlat=d_st)
+@settings(max_examples=200, deadline=None)
+def test_area_positive_and_bounded(lat, dlon, dlat):
+    a = geodesic_area_py(lat, dlon, dlat)
+    assert a >= 0
+    # never exceeds the equatorial flat approximation
+    r = 6378137.0
+    flat = math.radians(dlon) * math.radians(dlat) * r * r
+    assert a <= flat * 1.0000001
+
+
+@given(lat=st.floats(min_value=0.0, max_value=88.0, allow_nan=False), d=d_st)
+@settings(max_examples=200, deadline=None)
+def test_area_symmetric_about_equator(lat, d):
+    assert math.isclose(
+        geodesic_area_py(lat, d, d), geodesic_area_py(-lat, d, d), rel_tol=1e-9
+    )
+
+
+@given(lat=st.floats(min_value=0.0, max_value=80.0, allow_nan=False), d=d_st)
+@settings(max_examples=100, deadline=None)
+def test_area_decreases_toward_pole(lat, d):
+    assert geodesic_area_py(lat + 5.0, d, d) < geodesic_area_py(lat, d, d) + 1e-9
+
+
+# --- engine-level laws on tiny literal frames (one Spark round each) ---
+
+
+def test_union_all_rowcount_additive(spark):
+    a = spark.range(7)
+    b = spark.range(11)
+    assert a.unionAll(b).count() == 18
+
+
+def test_dedup_idempotent(spark):
+    df = spark.createDataFrame([(1, "x"), (1, "x"), (2, "y")], "k long, v string")
+    once = df.dropDuplicates()
+    assert once.count() == once.dropDuplicates().count() == 2
+
+
+def test_grid_unpivot_roundtrip(spark):
+    """melt → re-pivot reconstructs every tile payload exactly."""
+    from pyspark.sql import functions as F
+
+    from raster2points_spark.operators.grid import grid_unpivot
+    from raster2points_spark.queries._util import GRID_DIR
+    from raster2points_spark.sources.tiles import ensure_grid_fixtures, read_tiles
+
+    ensure_grid_fixtures(GRID_DIR)
+    tiles = read_tiles(spark, f"{GRID_DIR}/grid4.parquet").filter(F.col("band_id") == "b1")
+    melted = grid_unpivot(tiles)
+    rebuilt = (
+        melted.groupBy("tile_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "value"))).alias("pv"))
+        .select("tile_id", F.expr("transform(pv, x -> coalesce(x.value, -9999.0d))").alias("data"))
+    )
+    orig = {r.tile_id: r.data for r in tiles.select("tile_id", "data").collect()}
+    got = {r.tile_id: r.data for r in rebuilt.collect()}
+    assert got == orig
+
+
+def test_mask_count_bounded_by_pixels(spark):
+    from pyspark.sql import functions as F
+
+    from raster2points_spark.operators.grid import grid_unpivot, nodata_filter
+    from raster2points_spark.queries._util import GRID_DIR
+    from raster2points_spark.sources.tiles import ensure_grid_fixtures, read_tiles
+
+    ensure_grid_fixtures(GRID_DIR)
+    tiles = read_tiles(spark, f"{GRID_DIR}/grid64.parquet").filter(F.col("band_id") == "b1")
+    total_px = tiles.select(F.sum(F.size("data"))).first()[0]
+    valid = nodata_filter(grid_unpivot(tiles)).count()
+    assert 0 < valid <= total_px

@@ -1,0 +1,77 @@
+"""Raster→points golden tests on the hand-checkable grid4 fixture
+(FIXTURES.md §B) — mirrors the reference's small-GeoTIFF pytest style."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from raster2points_spark.api import raster2df
+from raster2points_spark.operators.grid import geodesic_area_py
+from raster2points_spark.queries._util import GRID_DIR
+from raster2points_spark.sources.tiles import ensure_grid_fixtures
+
+GRID4 = f"{GRID_DIR}/grid4.parquet"
+
+# (lon, lat, val1, val2) — hand-computed: affine [0.5,0,10,0,-0.5,45],
+# pixel centers, b1 values 1..16 row-major with 11 NoData holes, b2 = 10*b1
+# except the (col=2,row=2) pixel which is NoData in b2 only.
+GOLDEN = [
+    (10.25, 44.75, 1.0, 10.0),
+    (11.75, 44.75, 4.0, 40.0),
+    (10.75, 44.25, 6.0, 60.0),
+    (11.25, 43.75, 11.0, None),
+    (11.75, 43.25, 16.0, 160.0),
+]
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    ensure_grid_fixtures(GRID_DIR)
+    return raster2df(spark, GRID4, bands=["b1", "b2"], calc_area=True)
+
+
+def test_golden_rows(points):
+    rows = sorted(
+        ((r.lon, r.lat, r.val1, r.val2) for r in points.collect()),
+        key=lambda x: (-x[1], x[0]),
+    )
+    assert len(rows) == 5
+    for got, want in zip(rows, GOLDEN):
+        assert got[0] == want[0] and got[1] == want[1]
+        assert got[2] == want[2]
+        assert got[3] == want[3]
+
+
+def test_mask_semantics(points):
+    """Band 1 masks; NoData in band 2 keeps the row with null val2."""
+    rows = points.collect()
+    assert all(r.val1 is not None for r in rows)
+    assert sum(1 for r in rows if r.val2 is None) == 1
+
+
+def test_area_matches_python_twin(points):
+    for r in points.collect():
+        want = geodesic_area_py(r.lat, 0.5, 0.5)
+        assert math.isclose(r.area, want, rel_tol=1e-9), (r.lat, r.area, want)
+
+
+def test_area_is_latitude_monotone(points):
+    """Pixel area shrinks toward the poles (pure f(lat) at fixed dlon)."""
+    by_lat = {r.lat: r.area for r in points.collect()}
+    lats = sorted(by_lat)  # all positive (44-45°N)
+    areas = [by_lat[lat] for lat in lats]
+    assert areas == sorted(areas, reverse=True)
+
+
+def test_col_names_and_schema(spark):
+    df = raster2df(spark, GRID4, bands=["b1", "b2"], col_names=["elev", "slope"])
+    assert df.columns == ["lon", "lat", "elev", "slope"]
+
+
+def test_band_count_validation(spark):
+    with pytest.raises(ValueError):
+        raster2df(spark, GRID4, bands=[])
+    with pytest.raises(ValueError):
+        raster2df(spark, GRID4, bands=["b1"], col_names=["a", "b"])
