@@ -35,13 +35,20 @@ HEADLINE = [
     "col_rename",  # full raster2points pipeline incl. geodesic area
     "fn_string",
     "set_union_distinct",
-    # LLM-pipeline ops (skipped silently until registered)
+    # LLM-pipeline ops
     "dedup_exact",
     "dedup_near",
+    "dedup_jaccard",
     "sim_knn",
+    "sim_ivf",
     "text_tokens",
     "text_tfidf",
+    "text_quality",
+    # streaming + UDF surface
     "stream_tumbling",
+    "stream_session",
+    "udf_pandas_scalar",
+    "udf_grouped_map",
 ]
 
 

@@ -56,10 +56,14 @@ def dedup_exact(spark, sf_dir):
     )
 
 
+# Operates on a pre-materialized `toks` column — inlining the split()
+# inside the transform lambda re-tokenizes the doc once PER ELEMENT
+# ACCESS (measured 150x slowdown at sf0.1), so callers must
+# .withColumn("toks", F.expr(TOKS_SPARK)) first.
 _SHINGLES_SPARK = (
-    f"CASE WHEN size({TOKS_SPARK}) >= 3 THEN "
-    f"array_distinct(transform(sequence(0, size({TOKS_SPARK}) - 3), "
-    f"i -> concat_ws(' ', {TOKS_SPARK}[i], {TOKS_SPARK}[i+1], {TOKS_SPARK}[i+2]))) "
+    "CASE WHEN size(toks) >= 3 THEN "
+    "array_distinct(transform(sequence(0, size(toks) - 3), "
+    "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) "
     "ELSE array() END"
 )
 
@@ -97,7 +101,7 @@ def dedup_jaccard(spark, sf_dir):
     Inverted-index join: only docs sharing a shingle ever meet, so the
     shuffle is proportional to shared-shingle pairs, not |docs|².
     """
-    docs = t(spark, sf_dir, "documents")
+    docs = t(spark, sf_dir, "documents").withColumn("toks", F.expr(TOKS_SPARK))
     sh = docs.select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("shingle"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
@@ -116,25 +120,129 @@ def dedup_jaccard(spark, sf_dir):
     )
 
 
-@register("dedup_near", check="rows-only")
-def dedup_near(spark, sf_dir):
-    """Approx near-dup via MinHashLSH banding (MLlib), seed-pinned.
+# MinHash machinery shared by dedup_near and its oracle: 12 seeded
+# md5-derived hash functions, banded 4x3.  md5→bigint parity between
+# Spark (conv hex) and DuckDB (0x-prefix cast) is the same trick
+# dedup_simhash uses.
+_N_HASH, _N_BANDS, _BAND_W = 12, 4, 3
+_MH_SPARK = [
+    f"min(cast(conv(substring(md5(concat(shingle, '#{j}')), 1, 15), 16, 10) AS bigint)) AS h{j}"
+    for j in range(_N_HASH)
+]
+_MH_DUCK = [
+    f"min(cast(concat('0x', substr(md5(shingle || '#{j}'), 1, 15)) AS bigint)) AS h{j}"
+    for j in range(_N_HASH)
+]
+_BANDS = [
+    (b, ", ".join(f"h{b * _BAND_W + i}" for i in range(_BAND_W))) for b in range(_N_BANDS)
+]
+_BAND_STACK_SPARK = "stack({}, {}) AS (band_idx, band_val)".format(
+    _N_BANDS, ", ".join(f"{b}, concat_ws(':', {cols})" for b, cols in _BANDS)
+)
+_BAND_UNION_DUCK = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, concat_ws(':', {cols}) AS band_val FROM sigs"
+    for b, cols in _BANDS
+)
 
-    The sub-quadratic scale path: shingles -> hashed term freq ->
-    minhash signatures -> band-bucket join.  rows-only (LSH candidate
-    sets are not SQL-reproducible).
+_SH_CTE_DUCK = f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM documents
+    )
+"""
+
+
+@register(
+    "dedup_near",
+    oracle=_SH_CTE_DUCK
+    + f"""
+    , sigs AS (SELECT doc_id, {", ".join(_MH_DUCK)} FROM sh GROUP BY doc_id),
+    bands AS ({_BAND_UNION_DUCK}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.4
+    """,
+)
+def dedup_near(spark, sf_dir):
+    """MinHash+LSH near-dup: 12 seeded minhashes → 4 bands of 3 →
+    band-bucket join → exact-Jaccard verify of candidates only.
+
+    Hand-rolled in pure built-in expressions (md5 hash family), so it
+    is fully deterministic and DuckDB-oracle-checked — unlike MLlib's
+    MinHashLSH (kept as dedup_minhash_ml).  This is the sub-quadratic
+    scale path: signatures are one groupBy over shingles, the band
+    join only ever pairs docs agreeing on a full band, and the
+    expensive exact verify runs on candidates, not on |docs|².
+    Recall vs the exhaustive dedup_jaccard is the usual LSH trade and
+    is inspectable since both are oracle-checked at the same τ.
     """
+    docs = t(spark, sf_dir, "documents").withColumn("toks", F.expr(TOKS_SPARK))
+    sh = docs.select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("shingle"))
+    sigs = sh.groupBy("doc_id").agg(*[F.expr(e) for e in _MH_SPARK])
+    bands = sigs.selectExpr("doc_id", _BAND_STACK_SPARK)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sha, shb = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        cand.join(sha, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(shb, (F.col("sb.doc_id") == F.col("doc_b")) & (F.col("sb.shingle") == F.col("sa.shingle")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = F.col("n_inter") * F.lit(1.0) / (F.col("na.n") + F.col("nb.n") - F.col("n_inter"))
+    return (
+        inter.join(F.broadcast(sizes.alias("na")), F.col("na.doc_id") == F.col("doc_a"))
+        .join(F.broadcast(sizes.alias("nb")), F.col("nb.doc_id") == F.col("doc_b"))
+        .filter(jac >= 0.4)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@register("dedup_minhash_ml", check="rows-only")
+def dedup_minhash_ml(spark, sf_dir):
+    """MLlib MinHashLSH variant (library-surface coverage), seed-pinned.
+    rows-only: MLlib's hash family is not SQL-reproducible.  Slower
+    than the hand-rolled dedup_near (approxSimilarityJoin explodes all
+    hash tables before filtering) — kept out of the bench headline."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id", F.expr(_SHINGLES_SPARK).alias("shingles")
+    docs = (
+        t(spark, sf_dir, "documents")
+        .withColumn("toks", F.expr(TOKS_SPARK))
+        .select("doc_id", F.expr(_SHINGLES_SPARK).alias("shingles"))
+        .filter(F.size("shingles") > 0)
     )
-    docs = docs.filter(F.size("shingles") > 0)
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True)
     feat = tf.transform(docs)
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=3, seed=42)
     model = lsh.fit(feat)
-    pairs = model.approxSimilarityJoin(feat, feat, 0.6, distCol="jaccard_dist")
+    pairs = model.approxSimilarityJoin(feat, feat, 0.5, distCol="jaccard_dist")
     return (
         pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
@@ -624,3 +732,163 @@ def mm_features(spark, sf_dir):
         fake_decode, schema="doc_id long, width long, height long, n_bytes long"
     )
     return out.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space dedup + IVF similarity (scale-path variants)
+# ---------------------------------------------------------------------------
+
+_EMB_UNNEST_CTE = """
+    WITH e AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) AS pos,
+               cast(unnest(embedding) AS double) AS v
+        FROM embeddings
+    )
+"""
+
+
+@register(
+    "dedup_embed",
+    oracle=_EMB_UNNEST_CTE
+    + """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(sum(a.v * b.v), 4) AS cos_sim
+    FROM e a JOIN e b
+      ON a.pos = b.pos AND a.label = b.label AND a.vec_id < b.vec_id
+    GROUP BY 1, 2
+    HAVING round(sum(a.v * b.v), 4) >= 0.3
+    """,
+)
+def dedup_embed(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, label-blocked.
+
+    Blocking on label bounds the pair space to within-block O(b²)
+    instead of corpus O(n²) — the standard near-dup blocking shape; at
+    100 TB the block key would be an LSH bucket (see dedup_near) but
+    the join topology is identical.  Dot products run JVM-side via
+    zip_with/aggregate after a single shuffle on the block key.
+    """
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    dot = F.expr("aggregate(zip_with(a.e, b.e, (x, y) -> x * y), cast(0.0 AS double), (acc, v) -> acc + v)")
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(dot, 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.3)
+    )
+
+
+_IVF_ORACLE = (
+    _EMB_UNNEST_CTE
+    + """
+    , cent AS (SELECT vec_id AS cid, pos, v FROM e WHERE vec_id < 8),
+    adots AS (
+        SELECT e.vec_id, c.cid, round(sum(e.v * c.v), 4) AS d
+        FROM e JOIN cent c ON c.pos = e.pos
+        GROUP BY 1, 2
+    ),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+            FROM adots
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT e.vec_id AS probe_id, a.cid, e.pos, e.v
+        FROM e JOIN assign a ON a.vec_id = e.vec_id
+        WHERE e.vec_id < 5
+    ),
+    cands AS (
+        SELECT e.vec_id, a.cid, e.pos, e.v
+        FROM e JOIN assign a ON a.vec_id = e.vec_id
+    ),
+    pairdots AS (
+        SELECT p.probe_id, c.vec_id, round(sum(p.v * c.v), 4) AS sim
+        FROM probes p
+        JOIN cands c ON c.pos = p.pos AND c.cid = p.cid AND c.vec_id <> p.probe_id
+        GROUP BY 1, 2
+    )
+    SELECT probe_id, vec_id, sim, rn FROM (
+        SELECT probe_id, vec_id, sim,
+               row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
+        FROM pairdots
+    ) WHERE rn <= 5
+    """
+)
+
+
+@register("sim_ivf", oracle=_IVF_ORACLE)
+def sim_ivf(spark, sf_dir):
+    """IVF-style ANN: assign every vector to its nearest of 8 fixed
+    centroids (first 8 corpus vectors stand in for a trained codebook),
+    then search each probe ONLY within its own cluster (top-5).
+
+    The scale story: the centroid table is broadcast (8 rows at any
+    corpus size), assignment is one linear scan, and the probe search
+    shuffles by cluster id — each query touches ~1/C of the corpus
+    instead of all of it.  Recall loss vs sim_knn is the usual IVF
+    trade; both are oracle-checked so the difference is inspectable.
+    """
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    adot = F.expr("aggregate(zip_with(e, ce, (x, y) -> x * y), cast(0.0 AS double), (acc, v) -> acc + v)")
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("d").desc(), F.col("cid"))
+    assign = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "e", "cid", F.round(adot, 4).alias("d"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "e", "cid")
+    )
+    probes = assign.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("cid"), F.col("e").alias("pe")
+    )
+    pdot = F.expr("aggregate(zip_with(pe, e, (x, y) -> x * y), cast(0.0 AS double), (acc, v) -> acc + v)")
+    w_rank = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        assign.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", F.round(pdot, 4).alias("sim"))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= 5)
+        .select("probe_id", "vec_id", "sim", "rn")
+    )
+
+
+@register(
+    "text_bpe_tokens",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe,
+           len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')))
+               AS n_bpe_distinct
+    FROM documents
+    """,
+)
+def text_bpe_tokens(spark, sf_dir):
+    """BPE-ish regex token counting: runs of letters, runs of digits,
+    and single non-alnum symbols each count as one token (the
+    pre-tokenization split most BPE vocabularies assume).  Pure
+    regexp_extract_all — codegen'd, no UDF."""
+    # NB: not F.expr — SQL string literals consume the \s escape.
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0))
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).alias("n_bpe"),
+        F.size(F.array_distinct(toks)).alias("n_bpe_distinct"),
+    )
