@@ -96,3 +96,53 @@ def sink_parquet(spark, sf_dir):
         F.count("*").alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
     )
+
+
+@register(
+    "sink_partitioned",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem WHERE l_returnflag = 'R'
+    GROUP BY 1, 2
+    """,
+)
+def sink_partitioned(spark, sf_dir):
+    """Hive-style partitioned parquet sink + partition-pruned re-read.
+
+    The 100 TB layout story: partitionBy on the filter column means the
+    re-read scans ONLY the l_returnflag=R directory (partition pruning,
+    visible as PartitionFilters in explain), not the full dataset.  The
+    aggregate after the roundtrip must equal the direct oracle — proving
+    the sink is lossless.
+    """
+    path = os.path.join(SCRATCH, "sink_partitioned")
+    t(spark, sf_dir, "lineitem").write.mode("overwrite").partitionBy("l_returnflag").parquet(
+        path
+    )
+    back = spark.read.parquet(path).filter(F.col("l_returnflag") == "R")
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+@register(
+    "scan_json_roundtrip",
+    oracle="""
+    SELECT lang, count(*) AS n_docs, cast(sum(n_chars) AS bigint) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def scan_json_roundtrip(spark, sf_dir):
+    """JSON-lines sink + schema'd re-read (source-format coverage beyond
+    the reference's CSV).  Comparing the post-roundtrip aggregate to the
+    direct-parquet oracle proves string/int fidelity through JSON."""
+    path = os.path.join(SCRATCH, "json_roundtrip")
+    t(spark, sf_dir, "documents").write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).json(path)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )

@@ -189,3 +189,44 @@ def stream_dedup_state(spark, sf_dir):
     deduped = ev.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["event_id"])
     out = run_available_now(deduped, "dedup_state", output_mode="append")
     return out.groupBy("event_type").agg(F.count("*").alias("n")).orderBy("event_type")
+
+
+@register("stream_custom_state", check="smoke")
+def stream_custom_state(spark, sf_dir):
+    """Custom stateful streaming operator via applyInPandasWithState:
+    a per-user running event counter + value accumulator whose state
+    survives across micro-batches.  This is the extension point for
+    operators Spark lacks natively (custom sessionization, CEP-ish
+    logic, online aggregates); the grouped-state API keeps state
+    partitioned by key across the cluster."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir).select("user_id", "value")
+
+    def count_events(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "sum_value": [round(total, 2)]}
+        )
+
+    counted = ev.groupBy("user_id").applyInPandasWithState(
+        count_events,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_available_now(counted, "custom_state", output_mode="update")
+    # update mode emits one row per (user, micro-batch); the final state
+    # per user is the max event count.
+    return (
+        out.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .orderBy("user_id")
+    )
