@@ -80,6 +80,30 @@ def main() -> int:
         total += dt
         print(f"bench: {key} {dt:.2f}s", file=sys.stderr)
 
+    # DuckDB comparator: identical oracle SQL on the same parquet
+    # (BASELINE.md "comparator runtime" row) — diagnostics only.
+    duck_timings: dict[str, float] = {}
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        from raster2points_spark.io import TABLES
+
+        for name in TABLES:
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+            )
+        for key in HEADLINE:
+            spec = registry.get(key)
+            if spec is None or not spec.oracle:
+                continue
+            t0 = time.time()
+            con.execute(spec.oracle).fetchall()
+            duck_timings[key] = round(time.time() - t0, 3)
+        print(f"bench: duckdb comparator {duck_timings}", file=sys.stderr)
+    except Exception as exc:  # pragma: no cover
+        print(f"bench: duckdb comparator skipped: {exc}", file=sys.stderr)
+
     try:
         sf_num = float(sf)
     except ValueError:
@@ -92,6 +116,11 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_num,
+                "comparator": {
+                    "engine": "duckdb",
+                    "total_sec": round(sum(duck_timings.values()), 3),
+                    "queries": duck_timings,
+                },
             }
         )
     )

@@ -104,3 +104,27 @@ def test_mm_struct_join_integrity(spark, registry):
     rows = out.collect()
     assert all(r.emb_dim == 64 for r in rows)
     assert all(r.text_len > 0 for r in rows)
+
+
+def test_lsh_pairs_subset_of_exhaustive(spark, registry):
+    """dedup_near (MinHash banding + exact verify) can only MISS pairs
+    vs the exhaustive shingle join at the same τ — never invent them,
+    and surviving pairs carry identical jaccard values."""
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in registry["dedup_jaccard"].fn(spark, SF0001).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in registry["dedup_near"].fn(spark, SF0001).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for pair, j in lsh.items():
+        assert j == exact[pair]
+
+
+def test_ivf_neighbors_subset_of_corpus(spark, registry):
+    out = registry["sim_ivf"].fn(spark, SF0001).collect()
+    for r in out:
+        assert r.vec_id != r.probe_id
+        assert 1 <= r.rn <= 5
