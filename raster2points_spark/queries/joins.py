@@ -288,3 +288,40 @@ def join_interval(spark, sf_dir):
         .groupBy(F.col("s.event_id").alias("signup_event_id"), F.col("s.user_id").alias("user_id"))
         .agg(F.count(F.col("e.event_id")).alias("n_in_hour"))
     )
+
+
+@register(
+    "join_salted",
+    oracle="""
+    SELECT l_suppkey, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY l_suppkey
+    """,
+)
+def join_salted(spark, sf_dir):
+    """Skew-mitigation pattern: salt the hot side of a shuffle join.
+
+    The fact side's join key is exploded with a salt in [0, 8); the dim
+    side is replicated once per salt value, so one hot key's rows fan
+    out over 8 reducer partitions instead of one.  Result is identical
+    to the plain join (the oracle IS the plain join) — only the
+    physical distribution changes.  At 100 TB this is the manual
+    fallback when AQE skew-join splitting can't help (e.g. skewed
+    aggregation keys after the join); here the dim side is also small
+    enough that Spark may still broadcast — the salting logic stays
+    correct under either physical plan.
+    """
+    n_salt = 8
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "salt", (F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n_salt)))
+    )
+    sup = (
+        t(spark, sf_dir, "supplier")
+        .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
+        .select(F.col("s_suppkey"), F.col("salt").cast("bigint").alias("salt"))
+    )
+    return (
+        li.join(sup, (li.l_suppkey == sup.s_suppkey) & (li.salt == sup.salt))
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
+    )
