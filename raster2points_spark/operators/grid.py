@@ -141,14 +141,22 @@ def raster2points(
     bands: list[str],
     col_names: list[str] | None = None,
     calc_area: bool = False,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Full reference pipeline over a tile table: band 1 masks, bands
-    2..N left-join their values, output (lon, lat, val…[, area]).
+    2..N contribute nullable value columns, output
+    (lon, lat, val…[, area][, extra_cols]).
 
     Equivalent of raster2points/raster2points.py::raster2df
-    (reconstructed), Spark-first: one posexplode + (N-1) co-partitioned
-    joins, fully pipelined, no driver-side concat (the reference's
-    pd.concat step is simply Spark's unioned partitions).
+    (reconstructed), Spark-first and shuffle-minimal: bands are zipped
+    at TILE granularity (an equi-join of narrow dense rows on tile_id —
+    64 rows join 64 rows, broadcastable at any band count), then ONE
+    posexplode of the arrays_zip'd payloads melts all bands together.
+    The per-pixel stream is never shuffled: mask, affine, area and the
+    sink all pipeline inside the same stage.  (The reference requires
+    equal resolution across rasters, so co-tiling is a precondition,
+    exactly as there; for bands tiled differently use
+    :func:`raster2points_joined`.)
     """
     if not bands:
         raise ValueError("need at least one band")
@@ -156,9 +164,68 @@ def raster2points(
     if len(names) != len(bands):
         raise ValueError("col_names must match bands")
 
-    per_band = {
-        b: grid_unpivot(tiles.filter(F.col("band_id") == b)) for b in bands
-    }
+    joined = tiles.filter(F.col("band_id") == bands[0]).select(
+        "tile_id",
+        "col_off",
+        "row_off",
+        "width",
+        "transform",
+        F.col("nodata").alias("nd0"),
+        F.col("data").alias("d0"),
+    )
+    for i, b in enumerate(bands[1:], 1):
+        other = tiles.filter(F.col("band_id") == b).select(
+            "tile_id", F.col("nodata").alias(f"nd{i}"), F.col("data").alias(f"d{i}")
+        )
+        joined = joined.join(other, "tile_id", "left")
+
+    ex = joined.select(
+        "tile_id",
+        "col_off",
+        "row_off",
+        "width",
+        "transform",
+        *[F.col(f"nd{i}") for i in range(len(bands))],
+        F.posexplode(F.arrays_zip(*[F.col(f"d{i}") for i in range(len(bands))])).alias(
+            "pos", "z"
+        ),
+    )
+    vals = []
+    for i, name in enumerate(names):
+        raw = F.col("z")[f"d{i}"]
+        vals.append(F.when(raw == F.col(f"nd{i}"), F.lit(None)).otherwise(raw).alias(name))
+    px = ex.select(
+        "tile_id",
+        "transform",
+        (F.col("col_off") + F.col("pos") % F.col("width")).alias("col"),
+        (F.col("row_off") + F.floor(F.col("pos") / F.col("width")).cast("int")).alias("row"),
+        *vals,
+    )
+    px = px.filter(F.col(names[0]).isNotNull())
+    px = affine_coords(px)
+    out_cols = ["lon", "lat", *names]
+    if calc_area:
+        px = px.withColumn("area", geodesic_area(F.col("lat"), F.col("transform")))
+        out_cols.append("area")
+    return px.select(*out_cols, *extra_cols)
+
+
+def raster2points_joined(
+    tiles: DataFrame,
+    bands: list[str],
+    col_names: list[str] | None = None,
+    calc_area: bool = False,
+) -> DataFrame:
+    """Join-based variant for bands that are NOT co-tiled: each band is
+    exploded independently and aligned on (tile_id, pos).  Costs one
+    shuffle per extra band unless the layout is bucketed by tile_id."""
+    if not bands:
+        raise ValueError("need at least one band")
+    names = col_names or [f"val{i+1}" for i in range(len(bands))]
+    if len(names) != len(bands):
+        raise ValueError("col_names must match bands")
+
+    per_band = {b: grid_unpivot(tiles.filter(F.col("band_id") == b)) for b in bands}
     base = nodata_filter(per_band[bands[0]])
     base = affine_coords(base).withColumnRenamed("value", names[0])
     for b, name in zip(bands[1:], names[1:]):

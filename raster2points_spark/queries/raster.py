@@ -237,3 +237,60 @@ def tile_stats_q(spark, sf_dir):
         F.round(F.max("value"), 3).alias("max_v"),
         F.round(F.avg("value"), 3).alias("mean_v"),
     )
+
+
+# --- bench-scale raster pipeline (512×512, ~157k masked points) -------------
+
+from raster2points_spark.sources.tiles import ensure_scratch_grid
+from raster2points_spark.queries._util import SCRATCH
+
+GRIDBIG = ensure_scratch_grid(SCRATCH)
+
+_PX_BIG = _PX.replace(GRID64, GRIDBIG)
+
+_AREA_SQL_BIG = (
+    "radians(abs(transform[1])) * 40680631590769.0 * "
+    "abs(sin(radians((transform[6] + (col + 0.5) * transform[4] + (row + 0.5) * transform[5])"
+    " + abs(transform[5]) / 2)) - "
+    "sin(radians((transform[6] + (col + 0.5) * transform[4] + (row + 0.5) * transform[5])"
+    " - abs(transform[5]) / 2)))"
+)
+
+
+@register(
+    "raster_big",
+    oracle=f"""
+    {_PX_BIG}
+    SELECT b1.tile_id, count(*) AS n_pts,
+           cast(sum(cast(round(b1.value * 1000, 0) AS bigint)) AS bigint) AS sum_v1_milli,
+           cast(sum(cast(round(b2.value * 1000, 0) AS bigint)) AS bigint) AS sum_v2_milli,
+           cast(sum(CASE WHEN b2.value IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_null2,
+           round(sum({_AREA_SQL_BIG.replace('transform', 'b1.transform').replace('col', 'b1.col').replace('row', 'b1.row')}), 0) AS sum_area
+    FROM (SELECT * FROM pix WHERE band_id = 'b1' AND value IS NOT NULL) b1
+    LEFT JOIN (SELECT * FROM pix WHERE band_id = 'b2') b2
+      ON b1.tile_id = b2.tile_id AND b1.pos = b2.pos
+    GROUP BY b1.tile_id
+    """,
+)
+def raster_big(spark, sf_dir):
+    """Full reference pipeline at bench scale: 512×512 px (64 tiles),
+    mask → affine → band-zip → geodesic area → per-tile rollup.
+    This is the throughput proxy for 'matches-or-beats the reference':
+    ~157k masked points through every §2.2 stage in one pipelined plan
+    (one shuffle for the zip join, one for the rollup)."""
+    # the fixture is ONE parquet file -> 1 input partition; spread the
+    # tiles across tasks before the explode (at 100 TB the tile table
+    # is many files/row-groups and this repartition disappears — here
+    # it moves ~5 MB once and parallelizes the 524k-pixel melt 32-way)
+    tl = read_tiles(spark, GRIDBIG).repartition(32, "tile_id")
+    pts = raster2points(tl, ["b1", "b2"], calc_area=True, extra_cols=("tile_id",))
+    area = F.col("area")
+    return pts.groupBy("tile_id").agg(
+        F.count("*").alias("n_pts"),
+        # payloads are exact 3-decimals: sum in integer milli-units so
+        # the aggregate is order-independent and exactly comparable (R1)
+        F.sum(F.round(F.col("val1") * 1000, 0).cast("long")).alias("sum_v1_milli"),
+        F.sum(F.round(F.col("val2") * 1000, 0).cast("long")).alias("sum_v2_milli"),
+        F.sum(F.when(F.col("val2").isNull(), 1).otherwise(0)).alias("n_null2"),
+        F.round(F.sum(area), 0).alias("sum_area"),
+    )

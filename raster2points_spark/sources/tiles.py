@@ -130,3 +130,29 @@ def read_tiles(spark: SparkSession, path: str) -> DataFrame:
     partitioned by band_id/tile range; a plain parquet read keeps
     column pruning (e.g. tile_stats never reads ``transform``)."""
     return spark.read.parquet(path)
+
+
+def gridbig_table(n: int = 512, tile: int = 64) -> pa.Table:
+    """512×512-px, 64 tiles of 64×64 — the bench-scale grid (~525k
+    pixels over 2 bands).  Deterministic (seed 7); generated into
+    scratch, never committed."""
+    rng = np.random.default_rng(7)
+    b1 = np.round(rng.uniform(0, 1000, (n, n)), 3)
+    b1[rng.random((n, n)) > 0.6] = NODATA
+    b2 = np.round(rng.uniform(-100, 100, (n, n)), 3)
+    b2[rng.random((n, n)) > 0.95] = NODATA
+    transform = [0.002, 0.0, -10.0, 0.0, -0.002, 50.0]
+    rows = _tile_rows("b1", b1, tile, transform) + _tile_rows("b2", b2, tile, transform)
+    return pa.Table.from_pylist(rows, schema=TILE_ARROW_SCHEMA)
+
+
+def ensure_scratch_grid(out_dir: str) -> str:
+    """Write gridbig.parquet into scratch if absent; returns its path.
+    Import-time cheap (~0.5s once per environment)."""
+    os.makedirs(out_dir, exist_ok=True)
+    p = os.path.join(out_dir, "gridbig.parquet")
+    if not os.path.exists(p):
+        tmp = p + ".tmp"
+        pq.write_table(gridbig_table(), tmp, compression="zstd")
+        os.replace(tmp, p)
+    return p
