@@ -32,7 +32,8 @@ HEADLINE = [
     "win_topk_group",
     "filter_pred",
     "agg_percentile",
-    "col_rename",  # full raster2points pipeline incl. geodesic area
+    "col_rename",  # raster building blocks on the small grid
+    "raster_big",  # full zipped raster2points pipeline, 512x512 px
     "fn_string",
     "set_union_distinct",
     # LLM-pipeline ops
