@@ -12,6 +12,8 @@ Scale notes baked into each plan:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -324,4 +326,55 @@ def join_salted(spark, sf_dir):
         li.join(sup, (li.l_suppkey == sup.s_suppkey) & (li.salt == sup.salt))
         .groupBy("l_suppkey")
         .agg(F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
+    )
+
+
+@register(
+    "join_bucketed",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price,
+           any_value(c_mktsegment) AS seg
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY o_custkey
+    """,
+)
+def join_bucketed(spark, sf_dir):
+    """Co-located (bucketed) join: both sides bucketed 8-way on the
+    join key, so the join needs NO shuffle of either side — each task
+    reads matching bucket files.  At 100 TB this is THE join strategy
+    for repeated large-x-large joins on a stable key: pay the bucketed
+    layout once at ingest, join shuffle-free forever after.  The
+    oracle is the plain join — only the physical plan differs.
+    """
+    import re
+
+    db = "r2p_bucketed"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    sf_tag = re.sub(r"[^a-z0-9]", "_", os.path.basename(sf_dir.rstrip("/")).lower())
+    ot, ct = f"{db}.orders_b_{sf_tag}", f"{db}.customer_b_{sf_tag}"
+    if not spark.catalog.tableExists(ot):
+        # the warehouse dir outlives the in-memory catalog: remove any
+        # stale location from a previous process before re-creating
+        import shutil
+
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix("file:")
+        for tbl in (ot, ct):
+            loc = os.path.join(wh, f"{db}.db", tbl.split(".", 1)[1])
+            shutil.rmtree(loc, ignore_errors=True)
+        t(spark, sf_dir, "orders").write.mode("overwrite").bucketBy(8, "o_custkey").sortBy(
+            "o_custkey"
+        ).saveAsTable(ot)
+        t(spark, sf_dir, "customer").write.mode("overwrite").bucketBy(8, "c_custkey").sortBy(
+            "c_custkey"
+        ).saveAsTable(ct)
+    o = spark.table(ot)
+    c = spark.table(ct)
+    return (
+        o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.any_value(F.col("c_mktsegment")).alias("seg"),
+        )
     )

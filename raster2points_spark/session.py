@@ -27,6 +27,11 @@ _DEFAULTS = {
     "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
     "spark.sql.ui.retainedExecutions": "5",
     "spark.ui.enabled": "false",
+    # managed tables (bucketed-join layouts) live in scratch, not cwd
+    "spark.sql.warehouse.dir": os.environ.get(
+        "SPARK_GRAFT_SCRATCH", "/tmp/r2p_spark_scratch"
+    )
+    + "/warehouse",
 }
 
 

@@ -1,0 +1,62 @@
+"""Physical-plan regression tests: the scale properties (pushdown,
+pruning, broadcast, shuffle-freedom) are asserted, not assumed — a
+refactor that silently loses one of them fails here, not at 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF001
+
+
+def _formatted_plan(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_star_join_broadcasts_all_dims(spark, registry):
+    plan = _formatted_plan(spark, registry["join_broadcast_star"].fn(spark, SF001))
+    assert plan.count("BroadcastHashJoin") >= 4, "every dim must broadcast"
+    assert "SortMergeJoin" not in plan, "no dim should shuffle-join"
+
+
+def test_filter_pushdown_reaches_scan(spark, registry):
+    plan = _formatted_plan(spark, registry["agg_groupby"].fn(spark, SF001))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning(spark, registry):
+    plan = _formatted_plan(spark, registry["agg_groupby"].fn(spark, SF001))
+    # lineitem has 11 columns; the Q1 shape needs 7 — the scan must not
+    # read the join keys it doesn't use
+    readschema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert readschema, "no ReadSchema in plan"
+    assert "l_orderkey" not in readschema[0]
+    assert "l_partkey" not in readschema[0]
+
+
+def test_bucketed_join_is_shuffle_free(spark, registry):
+    df = registry["join_bucketed"].fn(spark, SF001)
+    plan = _formatted_plan(spark, df)
+    assert "Exchange" not in plan, "bucketed join+agg must not shuffle"
+
+
+def test_knn_probes_are_broadcast(spark, registry):
+    plan = _formatted_plan(spark, registry["sim_knn"].fn(spark, SF001))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_partition_pruning_on_sink(spark, registry):
+    registry["sink_partitioned"].fn(spark, SF001)  # materialize the layout
+    import os
+
+    from raster2points_spark.queries._util import SCRATCH
+
+    path = os.path.join(SCRATCH, "sink_partitioned")
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path).filter(F.col("l_returnflag") == "R")
+    plan = _formatted_plan(spark, df)
+    assert "PartitionFilters" in plan
+    assert "l_returnflag" in plan.split("PartitionFilters", 1)[1][:200]
