@@ -9,10 +9,11 @@ import pytest
 from tests.conftest import SF001
 
 
+from raster2points_spark.plans import explain_formatted
+
+
 def _formatted_plan(spark, df) -> str:
-    return df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
+    return explain_formatted(df)
 
 
 def test_star_join_broadcasts_all_dims(spark, registry):

@@ -86,3 +86,34 @@ def test_mask_count_bounded_by_pixels(spark):
     total_px = tiles.select(F.sum(F.size("data"))).first()[0]
     valid = nodata_filter(grid_unpivot(tiles)).count()
     assert 0 < valid <= total_px
+
+
+def test_functions_library_matches_query_exprs(spark):
+    """functions.vectors.dot / functions.text helpers must agree with
+    the raw SQL-expression twins the registered queries use."""
+    from pyspark.sql import functions as F
+
+    from raster2points_spark.functions import bag_fingerprint, dot, shingles, token_hash, tokens
+
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [4.0, 5.0, 6.0], "Alpha beta  alpha gamma beta x")],
+        "a array<double>, b array<double>, text string",
+    )
+    row = df.select(
+        dot("a", "b").alias("d"),
+        tokens("text").alias("tk"),
+        token_hash(F.lit("hello")).alias("h"),
+        bag_fingerprint(tokens("text")).alias("fp"),
+    ).first()
+    assert row.d == 32.0
+    assert row.tk == ["alpha", "beta", "alpha", "gamma", "beta", "x"]
+    # same md5-derived value DuckDB computes via 0x-cast (verified in
+    # the dedup_simhash oracle): stable cross-engine hash
+    assert row.h == 419982666956583591
+    import hashlib
+
+    want = hashlib.md5(" ".join(sorted(set(row.tk))).encode()).hexdigest()
+    assert row.fp == want
+
+    sh = df.withColumn("tk", tokens("text")).select(shingles("tk", 3).alias("s")).first().s
+    assert "alpha beta alpha" in sh and len(sh) == 4
