@@ -78,25 +78,44 @@ def main() -> int:
     except Exception as exc:  # pragma: no cover
         print(f"bench: warmup partial: {exc}", file=sys.stderr)
 
-    # best-of-2 per key: single-node wall clock is noisy (co-tenants,
-    # GC, first-run codegen); the min is the steady-state number a
-    # cluster scheduler would see.
-    timings: dict[str, float] = {}
-    total = 0.0
-    for key in HEADLINE:
-        spec = registry.get(key)
-        if spec is None:
-            continue
-        runs = []
-        for _ in range(2):
+    # Two full passes over the list, best-of per key: single-node wall
+    # clock has multi-second "slow eras" (GC, shuffle-cleaner pauses)
+    # that hit ADJACENT runs, so back-to-back repeats of one key can
+    # both land in the same era.  Separating the samples by a whole
+    # pass decorrelates them; the min is the steady-state number.
+    # Watchdog: single-node runs occasionally hit a pathological stall
+    # (observed 180s on a query whose steady state is 3s).  Cancel any
+    # run exceeding RUN_CAP_S — the other pass still supplies a sample.
+    import threading
+
+    RUN_CAP_S = float(os.environ.get("SPARK_GRAFT_BENCH_RUN_CAP", "75"))
+
+    runs_by_key: dict[str, list[float]] = {}
+    for _pass in range(2):
+        for key in HEADLINE:
+            spec = registry.get(key)
+            if spec is None:
+                continue
+            done = threading.Event()
+            timer = threading.Timer(
+                RUN_CAP_S, lambda: done.is_set() or spark.sparkContext.cancelAllJobs()
+            )
+            timer.start()
             try:
                 t0 = time.time()
                 df = spec.fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
-                runs.append(time.time() - t0)
+                runs_by_key.setdefault(key, []).append(time.time() - t0)
             except Exception as exc:  # pragma: no cover - bench robustness
-                print(f"bench: {key} FAILED: {exc}", file=sys.stderr)
-                break
+                print(f"bench: {key} pass {_pass} FAILED: {exc}", file=sys.stderr)
+            finally:
+                done.set()
+                timer.cancel()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for key in HEADLINE:
+        runs = runs_by_key.get(key)
         if not runs:
             continue
         dt = min(runs)

@@ -56,7 +56,10 @@ def get_spark(
     conf = dict(_DEFAULTS)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     # local mode: one JVM == driver; give it headroom if available
-    conf.setdefault("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+    conf.setdefault("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
+    # non-blocking shuffle/broadcast cleanup: the default blocking
+    # cleaner can stall task scheduling for seconds after large joins
+    conf.setdefault("spark.cleaner.referenceTracking.blocking", "false")
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
