@@ -78,11 +78,11 @@ def main() -> int:
     except Exception as exc:  # pragma: no cover
         print(f"bench: warmup partial: {exc}", file=sys.stderr)
 
-    # Two full passes over the list, best-of per key: single-node wall
-    # clock has multi-second "slow eras" (GC, shuffle-cleaner pauses)
-    # that hit ADJACENT runs, so back-to-back repeats of one key can
-    # both land in the same era.  Separating the samples by a whole
-    # pass decorrelates them; the min is the steady-state number.
+    # Three full passes over the list, best-of per key: this host has
+    # bursty multi-second "slow eras" (co-tenant CPU steal, GC) that
+    # hit ADJACENT runs, so back-to-back repeats of one key can all
+    # land in the same era.  Separating the samples by whole passes
+    # decorrelates them; the min is the steady-state number.
     # Watchdog: single-node runs occasionally hit a pathological stall
     # (observed 180s on a query whose steady state is 3s).  Cancel any
     # run exceeding RUN_CAP_S — the other pass still supplies a sample.
@@ -91,7 +91,7 @@ def main() -> int:
     RUN_CAP_S = float(os.environ.get("SPARK_GRAFT_BENCH_RUN_CAP", "75"))
 
     runs_by_key: dict[str, list[float]] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for key in HEADLINE:
             spec = registry.get(key)
             if spec is None:

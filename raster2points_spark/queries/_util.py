@@ -31,6 +31,27 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return table(spark, sf_dir, name)
 
 
+def t_fanout(spark: SparkSession, sf_dir: str, name: str, threshold: int = 64 << 20) -> DataFrame:
+    """Table load with a size-gated fan-out for CPU-heavy projections.
+
+    A tiny parquet file is one row group → one scan task, so an
+    md5/minhash/dot-product pipeline over it runs single-threaded no
+    matter how many cores exist.  When the file is smaller than
+    ``threshold`` we repartition to the default parallelism — the
+    shuffle moves <64 MB, negligible next to the compute it unlocks.
+    At real scale the gate is false and the plan is untouched (the
+    scan itself provides parallelism; an unconditional repartition
+    would be a pointless full shuffle of the corpus).
+    """
+    df = t(spark, sf_dir, name)
+    try:
+        if os.path.getsize(os.path.join(sf_dir, f"{name}.parquet")) < threshold:
+            return df.repartition(spark.sparkContext.defaultParallelism)
+    except OSError:
+        pass
+    return df
+
+
 def unix_secs(col: Column) -> Column:
     """Epoch seconds as BIGINT from a (possibly NTZ) timestamp column.
 

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from raster2points_spark.registry import register
-from raster2points_spark.queries._util import t
+from raster2points_spark.queries._util import t, t_fanout
 
 # Tokenizer twins — identical semantics, engine-native syntax.
 TOKS_SPARK = "filter(split(lower(text), ' '), x -> x != '')"
@@ -56,14 +56,20 @@ def dedup_exact(spark, sf_dir):
     )
 
 
-# Operates on a pre-materialized `toks` column — inlining the split()
-# inside the transform lambda re-tokenizes the doc once PER ELEMENT
-# ACCESS (measured 150x slowdown at sf0.1), so callers must
-# .withColumn("toks", F.expr(TOKS_SPARK)) first.
+# CAPTURE-FREE shingle builder: the transform lambda touches only its
+# own argument (a zipped struct), never an outer column.  A lambda that
+# captures `toks` re-evaluates it PER ELEMENT whenever Catalyst's
+# project-collapse inlines the tokenizer into this expression
+# (measured 150x at sf0.1 — and a >500x hang when the whole shingle
+# expr was further inlined 12x into minhash signatures).  With
+# arrays_zip/slice the expression stays cheap no matter where the
+# optimizer draws projection boundaries.  Operates on a `toks` column.
 _SHINGLES_SPARK = (
     "CASE WHEN size(toks) >= 3 THEN "
-    "array_distinct(transform(sequence(0, size(toks) - 3), "
-    "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) "
+    "array_distinct(transform("
+    "arrays_zip(slice(toks, 1, size(toks) - 2), slice(toks, 2, size(toks) - 2), "
+    "slice(toks, 3, size(toks) - 2)), "
+    "z -> concat_ws(' ', z.`0`, z.`1`, z.`2`))) "
     "ELSE array() END"
 )
 
@@ -100,10 +106,19 @@ def dedup_jaccard(spark, sf_dir):
 
     Inverted-index join: only docs sharing a shingle ever meet, so the
     shuffle is proportional to shared-shingle pairs, not |docs|².
+    Shingle-set sizes come straight from size(shingle_array) — a per-row
+    projection, NOT an explode+groupBy (one whole shuffle removed).
     """
-    docs = t(spark, sf_dir, "documents").withColumn("toks", F.expr(TOKS_SPARK))
-    sh = docs.select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("shingle"))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # persist: the shingle arrays feed both the inverted-index explode
+    # and the broadcast sizes side — one tokenize+shingle pass, not two.
+    docs = (
+        t_fanout(spark, sf_dir, "documents")
+        .withColumn("toks", F.expr(TOKS_SPARK))
+        .select("doc_id", F.expr(_SHINGLES_SPARK).alias("sh"))
+        .persist()
+    )
+    sh = docs.select("doc_id", F.explode("sh").alias("shingle"))
+    sizes = docs.select("doc_id", F.size("sh").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -123,10 +138,14 @@ def dedup_jaccard(spark, sf_dir):
 # MinHash machinery shared by dedup_near and its oracle: 12 seeded
 # md5-derived hash functions, banded 4x3.  md5→bigint parity between
 # Spark (conv hex) and DuckDB (0x-prefix cast) is the same trick
-# dedup_simhash uses.
+# dedup_simhash uses.  Spark computes each signature per-row with
+# array_min(transform(sh, ...)) — a pure projection, NO token-level
+# shuffle; the DuckDB oracle states the same thing as min() over an
+# unnested CTE.
 _N_HASH, _N_BANDS, _BAND_W = 12, 4, 3
-_MH_SPARK = [
-    f"min(cast(conv(substring(md5(concat(shingle, '#{j}')), 1, 15), 16, 10) AS bigint)) AS h{j}"
+_MH_ARR_SPARK = [
+    f"array_min(transform(sh, s -> "
+    f"cast(conv(substring(md5(concat(s, '#{j}')), 1, 15), 16, 10) AS bigint))) AS h{j}"
     for j in range(_N_HASH)
 ]
 _MH_DUCK = [
@@ -186,15 +205,29 @@ def dedup_near(spark, sf_dir):
     Hand-rolled in pure built-in expressions (md5 hash family), so it
     is fully deterministic and DuckDB-oracle-checked — unlike MLlib's
     MinHashLSH (kept as dedup_minhash_ml).  This is the sub-quadratic
-    scale path: signatures are one groupBy over shingles, the band
-    join only ever pairs docs agreeing on a full band, and the
-    expensive exact verify runs on candidates, not on |docs|².
+    scale path, shuffle-minimal by construction:
+    - signatures: array_min(transform(...)) per row — a projection,
+      no token-level shuffle anywhere in the plan;
+    - the band self-join only ever pairs docs agreeing on a full band;
+    - the exact verify fetches the two shingle ARRAYS per candidate
+      pair and intersects them in-row (array_intersect), instead of
+      re-exploding the corpus into a 3-way join + count shuffle.
     Recall vs the exhaustive dedup_jaccard is the usual LSH trade and
     is inspectable since both are oracle-checked at the same τ.
     """
-    docs = t(spark, sf_dir, "documents").withColumn("toks", F.expr(TOKS_SPARK))
-    sh = docs.select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("shingle"))
-    sigs = sh.groupBy("doc_id").agg(*[F.expr(e) for e in _MH_SPARK])
+    docs = (
+        t_fanout(spark, sf_dir, "documents")
+        .withColumn("toks", F.expr(TOKS_SPARK))
+        .select("doc_id", F.expr(_SHINGLES_SPARK).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    # One persist covers every reuse: the band self-join reads the
+    # signature columns twice and the verify stage reads `sh` twice.
+    # Without it Spark re-executes the md5-heavy subplan once per use
+    # (4x the hash work); with it, signatures+shingles are computed
+    # exactly once.  Same call on a cluster: MEMORY_AND_DISK cache of
+    # (doc_id, 12 longs, shingle array) — tiny next to the corpus.
+    sigs = docs.select("doc_id", "sh", *[F.expr(e) for e in _MH_ARR_SPARK]).persist()
     bands = sigs.selectExpr("doc_id", _BAND_STACK_SPARK)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -207,18 +240,17 @@ def dedup_near(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sha, shb = sh.alias("sa"), sh.alias("sb")
-    inter = (
-        cand.join(sha, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(shb, (F.col("sb.doc_id") == F.col("doc_b")) & (F.col("sb.shingle") == F.col("sa.shingle")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    jac = F.col("n_inter") * F.lit(1.0) / (F.col("na.n") + F.col("nb.n") - F.col("n_inter"))
+    jac = F.col("n_inter") * F.lit(1.0) / (F.col("na") + F.col("nb") - F.col("n_inter"))
     return (
-        inter.join(F.broadcast(sizes.alias("na")), F.col("na.doc_id") == F.col("doc_a"))
-        .join(F.broadcast(sizes.alias("nb")), F.col("nb.doc_id") == F.col("doc_b"))
+        cand.join(sigs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")), "doc_a")
+        .join(sigs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sha", "shb")).alias("n_inter"),
+            F.size("sha").alias("na"),
+            F.size("shb").alias("nb"),
+        )
         .filter(jac >= 0.4)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
@@ -269,8 +301,17 @@ def _simhash_exprs(hash_col: str, shift: str) -> tuple[list[str], str]:
     return votes, " + ".join(assemble)
 
 
-_SH_VOTES_SPARK, _SH_ASSEMBLE_SPARK = _simhash_exprs("h", "shiftright({h}, {j})")
 _SH_VOTES_DUCK, _SH_ASSEMBLE_DUCK = _simhash_exprs("h", "({h} >> {j})")
+
+# Spark-side per-row votes: fold the per-doc hash ARRAY with
+# aggregate() — zero shuffles (the v1 explode+distinct+groupBy shape
+# cost two).  The assemble expr is shift-agnostic, reuse DuckDB's twin.
+_SH_AGG_ARR_SPARK = [
+    f"aggregate(harr, 0, (acc, h) -> acc + "
+    f"(CASE WHEN (shiftright(h, {j}) & 1) = 1 THEN 1 ELSE -1 END)) AS s{j}"
+    for j in range(32)
+]
+_SH_ASSEMBLE_SPARK = _SH_ASSEMBLE_DUCK
 
 
 @register(
@@ -291,17 +332,23 @@ _SH_VOTES_DUCK, _SH_ASSEMBLE_DUCK = _simhash_exprs("h", "({h} >> {j})")
 def dedup_simhash(spark, sf_dir):
     """32-bit SimHash fingerprint per doc from md5 token hashes.
 
-    Two-level aggregation: per-bit majority vote (map-side partial) then
-    bit assembly — one shuffle keyed by doc_id, no token-level shuffle
-    beyond the explode.
+    Pure projection pipeline — ZERO shuffles: distinct tokens via
+    array_distinct, md5 hashes via transform (materialized once as a
+    column, NOT inlined into the vote lambdas), per-bit majority votes
+    via 32 aggregate() folds, then bit assembly.  The v1 shape
+    (explode → distinct → groupBy) cost two whole shuffles of the
+    token stream; this one never leaves the row.
     """
-    docs = t(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(F.expr(TOKS_SPARK)).alias("w")).distinct()
-    hashed = tok.select(
-        "doc_id",
-        F.expr("cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint)").alias("h"),
+    docs = (
+        t_fanout(spark, sf_dir, "documents")
+        .select("doc_id", F.array_distinct(F.expr(TOKS_SPARK)).alias("tokd"))
+        .filter(F.size("tokd") > 0)
+        .withColumn(
+            "harr",
+            F.expr("transform(tokd, w -> cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint))"),
+        )
     )
-    votes = hashed.groupBy("doc_id").agg(*[F.expr(v) for v in _SH_VOTES_SPARK])
+    votes = docs.select("doc_id", *[F.expr(v) for v in _SH_AGG_ARR_SPARK])
     return votes.select("doc_id", F.expr(_SH_ASSEMBLE_SPARK).alias("simhash"))
 
 
@@ -315,7 +362,7 @@ _DOT_SPARK = (
 
 
 def _knn_pairs(spark, sf_dir, n_probes=5, k=10):
-    emb = t(spark, sf_dir, "embeddings").select(
+    emb = t_fanout(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("ce"), "label"
     )
     probes = emb.filter(F.col("vec_id") < n_probes).select(
@@ -619,7 +666,7 @@ def text_tfidf(spark, sf_dir):
     """
     from pyspark.sql import Window
 
-    docs = t(spark, sf_dir, "documents")
+    docs = t_fanout(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.expr(TOKS_SPARK)).alias("word"))
     tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
     dlen = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -769,7 +816,7 @@ def dedup_embed(spark, sf_dir):
     the join topology is identical.  Dot products run JVM-side via
     zip_with/aggregate after a single shuffle on the block key.
     """
-    emb = t(spark, sf_dir, "embeddings").select(
+    emb = t_fanout(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
     a = emb.alias("a")
@@ -840,7 +887,7 @@ def sim_ivf(spark, sf_dir):
     """
     from pyspark.sql import Window
 
-    emb = t(spark, sf_dir, "embeddings").select(
+    emb = t_fanout(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     cent = emb.filter(F.col("vec_id") < 8).select(
