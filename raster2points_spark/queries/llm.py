@@ -661,20 +661,35 @@ def text_fingerprint(spark, sf_dir):
 def text_tfidf(spark, sf_dir):
     """Top-3 tf-idf terms per doc (tiebreak word asc).
 
-    df (small: one row per distinct word) and the corpus count are
-    broadcast; only the token explode shuffles by doc_id.
+    Shuffle-minimal shape: per-doc term counts are computed IN-ROW by
+    folding the row's own token array (distinct token w → count of w
+    in toks) and exploded once already counted — the (doc_id, word)
+    groupBy shuffle and the dlen groupBy+join are gone (doc length
+    rides along as size(toks)).  Remaining shuffles: the df aggregate
+    (one row per distinct word, broadcast back) and the per-doc
+    ranking window.  The count lambdas only touch materialized columns
+    of the persisted input, so project-collapse can't trigger the
+    per-element re-eval trap.
     """
     from pyspark.sql import Window
 
-    docs = t_fanout(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(F.expr(TOKS_SPARK)).alias("word"))
-    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
-    dlen = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
-    df = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    docs = (
+        t_fanout(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(TOKS_SPARK).alias("toks"))
+        .select("doc_id", "toks", F.size("toks").alias("n"), F.array_distinct("toks").alias("tokd"))
+        .persist()
+    )
+    tf = docs.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.expr("transform(tokd, w -> struct(w AS word, size(filter(toks, x -> x = w)) AS cnt))")
+        ).alias("wc"),
+    ).select("doc_id", "n", F.col("wc.word").alias("word"), F.col("wc.cnt").alias("cnt"))
+    df = docs.select(F.explode("tokd").alias("word")).groupBy("word").agg(F.count("*").alias("df"))
     nd = docs.agg(F.count("*").alias("nd"))
     weighted = (
-        tf.join(dlen, "doc_id")
-        .join(F.broadcast(df), "word")
+        tf.join(F.broadcast(df), "word")
         .crossJoin(F.broadcast(nd))
         .select(
             "doc_id",

@@ -48,6 +48,38 @@ def test_knn_probes_are_broadcast(spark, registry):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_simhash_has_no_aggregation_shuffle(spark, registry):
+    # SimHash is a pure projection pipeline: the only Exchange allowed
+    # is the size-gated local fan-out (round-robin), never a hash
+    # repartition for a groupBy — the v1 explode→distinct→groupBy
+    # shape cost two corpus shuffles.
+    plan = _formatted_plan(spark, registry["dedup_simhash"].fn(spark, SF001))
+    assert "hashpartitioning" not in plan, "simhash must not hash-shuffle"
+
+
+def test_minhash_signatures_have_no_token_shuffle(spark, registry):
+    # Signatures are per-row array_min(transform(...)) projections over
+    # a persisted relation; candidate verify intersects shingle arrays
+    # in-row.  No Generate(explode) of the token stream may appear.
+    plan = _formatted_plan(spark, registry["dedup_near"].fn(spark, SF001))
+    assert "array_intersect" in plan, "verify must intersect arrays in-row"
+    assert "InMemoryTableScan" in plan, "signature subplan must be persisted"
+    assert "explode" not in plan, "no token-level explode in minhash plan"
+
+
+def test_tfidf_counts_in_row(spark, registry):
+    # Term counts fold the row's own token array; the only aggregation
+    # shuffle left is the tiny df (distinct-word) side, broadcast back.
+    plan = _formatted_plan(spark, registry["text_tfidf"].fn(spark, SF001))
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastExchange" in plan, "df side must broadcast"
+    # v1 had four aggregations (tf, dlen, df via countDistinct, nd)
+    # over the exploded token stream; v2 keeps two (df + the corpus
+    # count).  "formatted" lists each node twice (tree + detail) and
+    # each agg is partial+final → 2 aggs ≤ 8 mentions.
+    assert plan.count("HashAggregate") <= 8
+
+
 def test_partition_pruning_on_sink(spark, registry):
     registry["sink_partitioned"].fn(spark, SF001)  # materialize the layout
     import os
