@@ -954,3 +954,103 @@ def text_bpe_tokens(spark, sf_dir):
         F.size(toks).alias("n_bpe"),
         F.size(F.array_distinct(toks)).alias("n_bpe_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash fingerprint + n-gram language ID
+# ---------------------------------------------------------------------------
+
+# token hash twins (same md5→bigint parity trick as minhash/simhash);
+# fold keeps the accumulator < 2^35 via mod-at-every-step (ANSI-safe).
+_TH_SPARK = "cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint) % 1000000007"
+_TH_DUCK = "cast(concat('0x', substr(md5(w), 1, 15)) AS bigint) % 1000000007"
+
+
+@register(
+    "text_rolling_hash",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id,
+               list_transform({TOKS_DUCK}, w -> {_TH_DUCK}) AS harr
+        FROM documents
+    )
+    SELECT doc_id,
+           list_reduce(list_prepend(cast(0 AS bigint), harr),
+                       (acc, x) -> (acc * 31 + x) % 1000000007) AS roll_hash,
+           len(harr) AS n_tokens
+    FROM h WHERE len(harr) > 0
+    """,
+)
+def text_rolling_hash(spark, sf_dir):
+    """Order-sensitive document fingerprint: polynomial rolling hash
+    (Rabin-Karp family) folded over the token stream, mod 1e9+7 at
+    every step so the accumulator never exceeds 2^35 (ANSI-safe).
+
+    Pure projection — zero shuffles; the fold lambda touches only its
+    own accumulator/argument.  Unlike text_fingerprint's sorted-bag
+    md5 this preserves token ORDER: reordered near-dups hash apart.
+    """
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.expr(f"transform({TOKS_SPARK}, w -> {_TH_SPARK})").alias("harr"),
+        )
+        .filter(F.size("harr") > 0)
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(
+            "aggregate(harr, cast(0 AS bigint), (acc, x) -> (acc * 31 + x) % 1000000007)"
+        ).alias("roll_hash"),
+        F.size("harr").alias("n_tokens"),
+    )
+
+
+# n-gram language ID: score each language by marker-n-gram frequency in
+# the lowered text, counted with the replace-length identity (identical
+# builtins both engines); zh scored by CJK char count.  Argmax with a
+# fixed tiebreak order.
+_LID_MARKS = [("de", " der "), ("es", " el "), ("fr", " le "), ("en", " the ")]
+_LID_SCORE_LIST = [
+    f"cast((length(lt) - length(replace(lt, '{m}', ''))) / {len(m)} AS bigint) AS c_{lang}"
+    for lang, m in _LID_MARKS
+]
+_LID_SCORES = ", ".join(_LID_SCORE_LIST)
+_CJK = "[^" + chr(0x4E00) + "-" + chr(0x9FFF) + "]"
+_LID_ZH_SPARK = f"cast(length(regexp_replace(lt, '{_CJK}', '')) AS bigint) AS c_zh"
+_LID_ZH_DUCK = f"cast(length(regexp_replace(lt, '{_CJK}', '', 'g')) AS bigint) AS c_zh"
+_LID_PRED = (
+    "CASE WHEN c_zh > 0 THEN 'zh' "
+    "WHEN c_de >= greatest(c_es, c_fr, c_en) AND c_de > 0 THEN 'de' "
+    "WHEN c_es >= greatest(c_fr, c_en) AND c_es > 0 THEN 'es' "
+    "WHEN c_fr >= c_en AND c_fr > 0 THEN 'fr' "
+    "ELSE 'en' END"
+)
+
+
+@register(
+    "text_langid_ngram",
+    oracle=f"""
+    WITH lowered AS (SELECT lang, lower(text) AS lt FROM documents),
+    scored AS (SELECT lang, {_LID_SCORES}, {_LID_ZH_DUCK} FROM lowered)
+    SELECT lang, {_LID_PRED} AS pred_lang, count(*) AS n
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def text_langid_ngram(spark, sf_dir):
+    """n-gram-profile language ID (companion to text_langid's
+    char-class heuristic): marker word-n-gram counts per language via
+    the replace-length identity + CJK char count, argmax with a fixed
+    tiebreak.  Pure builtins → whole-stage codegen; one confusion-
+    matrix groupBy is the only shuffle.
+    """
+    lowered = t(spark, sf_dir, "documents").select("lang", F.lower("text").alias("lt"))
+    scored = lowered.select(
+        "lang", *[F.expr(e) for e in _LID_SCORE_LIST], F.expr(_LID_ZH_SPARK)
+    )
+    return (
+        scored.select("lang", F.expr(_LID_PRED).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
