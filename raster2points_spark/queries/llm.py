@@ -910,12 +910,18 @@ def sim_ivf(spark, sf_dir):
     )
     adot = F.expr("aggregate(zip_with(e, ce, (x, y) -> x * y), cast(0.0 AS double), (acc, v) -> acc + v)")
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("d").desc(), F.col("cid"))
+    # persist: the assignment (vector → nearest centroid) feeds both
+    # the probe set and the candidate side of the cluster-pruned
+    # search; one codebook scan instead of two.  On a cluster this is
+    # the materialized IVF index — the thing a vector store would
+    # build once and reuse across queries.
     assign = (
         emb.crossJoin(F.broadcast(cent))
         .select("vec_id", "e", "cid", F.round(adot, 4).alias("d"))
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
         .select("vec_id", "e", "cid")
+        .persist()
     )
     probes = assign.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), F.col("cid"), F.col("e").alias("pe")
