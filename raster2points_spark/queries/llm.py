@@ -4,13 +4,26 @@ Scale notes (the 100 TB story per operator):
 - dedup_exact: hash-groupBy — map-side partial agg, shuffle carries one
   row per distinct hash, not per doc.
 - dedup_jaccard: shingle equi-join — docs pair ONLY when they share a
-  3-gram shingle (inverted-index join), never an O(n²) cross join.
-- dedup_near: MinHashLSH banding (MLlib) — the sub-quadratic path when
-  even the shingle join is too hot.
+  3-gram shingle (inverted-index join), never an O(n²) cross join;
+  set sizes are per-row size(array), not an extra explode+groupBy.
+- dedup_near: hand-rolled MinHash+LSH — signatures are per-row
+  array_min(transform(...)) projections (zero token-level shuffle),
+  band-bucket join generates candidates, exact verify intersects the
+  two shingle arrays in-row; the signature relation is persisted once
+  (the LSH index a dedup service would materialize).  MLlib variant
+  kept as dedup_minhash_ml.
+- dedup_simhash / text_rolling_hash: pure projection pipelines — the
+  per-bit votes / rolling fold never leave the row.
 - sim_knn: probe set is broadcast; corpus side is a single linear scan
   with JVM-side higher-order-function dot products (no shuffle of the
-  corpus, no Python in the hot path).
+  corpus, no Python in the hot path).  sim_ivf adds a broadcast
+  codebook + persisted assignment index for cluster-pruned search.
 - text_*: pure built-in expressions → whole-stage codegen.
+
+Expression-level rule learned the hard way: lambdas must not CAPTURE
+outer computed columns (see _SHINGLES_SPARK comment) — Catalyst's
+project-collapse can inline the captured expr and re-evaluate it per
+array element.
 
 Determinism (SURVEY §7 R1/R2): every float is round()'d identically in
 Spark and oracle SQL; every ranking orders by the ROUNDED value with a
