@@ -809,6 +809,115 @@ def mm_features(spark, sf_dir):
     return out.orderBy("doc_id")
 
 
+@register(
+    "mm_resize",
+    oracle="""
+    WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    dims AS (
+        SELECT doc_id, 64 + n % 64 AS in_w, 64 + (n * 7) % 64 AS in_h FROM p
+    )
+    SELECT doc_id, in_w, in_h,
+           in_w * 32 // greatest(in_w, in_h) AS out_w,
+           in_h * 32 // greatest(in_w, in_h) AS out_h
+    FROM dims
+    """,
+)
+def mm_resize(spark, sf_dir):
+    """Multimodal resize stage: mapInPandas kernel computes aspect-
+    preserving target dims (max side 32, integer math) for each
+    payload.  The "decode" is the same deterministic byte-stat fake as
+    mm_features (real image libs absent), but UNLIKE mm_features this
+    key is fully ORACLE-CHECKED: the Python/Arrow path must reproduce
+    the SQL twin's values bit-for-bit — the strongest possible test of
+    the Py<->JVM plumbing (dtype mapping, batch boundaries, row order
+    independence).  A torchvision resize slots into `kernel` unchanged.
+    """
+    import pandas as pd
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            n = pdf["payload"].map(len)
+            in_w = 64 + (n % 64)
+            in_h = 64 + ((n * 7) % 64)
+            m = pd.concat([in_w, in_h], axis=1).max(axis=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "in_w": in_w,
+                    "in_h": in_h,
+                    "out_w": in_w * 32 // m,
+                    "out_h": in_h * 32 // m,
+                }
+            )
+
+    return docs.mapInPandas(
+        kernel, schema="doc_id long, in_w long, in_h long, out_w long, out_h long"
+    )
+
+
+_FRAME_HEX_CHARS, _FRAME_STRIDE = 32, 4  # 16-byte frames, keep every 4th
+
+
+@register(
+    "mm_frame_sample",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id, lower(hex(encode(text))) AS hx,
+               octet_length(encode(text)) * 2 // {_FRAME_HEX_CHARS} AS n_frames
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id, hx,
+               unnest(range(0, n_frames, {_FRAME_STRIDE})) AS fi
+        FROM p
+    )
+    SELECT doc_id, cast(fi AS bigint) AS frame_idx,
+           substr(hx, cast(fi * {_FRAME_HEX_CHARS} + 1 AS bigint), {_FRAME_HEX_CHARS})
+               AS frame_hex
+    FROM f
+    """,
+)
+def mm_frame_sample(spark, sf_dir):
+    """Multimodal frame sampling: treat each payload as a sequence of
+    16-byte "frames" and keep every 4th (the video keyframe-sampling
+    shape).  mapInPandas fans each doc out to its sampled frames —
+    demonstrating a ROW-EXPANDING Arrow kernel — and the output is
+    ORACLE-CHECKED against a pure-SQL twin (hex slicing), so the
+    Python path's bytes→utf8→frame arithmetic is verified exactly.
+    An ffmpeg/pyav frame extractor slots into `sample` unchanged.
+    """
+    import pandas as pd
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+    def sample(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_hex": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                hx = bytes(payload).hex()
+                for fi in range(0, len(hx) // _FRAME_HEX_CHARS, _FRAME_STRIDE):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(fi)
+                    out["frame_hex"].append(
+                        hx[fi * _FRAME_HEX_CHARS : (fi + 1) * _FRAME_HEX_CHARS]
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int64"),
+                    "frame_hex": pd.Series(out["frame_hex"], dtype="object"),
+                }
+            )
+
+    return docs.mapInPandas(sample, schema="doc_id long, frame_idx long, frame_hex string")
+
+
 # ---------------------------------------------------------------------------
 # Embedding-space dedup + IVF similarity (scale-path variants)
 # ---------------------------------------------------------------------------
