@@ -162,6 +162,71 @@ def stream_funnel(spark, sf_dir):
     )
 
 
+@register(
+    "stream_stream_join",
+    oracle="""
+    WITH ev AS (
+        SELECT event_id, user_id, event_type,
+               cast(floor(epoch(ts)) AS bigint) AS tsec
+        FROM events
+    )
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id,
+           p.tsec AS purchase_tsec, v.tsec AS view_tsec
+    FROM ev p JOIN ev v
+      ON p.user_id = v.user_id
+     AND p.event_type = 'purchase' AND v.event_type = 'view'
+     AND v.tsec >= p.tsec - 3600 AND v.tsec <= p.tsec
+    """,
+)
+def stream_stream_join(spark, sf_dir):
+    """Stream-stream inner join: purchases ⋈ views of the same user
+    within the preceding hour — REAL Structured Streaming (two
+    watermarked streams, event-time range join condition, state kept
+    only for the watermark horizon), drained with availableNow.
+
+    Fully ORACLE-CHECKED: on a bounded replay an inner stream-stream
+    join emits exactly the batch join result, so the stateful join
+    machinery itself is hash-verified against DuckDB, not just
+    smoke-run.  The generous watermark guarantees completeness on the
+    test corpus; on an unbounded feed you would tighten it to bound
+    state (the join condition already lets Spark expire view-state
+    older than an hour behind the purchase watermark).
+    """
+    ev = read_events_stream(spark, sf_dir)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "30 days")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "30 days")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "inner",
+    ).select(
+        "purchase_id",
+        "view_id",
+        "user_id",
+        unix_secs(F.col("p_ts")).alias("purchase_tsec"),
+        unix_secs(F.col("v_ts")).alias("view_tsec"),
+    )
+    return run_available_now(joined, "ss_join", output_mode="append")
+
+
 @register("stream_watermark", check="smoke")
 def stream_watermark(spark, sf_dir):
     """Real Structured Streaming: 15-min watermark + 1-h tumbling agg,
