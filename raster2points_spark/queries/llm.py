@@ -1182,3 +1182,58 @@ def text_langid_ngram(spark, sf_dir):
         .groupBy("lang", "pred_lang")
         .agg(F.count("*").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus cleaning (the operators composed as a pipeline)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_clean_corpus",
+    oracle=f"""
+    WITH survivors AS (
+        SELECT min(doc_id) AS doc_id
+        FROM documents GROUP BY md5(text)
+    ),
+    scored AS (
+        SELECT d.doc_id, d.lang, d.source,
+               len({TOKS_DUCK}) AS n_tokens,
+               len(list_distinct({TOKS_DUCK})) * 1.0
+                   / nullif(len({TOKS_DUCK}), 0) AS ttr
+        FROM documents d JOIN survivors s ON s.doc_id = d.doc_id
+    )
+    SELECT doc_id, lang, source, n_tokens, round(ttr, 4) AS ttr
+    FROM scored
+    WHERE n_tokens >= 5 AND ttr >= 0.3
+    """,
+)
+def pipeline_clean_corpus(spark, sf_dir):
+    """Flagship composition: the training-data cleaning pipeline as ONE
+    declarative plan — exact-dedup survivors (hash-groupBy, min doc_id
+    wins) joined back to the corpus, then a quality gate (>=5 tokens,
+    type-token ratio >= 0.3).  Catalyst fuses the whole thing: the
+    survivor set is an aggregate over md5(text), the join is by key,
+    and the quality features are per-row projections — at 100 TB this
+    is one shuffle for the dedup, one for the join, nothing else.
+    """
+    docs = t(spark, sf_dir, "documents")
+    survivors = docs.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    toks = F.expr(TOKS_SPARK)
+    n_tok = F.size(toks)
+    scored = (
+        docs.join(survivors.select("doc_id"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            n_tok.alias("n_tokens"),
+            (F.size(F.array_distinct(toks)) * F.lit(1.0) / F.nullif(n_tok, F.lit(0))).alias(
+                "ttr_raw"
+            ),
+        )
+    )
+    return (
+        scored.filter((F.col("n_tokens") >= 5) & (F.col("ttr_raw") >= 0.3))
+        .select("doc_id", "lang", "source", "n_tokens", F.round("ttr_raw", 4).alias("ttr"))
+    )
