@@ -63,3 +63,37 @@ def test_funnel_ordering_invariant(spark, registry):
     rows = registry["stream_funnel"].fn(spark, SF0001).collect()
     for r in rows:
         assert r.t_signup <= r.t_view <= r.t_purchase
+
+
+def test_stream_stream_join_equals_batch_join(spark, registry):
+    """Bounded replay ⇒ the watermarked stream-stream inner join must
+    emit exactly the batch interval-join result (same pairs, same
+    values) — the stateful join machinery drops or duplicates nothing."""
+    from raster2points_spark.io import table
+    from raster2points_spark.queries._util import unix_secs
+
+    out = registry["stream_stream_join"].fn(spark, SF0001)
+    got = {tuple(r) for r in out.collect()}
+
+    ev = table(spark, SF0001, "events").select(
+        "event_id", "user_id", "event_type", unix_secs(F.col("ts")).alias("tsec")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").alias("p")
+    v = ev.filter(F.col("event_type") == "view").alias("v")
+    batch = (
+        p.join(
+            v,
+            (F.col("p.user_id") == F.col("v.user_id"))
+            & (F.col("v.tsec") >= F.col("p.tsec") - 3600)
+            & (F.col("v.tsec") <= F.col("p.tsec")),
+        )
+        .select(
+            F.col("p.event_id").alias("purchase_id"),
+            F.col("v.event_id").alias("view_id"),
+            F.col("p.user_id").alias("user_id"),
+            F.col("p.tsec").alias("purchase_tsec"),
+            F.col("v.tsec").alias("view_tsec"),
+        )
+    )
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(got) > 0
