@@ -240,3 +240,45 @@ def agg_collect_sorted(spark, sf_dir):
         .groupBy("c_mktsegment")
         .agg(F.sort_array(F.collect_list("c_custkey")).alias("custkeys"))
     )
+
+
+@register(
+    "agg_rollup_cascade",
+    oracle="""
+    WITH ev AS (
+        SELECT cast(floor(epoch(ts) / 86400) AS bigint) AS day_bkt,
+               event_type,
+               cast(floor(value * 1000) AS bigint) AS vmilli
+        FROM events
+    )
+    SELECT day_bkt, event_type, count(*) AS n,
+           cast(sum(vmilli) AS bigint) AS sum_vmilli
+    FROM ev GROUP BY 1, 2
+    """,
+)
+def agg_rollup_cascade(spark, sf_dir):
+    """Hypertable-style cascade: the DAILY rollup consumes the HOURLY
+    rollup (sum of partial counts/sums), never re-scanning events —
+    the continuous-aggregate / downsampling pattern of time-series
+    stores.  The oracle aggregates events directly, so the test proves
+    the cascade is lossless.  Values are summed as floor(value*1000)
+    bigints: integer partial sums re-aggregate exactly (float sums
+    would be order-sensitive across the two levels).  At 100 TB the
+    second level shuffles |hours x types| rows, not |events|.
+    """
+    from raster2points_spark.queries._util import unix_secs
+
+    ev = t(spark, sf_dir, "events").select(
+        unix_secs(F.col("ts")).alias("tsec"),
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("bigint").alias("vmilli"),
+    ).withColumn("hour_bkt", F.expr("tsec div 3600"))
+    hourly = ev.groupBy("hour_bkt", "event_type").agg(
+        F.count("*").alias("n"), F.sum("vmilli").alias("sum_vmilli")
+    )
+    return (
+        hourly.withColumn("day_bkt", F.expr("hour_bkt div 24"))
+        .groupBy("day_bkt", "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("sum_vmilli").alias("sum_vmilli"))
+        .select("day_bkt", "event_type", "n", "sum_vmilli")
+    )

@@ -378,3 +378,68 @@ def join_bucketed(spark, sf_dir):
             F.any_value(F.col("c_mktsegment")).alias("seg"),
         )
     )
+
+
+@register(
+    "join_interval_bucketed",
+    oracle=f"""
+    WITH ev AS (SELECT event_id, user_id, event_type, {_TSEC} AS tsec FROM events)
+    SELECT s.event_id AS signup_event_id, s.user_id,
+           count(e.event_id) AS n_in_hour
+    FROM ev s LEFT JOIN ev e
+      ON e.user_id = s.user_id
+     AND e.tsec >= s.tsec AND e.tsec < s.tsec + 3600
+     AND e.event_id <> s.event_id
+    WHERE s.event_type = 'signup'
+    GROUP BY s.event_id, s.user_id
+    """,
+)
+def join_interval_bucketed(spark, sf_dir):
+    """Time-bucketed interval join — the SCALE path for join_interval
+    (identical oracle, different physical strategy).
+
+    The naive plan joins on user_id alone and filters the time range
+    after the match, so a user with k events generates k x k candidate
+    pairs regardless of time.  Here both sides also carry an hour
+    bucket: a [t, t+1h) window can only overlap buckets floor(t/1h)
+    and floor(t/1h)+1, so the probe side explodes to exactly 2 bucket
+    keys and the join runs on (user_id, bucket) — candidate pairs are
+    bounded by per-user-per-HOUR density, not per-user totals.  At
+    100 TB this is the difference between a skew-prone quadratic
+    blowup and a uniformly bounded shuffle.  Dedup of double-matched
+    pairs is free: a pair can only match in one bucket of the probe
+    (the event's own bucket is fixed).
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", unix_secs(F.col("ts")).alias("tsec")
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .withColumn("bkt", F.explode(F.array(F.expr("tsec div 3600"), F.expr("tsec div 3600 + 1"))))
+        .alias("s")
+    )
+    e = ev.withColumn("bkt", F.expr("tsec div 3600")).alias("e")
+    cond = (
+        (F.col("e.user_id") == F.col("s.user_id"))
+        & (F.col("e.bkt") == F.col("s.bkt"))
+        & (F.col("e.tsec") >= F.col("s.tsec"))
+        & (F.col("e.tsec") < F.col("s.tsec") + 3600)
+        & (F.col("e.event_id") != F.col("s.event_id"))
+    )
+    matched = (
+        s.join(e, cond, "inner")
+        .groupBy(F.col("s.event_id").alias("signup_event_id"), F.col("s.user_id").alias("user_id"))
+        .agg(F.count("*").alias("n_in_hour"))
+    )
+    # LEFT semantics: signups with zero matches still appear (n = 0).
+    base = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_event_id"), "user_id"
+    )
+    return (
+        base.join(matched, ["signup_event_id", "user_id"], "left")
+        .select(
+            "signup_event_id",
+            "user_id",
+            F.coalesce("n_in_hour", F.lit(0)).alias("n_in_hour"),
+        )
+    )
