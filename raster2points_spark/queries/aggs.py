@@ -282,3 +282,72 @@ def agg_rollup_cascade(spark, sf_dir):
         .agg(F.sum("n").alias("n"), F.sum("sum_vmilli").alias("sum_vmilli"))
         .select("day_bkt", "event_type", "n", "sum_vmilli")
     )
+
+
+@register(
+    "agg_kmv_sketch",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ),
+    hashed AS (
+        SELECT event_type,
+               cast(concat('0x', substr(md5(cast(user_id AS varchar)), 1, 15)) AS bigint) AS h
+        FROM du
+    ),
+    ranked AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk,
+               count(*) OVER (PARTITION BY event_type) AS n_exact
+        FROM hashed
+    )
+    SELECT event_type, cast(n_exact AS bigint) AS n_exact,
+           CASE WHEN n_exact < 64 THEN cast(n_exact AS bigint)
+                ELSE cast(floor(63.0 * 1152921504606846976 / max(CASE WHEN rk = 64 THEN h END)) AS bigint)
+           END AS kmv_estimate
+    FROM ranked
+    GROUP BY event_type, n_exact
+    """,
+)
+def agg_kmv_sketch(spark, sf_dir):
+    """Novel sketch, ORACLE-CHECKED: K-Minimum-Values distinct-count
+    estimator (k=64).  Hash every (event_type, user) once with the
+    md5→bigint trick; the 64th-smallest hash h64 estimates
+    |distinct| ≈ (k-1) · 2^60 / h64 (hashes are ~uniform on [0, 2^60)).
+    Unlike HLL/CMS the estimate is pure deterministic integer
+    arithmetic on deterministic hashes, so Spark and DuckDB agree
+    bit-for-bit — a sketch whose accuracy AND implementation are both
+    testable.  At scale: one distinct-shuffle, then only k values per
+    group matter (collectable as a tiny sorted array per partition —
+    the mergeable-sketch property).  Exact count carried alongside so
+    the estimate's error is inspectable in the result itself.
+    """
+    from pyspark.sql import Window
+
+    du = t(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    hashed = du.select(
+        "event_type",
+        F.expr(
+            "cast(conv(substring(md5(cast(user_id AS string)), 1, 15), 16, 10) AS bigint)"
+        ).alias("h"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    wc = Window.partitionBy("event_type")
+    ranked = hashed.select(
+        "event_type",
+        "h",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(wc).alias("n_exact"),
+    )
+    est = F.floor(
+        F.lit(63.0) * F.lit(1152921504606846976) / F.max(F.when(F.col("rk") == 64, F.col("h")))
+    ).cast("bigint")
+    return (
+        ranked.groupBy("event_type", "n_exact")
+        .agg(
+            F.when(F.col("n_exact") < 64, F.col("n_exact").cast("bigint"))
+            .otherwise(est)
+            .alias("kmv_estimate")
+        )
+        .select("event_type", F.col("n_exact").cast("bigint").alias("n_exact"), "kmv_estimate")
+    )
