@@ -93,3 +93,22 @@ def test_partition_pruning_on_sink(spark, registry):
     plan = _formatted_plan(spark, df)
     assert "PartitionFilters" in plan
     assert "l_returnflag" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_interval_bucketed_is_equi_join(spark, registry):
+    # The whole point of the bucketed variant: the range condition is a
+    # post-filter on an EQUI join (user, hour-bucket), never a nested-
+    # loop scan of all user pairs.
+    plan = _formatted_plan(spark, registry["join_interval_bucketed"].fn(spark, SF001))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+
+def test_rollup_cascade_aggregates_twice(spark, registry):
+    # Two levels of aggregation (hourly then daily), each partial+final,
+    # and the daily level must consume the hourly output - not rescan
+    # the events source (exactly one parquet scan in the plan).
+    plan = _formatted_plan(spark, registry["agg_rollup_cascade"].fn(spark, SF001))
+    tree = plan.split("\n\n", 1)[0]
+    assert tree.count("Scan parquet") == 1
+    assert tree.count("HashAggregate") == 4  # 2 levels x (partial+final)
