@@ -146,3 +146,29 @@ def scan_json_roundtrip(spark, sf_dir):
     return back.groupBy("lang").agg(
         F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
     )
+
+
+@register(
+    "scan_orc_roundtrip",
+    oracle="""
+    SELECT n_nationkey, upper(n_name) AS name_u, n_regionkey
+    FROM nation
+    """,
+)
+def scan_orc_roundtrip(spark, sf_dir):
+    """ORC sink + scan (Spark's second first-class columnar format).
+
+    ORC is lossless for every type here, so the roundtrip result must
+    equal the same projection straight off parquet — which is exactly
+    what the oracle states (DuckDB never touches ORC; the CHECK is
+    roundtrip fidelity).  Schema comes from the file's own footer, no
+    inference pass.
+    """
+    path = os.path.join(SCRATCH, "orc_roundtrip")
+    t(spark, sf_dir, "nation").write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.select(
+        "n_nationkey",
+        F.upper("n_name").alias("name_u"),
+        "n_regionkey",
+    )
