@@ -33,12 +33,35 @@ def raster2df(
     bands: list[str],
     col_names: list[str] | None = None,
     calc_area: bool = False,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Convert raster bands to a point table: band 1 masks (NoData
     rows dropped), bands 2..N contribute nullable value columns,
     coordinates are pixel centers.  Lazy — compose freely before
-    writing."""
-    return raster2points(_as_tiles(spark, tiles), bands, col_names, calc_area)
+    writing.
+
+    ``max_block_size`` keeps the reference's memory-bound knob
+    (``raster2df(..., max_block_size=4096)`` bounded each processing
+    window to block² pixels): here it repartitions the tile table so
+    each TASK handles ≈ max_block_size² pixels.  The pixel count comes
+    from the tile METADATA columns (width·height) — a pruned scan that
+    never touches the data arrays.  Default None = let Spark's file
+    splits decide (the right answer on a real cluster)."""
+    tdf = _as_tiles(spark, tiles)
+    if max_block_size:
+        import math
+
+        from pyspark.sql import functions as F
+
+        n_px = (
+            tdf.filter(F.col("band_id") == bands[0])
+            .agg(F.sum(F.col("width").cast("long") * F.col("height")))
+            .first()[0]
+            or 0
+        )
+        parts = max(1, math.ceil(n_px / float(max_block_size) ** 2))
+        tdf = tdf.repartition(parts)
+    return raster2points(tdf, bands, col_names, calc_area)
 
 
 def raster2csv(
@@ -49,9 +72,10 @@ def raster2csv(
     col_names: list[str] | None = None,
     calc_area: bool = False,
     separator: str = ",",
+    max_block_size: int | None = None,
 ) -> None:
     """CSV sink variant (the reference CLI's contract: ``,``/``;``/tab
     separators).  Writes a directory of part files — each task streams
     its partition; no driver-side concat."""
-    df = raster2df(spark, tiles, bands, col_names, calc_area)
+    df = raster2df(spark, tiles, bands, col_names, calc_area, max_block_size)
     df.write.mode("overwrite").option("sep", separator).option("header", "true").csv(output)

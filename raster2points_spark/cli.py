@@ -27,6 +27,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--separator", default=",", choices=[",", ";", "t"])
     ap.add_argument("--calc-area", action="store_true")
     ap.add_argument("--format", default="csv", choices=["csv", "parquet"])
+    ap.add_argument(
+        "--max-block-size",
+        type=int,
+        default=None,
+        help="bound each task to ~N^2 pixels (the reference's memory knob; "
+        "default: let Spark's file splits decide)",
+    )
     args = ap.parse_args(argv)
 
     sep = "\t" if args.separator == "t" else args.separator
@@ -49,10 +56,12 @@ def main(argv: list[str] | None = None) -> int:
         raster2csv(
             spark, args.tiles, args.bands, args.output,
             col_names=args.col_names, calc_area=args.calc_area, separator=sep,
+            max_block_size=args.max_block_size,
         )
     else:
         df = raster2df(
-            spark, args.tiles, args.bands, col_names=args.col_names, calc_area=args.calc_area
+            spark, args.tiles, args.bands, col_names=args.col_names,
+            calc_area=args.calc_area, max_block_size=args.max_block_size,
         )
         df.write.mode("overwrite").parquet(args.output)
     return 0
