@@ -228,17 +228,25 @@ def agg_percentile(spark, sf_dir):
 @register(
     "agg_collect_sorted",
     oracle="""
-    SELECT c_mktsegment, list(c_custkey ORDER BY c_custkey) AS custkeys
+    SELECT c_mktsegment,
+           array_to_string(list(c_custkey ORDER BY c_custkey), ',') AS custkeys
     FROM customer GROUP BY c_mktsegment
     """,
 )
 def agg_collect_sorted(spark, sf_dir):
     """collect_list is unordered across tasks — always sort_array
-    before comparing/emitting (R2)."""
+    before comparing/emitting (R2).  The list is serialized with
+    concat_ws so the result is scalar-typed: the grading harness
+    canonicalizes via pandas sort_values, which cannot hash raw list
+    cells (r1 FAIL)."""
     return (
         t(spark, sf_dir, "customer")
         .groupBy("c_mktsegment")
-        .agg(F.sort_array(F.collect_list("c_custkey")).alias("custkeys"))
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("c_custkey"))).alias(
+                "custkeys"
+            )
+        )
     )
 
 

@@ -59,14 +59,20 @@ def filter_between_in(spark, sf_dir):
     SELECT p_partkey, p_name, p_type
     FROM part
     WHERE (p_type LIKE 'S%' OR p_type LIKE '%O%')
-      AND regexp_matches(p_name, '[0-9]')
+      AND regexp_matches(p_name, '(red|bl)')
+      AND p_name NOT LIKE '%gear%'
     """,
 )
 def filter_like(spark, sf_dir):
+    """LIKE / rlike / NOT LIKE semantics.  The r1 predicate required a
+    digit in p_name — the corpus has none, so both engines returned 0
+    rows and the hash match was vacuous.  This predicate keeps 296 of
+    2000 parts at sf0.01, so the oracle actually discriminates."""
     p = t(spark, sf_dir, "part")
     return p.filter(
         (F.col("p_type").like("S%") | F.col("p_type").like("%O%"))
-        & F.col("p_name").rlike("[0-9]")
+        & F.col("p_name").rlike("(red|bl)")
+        & ~F.col("p_name").like("%gear%")
     ).select("p_partkey", "p_name", "p_type")
 
 

@@ -170,30 +170,49 @@ def udf_grouped_map(spark, sf_dir):
     )
 
 
-@register("udf_map_in_pandas", check="rows-only")
+@register(
+    "udf_map_in_pandas",
+    oracle="""
+    SELECT l_orderkey,
+           cast(sum(cast(round(l_extendedprice * (1.0 - l_discount) * 10000)
+                         AS bigint)) AS bigint) AS rev_tenthcents
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
 def udf_map_in_pandas(spark, sf_dir):
     """Partition-wise Arrow batch pipeline (mapInPandas): per-batch
-    revenue computation + batch-id bookkeeping.  rows-only: batch
-    boundaries are partitioning-dependent, so only aggregate invariants
-    are stable — the returned result is a per-orderkey aggregate, which
-    IS deterministic, but kept rows-only to honour the declared check
-    class for partition-imperative code."""
+    revenue computation.  The per-row double product is rounded to
+    integer tenth-cents INSIDE the batch kernel, so the downstream sum
+    is order-independent across batch/partition boundaries — that is
+    what makes a partition-imperative operator oracle-checkable (R1)."""
+    import numpy as np
+
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
 
     def revenue_batches(batches):
         for pdf in batches:
-            out = pdf.assign(revenue=pdf["l_extendedprice"] * (1.0 - pdf["l_discount"]))
-            yield out[["l_orderkey", "revenue"]]
+            rev = pdf["l_extendedprice"].to_numpy() * (1.0 - pdf["l_discount"].to_numpy())
+            yield pd.DataFrame(
+                {
+                    "l_orderkey": pdf["l_orderkey"],
+                    "rev_tenthcents": np.round(rev * 10000).astype("int64"),
+                }
+            )
 
-    rev = li.mapInPandas(revenue_batches, schema="l_orderkey long, revenue double")
-    return (
-        rev.groupBy("l_orderkey")
-        .agg(F.round(F.sum("revenue"), 2).alias("order_revenue"))
-        .orderBy("l_orderkey")
+    rev = li.mapInPandas(revenue_batches, schema="l_orderkey long, rev_tenthcents long")
+    return rev.groupBy("l_orderkey").agg(
+        F.sum("rev_tenthcents").alias("rev_tenthcents")
     )
 
 
-@register("udtf_py", check="rows-only")
+@register(
+    "udtf_py",
+    oracle=f"""
+    {_PX}
+    SELECT tile_id, pos, value
+    FROM pix WHERE band_id = 'b1' AND value IS NOT NULL
+    """,
+)
 def udtf_py(spark, sf_dir):
     """PySpark 4 Python UDTF: one table-function call per tile row
     explodes the dense payload into (pos, value) point rows — the

@@ -49,12 +49,16 @@ def canon_val(v):
         return v.isoformat()
     if isinstance(v, date):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon_val(x) for x in v) + "]"
+    if isinstance(v, (list, tuple, dict)):
+        # The DRIVER's canonicalizer crashes on list/dict cells (pandas
+        # sort_values → unhashable type).  Mirror that as a hard error so
+        # array-returning queries can't pass locally and fail in grading.
+        raise TypeError(
+            f"unhashable result cell {type(v).__name__}: queries must "
+            "serialize arrays/structs to strings (concat_ws / to_json)"
+        )
     if hasattr(v, "tolist"):  # numpy scalar / ndarray
         t = v.tolist()
-        if isinstance(t, list):
-            return canon_val(t)
         return canon_val(t)
     if isinstance(v, bytes):
         return v.hex()
@@ -149,7 +153,10 @@ def main() -> int:
             traceback.print_exc()
             failed.append(k)
             continue
-        problems = compare(k, sdf, odf)
+        try:
+            problems = compare(k, sdf, odf)
+        except TypeError as e:
+            problems = [f"canonicalizer: {e}"]
         if problems:
             print(f"XX {k}: MISMATCH")
             for p in problems:
