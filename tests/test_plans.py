@@ -67,17 +67,51 @@ def test_minhash_signatures_have_no_token_shuffle(spark, registry):
     assert "explode" not in plan, "no token-level explode in minhash plan"
 
 
+def _analyzed_plan(df) -> str:
+    return df._jdf.queryExecution().analyzed().toString()
+
+
 def test_tfidf_counts_in_row(spark, registry):
     # Term counts fold the row's own token array; the only aggregation
-    # shuffle left is the tiny df (distinct-word) side, broadcast back.
-    plan = _formatted_plan(spark, registry["text_tfidf"].fn(spark, SF001))
+    # shuffles left are the df (distinct-word) side and the one-row
+    # corpus count.
+    df = registry["text_tfidf"].fn(spark, SF001)
+    plan = _formatted_plan(spark, df)
     assert "InMemoryTableScan" in plan
-    assert "BroadcastExchange" in plan, "df side must broadcast"
     # v1 had four aggregations (tf, dlen, df via countDistinct, nd)
     # over the exploded token stream; v2 keeps two (df + the corpus
     # count).  "formatted" lists each node twice (tree + detail) and
     # each agg is partial+final → 2 aggs ≤ 8 mentions.
     assert plan.count("HashAggregate") <= 8
+    # Scale guard (r2): the vocabulary join must NOT carry a broadcast
+    # hint — at 100 TB the term→df table exceeds broadcast size.  The
+    # only hinted broadcast allowed is the one-row corpus count.
+    analyzed = _analyzed_plan(df)
+    assert analyzed.count("ResolvedHint") == 1, "only the 1-row nd count may be hinted"
+
+
+def test_jaccard_has_no_per_doc_broadcast(spark, registry):
+    # Scale guard (r2): no broadcast hint anywhere — the sizes relation
+    # is one row PER DOCUMENT and must stay a shuffle join (AQE demotes
+    # to broadcast at small scale on its own).
+    df = registry["dedup_jaccard"].fn(spark, SF001)
+    assert "ResolvedHint" not in _analyzed_plan(df)
+    # and the df-capped inverted index must still be an equi self-join
+    plan = _formatted_plan(spark, df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_embed_blocks_on_lsh_bucket(spark, registry):
+    # Scale guard (r2): candidate pairs come from an equi-join on the
+    # sign-random-projection bucket — never a cross/theta join over the
+    # corpus, and no hinted broadcast of a per-vector relation.
+    df = registry["dedup_embed"].fn(spark, SF001)
+    assert "ResolvedHint" not in _analyzed_plan(df)
+    plan = _formatted_plan(spark, df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "bucket" in plan, "join key must be the LSH bucket"
 
 
 def test_partition_pruning_on_sink(spark, registry):
