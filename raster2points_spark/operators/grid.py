@@ -179,6 +179,18 @@ def raster2points(
         )
         joined = joined.join(other, "tile_id", "left")
 
+    # A tile entirely absent from a secondary band leaves d{i} NULL, and
+    # arrays_zip(d0, NULL) is NULL — posexplode would then emit ZERO
+    # rows, silently dropping every band-1 pixel of that tile.  Coalesce
+    # each missing payload to an all-NULL array of the mask band's
+    # length so the contract holds: NoData/absence in bands 2..N keeps
+    # the row with NULL (same semantics as raster2points_joined).
+    zip_cols = [F.col("d0")] + [
+        F.coalesce(
+            F.col(f"d{i}"), F.expr("array_repeat(cast(null AS double), size(d0))")
+        ).alias(f"d{i}")
+        for i in range(1, len(bands))
+    ]
     ex = joined.select(
         "tile_id",
         "col_off",
@@ -186,9 +198,7 @@ def raster2points(
         "width",
         "transform",
         *[F.col(f"nd{i}") for i in range(len(bands))],
-        F.posexplode(F.arrays_zip(*[F.col(f"d{i}") for i in range(len(bands))])).alias(
-            "pos", "z"
-        ),
+        F.posexplode(F.arrays_zip(*zip_cols)).alias("pos", "z"),
     )
     vals = []
     for i, name in enumerate(names):

@@ -280,12 +280,12 @@ def agg_rollup_cascade(spark, sf_dir):
         unix_secs(F.col("ts")).alias("tsec"),
         "event_type",
         F.floor(F.col("value") * 1000).cast("bigint").alias("vmilli"),
-    ).withColumn("hour_bkt", F.expr("tsec div 3600"))
+    ).withColumn("hour_bkt", F.expr("cast(floor(tsec / 3600) AS bigint)"))
     hourly = ev.groupBy("hour_bkt", "event_type").agg(
         F.count("*").alias("n"), F.sum("vmilli").alias("sum_vmilli")
     )
     return (
-        hourly.withColumn("day_bkt", F.expr("hour_bkt div 24"))
+        hourly.withColumn("day_bkt", F.expr("cast(floor(hour_bkt / 24) AS bigint)"))
         .groupBy("day_bkt", "event_type")
         .agg(F.sum("n").alias("n"), F.sum("sum_vmilli").alias("sum_vmilli"))
         .select("day_bkt", "event_type", "n", "sum_vmilli")

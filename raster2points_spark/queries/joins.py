@@ -415,10 +415,10 @@ def join_interval_bucketed(spark, sf_dir):
     )
     s = (
         ev.filter(F.col("event_type") == "signup")
-        .withColumn("bkt", F.explode(F.array(F.expr("tsec div 3600"), F.expr("tsec div 3600 + 1"))))
+        .withColumn("bkt", F.explode(F.array(F.expr("cast(floor(tsec / 3600) AS bigint)"), F.expr("cast(floor(tsec / 3600) AS bigint) + 1"))))
         .alias("s")
     )
-    e = ev.withColumn("bkt", F.expr("tsec div 3600")).alias("e")
+    e = ev.withColumn("bkt", F.expr("cast(floor(tsec / 3600) AS bigint)")).alias("e")
     cond = (
         (F.col("e.user_id") == F.col("s.user_id"))
         & (F.col("e.bkt") == F.col("s.bkt"))

@@ -75,3 +75,30 @@ def test_band_count_validation(spark):
         raster2df(spark, GRID4, bands=[])
     with pytest.raises(ValueError):
         raster2df(spark, GRID4, bands=["b1"], col_names=["a", "b"])
+
+
+def test_missing_band_tile_keeps_mask_rows(spark):
+    """A tile entirely absent from a secondary band must NOT drop the
+    mask band's pixels (r1 bug: arrays_zip(d0, NULL) is NULL, so the
+    posexplode emitted zero rows).  The contract is the same as per-
+    pixel NoData: the row stays, with NULL in the missing column."""
+    from raster2points_spark.operators.grid import raster2points
+
+    tf = [0.5, 0.0, 10.0, 0.0, -0.5, 45.0]
+    rows = [
+        ("b1", 0, 0, 0, 2, 1, tf, -9999.0, [1.0, -9999.0]),
+        ("b1", 1, 2, 0, 2, 1, tf, -9999.0, [3.0, 4.0]),
+        ("b2", 0, 0, 0, 2, 1, tf, -9999.0, [10.0, -9999.0]),
+        # tile 1 has no b2 row at all
+    ]
+    schema = (
+        "band_id string, tile_id long, col_off int, row_off int, width int, "
+        "height int, transform array<double>, nodata double, data array<double>"
+    )
+    tiles = spark.createDataFrame(rows, schema)
+    pts = raster2points(tiles, ["b1", "b2"]).collect()
+    assert sorted((r.val1, r.val2) for r in pts) == [
+        (1.0, 10.0),
+        (3.0, None),
+        (4.0, None),
+    ]
