@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from raster2points_spark.operators.grid import raster2points
+from raster2points_spark.operators.grid import band_dtypes, raster2points
 from raster2points_spark.sources.tiles import read_tiles
 
 
@@ -61,7 +61,10 @@ def raster2df(
         )
         parts = max(1, math.ceil(n_px / float(max_block_size) ** 2))
         tdf = tdf.repartition(parts)
-    return raster2points(tdf, bands, col_names, calc_area)
+    # metadata-only dtype lookup (None for pre-dtype tile tables) —
+    # value columns come out in each band's SOURCE numpy dtype, like
+    # the reference's pandas frames (SURVEY §1.1(5))
+    return raster2points(tdf, bands, col_names, calc_area, dtypes=band_dtypes(tdf, bands))
 
 
 def raster2csv(

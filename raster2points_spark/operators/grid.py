@@ -37,8 +37,53 @@ TILE_COLS = (
     "height",
     "transform",
     "nodata",
+    "dtype",
     "data",
 )
+
+#: numpy source dtype → narrowest Spark SQL type that holds it.  The
+#: tile payload travels as array<double> (the container type); value
+#: columns are cast back so e.g. a uint8 land-cover raster emits an
+#: integer column, not 8×-inflated doubles (reference keeps per-raster
+#: numpy dtypes in its pandas output — SURVEY §1.1(5)/§1.2).
+NUMPY_TO_SPARK_DTYPE = {
+    "int8": "tinyint",
+    "uint8": "smallint",
+    "int16": "smallint",
+    "uint16": "int",
+    "int32": "int",
+    "uint32": "bigint",
+    "int64": "bigint",
+    "float32": "float",
+    "float64": "double",
+}
+
+
+def band_dtypes(tiles: DataFrame, bands: list[str]) -> dict[str, str] | None:
+    """Per-band source dtype from tile METADATA (pruned scan of two
+    columns, one tiny collect — never touches the payload).  Returns
+    None when the table predates the ``dtype`` column.  Raises if a
+    band is declared with conflicting dtypes (corrupt table) or an
+    unknown dtype name."""
+    if "dtype" not in tiles.columns:
+        return None
+    rows = (
+        tiles.filter(F.col("band_id").isin(list(bands)))
+        .select("band_id", "dtype")
+        .distinct()
+        .collect()
+    )
+    out: dict[str, str] = {}
+    for r in rows:
+        if r.band_id in out and out[r.band_id] != r.dtype:
+            raise ValueError(
+                f"band {r.band_id!r} declares conflicting dtypes "
+                f"({out[r.band_id]!r} vs {r.dtype!r})"
+            )
+        if r.dtype not in NUMPY_TO_SPARK_DTYPE:
+            raise ValueError(f"band {r.band_id!r} has unknown dtype {r.dtype!r}")
+        out[r.band_id] = r.dtype
+    return out
 
 
 def grid_unpivot(tiles: DataFrame) -> DataFrame:
@@ -142,6 +187,7 @@ def raster2points(
     col_names: list[str] | None = None,
     calc_area: bool = False,
     extra_cols: tuple[str, ...] = (),
+    dtypes: dict[str, str] | None = None,
 ) -> DataFrame:
     """Full reference pipeline over a tile table: band 1 masks, bands
     2..N contribute nullable value columns, output
@@ -157,6 +203,11 @@ def raster2points(
     equal resolution across rasters, so co-tiling is a precondition,
     exactly as there; for bands tiled differently use
     :func:`raster2points_joined`.)
+
+    ``dtypes`` maps band_id → source numpy dtype name; matching value
+    columns are cast from the float64 container type back to the
+    narrowest Spark type (see NUMPY_TO_SPARK_DTYPE) so output schemas
+    stay faithful to the source rasters.
     """
     if not bands:
         raise ValueError("need at least one band")
@@ -201,9 +252,14 @@ def raster2points(
         F.posexplode(F.arrays_zip(*zip_cols)).alias("pos", "z"),
     )
     vals = []
-    for i, name in enumerate(names):
+    for i, (b, name) in enumerate(zip(bands, names)):
         raw = F.col("z")[f"d{i}"]
-        vals.append(F.when(raw == F.col(f"nd{i}"), F.lit(None)).otherwise(raw).alias(name))
+        v = F.when(raw == F.col(f"nd{i}"), F.lit(None)).otherwise(raw)
+        # NoData compare happens in the container type (double), THEN
+        # the survivor is cast back to the band's source dtype
+        if dtypes and b in dtypes:
+            v = v.cast(NUMPY_TO_SPARK_DTYPE[dtypes[b]])
+        vals.append(v.alias(name))
     px = ex.select(
         "tile_id",
         "transform",
@@ -225,6 +281,7 @@ def raster2points_joined(
     bands: list[str],
     col_names: list[str] | None = None,
     calc_area: bool = False,
+    dtypes: dict[str, str] | None = None,
 ) -> DataFrame:
     """Join-based variant for bands that are NOT co-tiled: each band is
     exploded independently and aligned on (tile_id, pos).  Costs one
@@ -240,6 +297,12 @@ def raster2points_joined(
     base = affine_coords(base).withColumnRenamed("value", names[0])
     for b, name in zip(bands[1:], names[1:]):
         base = band_zip(base, per_band[b], name)
+    if dtypes:
+        for b, name in zip(bands, names):
+            if b in dtypes:
+                base = base.withColumn(
+                    name, F.col(name).cast(NUMPY_TO_SPARK_DTYPE[dtypes[b]])
+                )
     out_cols = ["lon", "lat", *names]
     if calc_area:
         base = base.withColumn("area", geodesic_area(F.col("lat"), F.col("transform")))

@@ -62,12 +62,24 @@ TILE_ARROW_SCHEMA = pa.schema(
         ("height", pa.int32()),
         ("transform", pa.list_(pa.float64())),
         ("nodata", pa.float64()),
+        # source numpy dtype of the band (uint8/int16/float32/...).  The
+        # payload is always carried as float64 (the container type), but
+        # raster2points casts value columns back so a uint8 land-cover
+        # raster comes out integer-typed, not 8x-inflated doubles —
+        # reference parity (its pandas frames keep each raster's dtype).
+        ("dtype", pa.string()),
         ("data", pa.list_(pa.float64())),
     ]
 )
 
 
-def _tile_rows(band_id: str, arr: np.ndarray, tile: int, transform: list[float]) -> list[dict]:
+def _tile_rows(
+    band_id: str,
+    arr: np.ndarray,
+    tile: int,
+    transform: list[float],
+    dtype: str = "float64",
+) -> list[dict]:
     n_rows, n_cols = arr.shape
     tiles_per_row = (n_cols + tile - 1) // tile
     rows = []
@@ -84,6 +96,7 @@ def _tile_rows(band_id: str, arr: np.ndarray, tile: int, transform: list[float])
                     "height": block.shape[0],
                     "transform": transform,
                     "nodata": NODATA,
+                    "dtype": dtype,
                     "data": block.ravel().tolist(),
                 }
             )

@@ -77,6 +77,54 @@ def test_band_count_validation(spark):
         raster2df(spark, GRID4, bands=["b1"], col_names=["a", "b"])
 
 
+def test_dtype_preservation(spark):
+    """A uint8 mask band and a float32 band come out smallint/float —
+    the source numpy dtype survives the float64 container (reference
+    keeps per-raster dtypes in its pandas output)."""
+    tf = [0.5, 0.0, 10.0, 0.0, -0.5, 45.0]
+    rows = [
+        ("b1", 0, 0, 0, 2, 1, tf, -9999.0, "uint8", [7.0, -9999.0]),
+        ("b2", 0, 0, 0, 2, 1, tf, -9999.0, "float32", [1.5, 2.5]),
+    ]
+    schema = (
+        "band_id string, tile_id long, col_off int, row_off int, width int, "
+        "height int, transform array<double>, nodata double, dtype string, "
+        "data array<double>"
+    )
+    tiles = spark.createDataFrame(rows, schema)
+    df = raster2df(spark, tiles, bands=["b1", "b2"])
+    got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert got["val1"] == "smallint"
+    assert got["val2"] == "float"
+    r = df.collect()
+    assert [(x.val1, x.val2) for x in r] == [(7, 1.5)]
+
+
+def test_dtype_conflict_raises(spark):
+    from raster2points_spark.operators.grid import band_dtypes
+
+    tf = [0.5, 0.0, 10.0, 0.0, -0.5, 45.0]
+    schema = (
+        "band_id string, tile_id long, col_off int, row_off int, width int, "
+        "height int, transform array<double>, nodata double, dtype string, "
+        "data array<double>"
+    )
+    conflicting = spark.createDataFrame(
+        [
+            ("b1", 0, 0, 0, 1, 1, tf, -9999.0, "uint8", [1.0]),
+            ("b1", 1, 1, 0, 1, 1, tf, -9999.0, "int16", [2.0]),
+        ],
+        schema,
+    )
+    with pytest.raises(ValueError, match="conflicting dtypes"):
+        band_dtypes(conflicting, ["b1"])
+    unknown = spark.createDataFrame(
+        [("b1", 0, 0, 0, 1, 1, tf, -9999.0, "complex128", [1.0])], schema
+    )
+    with pytest.raises(ValueError, match="unknown dtype"):
+        band_dtypes(unknown, ["b1"])
+
+
 def test_missing_band_tile_keeps_mask_rows(spark):
     """A tile entirely absent from a secondary band must NOT drop the
     mask band's pixels (r1 bug: arrays_zip(d0, NULL) is NULL, so the
