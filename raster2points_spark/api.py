@@ -19,7 +19,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from raster2points_spark.operators.grid import band_dtypes, raster2points
+from raster2points_spark.operators.grid import (
+    band_dtypes,
+    raster2points,
+    validate_band_alignment,
+)
 from raster2points_spark.sources.tiles import read_tiles
 
 
@@ -34,11 +38,14 @@ def raster2df(
     col_names: list[str] | None = None,
     calc_area: bool = False,
     max_block_size: int | None = None,
+    validate: bool = True,
 ) -> DataFrame:
     """Convert raster bands to a point table: band 1 masks (NoData
     rows dropped), bands 2..N contribute nullable value columns,
     coordinates are pixel centers.  Lazy — compose freely before
-    writing.
+    writing.  ``validate=True`` (default) runs the reference's eager
+    pre-flight: unequal band resolutions or conflicting per-tile
+    geometry raise before any pixel is read.
 
     ``max_block_size`` keeps the reference's memory-bound knob
     (``raster2df(..., max_block_size=4096)`` bounded each processing
@@ -48,6 +55,8 @@ def raster2df(
     never touches the data arrays.  Default None = let Spark's file
     splits decide (the right answer on a real cluster)."""
     tdf = _as_tiles(spark, tiles)
+    if validate:
+        validate_band_alignment(tdf, bands)
     if max_block_size:
         import math
 
@@ -76,9 +85,10 @@ def raster2csv(
     calc_area: bool = False,
     separator: str = ",",
     max_block_size: int | None = None,
+    validate: bool = True,
 ) -> None:
     """CSV sink variant (the reference CLI's contract: ``,``/``;``/tab
     separators).  Writes a directory of part files — each task streams
     its partition; no driver-side concat."""
-    df = raster2df(spark, tiles, bands, col_names, calc_area, max_block_size)
+    df = raster2df(spark, tiles, bands, col_names, calc_area, max_block_size, validate)
     df.write.mode("overwrite").option("sep", separator).option("header", "true").csv(output)

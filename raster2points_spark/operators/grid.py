@@ -86,6 +86,68 @@ def band_dtypes(tiles: DataFrame, bands: list[str]) -> dict[str, str] | None:
     return out
 
 
+def validate_band_alignment(tiles: DataFrame, bands: list[str]) -> None:
+    """Reference parity: raster2df refuses rasters of unequal
+    resolution before reading any pixel (reconstructed
+    raster2points/raster2points.py::raster2df — it validates resolution
+    and intersects extents up front).  Here the equivalent is two
+    METADATA-ONLY aggregations over the tile table (payload column
+    never scanned; column pruning keeps this a few-KB job):
+
+    1. every requested band carries exactly ONE (dx, dy) resolution,
+       and all bands agree;
+    2. a tile_id shared by several bands has identical geometry
+       (col_off, row_off, width, height, transform) in each — a silent
+       positional-zip of differently-placed tiles would produce wrong
+       points, so it is an error, not a NULL.
+
+    Tiles entirely MISSING from a secondary band are fine (the
+    documented keep-with-NULL contract); only conflicting geometry
+    raises.
+    """
+    sel = tiles.filter(F.col("band_id").isin(list(bands)))
+    res = (
+        sel.select(
+            "band_id",
+            F.col("transform")[0].alias("dx"),
+            F.col("transform")[4].alias("dy"),
+        )
+        .distinct()
+        .collect()
+    )
+    per_band: dict[str, set] = {}
+    for r in res:
+        per_band.setdefault(r.band_id, set()).add((r.dx, r.dy))
+    for b, s in sorted(per_band.items()):
+        if len(s) > 1:
+            raise ValueError(f"band {b!r} mixes pixel resolutions: {sorted(s)}")
+    distinct_res = {next(iter(s)) for s in per_band.values()}
+    if len(distinct_res) > 1:
+        raise ValueError(
+            "bands have unequal resolutions: "
+            + ", ".join(f"{b}={next(iter(s))}" for b, s in sorted(per_band.items()))
+        )
+    bad = (
+        sel.groupBy("tile_id")
+        .agg(
+            F.countDistinct(
+                F.struct(
+                    "col_off", "row_off", "width", "height", F.col("transform").cast("string")
+                )
+            ).alias("n_geom")
+        )
+        .filter(F.col("n_geom") > 1)
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            f"tile {bad[0].tile_id} has conflicting geometry across bands "
+            f"{sorted(per_band)} — bands must be co-tiled (same offsets/size/"
+            "transform per tile_id)"
+        )
+
+
 def grid_unpivot(tiles: DataFrame) -> DataFrame:
     """Dense→sparse melt: explode each tile's row-major payload into
     one row per pixel with absolute (row, col) plus the value, NoData

@@ -125,6 +125,59 @@ def test_dtype_conflict_raises(spark):
         band_dtypes(unknown, ["b1"])
 
 
+def test_alignment_validation(spark):
+    """Reference parity: unequal resolutions / conflicting tile
+    geometry fail eagerly; the aligned fixture passes unchanged."""
+    from raster2points_spark.operators.grid import validate_band_alignment
+
+    schema = (
+        "band_id string, tile_id long, col_off int, row_off int, width int, "
+        "height int, transform array<double>, nodata double, dtype string, "
+        "data array<double>"
+    )
+    tf = [0.5, 0.0, 10.0, 0.0, -0.5, 45.0]
+    tf_fine = [0.25, 0.0, 10.0, 0.0, -0.25, 45.0]
+    # unequal resolution across bands
+    bad_res = spark.createDataFrame(
+        [
+            ("b1", 0, 0, 0, 2, 1, tf, -9999.0, "float64", [1.0, 2.0]),
+            ("b2", 0, 0, 0, 2, 1, tf_fine, -9999.0, "float64", [1.0, 2.0]),
+        ],
+        schema,
+    )
+    with pytest.raises(ValueError, match="unequal resolutions"):
+        raster2df(spark, bad_res, bands=["b1", "b2"])
+    # same resolution but conflicting per-tile geometry (shifted offset)
+    bad_geom = spark.createDataFrame(
+        [
+            ("b1", 0, 0, 0, 2, 1, tf, -9999.0, "float64", [1.0, 2.0]),
+            ("b2", 0, 2, 0, 2, 1, tf, -9999.0, "float64", [1.0, 2.0]),
+        ],
+        schema,
+    )
+    with pytest.raises(ValueError, match="conflicting geometry"):
+        raster2df(spark, bad_geom, bands=["b1", "b2"])
+    # one band mixing resolutions is caught even alone
+    bad_mix = spark.createDataFrame(
+        [
+            ("b1", 0, 0, 0, 2, 1, tf, -9999.0, "float64", [1.0, 2.0]),
+            ("b1", 1, 2, 0, 2, 1, tf_fine, -9999.0, "float64", [1.0, 2.0]),
+        ],
+        schema,
+    )
+    with pytest.raises(ValueError, match="mixes pixel resolutions"):
+        validate_band_alignment(bad_mix, ["b1"])
+    # the committed aligned fixture passes (and raster2df still works)
+    validate_band_alignment(_read_grid4(spark), ["b1", "b2"])
+
+
+def _read_grid4(spark):
+    from raster2points_spark.sources.tiles import read_tiles
+
+    ensure_grid_fixtures(GRID_DIR)
+    return read_tiles(spark, GRID4)
+
+
 def test_missing_band_tile_keeps_mask_rows(spark):
     """A tile entirely absent from a secondary band must NOT drop the
     mask band's pixels (r1 bug: arrays_zip(d0, NULL) is NULL, so the
