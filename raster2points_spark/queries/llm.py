@@ -200,18 +200,16 @@ _BAND_UNION_DUCK = " UNION ALL ".join(
     for b, cols in _BANDS
 )
 
-_SH_CTE_DUCK = f"""
-    WITH sh AS (
+_SH_INNER_DUCK = f"""sh AS (
         SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM documents
-    )
-"""
+    )"""
 
+_SH_CTE_DUCK = "\n    WITH " + _SH_INNER_DUCK + "\n"
 
-@register(
-    "dedup_near",
-    oracle=_SH_CTE_DUCK
-    + f"""
-    , sigs AS (SELECT doc_id, {", ".join(_MH_DUCK)} FROM sh GROUP BY doc_id),
+# CTE chain sh → ... → near(doc_a, doc_b, jaccard): the full MinHash-LSH
+# near-dup pair pipeline, shared by dedup_near and dedup_components.
+_NEAR_PAIR_CTES = f"""
+    sigs AS (SELECT doc_id, {", ".join(_MH_DUCK)} FROM sh GROUP BY doc_id),
     bands AS ({_BAND_UNION_DUCK}),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -226,13 +224,25 @@ _SH_CTE_DUCK = f"""
         JOIN sh a ON a.doc_id = c.doc_a
         JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
         GROUP BY 1, 2
+    ),
+    near AS (
+        SELECT i.doc_a, i.doc_b,
+               round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 4) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.4
     )
-    SELECT i.doc_a, i.doc_b,
-           round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 4) AS jaccard
-    FROM inter i
-    JOIN sizes sa ON sa.doc_id = i.doc_a
-    JOIN sizes sb ON sb.doc_id = i.doc_b
-    WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.4
+"""
+
+
+@register(
+    "dedup_near",
+    oracle=_SH_CTE_DUCK
+    + ", "
+    + _NEAR_PAIR_CTES
+    + """
+    SELECT doc_a, doc_b, jaccard FROM near
     """,
 )
 def dedup_near(spark, sf_dir):
@@ -291,6 +301,90 @@ def dedup_near(spark, sf_dir):
         .filter(jac >= 0.4)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+@register(
+    "dedup_components",
+    oracle="WITH RECURSIVE "
+    + _SH_INNER_DUCK
+    + ", "
+    + _NEAR_PAIR_CTES
+    + """,
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM near
+        UNION ALL
+        SELECT doc_b, doc_a FROM near
+    ),
+    nodes AS (SELECT DISTINCT s AS doc FROM edges),
+    walk AS (
+        SELECT doc, doc AS lab FROM nodes
+        UNION
+        SELECT e.d AS doc, w.lab FROM walk w JOIN edges e ON e.s = w.doc
+    )
+    SELECT doc AS doc_id, min(lab) AS keep_id FROM walk GROUP BY doc
+    """,
+)
+def dedup_components(spark, sf_dir):
+    """Transitive near-dup clustering: connected components over the
+    MinHash-LSH pair graph, survivor = min doc_id per component — the
+    stage a real corpus dedup runs AFTER pair generation (pairwise
+    similarity is not transitive; without closure, chains A~B~C elect
+    two different survivors and drop the wrong docs).
+
+    Distributed iterative min-label propagation: each round joins the
+    undirected edge list against current labels, takes the per-node
+    min of neighbor labels, and localCheckpoint()s the result — the
+    lineage truncation every iterative Spark algorithm needs (without
+    it the plan doubles per round and the driver OOMs planning round
+    20).  Rounds needed = graph diameter (≤ log n with doubling
+    variants; plain propagation is fine for near-dup graphs whose
+    components are tiny).  The DuckDB oracle states the same fixpoint
+    as a recursive CTE, so the iterative result is hash-checked
+    against a declarative ground truth.
+    """
+    pairs = dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(pairs).select(
+        F.col("doc").alias("doc_id"), F.col("lab").alias("keep_id")
+    )
+
+
+def connected_components(pairs, max_rounds: int = 30):
+    """Min-label propagation over an undirected pair list
+    (doc_a, doc_b) → (doc, lab) where lab = component's min node id.
+    localCheckpoint per round truncates lineage; rounds = diameter."""
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+        .withColumnRenamed("doc_a", "s")
+        .withColumnRenamed("doc_b", "d")
+        .persist()
+    )
+    labels = edges.select(F.col("s").alias("doc")).distinct().withColumn("lab", F.col("doc"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        nbr = (
+            edges.join(labels, edges.d == labels.doc)
+            .groupBy("s")
+            .agg(F.min("lab").alias("nbr_lab"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.doc == nbr.s, "left")
+            .select(
+                "doc",
+                F.least(F.col("lab"), F.coalesce(F.col("nbr_lab"), F.col("lab"))).alias("lab"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "doc")
+            .filter(F.col("o.lab") != F.col("n.lab"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
 
 
 @register("dedup_minhash_ml", check="rows-only")

@@ -56,12 +56,21 @@ def gen_range(spark, sf_dir):
     )
 
 
-@register("scan_csv_roundtrip", check="rows-only")
+@register(
+    "scan_csv_roundtrip",
+    oracle="""
+    SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem WHERE l_quantity <= 10
+    """,
+)
 def scan_csv_roundtrip(spark, sf_dir):
     """CSV sink + scan with a non-default separator — the reference
     CLI contract (::raster2csv supports ,/;/tab).  Schema is supplied
     on re-read (never inferred: at 100 TB inference is a full extra
-    pass)."""
+    pass).  The oracle aggregates the SOURCE rows directly: matching
+    proves the CSV roundtrip is lossless for long/int/double (Spark
+    prints doubles at full precision, so re-read values are
+    bit-identical)."""
     path = os.path.join(SCRATCH, "csv_roundtrip")
     pts = (
         t(spark, sf_dir, "lineitem")
@@ -84,10 +93,19 @@ def scan_csv_roundtrip(spark, sf_dir):
     )
 
 
-@register("sink_parquet", check="rows-only")
+@register(
+    "sink_parquet",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+    FROM orders WHERE o_totalprice > 200000
+    GROUP BY 1
+    """,
+)
 def sink_parquet(spark, sf_dir):
     """Parquet sink → re-read → aggregate.  Each task writes its own
-    file; at scale you'd partitionBy a low-cardinality column."""
+    file; at scale you'd partitionBy a low-cardinality column.  The
+    oracle aggregates the source directly — matching proves the sink
+    is lossless (same pattern as sink_partitioned)."""
     path = os.path.join(SCRATCH, "sink_parquet")
     sel = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
     write_parquet(sel, path)

@@ -128,3 +128,17 @@ def test_ivf_neighbors_subset_of_corpus(spark, registry):
     for r in out:
         assert r.vec_id != r.probe_id
         assert 1 <= r.rn <= 5
+
+
+def test_connected_components_chain_and_df_cap(spark, registry):
+    """Chain 1-2-3 collapses to one component (transitivity the pair
+    list alone can't give); 5-6 stays separate; the shingle df cap
+    drops ubiquitous shingles from the dedup_jaccard universe."""
+    from raster2points_spark.queries.llm import MAX_SHINGLE_DF, connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    got = {r.doc: r.lab for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+    assert MAX_SHINGLE_DF == 100  # oracle SQL embeds the same constant
