@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from raster2points_spark.io import register_views
 from raster2points_spark.registry import register
 from raster2points_spark.queries._util import t
 
@@ -137,3 +138,62 @@ def case_when(spark, sf_dir):
 )
 def distinct_rows(spark, sf_dir):
     return t(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment").distinct()
+
+
+# --- correlated subqueries (Catalyst decorrelates these to joins — the
+# scale story: a correlated EXISTS/IN/scalar-agg never executes
+# per-row; it is rewritten into a semi/left join before planning) -----
+
+_SUBQ_EXISTS_SQL = """
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000
+    )
+"""
+
+_SUBQ_IN_SQL = """
+    SELECT o_orderkey, o_custkey
+    FROM orders
+    WHERE o_custkey IN (
+        SELECT c_custkey FROM customer WHERE c_acctbal < 0
+    )
+"""
+
+# max/count only: order-insensitive aggregates, so no float-sum-order
+# drift between engines (avg over doubles broke the hash — R1 trap)
+_SUBQ_SCALAR_SQL = """
+    SELECT o.o_orderkey, o.o_custkey,
+           round(o.o_totalprice, 2) AS price,
+           (SELECT count(*) FROM orders o2
+            WHERE o2.o_custkey = o.o_custkey) AS cust_n_orders,
+           round((SELECT max(o2.o_totalprice) FROM orders o2
+                  WHERE o2.o_custkey = o.o_custkey), 2) AS cust_max_price
+    FROM orders o
+"""
+
+
+@register("subq_exists", oracle=_SUBQ_EXISTS_SQL)
+def subq_exists(spark, sf_dir):
+    """Correlated EXISTS — decorrelated by Catalyst into a left-semi
+    join (explain shows no per-row subquery execution)."""
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_SUBQ_EXISTS_SQL)
+
+
+@register("subq_in", oracle=_SUBQ_IN_SQL)
+def subq_in(spark, sf_dir):
+    """IN (subquery) — semi-join rewrite; included separately from
+    EXISTS because IN carries three-valued NULL semantics."""
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_SUBQ_IN_SQL)
+
+
+@register("subq_scalar", oracle=_SUBQ_SCALAR_SQL)
+def subq_scalar(spark, sf_dir):
+    """Correlated scalar aggregate subquery — decorrelated to an
+    aggregate + equi-join, so the per-customer average is computed
+    once per customer, not once per outer row."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_SUBQ_SCALAR_SQL)
