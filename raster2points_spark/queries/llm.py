@@ -142,6 +142,9 @@ def dedup_jaccard(spark, sf_dir):
     """
     # persist: the exploded shingle index feeds both the df-cap
     # aggregation and the self-join — one tokenize+shingle pass.
+    # (A count-window over shingle would cap in "one" shuffle, but
+    # window exec sorts every partition and gets no map-side combine —
+    # measured 20-40% slower than groupBy+join at sf0.1.)
     sh = (
         t_fanout(spark, sf_dir, "documents")
         .withColumn("toks", F.expr(TOKS_SPARK))
