@@ -1430,3 +1430,72 @@ def pipeline_clean_corpus(spark, sf_dir):
         scored.filter((F.col("n_tokens") >= 5) & (F.col("ttr_raw") >= 0.3))
         .select("doc_id", "lang", "source", "n_tokens", F.round("ttr_raw", 4).alias("ttr"))
     )
+
+
+@register(
+    "pipeline_dedup_full",
+    oracle="WITH RECURSIVE "
+    + _SH_INNER_DUCK
+    + ", "
+    + _NEAR_PAIR_CTES
+    + f""",
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM near
+        UNION ALL
+        SELECT doc_b, doc_a FROM near
+    ),
+    nodes AS (SELECT DISTINCT s AS doc FROM edges),
+    walk AS (
+        SELECT doc, doc AS lab FROM nodes
+        UNION
+        SELECT e.d AS doc, w.lab FROM walk w JOIN edges e ON e.s = w.doc
+    ),
+    comp AS (SELECT doc AS doc_id, min(lab) AS keep_id FROM walk GROUP BY doc),
+    exact AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    kept AS (
+        SELECT e.doc_id FROM exact e
+        LEFT JOIN comp c ON c.doc_id = e.doc_id AND c.doc_id <> c.keep_id
+        WHERE c.doc_id IS NULL
+    ),
+    scored AS (
+        SELECT d.doc_id, d.lang, d.source,
+               len({TOKS_DUCK}) AS n_tokens,
+               len(list_distinct({TOKS_DUCK})) * 1.0
+                   / nullif(len({TOKS_DUCK}), 0) AS ttr
+        FROM documents d JOIN kept k ON k.doc_id = d.doc_id
+    )
+    SELECT doc_id, lang, source, n_tokens, round(ttr, 4) AS ttr
+    FROM scored
+    WHERE n_tokens >= 5 AND ttr >= 0.3
+    """,
+)
+def pipeline_dedup_full(spark, sf_dir):
+    """The COMPLETE training-corpus dedup pipeline in one key: exact
+    dedup (hash-groupBy survivors) → MinHash-LSH near-dup pairs →
+    transitive closure (dedup_components) → drop every non-survivor
+    component member → quality gate.  This is the composition a real
+    100 TB cleaning job runs; pairwise stages alone over-keep (A~B~C
+    chains elect two survivors without the closure).  All stages are
+    the already-verified operators — the key checks their composition
+    end-to-end against a single declarative recursive-CTE oracle.
+    """
+    docs = t(spark, sf_dir, "documents")
+    exact = docs.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    comp = dedup_components(spark, sf_dir)
+    non_survivors = comp.filter(F.col("doc_id") != F.col("keep_id")).select("doc_id")
+    kept = exact.join(non_survivors, "doc_id", "left_anti")
+    toks = F.expr(TOKS_SPARK)
+    n_tok = F.size(toks)
+    scored = docs.join(kept, "doc_id").select(
+        "doc_id",
+        "lang",
+        "source",
+        n_tok.alias("n_tokens"),
+        (F.size(F.array_distinct(toks)) * F.lit(1.0) / F.nullif(n_tok, F.lit(0))).alias(
+            "ttr_raw"
+        ),
+    )
+    return (
+        scored.filter((F.col("n_tokens") >= 5) & (F.col("ttr_raw") >= 0.3))
+        .select("doc_id", "lang", "source", "n_tokens", F.round("ttr_raw", 4).alias("ttr"))
+    )
