@@ -138,6 +138,19 @@ def test_interval_bucketed_is_equi_join(spark, registry):
     assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
 
 
+def test_subqueries_are_decorrelated(spark, registry):
+    # Catalyst must rewrite correlated EXISTS/IN/scalar-agg subqueries
+    # into joins — a per-outer-row subquery execution cannot scale.
+    for key, marker in (
+        ("subq_exists", "LeftSemi"),
+        ("subq_in", "LeftSemi"),
+        ("subq_scalar", "Join"),
+    ):
+        plan = _formatted_plan(spark, registry[key].fn(spark, SF001))
+        assert marker in plan, f"{key}: expected {marker} after decorrelation"
+        assert "CartesianProduct" not in plan
+
+
 def test_rollup_cascade_aggregates_twice(spark, registry):
     # Two levels of aggregation (hourly then daily), each partial+final,
     # and the daily level must consume the hourly output - not rescan
