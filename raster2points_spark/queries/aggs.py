@@ -359,3 +359,88 @@ def agg_kmv_sketch(spark, sf_dir):
         )
         .select("event_type", F.col("n_exact").cast("bigint").alias("n_exact"), "kmv_estimate")
     )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o,
+           count(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
+           count(*) FILTER (WHERE l_linestatus = 'O') AS n_o
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark, sf_dir):
+    """PIVOT with an EXPLICIT value list — groupBy().pivot(col, values)
+    compiles to one pass of conditional aggregation (the oracle states
+    exactly that rewrite).  Omitting the value list would trigger a
+    driver-side distinct scan to discover columns: never do that at
+    100 TB; the schema must not depend on the data."""
+    li = t(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return piv.select(
+        "l_returnflag",
+        F.col("F_qty").alias("qty_f"),
+        F.col("O_qty").alias("qty_o"),
+        F.col("F_n").alias("n_f"),
+        F.col("O_n").alias("n_o"),
+    )
+
+
+@register(
+    "ts_gapfill",
+    oracle="""
+    WITH ev AS (
+        SELECT event_type, cast(floor(epoch(ts) / 3600) AS bigint) AS h
+        FROM events
+    ),
+    counts AS (SELECT event_type, h, count(*) AS n FROM ev GROUP BY 1, 2),
+    b AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+    grid AS (
+        SELECT t.event_type, unnest(generate_series(b.h0, b.h1)) AS h
+        FROM (SELECT DISTINCT event_type FROM ev) t CROSS JOIN b
+    )
+    SELECT g.event_type, g.h AS hour_bkt,
+           coalesce(c.n, 0) AS n_events
+    FROM grid g LEFT JOIN counts c
+      ON c.event_type = g.event_type AND c.h = g.h
+    """,
+)
+def ts_gapfill(spark, sf_dir):
+    """Time-series resample with gap fill: hourly event counts per
+    type, with MISSING buckets materialized as zero rows — the
+    operation every downsampling/monitoring pipeline needs and plain
+    GROUP BY can't give (absent groups produce no row).
+
+    Scale shape: the dense (type × hour) grid comes from exploding a
+    sequence() per type against the broadcast one-row global bounds —
+    grid size is |types| · |hours|, independent of event count; the
+    left join back to the counts is an equi-join on the grid key.
+    """
+    from raster2points_spark.queries._util import unix_secs
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .select("event_type", unix_secs(F.col("ts")).alias("tsec"))
+        .select("event_type", F.expr("cast(floor(tsec / 3600) AS bigint)").alias("h"))
+    )
+    counts = ev.groupBy("event_type", "h").agg(F.count("*").alias("n"))
+    bounds = ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type", F.explode(F.sequence("h0", "h1")).alias("h")
+    )
+    return grid.join(counts, ["event_type", "h"], "left").select(
+        "event_type",
+        F.col("h").alias("hour_bkt"),
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+    )
