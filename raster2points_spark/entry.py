@@ -87,6 +87,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "gen_range",
     "mm_decode",
 )
+# ROUND-3 ROTATION NOTE: put these in the window next round (they have
+# oracles but will get no driver row this round): scan_parquet,
+# gen_range, mm_decode, scan_csv_roundtrip, sink_parquet,
+# udf_map_in_pandas, udtf_py, dedup_components, pipeline_dedup_full,
+# subq_exists, subq_in, subq_scalar, agg_pivot, ts_gapfill, sink_sorted
+# + any key that FAILED in CORRECTNESS_r02.
 
 
 def _ordered():

@@ -190,3 +190,33 @@ def scan_orc_roundtrip(spark, sf_dir):
         F.upper("n_name").alias("name_u"),
         "n_regionkey",
     )
+
+
+@register(
+    "sink_sorted",
+    oracle="""
+    SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1995-12-31'
+    """,
+)
+def sink_sorted(spark, sf_dir):
+    """Sort-clustered parquet layout: sortWithinPartitions(l_shipdate)
+    before the write gives every output file tight min/max l_shipdate
+    row-group statistics, so the range-filtered re-read skips whole row
+    groups at the reader level (the poor man's Z-order for a single
+    sort key — THE layout move for time-range-heavy workloads at
+    100 TB).  No extra shuffle: the sort is within existing partitions.
+    The oracle aggregates the source directly — the roundtrip must be
+    lossless on top of being skippable."""
+    path = os.path.join(SCRATCH, "sink_sorted")
+    t(spark, sf_dir, "lineitem").sortWithinPartitions("l_shipdate").write.mode(
+        "overwrite"
+    ).parquet(path)
+    back = spark.read.parquet(path).filter(
+        F.col("l_shipdate").between("1995-01-01", "1995-12-31")
+    )
+    return back.agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
