@@ -117,3 +117,43 @@ def test_functions_library_matches_query_exprs(spark):
 
     sh = df.withColumn("tk", tokens("text")).select(shingles("tk", 3).alias("s")).first().s
     assert "alpha beta alpha" in sh and len(sh) == 4
+
+
+# --- connected components vs a driver-side union-find ground truth ----
+
+edge_st = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _union_find_components(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id in the component
+    return {n: find(n) for n in parent}
+
+
+@given(edges=edge_st)
+@settings(max_examples=10, deadline=None)  # each example runs Spark jobs
+def test_connected_components_matches_union_find(spark, edges):
+    """The distributed min-label propagation must converge to the same
+    partition a sequential union-find computes, for arbitrary graphs
+    (chains, cycles, stars, disconnected pieces)."""
+    from raster2points_spark.queries.llm import connected_components
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.doc: r.lab for r in connected_components(df).collect()}
+    assert got == _union_find_components(edges)
