@@ -352,9 +352,16 @@ def dedup_components(spark, sf_dir):
 
 
 def connected_components(pairs, max_rounds: int = 30):
-    """Min-label propagation over an undirected pair list
-    (doc_a, doc_b) → (doc, lab) where lab = component's min node id.
-    localCheckpoint per round truncates lineage; rounds = diameter."""
+    """Min-label propagation WITH pointer jumping over an undirected
+    pair list (doc_a, doc_b) → (doc, lab), lab = component's min node
+    id.  Each round does (1) one hop of neighbor-min propagation and
+    (2) one pointer jump — label(doc) := label(label(doc)) — which
+    halves the remaining propagation distance, so convergence is
+    O(log diameter) rounds instead of O(diameter): a 1M-node chain
+    finishes in ~20 rounds, not 1M (the same trick the MapReduce
+    connected-components literature uses to bound round counts).
+    localCheckpoint per round truncates lineage — without it the plan
+    doubles every round and the driver chokes planning round 20."""
     edges = (
         pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
         .withColumnRenamed("doc_a", "s")
@@ -369,11 +376,18 @@ def connected_components(pairs, max_rounds: int = 30):
             .groupBy("s")
             .agg(F.min("lab").alias("nbr_lab"))
         )
+        hopped = labels.join(nbr, labels.doc == nbr.s, "left").select(
+            "doc",
+            F.least(F.col("lab"), F.coalesce(F.col("nbr_lab"), F.col("lab"))).alias("lab"),
+        )
+        # pointer jump: follow the label one more step (labels only
+        # ever decrease, so label(label(doc)) <= label(doc))
+        jump = hopped.select(F.col("doc").alias("lab"), F.col("lab").alias("lab2"))
         new_labels = (
-            labels.join(nbr, labels.doc == nbr.s, "left")
+            hopped.join(jump, "lab", "left")
             .select(
                 "doc",
-                F.least(F.col("lab"), F.coalesce(F.col("nbr_lab"), F.col("lab"))).alias("lab"),
+                F.least(F.col("lab"), F.coalesce(F.col("lab2"), F.col("lab"))).alias("lab"),
             )
             .localCheckpoint(eager=True)
         )
