@@ -295,3 +295,50 @@ def stream_custom_state(spark, sf_dir):
         .agg(F.max("n_events").alias("n_events"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "stream_foreach_batch",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def stream_foreach_batch(spark, sf_dir):
+    """foreachBatch sink — THE production pattern for writing a stream
+    into a non-streaming system: each micro-batch delivers the COMPLETE
+    aggregate and overwrites the target idempotently, so a re-delivered
+    batch after a failure rewrites identical data (effectively-once on
+    top of at-least-once delivery).  After the availableNow drain the
+    parquet target must equal the plain batch aggregate — exactly what
+    the oracle asserts, making this the one streaming SINK with a full
+    value-hash check.
+    """
+    import os as _os
+    import tempfile
+
+    from raster2points_spark.queries._util import SCRATCH
+
+    ev = read_events_stream(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    out = _os.path.join(SCRATCH, "foreach_batch_sink")
+
+    def write_batch(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(out)
+
+    for q in spark.streams.active:
+        if q.name == "foreach_batch":
+            q.stop()
+    ckpt = tempfile.mkdtemp(prefix="ckpt_feb_")
+    (
+        agg.writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .queryName("foreach_batch")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(out)
