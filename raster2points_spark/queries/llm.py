@@ -920,34 +920,57 @@ def mm_decode(spark, sf_dir):
 @register("mm_features", check="rows-only")
 def mm_features(spark, sf_dir):
     """Multimodal feature extraction over binary payloads via
-    mapInPandas (Arrow-batched).
+    mapInPandas (Arrow-batched): per-payload numpy byte statistics —
+    mean byte value, distinct-byte count, Shannon entropy (bits/byte)
+    — plus the deterministic fake "image" dims shared with mm_resize.
 
-    STUB: real image/audio decode libs are unavailable in this
-    container; the decode is a deterministic fake (dimensions derived
-    from byte stats).  The Spark plumbing — binary column in, typed
-    feature schema out, partition-parallel Arrow batches — is real and
-    is exactly the shape a torchvision/librosa kernel would slot into.
+    The byte-level features are REAL content-based computation (numpy
+    frombuffer + bincount over every payload byte); what stays stubbed
+    is only the image/audio DECODE step (JPEG→pixels, wav→samples)
+    that would precede them — those libs are absent in this container.
+    A torchvision/librosa kernel slots in front of the histogram
+    unchanged.  rows-only: byte-level entropy over UTF-8 blobs has no
+    reasonable SQL twin.
     """
+    import numpy as np
     import pandas as pd
 
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
 
-    def fake_decode(batches):
+    def byte_features(batches):
         for pdf in batches:
-            n = pdf["payload"].map(len)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "width": 64 + (n % 64),          # deterministic fake "image" dims
-                    "height": 64 + ((n * 7) % 64),
-                    "n_bytes": n,
-                }
-            )
+            rows = {
+                "doc_id": pdf["doc_id"],
+                "width": [],
+                "height": [],
+                "n_bytes": [],
+                "mean_byte": [],
+                "n_distinct_bytes": [],
+                "entropy_bits": [],
+            }
+            for payload in pdf["payload"]:
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n = b.size
+                hist = np.bincount(b, minlength=256).astype(np.float64)
+                p = hist[hist > 0] / max(n, 1)
+                rows["width"].append(64 + n % 64)  # fake dims, matches mm_resize
+                rows["height"].append(64 + (n * 7) % 64)
+                rows["n_bytes"].append(n)
+                rows["mean_byte"].append(round(float(b.mean()) if n else 0.0, 4))
+                rows["n_distinct_bytes"].append(int((hist > 0).sum()))
+                rows["entropy_bits"].append(
+                    round(float(-(p * np.log2(p)).sum()) if n else 0.0, 4)
+                )
+            yield pd.DataFrame(rows)
 
     out = docs.mapInPandas(
-        fake_decode, schema="doc_id long, width long, height long, n_bytes long"
+        byte_features,
+        schema=(
+            "doc_id long, width long, height long, n_bytes long, "
+            "mean_byte double, n_distinct_bytes long, entropy_bits double"
+        ),
     )
     return out.orderBy("doc_id")
 
