@@ -237,3 +237,34 @@ def fn_higher_order(spark, sf_dir):
         ).alias("sq_norm"),
         F.size(F.filter("embedding", lambda x: F.abs(x) > 0.1)).alias("n_big"),
     )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_orderkey & 255 AS lo_byte,
+           l_orderkey | 4096 AS with_flag,
+           xor(l_orderkey, l_linenumber) AS xored,
+           l_orderkey << 2 AS shl,
+           l_orderkey >> 3 AS shr,
+           bit_count(l_orderkey) AS n_bits
+    FROM lineitem
+    """,
+)
+def fn_bitwise(spark, sf_dir):
+    """Bitwise surface — the hash/partition/bloom building blocks
+    (bucket ids, flag words, bit-packed feature masks) stay JVM-side
+    integer ops in whole-stage codegen."""
+    li = t(spark, sf_dir, "lineitem")
+    k, ln = F.col("l_orderkey"), F.col("l_linenumber")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        k.bitwiseAND(F.lit(255)).alias("lo_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(ln.cast("bigint")).alias("xored"),
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 3).alias("shr"),
+        F.bit_count(k).alias("n_bits"),
+    )
