@@ -142,3 +142,25 @@ def test_connected_components_chain_and_df_cap(spark, registry):
     got = {r.doc: r.lab for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
     assert MAX_SHINGLE_DF == 100  # oracle SQL embeds the same constant
+
+
+def test_ivf_recall_floor_vs_exact_knn(spark, registry):
+    """IVF searches only the probe's own cluster — recall vs exact kNN
+    is the accuracy/cost trade.  On unit-norm embeddings with 8
+    clusters the top-5 recall must stay well above chance (5/500);
+    assert a conservative floor so a broken assignment (recall ~1%)
+    fails loudly while normal LSH-style variance passes."""
+    from tests.conftest import SF001
+
+    knn = {
+        (r.probe_id, r.vec_id)
+        for r in registry["sim_knn"].fn(spark, SF001).collect()
+        if r.rn <= 5 and r.probe_id < 5
+    }
+    ivf = {
+        (r.probe_id, r.vec_id)
+        for r in registry["sim_ivf"].fn(spark, SF001).collect()
+    }
+    assert ivf, "IVF returned nothing"
+    recall = len(knn & ivf) / max(len(knn), 1)
+    assert recall >= 0.2, f"IVF top-5 recall collapsed: {recall:.2f}"
