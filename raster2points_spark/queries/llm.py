@@ -1536,3 +1536,56 @@ def pipeline_dedup_full(spark, sf_dir):
         scored.filter((F.col("n_tokens") >= 5) & (F.col("ttr_raw") >= 0.3))
         .select("doc_id", "lang", "source", "n_tokens", F.round("ttr_raw", 4).alias("ttr"))
     )
+
+
+@register(
+    "sample_split",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, lang,
+               cast(concat('0x', substr(md5(concat('split#', cast(doc_id AS varchar))), 1, 15)) AS bigint) % 1000 AS bkt
+        FROM documents
+    ),
+    tagged AS (
+        SELECT doc_id, lang, bkt,
+               CASE WHEN bkt < 800 THEN 'train'
+                    WHEN bkt < 900 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM h
+        WHERE bkt % 100 < (CASE WHEN lang = 'en' THEN 50 ELSE 100 END)
+    )
+    SELECT split, lang, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM tagged GROUP BY 1, 2
+    """,
+)
+def sample_split(spark, sf_dir):
+    """Deterministic hash sampling + train/val/test split — the
+    reproducible way to sample at 100 TB.  Seeded ``df.sample()`` is
+    partitioning-dependent and unreproducible across engines/runs; a
+    keyed hash bucket (md5 of the stable id) gives every row a
+    permanent bucket, so the SAME rows land in the same split on every
+    engine, every run, any partitioning — which is why this key can be
+    value-hash oracle-checked at all.  Composition shown: stratified
+    downsample (keep 50% of 'en', 100% of the rest) then an 80/10/10
+    split, all from one hash — pure projection, zero extra shuffles
+    before the verification rollup.
+    """
+    d = t(spark, sf_dir, "documents")
+    bkt = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("split#"), F.col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("bigint")
+        % 1000
+    )
+    tagged = (
+        d.select("doc_id", "lang", bkt.alias("bkt"))
+        .filter((F.col("bkt") % 100) < F.when(F.col("lang") == "en", 50).otherwise(100))
+        .withColumn(
+            "split",
+            F.when(F.col("bkt") < 800, "train").when(F.col("bkt") < 900, "val").otherwise("test"),
+        )
+    )
+    return tagged.groupBy("split", "lang").agg(
+        F.count("*").alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
