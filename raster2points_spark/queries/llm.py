@@ -1589,3 +1589,67 @@ def sample_split(spark, sf_dir):
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+@register(
+    "text_ngram_counts",
+    oracle=_SH_CTE_DUCK
+    + """
+    SELECT shingle, count(*) AS n
+    FROM sh GROUP BY shingle
+    HAVING count(*) >= 3
+    ORDER BY n DESC, shingle
+    LIMIT 50
+    """,
+)
+def text_ngram_counts(spark, sf_dir):
+    """Corpus n-gram frequency table (top-50 3-grams with df >= 3) —
+    the LM-analysis staple (contamination checks, boilerplate
+    detection, memorization audits).  Explode → groupBy is the right
+    shape: map-side partial aggregation collapses each task's repeats
+    before the shuffle, so the wire carries distinct n-grams, not the
+    token stream (R2: ordered with a shingle tiebreak)."""
+    sh = (
+        t_fanout(spark, sf_dir, "documents")
+        .withColumn("toks", F.expr(TOKS_SPARK))
+        .select(F.explode(F.expr(_SHINGLES_SPARK)).alias("shingle"))
+    )
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 3)
+        .orderBy(F.col("n").desc(), "shingle")
+        .limit(50)
+    )
+
+
+@register(
+    "text_pii_scrub",
+    oracle="""
+    SELECT event_id,
+           regexp_replace(
+               regexp_replace(props, '"user":\\s*\\d+', '"user": "<ID>"', 'g'),
+               ': \\d+', ': "<NUM>"', 'g') AS scrubbed,
+           len(regexp_extract_all(props, '\\d+')) AS n_redacted
+    FROM events
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    """Regex scrubbing pass — the shape of a PII-redaction stage
+    (emails/phones/ids → placeholder tokens) every public-corpus
+    pipeline runs (C4/Dolma style).  Applied to the JSON props column
+    (the corpus's only digit-bearing text) so the oracle actually
+    rewrites content: id-valued fields → <ID>, remaining numeric
+    values → <NUM>, with a per-row redaction count.  Pure projection,
+    whole-stage codegen, no Python."""
+    ev = t(spark, sf_dir, "events")
+    scrub = F.regexp_replace(
+        F.regexp_replace("props", r'"user":\s*\d+', '"user": "<ID>"'),
+        r": \d+",
+        ': "<NUM>"',
+    )
+    return ev.select(
+        "event_id",
+        scrub.alias("scrubbed"),
+        F.size(F.expr(r"regexp_extract_all(props, '\\d+', 0)")).alias("n_redacted"),
+    )
