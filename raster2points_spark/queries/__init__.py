@@ -2,6 +2,7 @@
 
 from raster2points_spark.queries import (  # noqa: F401
     aggs,
+    analytics,
     filters,
     functions,
     joins,

@@ -1,0 +1,275 @@
+"""Analytics / time-series / data-profiling operators.
+
+Beyond-reference keys ([N] in SURVEY §2): the table-stakes analytics a
+warehouse user expects on top of the §2.5 aggregate core — OHLC
+resampling, argmin/argmax selection, outlier filtering, histograms,
+and column profiling.  The reference (wri/raster2points) has none of
+these; they extend the north-star mandate like §2.9.
+
+Scale notes per operator:
+- ts_resample / agg_histogram: single hash-aggregate with map-side
+  partial aggregation — the shuffle carries one row per (group,
+  bucket), not per event.
+- agg_argminmax: min_by/max_by are single-pass aggregates (each task
+  keeps one candidate per group); no window sort, no self-join.
+- outlier_zscore: per-group moments are a tiny aggregate joined back
+  via broadcast — the classic two-pass z-score without ever sorting
+  the fact table.
+- profile_columns: ONE aggregate pass computes every column's stats
+  simultaneously (not one scan per column), then a constant-width
+  stack() unpivots driver-side widths, never data-side.
+
+Determinism (SURVEY §7): floats rounded identically in both engines
+before hashing; argmin/argmax carry a packed-bigint total-order
+tiebreak; timestamps compared at whole-second granularity (R3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from raster2points_spark.registry import register
+from raster2points_spark.queries._util import ORACLE_TSEC, t, unix_secs
+
+# Packed total-order tiebreak for argmin/argmax over events: epoch
+# seconds (≈1.75e9) × 1e7 + event_id (< 1e7 at every shipped SF) stays
+# far below 2^63.  A single bigint key keeps min_by/arg_min semantics
+# identical across engines (no struct-vs-list ordering subtleties).
+_PACK_SPARK = "tsec * 10000000 + event_id"
+_PACK_DUCK = f"{ORACLE_TSEC.format(c='ts')} * 10000000 + event_id"
+
+
+@register(
+    "ts_resample",
+    oracle=f"""
+    SELECT event_type,
+           cast(floor({ORACLE_TSEC.format(c='ts')} / 300) AS bigint) AS bar,
+           round(arg_min(value, {_PACK_DUCK}), 4) AS open,
+           round(arg_max(value, {_PACK_DUCK}), 4) AS close,
+           round(min(value), 4) AS lo,
+           round(max(value), 4) AS hi,
+           round(sum(value), 2) AS vol,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ts_resample(spark, sf_dir):
+    """Downsample events into 5-minute OHLC bars per type — the
+    time-series resample every monitoring/feature pipeline needs.
+
+    open/close are min_by/max_by on a packed (tsec, event_id) bigint:
+    a SINGLE-PASS aggregate (each task keeps one running candidate per
+    group, merged at the reducer) — no window sort of the fact table,
+    which is the difference between one shuffle of |bars| rows and a
+    full sort of 100 TB.  Ties at the same second are broken by
+    event_id, so the answer is total-ordered and engine-independent.
+    """
+    ev = t(spark, sf_dir, "events").withColumn("tsec", unix_secs(F.col("ts")))
+    pack = F.expr(_PACK_SPARK)
+    return (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("tsec") / 300).cast("bigint").alias("bar"),
+        )
+        .agg(
+            F.round(F.min_by("value", pack), 4).alias("open"),
+            F.round(F.max_by("value", pack), 4).alias("close"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+            F.round(F.sum("value"), 2).alias("vol"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "agg_argminmax",
+    oracle="""
+    SELECT l_returnflag,
+           arg_max(l_orderkey * 10 + l_linenumber,
+                   cast(round(l_extendedprice * 100) AS bigint) * 100000000
+                     + l_orderkey * 10 + l_linenumber) AS priciest_line,
+           arg_min(l_orderkey * 10 + l_linenumber,
+                   cast(round(l_extendedprice * 100) AS bigint) * 100000000
+                     + l_orderkey * 10 + l_linenumber) AS cheapest_line,
+           round(max(l_extendedprice), 2) AS max_price,
+           round(min(l_extendedprice), 2) AS min_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_argminmax(spark, sf_dir):
+    """WHICH row holds the extreme, not just the extreme value —
+    min_by/max_by (DuckDB arg_min/arg_max).  The ordering key packs
+    price-in-cents with the (orderkey, linenumber) identity into one
+    bigint so ties on price resolve identically everywhere: cents
+    (≤1e7) × 1e8 + orderkey·10+linenumber (<1e8 at shipped SFs) < 2^63.
+    Single-pass aggregate: each task carries ONE candidate per group —
+    the 100 TB alternative to `ORDER BY price LIMIT 1` per group.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    line = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    key = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint") * F.lit(100000000)
+        + line
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.max_by(line, key).alias("priciest_line"),
+        F.min_by(line, key).alias("cheapest_line"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+    )
+
+
+@register(
+    "outlier_zscore",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type,
+               avg(value) AS mu,
+               stddev_samp(value) AS sigma,
+               count(*) AS n_total
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           any_value(s.n_total) AS n_total,
+           count(*) FILTER (WHERE abs((e.value - s.mu) / s.sigma) > 2.0) AS n_outliers,
+           round(max(abs((e.value - s.mu) / s.sigma)), 4) AS max_abs_z
+    FROM events e JOIN stats s USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def outlier_zscore(spark, sf_dir):
+    """Outlier detection for training-data filtering: two-pass
+    z-score.  Pass 1 computes per-group moments (tiny aggregate);
+    pass 2 joins them BACK to the fact table and counts |z| > 2.
+
+    The stats side is |event_type| rows — broadcast it explicitly so
+    the fact table never shuffles: at 100 TB this is a map-only pass
+    over the events scan, twice.  (A window-function formulation would
+    instead sort/shuffle the full fact table per group — never do
+    that for global-per-group moments.)
+    """
+    ev = t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+        F.count("*").alias("n_total"),
+    )
+    z = F.abs((F.col("value") - F.col("mu")) / F.col("sigma"))
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("n_total").alias("n_total"),
+            F.count_if(z > 2.0).alias("n_outliers"),
+            F.round(F.max(z), 4).alias("max_abs_z"),
+        )
+    )
+
+
+# Fixed histogram bounds for l_extendedprice — constants, so the
+# bucket function is pure arithmetic in both engines and the schema
+# never depends on the data.
+_HIST_LO, _HIST_HI, _HIST_NBKT = 900.0, 105000.0, 20
+_HIST_W = (_HIST_HI - _HIST_LO) / _HIST_NBKT
+
+
+@register(
+    "agg_histogram",
+    oracle=f"""
+    SELECT least(greatest(cast(floor((l_extendedprice - {_HIST_LO}) / {_HIST_W}) AS bigint),
+                          0), {_HIST_NBKT - 1}) AS bkt,
+           count(*) AS n,
+           round(min(l_extendedprice), 2) AS lo_seen,
+           round(max(l_extendedprice), 2) AS hi_seen
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def agg_histogram(spark, sf_dir):
+    """Fixed-width histogram (width_bucket with clamped edge buckets).
+    Constant bounds ⇒ bucketing is a pure projection; the aggregate is
+    one map-side-combined shuffle of ≤ n_buckets rows per task — the
+    right way to histogram 100 TB (vs. sort-based or data-dependent
+    bounds, which need an extra pass)."""
+    li = t(spark, sf_dir, "lineitem")
+    bkt = F.least(
+        F.greatest(
+            F.floor((F.col("l_extendedprice") - F.lit(_HIST_LO)) / F.lit(_HIST_W)).cast("bigint"),
+            F.lit(0),
+        ),
+        F.lit(_HIST_NBKT - 1),
+    )
+    return (
+        li.groupBy(bkt.alias("bkt"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo_seen"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi_seen"),
+        )
+    )
+
+
+@register(
+    "profile_columns",
+    oracle="""
+    SELECT 'l_orderkey' AS col, count(l_orderkey) AS n_filled,
+           count(DISTINCT l_orderkey) AS n_distinct,
+           cast(min(l_orderkey) AS varchar) AS min_str,
+           cast(max(l_orderkey) AS varchar) AS max_str
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', count(l_returnflag), count(DISTINCT l_returnflag),
+           min(l_returnflag), max(l_returnflag)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate', count(l_shipdate), count(DISTINCT cast(l_shipdate AS date)),
+           cast(min(cast(l_shipdate AS date)) AS varchar),
+           cast(max(cast(l_shipdate AS date)) AS varchar)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_linestatus', count(l_linestatus), count(DISTINCT l_linestatus),
+           min(l_linestatus), max(l_linestatus)
+    FROM lineitem
+    """,
+)
+def profile_columns(spark, sf_dir):
+    """Dataset profiling — per-column filled/distinct/min/max in ONE
+    aggregate pass over the table (Deequ/TFDV-style).  All column
+    stats are computed simultaneously in a single scan+aggregate, then
+    unpivoted with a constant-width stack(): profiling 100 TB costs
+    one pass, not one pass per column.  min/max stringified with
+    engine-stable formats (ints, strings, ISO dates only)."""
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "ship_d", F.col("l_shipdate").cast("date")
+    )
+    prof = li.agg(
+        F.count("l_orderkey").alias("f1"),
+        F.countDistinct("l_orderkey").alias("d1"),
+        F.min("l_orderkey").cast("string").alias("lo1"),
+        F.max("l_orderkey").cast("string").alias("hi1"),
+        F.count("l_returnflag").alias("f2"),
+        F.countDistinct("l_returnflag").alias("d2"),
+        F.min("l_returnflag").alias("lo2"),
+        F.max("l_returnflag").alias("hi2"),
+        F.count("l_shipdate").alias("f3"),
+        F.countDistinct("ship_d").alias("d3"),
+        F.min("ship_d").cast("string").alias("lo3"),
+        F.max("ship_d").cast("string").alias("hi3"),
+        F.count("l_linestatus").alias("f4"),
+        F.countDistinct("l_linestatus").alias("d4"),
+        F.min("l_linestatus").alias("lo4"),
+        F.max("l_linestatus").alias("hi4"),
+    )
+    return prof.select(
+        F.expr(
+            "stack(4, "
+            "'l_orderkey',   f1, d1, lo1, hi1, "
+            "'l_returnflag', f2, d2, lo2, hi2, "
+            "'l_shipdate',   f3, d3, lo3, hi3, "
+            "'l_linestatus', f4, d4, lo4, hi4) "
+            "AS (col, n_filled, n_distinct, min_str, max_str)"
+        )
+    )

@@ -268,3 +268,36 @@ def fn_bitwise(spark, sf_dir):
         F.shiftright(k, 3).alias("shr"),
         F.bit_count(k).alias("n_bits"),
     )
+
+
+@register(
+    "fn_regex",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '([A-Za-z]+)') AS first_word,
+           coalesce(array_to_string(regexp_extract_all(text, '[0-9]+'), ','), '') AS all_nums,
+           regexp_matches(text, '[0-9]') AS has_digit,
+           length(regexp_replace(text, '[aeiou]', '', 'g')) AS len_novowel,
+           regexp_replace(text, '[0-9]+', '#', 'g') AS masked
+    FROM documents
+    """,
+)
+def fn_regex(spark, sf_dir):
+    """Regex surface — extract / extract-all / match / global replace.
+    Patterns restricted to the Java-regex ∩ RE2 common subset
+    (character classes, +) so both engines agree byte-for-byte.  Spark
+    regexp_replace is global by default; the oracle passes DuckDB's
+    'g' flag to match.  regexp_extract_all returns array<string> —
+    serialized with concat_ws because the grading canonicalizer cannot
+    sort list cells (r1 FAIL class).  All six stay JVM-side in
+    whole-stage codegen — regex in the hot path is fine when it never
+    leaves the row."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([A-Za-z]+)", 1).alias("first_word"),
+        F.concat_ws(",", F.regexp_extract_all("text", F.lit(r"[0-9]+"))).alias("all_nums"),
+        F.col("text").rlike(r"[0-9]").alias("has_digit"),
+        F.length(F.regexp_replace("text", r"[aeiou]", "")).alias("len_novowel"),
+        F.regexp_replace("text", r"[0-9]+", "#").alias("masked"),
+    )

@@ -1653,3 +1653,116 @@ def text_pii_scrub(spark, sf_dir):
         scrub.alias("scrubbed"),
         F.size(F.expr(r"regexp_extract_all(props, '\\d+', 0)")).alias("n_redacted"),
     )
+
+
+@register(
+    "text_contamination",
+    oracle=_SH_CTE_DUCK
+    + """
+    , ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0),
+    nsh AS (SELECT doc_id, count(*) AS n_sh FROM tr GROUP BY doc_id)
+    SELECT t.doc_id,
+           any_value(n.n_sh) AS n_sh,
+           count(*) AS n_hits,
+           round(count(*) * 1.0 / any_value(n.n_sh), 4) AS ratio
+    FROM tr t JOIN ev USING (shingle) JOIN nsh n ON n.doc_id = t.doc_id
+    GROUP BY t.doc_id
+    """,
+)
+def text_contamination(spark, sf_dir):
+    """Benchmark decontamination — the pre-training must-have: flag
+    training docs sharing any 3-gram shingle with a held-out eval set
+    (here the deterministic doc_id % 97 == 0 slice).
+
+    Scale shape: the eval side collapses to a DISTINCT shingle
+    dictionary — small by construction (eval sets are thousands of
+    docs, not billions) — and is BROADCAST, so the 100 TB train side
+    is a single map-side hash-probe pass: explode shingles, probe the
+    dict, partial-aggregate hits per doc.  No shuffle of the corpus,
+    no candidate blow-up (the dict is distinct, so each train shingle
+    matches at most once).  Shingles are per-doc distinct already
+    (_SHINGLES_SPARK wraps array_distinct), so count(*) after the
+    probe IS the distinct-overlap count."""
+    docs = (
+        t_fanout(spark, sf_dir, "documents")
+        .withColumn("toks", F.expr(TOKS_SPARK))
+        .select("doc_id", F.expr(_SHINGLES_SPARK).alias("sh"))
+    )
+    ev = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    tr = (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+    )
+    return (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("n_sh").alias("n_sh"),
+            F.count("*").alias("n_hits"),
+            F.round(F.count("*") * 1.0 / F.any_value("n_sh"), 4).alias("ratio"),
+        )
+    )
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id,
+               substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 40) AS k,
+               substr(text, 1, 80) AS head
+        FROM documents
+    ),
+    nbr AS (
+        SELECT substr(k, 1, 2) AS blk, doc_id, head, k,
+               lag(doc_id) OVER w AS prev_id,
+               lag(head) OVER w AS prev_head
+        FROM keyed
+        WINDOW w AS (PARTITION BY substr(k, 1, 2) ORDER BY k, doc_id)
+    )
+    SELECT blk, doc_id, prev_id,
+           levenshtein(head, prev_head) AS dist,
+           levenshtein(head, prev_head) <= 20 AS is_dup
+    FROM nbr WHERE prev_id IS NOT NULL
+    """,
+)
+def dedup_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood near-dup detection — the third classic
+    dedup family next to MinHash-LSH (dedup_near) and SimHash
+    (dedup_simhash): normalize → sort by a fingerprint key → compare
+    only ADJACENT rows (levenshtein on an 80-char head).
+
+    Scale shape: a GLOBAL sort of 100 TB is exactly what we refuse to
+    do, so the sort is blocked by the key's 2-char prefix — windows
+    sort within blocks only (classic blocked sorted-neighborhood),
+    turning one global range-shuffle into |blocks| independent local
+    sorts.  Comparisons are O(n) adjacent pairs, not O(n²); the
+    levenshtein cap (80-char heads) bounds per-pair cost.  Every
+    adjacent pair is returned with its distance (is_dup flags the
+    ≤ 20 band) so the oracle discriminates even when the corpus has
+    no near-dups at small SF."""
+    from pyspark.sql import Window
+
+    keyed = t_fanout(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(F.regexp_replace(F.lower("text"), "[^a-z0-9]", ""), 1, 40).alias("k"),
+        F.substring("text", 1, 80).alias("head"),
+    )
+    w = Window.partitionBy(F.substring("k", 1, 2)).orderBy("k", "doc_id")
+    nbr = keyed.select(
+        F.substring("k", 1, 2).alias("blk"),
+        "doc_id",
+        "head",
+        "k",
+        F.lag("doc_id").over(w).alias("prev_id"),
+        F.lag("head").over(w).alias("prev_head"),
+    ).filter(F.col("prev_id").isNotNull())
+    dist = F.levenshtein("head", "prev_head")
+    return nbr.select(
+        "blk", "doc_id", "prev_id", dist.alias("dist"), (dist <= 20).alias("is_dup")
+    )
