@@ -1,10 +1,12 @@
 """Shared helpers for registered queries.
 
 Determinism helpers implement SURVEY.md §7 risks:
-- ``unix_secs`` — events.ts is parquet timestamp[ns]; Spark truncates
-  to µs while DuckDB keeps ns, so every declared query compares time
-  at whole-second granularity (epoch seconds as BIGINT).  Oracle-side
-  twin: ``cast(floor(epoch(ts)) as bigint)``.
+- ``unix_secs`` — events.ts storage unit has changed across corpus
+  generations (ns in r1-r2, µs since r3); the loader sniffs the footer
+  (io.load_events) and sub-second precision may differ between engines,
+  so every declared query compares time at whole-second granularity
+  (epoch seconds as BIGINT).  Oracle-side twin:
+  ``cast(floor(epoch(ts)) as bigint)``.
 - floats: round in BOTH engines before hashing (see each query).
 """
 

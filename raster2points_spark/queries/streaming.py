@@ -6,11 +6,11 @@ them in batch (hash-comparable against DuckDB bucket arithmetic), and
 the smoke keys run genuinely-streaming plans (watermark, stateful
 dedup) through an availableNow replay into a memory sink.
 
-Determinism (SURVEY §7 R3): events.ts is parquet timestamp[ns]; Spark
-reads µs, DuckDB ns.  Every comparison here happens at whole-second or
-coarser granularity — window starts are emitted as epoch-second
-BIGINTs, session gap logic runs on second-truncated timestamps in BOTH
-engines.
+Determinism (SURVEY §7 R3/R4): events.ts storage unit varies by corpus
+generation (ns → µs); the loader sniffs the parquet footer.  Every
+comparison here happens at whole-second or coarser granularity —
+window starts are emitted as epoch-second BIGINTs, session gap logic
+runs on second-truncated timestamps in BOTH engines.
 """
 
 from __future__ import annotations

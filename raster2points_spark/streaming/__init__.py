@@ -2,8 +2,12 @@
 
 Two layers:
 - ``read_events_stream``: file-source stream of the events parquet with
-  the same ns→µs timestamp normalization as the batch loader
-  (raster2points_spark.io.table).
+  the same footer-sniffed timestamp normalization as the batch loader
+  (raster2points_spark.io.load_events).  The single testdata file is
+  materialized once as N time-sliced part files so availableNow replay
+  with ``maxFilesPerTrigger=1`` runs N genuine micro-batches —
+  watermark advancement, progressive window close, and state expiry are
+  actually exercised, not collapsed into one mega-batch.
 - ``run_available_now``: run a streaming DataFrame to a memory sink
   with ``trigger(availableNow=True)`` and return the materialized
   batch result — the test/driver-friendly way to exercise real
@@ -19,36 +23,77 @@ from __future__ import annotations
 import hashlib
 import os
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from raster2points_spark.io import _EVENTS_RAW_SCHEMA
+from raster2points_spark.io import _EVENTS_RAW_SCHEMA, parquet_ts_type
+
+# micro-batches per replay; sliced by event time so the watermark
+# advances monotonically batch-over-batch (chronological arrival).
+N_STREAM_SLICES = 8
+
+
+def _split_events(src: str) -> str:
+    """Materialize ``src`` (one parquet file) as N_STREAM_SLICES
+    ts-ordered part files in a scratch dir, cached per (path, mtime).
+
+    pyarrow does the slice — no Spark job at plan-build time.  Part
+    mtimes are set strictly increasing because the file stream source
+    orders pending files by modification time; names are zero-padded
+    as a tiebreak.  The written slices keep the source's physical ts
+    type (pyarrow preserves the schema), so the reader's footer sniff
+    applies unchanged.
+    """
+    key = f"{os.path.abspath(src)}:{os.path.getmtime(src)}:{N_STREAM_SLICES}"
+    digest = hashlib.md5(key.encode()).hexdigest()[:10]
+    stream_dir = os.path.join(tempfile.gettempdir(), f"r2p_stream_{digest}")
+    done = os.path.join(stream_dir, "_SPLIT_DONE")
+    if os.path.exists(done):
+        return stream_dir
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(src)
+    tbl = tbl.sort_by("ts")
+    n = max(1, min(N_STREAM_SLICES, tbl.num_rows))
+    os.makedirs(stream_dir, exist_ok=True)
+    step = -(-tbl.num_rows // n)  # ceil division
+    now = time.time()
+    for i in range(n):
+        part = os.path.join(stream_dir, f"part-{i:05d}.parquet")
+        pq.write_table(tbl.slice(i * step, step), part)
+        os.utime(part, (now + i, now + i))
+    with open(done, "w") as fh:
+        fh.write(f"{n}\n")
+    return stream_dir
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a streaming source (ns ts → µs TimestampType).
-
-    The file source requires a DIRECTORY; the testdata table is a bare
-    file, so we expose it through a scratch dir of symlinks (no copy).
-    """
+    """events.parquet as a streaming source, ``ts`` normalized to
+    TimestampType (µs) exactly like the batch loader: footer-sniffed
+    unit, raw-int64 workaround only for genuine ns storage."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")  # see queries._util.t
     src = os.path.join(sf_dir, "events.parquet")
-    if os.path.isdir(src):
-        stream_dir = src
-    else:
-        digest = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:10]
-        stream_dir = os.path.join(tempfile.gettempdir(), f"r2p_stream_{digest}")
-        os.makedirs(stream_dir, exist_ok=True)
-        link = os.path.join(stream_dir, "events.parquet")
-        if not os.path.exists(link):
-            os.symlink(src, link)
-    raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(stream_dir)
+    stream_dir = src if os.path.isdir(src) else _split_events(src)
+    typ = parquet_ts_type(stream_dir)
+    unit = getattr(typ, "unit", None)
+    reader = spark.readStream.option("maxFilesPerTrigger", "1")
+    if unit == "ns":
+        raw = reader.schema(_EVENTS_RAW_SCHEMA).parquet(stream_dir)
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # plain-int64 ts (unit None) is treated as epoch µs by the raw
+    # schema; logical timestamps read natively, NTZ when untagged.
+    if unit is None:
+        raw = reader.schema(_EVENTS_RAW_SCHEMA).parquet(stream_dir)
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts)"))
+    ts_ddl = "timestamp_ntz" if getattr(typ, "tz", None) is None else "timestamp"
+    schema = (
+        f"event_id long, ts {ts_ddl}, user_id long, "
+        "event_type string, value double, props string"
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    raw = reader.schema(schema).parquet(stream_dir)
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_available_now(df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
