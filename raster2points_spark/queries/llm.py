@@ -1766,3 +1766,212 @@ def dedup_sorted_neighborhood(spark, sf_dir):
     return nbr.select(
         "blk", "doc_id", "prev_id", dist.alias("dist"), (dist <= 20).alias("is_dup")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-curation additions (round 4): heuristic quality gate, sequence
+# packing, domain-mixture rebalancing — the three curation stages
+# between "raw crawl" and "training tokens" not yet covered above.
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPWORDS = "'the','a','and','of','to','in','is'"
+
+
+@register(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, text, {TOKS_DUCK} AS toks FROM documents
+    ),
+    feat AS (
+        SELECT doc_id,
+               len(toks) AS n_words,
+               round(list_aggregate(list_transform(toks, x -> len(x)), 'sum')
+                     * 1.0 / len(toks), 4) AS mean_word_len,
+               round(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                     * 1.0 / len(toks), 4) AS frac_alpha_words,
+               len(list_filter(list_distinct(toks),
+                               x -> list_contains([{_GOPHER_STOPWORDS}], x)))
+                   AS n_stop_hits,
+               round(len(regexp_replace(text, '[a-z0-9\\s]', '', 'g'))
+                     * 1.0 / len(toks), 4) AS symbol_word_ratio
+        FROM base WHERE len(toks) > 0
+    )
+    SELECT doc_id, n_words, mean_word_len, frac_alpha_words, n_stop_hits,
+           symbol_word_ratio,
+           (n_words BETWEEN 5 AND 100000
+            AND mean_word_len BETWEEN 2.0 AND 12.0
+            AND frac_alpha_words >= 0.7
+            AND n_stop_hits >= 1
+            AND symbol_word_ratio <= 0.6) AS passes
+    FROM feat
+    """,
+)
+def text_gopher_rules(spark, sf_dir):
+    """Gopher-style heuristic quality gate (Rae et al. 2021, §A1.1):
+    word-count bounds, mean-word-length band, alphabetic-word
+    fraction, minimum distinct-stopword hits, symbol-to-word ratio —
+    the standard pre-filter every large-scale pretraining corpus runs
+    before dedup.
+
+    Scale shape: pure per-row projection over built-in expressions
+    (whole-stage codegen, zero shuffles, no UDFs) — at 100 TB this is
+    a single map stage fused into the scan.  Emits the per-rule
+    features alongside the verdict so threshold tuning reads the same
+    relation; every float rounded to 4 dp for cross-engine hashing.
+    """
+    docs = t(spark, sf_dir, "documents").withColumn("toks", F.expr(TOKS_SPARK))
+    n = F.size("toks")
+    mean_wl = F.round(
+        F.expr("aggregate(transform(toks, x -> length(x)), 0, (acc, v) -> acc + v)")
+        * F.lit(1.0)
+        / n,
+        4,
+    )
+    frac_alpha = F.round(
+        F.size(F.expr("filter(toks, x -> x rlike '[a-z]')")) * F.lit(1.0) / n, 4
+    )
+    n_stop = F.size(
+        F.expr(
+            f"filter(array_distinct(toks), x -> array_contains(array({_GOPHER_STOPWORDS}), x))"
+        )
+    )
+    sym_ratio = F.round(
+        F.length(F.regexp_replace("text", r"[a-z0-9\s]", "")) * F.lit(1.0) / n, 4
+    )
+    feat = docs.filter(n > 0).select(
+        "doc_id",
+        n.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        frac_alpha.alias("frac_alpha_words"),
+        n_stop.alias("n_stop_hits"),
+        sym_ratio.alias("symbol_word_ratio"),
+    )
+    return feat.withColumn(
+        "passes",
+        F.col("n_words").between(5, 100000)
+        & F.col("mean_word_len").between(2.0, 12.0)
+        & (F.col("frac_alpha_words") >= 0.7)
+        & (F.col("n_stop_hits") >= 1)
+        & (F.col("symbol_word_ratio") <= 0.6),
+    )
+
+
+PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, len({TOKS_DUCK}) AS n_tok FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, source, n_tok,
+               sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tok AS tok_offset
+        FROM toks
+    )
+    SELECT source,
+           cast(floor(tok_offset / {PACK_BUDGET}) AS bigint) AS seq_id,
+           count(*) AS n_docs, cast(sum(n_tok) AS bigint) AS total_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM pos GROUP BY 1, 2
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """Training-sequence packing: concatenate each shard's documents
+    (doc_id order) into one token stream and cut it into fixed-budget
+    sequences (PACK_BUDGET tokens); a doc belongs to the sequence
+    containing its first token.  This is the contiguous-packing step a
+    pretraining pipeline runs after tokenization — the rollup reports
+    docs/tokens per packed sequence.
+
+    Scale shape: the running offset is a cumulative-sum window
+    PARTITIONED BY source shard — no global sort, no single-partition
+    window; 100 TB packs as |shards| independent local sorts, exactly
+    how production packing shards the corpus.  One shuffle (by
+    source) feeds both the window and the rollup.
+    """
+    from pyspark.sql import Window
+
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.expr(TOKS_SPARK)).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pos = toks.withColumn("tok_offset", F.sum("n_tok").over(w) - F.col("n_tok"))
+    return (
+        pos.groupBy(
+            "source",
+            F.floor(F.col("tok_offset") / PACK_BUDGET).alias("seq_id"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@register(
+    "sample_mixture",
+    oracle="""
+    WITH counts AS (
+        SELECT source, count(*) AS n_src FROM documents GROUP BY source
+    ),
+    target AS (SELECT min(n_src) AS n_min FROM counts),
+    keyed AS (
+        SELECT d.doc_id, d.source, c.n_src, t.n_min,
+               cast(concat('0x', substr(md5(concat('mix#', cast(d.doc_id AS varchar))), 1, 15)) AS bigint) % 1000 AS bkt
+        FROM documents d JOIN counts c USING (source) CROSS JOIN target t
+    )
+    SELECT source, any_value(n_src) AS orig_n, count(*) AS kept_n
+    FROM keyed
+    WHERE bkt < cast(floor(n_min * 1000.0 / n_src) AS bigint)
+    GROUP BY source
+    """,
+)
+def sample_mixture(spark, sf_dir):
+    """Domain-mixture rebalancing: deterministically downsample every
+    source shard to the size of the smallest one (uniform domain mix —
+    the Pile/Dolma-style mixture-weight step, here with weights
+    computed FROM the data: w_s = n_min / n_s).
+
+    Keyed-md5 bucketing (same primitive as sample_split) makes the
+    kept set a pure function of doc_id — reproducible on any engine,
+    any partitioning, any run.  Scale shape: per-source counts are a
+    map-side-combined aggregate whose result has |sources| rows —
+    broadcast-joined back (explicit hint: source cardinality stays
+    small even at 100 TB rows), so the corpus itself is never
+    shuffled; the filter is a projection.
+    """
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_src"))
+    n_min = counts.agg(F.min("n_src").alias("n_min"))
+    bkt = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix#"), F.col("doc_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000
+    )
+    keyed = (
+        d.join(F.broadcast(counts), "source")
+        .crossJoin(F.broadcast(n_min))
+        .withColumn("bkt", bkt)
+    )
+    kept = keyed.filter(
+        F.col("bkt")
+        < F.floor(F.col("n_min") * F.lit(1000.0) / F.col("n_src")).cast("bigint")
+    )
+    return kept.groupBy("source").agg(
+        F.any_value("n_src").alias("orig_n"), F.count("*").alias("kept_n")
+    )

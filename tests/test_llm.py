@@ -164,3 +164,79 @@ def test_ivf_recall_floor_vs_exact_knn(spark, registry):
     assert ivf, "IVF returned nothing"
     recall = len(knn & ivf) / max(len(knn), 1)
     assert recall >= 0.2, f"IVF top-5 recall collapsed: {recall:.2f}"
+
+
+def test_gopher_rules_verdict_consistent_with_features(spark, registry):
+    """passes must be exactly the conjunction of the emitted features —
+    and the synthetic corpus (plain lowercase words) should mostly pass."""
+    from tests.conftest import SF0001
+
+    rows = registry["text_gopher_rules"].fn(spark, SF0001).collect()
+    assert rows
+    n_pass = 0
+    for r in rows:
+        want = (
+            5 <= r.n_words <= 100000
+            and 2.0 <= r.mean_word_len <= 12.0
+            and r.frac_alpha_words >= 0.7
+            and r.n_stop_hits >= 1
+            and r.symbol_word_ratio <= 0.6
+        )
+        assert r.passes == want, r
+        n_pass += want
+    assert n_pass > 0
+
+
+def test_pack_sequences_partitions_token_stream(spark, registry):
+    """Packing must conserve docs and tokens per source, and seq_ids
+    must be the contiguous range 0..max within each source."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF0001
+    from raster2points_spark.io import table
+    from raster2points_spark.queries.llm import PACK_BUDGET, TOKS_SPARK
+
+    out = registry["pack_sequences"].fn(spark, SF0001).collect()
+    per_src_docs = defaultdict(int)
+    per_src_toks = defaultdict(int)
+    per_src_seqs = defaultdict(set)
+    for r in out:
+        per_src_docs[r.source] += r.n_docs
+        per_src_toks[r.source] += r.total_tokens
+        per_src_seqs[r.source].add(r.seq_id)
+
+    truth = (
+        table(spark, SF0001, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.size(F.expr(TOKS_SPARK))).alias("tok"),
+        )
+        .collect()
+    )
+    for t_ in truth:
+        assert per_src_docs[t_.source] == t_.n
+        assert per_src_toks[t_.source] == t_.tok
+        seqs = per_src_seqs[t_.source]
+        assert seqs == set(range(max(seqs) + 1))
+        # the stream cut implies ~tok/BUDGET sequences (+1 boundary slack)
+        assert max(seqs) <= t_.tok // PACK_BUDGET + 1
+
+
+def test_sample_mixture_downsamples_toward_min(spark, registry):
+    """Every source keeps ≤ its original count; the smallest source is
+    kept whole; kept sizes concentrate near n_min (md5-bucket variance
+    allowed)."""
+    from tests.conftest import SF001
+
+    rows = registry["sample_mixture"].fn(spark, SF001).collect()
+    assert rows
+    n_min = min(r.orig_n for r in rows)
+    for r in rows:
+        assert r.kept_n <= r.orig_n
+        if r.orig_n == n_min:
+            assert r.kept_n == n_min  # threshold 1000 keeps everything
+        # within ±50% of the uniform target (hash variance on small n)
+        assert 0.5 * n_min <= r.kept_n <= 1.5 * n_min + 1, r
