@@ -171,3 +171,26 @@ def test_rollup_cascade_aggregates_twice(spark, registry):
     tree = plan.split("\n\n", 1)[0]
     assert tree.count("Scan parquet") == 1
     assert tree.count("HashAggregate") == 4  # 2 levels x (partial+final)
+
+
+def test_gopher_rules_is_pure_projection(spark, registry):
+    # quality gating must fuse into the scan: no hash shuffle, no sort
+    plan = _formatted_plan(spark, registry["text_gopher_rules"].fn(spark, SF001))
+    assert "hashpartitioning" not in plan
+    assert "Sort " not in plan
+
+
+def test_pack_sequences_has_no_global_sort(spark, registry):
+    # the cumsum window must partition by source shard — a global
+    # (range-partitioned) sort would serialize 100 TB through one task
+    plan = _formatted_plan(spark, registry["pack_sequences"].fn(spark, SF001))
+    assert "rangepartitioning" not in plan, "global sort leaked into packing"
+    assert "hashpartitioning(source" in plan, "window must shard by source"
+
+
+def test_sample_mixture_broadcasts_counts(spark, registry):
+    # per-source counts (|sources| rows) join back via broadcast; the
+    # corpus side must never shuffle for the join
+    plan = _formatted_plan(spark, registry["sample_mixture"].fn(spark, SF001))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
