@@ -1975,3 +1975,120 @@ def sample_mixture(spark, sf_dir):
     return kept.groupBy("source").agg(
         F.any_value("n_src").alias("orig_n"), F.count("*").alias("kept_n")
     )
+
+
+@register(
+    "text_unigram_ppl",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({TOKS_DUCK}) AS word FROM documents
+    ),
+    vocab AS (
+        SELECT word, count(*) AS n_w FROM tok GROUP BY word
+    ),
+    corpus AS (SELECT cast(sum(n_w) AS bigint) AS n_total FROM vocab),
+    scored AS (
+        SELECT t.doc_id, ln(v.n_w * 1.0 / c.n_total) AS lp
+        FROM tok t JOIN vocab v USING (word) CROSS JOIN corpus c
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           round(-avg(lp), 4) AS avg_nll,
+           round(exp(-avg(lp)), 2) AS ppl
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_unigram_ppl(spark, sf_dir):
+    """Unigram-LM perplexity scoring — the CCNet-style statistical
+    quality signal: train token probabilities on the corpus itself,
+    score every document by mean negative log-likelihood (low ppl =
+    common boilerplate-ish text, high ppl = rare-token noise).
+
+    Scale shape mirrors text_tfidf: the vocabulary is a
+    map-side-combined aggregate (shuffle carries distinct words, not
+    the token stream); the token→vocab scoring join is UNHINTED so a
+    100 TB vocabulary survives (AQE broadcasts when it's small); the
+    1-row corpus total is hint-broadcast.  No Python anywhere.
+    """
+    toks = (
+        t_fanout(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.expr(TOKS_SPARK)).alias("word"))
+    )
+    vocab = toks.groupBy("word").agg(F.count("*").alias("n_w"))
+    total = vocab.agg(F.sum("n_w").cast("bigint").alias("n_total"))
+    scored = (
+        toks.join(vocab, "word")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", F.log(F.col("n_w") * F.lit(1.0) / F.col("n_total")).alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(-F.avg("lp"), 4).alias("avg_nll"),
+        F.round(F.exp(-F.avg("lp")), 2).alias("ppl"),
+    )
+
+
+@register(
+    "embed_quantize",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+        FROM embeddings
+    ),
+    scaled AS (
+        SELECT vec_id, v,
+               list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+        FROM base
+    ),
+    q AS (
+        SELECT vec_id, scale,
+               list_transform(v, x -> cast(floor(x * 127.0 / scale + 0.5) AS bigint)) AS qv,
+               v
+        FROM scaled WHERE scale > 0
+    )
+    SELECT vec_id, round(scale, 6) AS scale,
+           qv[1] AS q0, qv[2] AS q1,
+           cast(list_aggregate(list_transform(qv, x -> abs(x)), 'max') AS bigint) AS q_max,
+           round(sqrt(list_aggregate(
+               list_transform(list_zip(v, qv),
+                              p -> pow(p[1] - p[2] * scale / 127.0, 2)),
+               'sum')), 4) AS recon_err
+    FROM q
+    """,
+)
+def embed_quantize(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding column — the
+    vector-index compression step (4× smaller, SIMD int dot products)
+    every large ANN deployment runs before serving.
+
+    Per-row arithmetic only (scale = max|x|, q_i = round-half-up of
+    x_i*127/scale, reconstruction L2 error) via built-in higher-order
+    functions — zero shuffles, codegen end-to-end.  Quantized values
+    are exact integers (floor(x+0.5) pins half-way cases identically
+    in both engines), so the oracle hash-checks them directly;
+    floats are rounded (scale 6 dp, error 4 dp).
+    """
+    base = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    scaled = base.withColumn(
+        "scale", F.expr("array_max(transform(v, x -> abs(x)))")
+    ).filter(F.col("scale") > 0)
+    q = scaled.withColumn(
+        "qv", F.expr("transform(v, x -> cast(floor(x * 127.0 / scale + 0.5) as bigint))")
+    )
+    return q.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.expr("qv[0]").alias("q0"),
+        F.expr("qv[1]").alias("q1"),
+        F.expr("array_max(transform(qv, x -> abs(x)))").cast("bigint").alias("q_max"),
+        F.round(
+            F.sqrt(
+                F.expr(
+                    "aggregate(zip_with(v, qv, (x, qi) -> pow(x - qi * scale / 127.0, 2)), "
+                    "cast(0.0 as double), (acc, e) -> acc + e)"
+                )
+            ),
+            4,
+        ).alias("recon_err"),
+    )

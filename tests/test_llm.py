@@ -240,3 +240,46 @@ def test_sample_mixture_downsamples_toward_min(spark, registry):
             assert r.kept_n == n_min  # threshold 1000 keeps everything
         # within ±50% of the uniform target (hash variance on small n)
         assert 0.5 * n_min <= r.kept_n <= 1.5 * n_min + 1, r
+
+
+def test_unigram_ppl_scores_are_sane(spark, registry):
+    """NLL positive (probabilities < 1), ppl consistent with avg_nll,
+    token counts conserved vs the raw tokenizer."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF0001
+    from raster2points_spark.io import table
+    from raster2points_spark.queries.llm import TOKS_SPARK
+
+    rows = registry["text_unigram_ppl"].fn(spark, SF0001).collect()
+    assert rows
+    for r in rows:
+        assert r.avg_nll > 0
+        assert abs(r.ppl - math.exp(r.avg_nll)) <= 0.011 * r.ppl + 0.02
+    got_tok = {r.doc_id: r.n_tokens for r in rows}
+    want_tok = {
+        r.doc_id: r.n
+        for r in table(spark, SF0001, "documents")
+        .select("doc_id", F.size(F.expr(TOKS_SPARK)).alias("n"))
+        .collect()
+    }
+    assert got_tok == want_tok
+
+
+def test_embed_quantize_bounds_and_error(spark, registry):
+    """int8 range respected, max|q| hits 127 exactly (the max-abs
+    component maps to full scale), reconstruction error small vs the
+    unit-norm vectors."""
+    from tests.conftest import SF0001
+
+    rows = registry["embed_quantize"].fn(spark, SF0001).collect()
+    assert rows
+    for r in rows:
+        assert r.q_max == 127  # scale is max|x| -> that coord quantizes to ±127
+        assert abs(r.q0) <= 127 and abs(r.q1) <= 127
+        assert r.scale > 0
+        # 64-dim unit-norm vector, step size scale/127: worst-case L2
+        # error sqrt(64)*(scale/254) — allow 2x slack
+        assert r.recon_err <= 2 * (64 ** 0.5) * r.scale / 254 + 1e-6, r
