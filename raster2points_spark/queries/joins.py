@@ -443,3 +443,86 @@ def join_interval_bucketed(spark, sf_dir):
             F.coalesce("n_in_hour", F.lit(0)).alias("n_in_hour"),
         )
     )
+
+
+@register(
+    "merge_upsert",
+    oracle="""
+    WITH changes AS (
+        SELECT CASE WHEN c_custkey % 5 IN (0, 1) THEN c_custkey
+                    ELSE c_custkey + 1000000 END AS key,
+               CASE WHEN c_custkey % 5 = 0 THEN 'delete'
+                    WHEN c_custkey % 5 = 1 THEN 'update'
+                    ELSE 'insert' END AS op,
+               cast(floor(cast(floor(c_acctbal * 100 + 0.5) AS bigint) * 11 / 10.0)
+                    AS bigint) AS new_cents,
+               c_mktsegment
+        FROM customer WHERE c_custkey % 2 = 0
+    ),
+    merged AS (
+        SELECT coalesce(b.c_custkey, c.key) AS key,
+               CASE WHEN c.op = 'update' THEN c.new_cents
+                    WHEN c.op = 'insert' AND b.c_custkey IS NULL THEN c.new_cents
+                    ELSE cast(floor(b.c_acctbal * 100 + 0.5) AS bigint)
+               END AS cents,
+               coalesce(b.c_mktsegment, c.c_mktsegment) AS seg
+        FROM customer b FULL OUTER JOIN changes c ON b.c_custkey = c.key
+        WHERE c.op IS NULL OR c.op <> 'delete'
+    )
+    SELECT seg, count(*) AS n, cast(sum(cents) AS bigint) AS sum_bal_cents
+    FROM merged GROUP BY seg
+    """,
+)
+def merge_upsert(spark, sf_dir):
+    """MERGE INTO semantics (the lakehouse/CDC primitive: Delta/Iceberg
+    ``MERGE WHEN MATCHED UPDATE / WHEN MATCHED DELETE / WHEN NOT
+    MATCHED INSERT``), expressed Spark-first as ONE full-outer
+    equi-join on the merge key + a CASE resolution — no per-row ops,
+    no driver loop.  The changes feed is derived deterministically
+    from the corpus (key mod classes -> delete/update/insert; insert
+    keys offset so they are genuinely new rows) and the verification
+    rollup aggregates the merged table per segment.
+
+    Determinism: money travels as integer CENTS end-to-end
+    (floor(x*100+0.5) per row, 10% raise as cents*11 int-div 10) —
+    float rounding differs across engines at half-cent boundaries and
+    float sum order differs always; integer arithmetic is exact and
+    order-independent.
+
+    Scale shape: one co-partitioning shuffle of base and changes on
+    the merge key (a real CDC feed is << base, so AQE broadcasts it —
+    left unhinted exactly like text_tfidf's vocabulary); the merged
+    relation never materializes driver-side.  On a table format with
+    transactions this same plan is what MERGE INTO compiles to.
+    """
+    base = t(spark, sf_dir, "customer")
+    base_cents = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint")
+    changes = (
+        base.filter(F.col("c_custkey") % 2 == 0)
+        .select(
+            F.when(F.col("c_custkey") % 5 <= 1, F.col("c_custkey"))
+            .otherwise(F.col("c_custkey") + 1000000)
+            .alias("key"),
+            F.when(F.col("c_custkey") % 5 == 0, "delete")
+            .when(F.col("c_custkey") % 5 == 1, "update")
+            .otherwise("insert")
+            .alias("op"),
+            F.floor(base_cents * 11 / 10.0).cast("bigint").alias("new_cents"),
+            F.col("c_mktsegment").alias("chg_seg"),
+        )
+    )
+    merged = (
+        base.join(changes, base["c_custkey"] == changes["key"], "full_outer")
+        .filter(F.col("op").isNull() | (F.col("op") != "delete"))
+        .select(
+            F.coalesce(F.col("c_custkey"), F.col("key")).alias("key"),
+            F.when(F.col("op") == "update", F.col("new_cents"))
+            .when((F.col("op") == "insert") & F.col("c_custkey").isNull(), F.col("new_cents"))
+            .otherwise(base_cents)
+            .alias("cents"),
+            F.coalesce(F.col("c_mktsegment"), F.col("chg_seg")).alias("seg"),
+        )
+    )
+    return merged.groupBy("seg").agg(
+        F.count("*").alias("n"), F.sum("cents").cast("bigint").alias("sum_bal_cents")
+    )

@@ -42,3 +42,20 @@ def test_every_query_plans_at_sf0001(spark, registry):
             continue
         df = spec.fn(spark, SF0001)
         assert df.schema is not None and len(df.schema.fields) > 0, name
+
+
+def test_merge_upsert_row_accounting(spark, registry):
+    """MERGE semantics: |merged| = |base| - deletes + inserts (updates
+    keep cardinality) — checked against independently derived op
+    counts from the same deterministic mod classes."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF0001
+    from raster2points_spark.io import table
+
+    base = table(spark, SF0001, "customer")
+    n_base = base.count()
+    n_del = base.filter((F.col("c_custkey") % 2 == 0) & (F.col("c_custkey") % 5 == 0)).count()
+    n_ins = base.filter((F.col("c_custkey") % 2 == 0) & (F.col("c_custkey") % 5 >= 2)).count()
+    out = registry["merge_upsert"].fn(spark, SF0001).collect()
+    assert sum(r.n for r in out) == n_base - n_del + n_ins
