@@ -220,3 +220,108 @@ def sink_sorted(spark, sf_dir):
         F.count("*").alias("n"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
     )
+
+
+@register(
+    "sink_compact",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n, cast(sum(l_orderkey) AS bigint) AS sum_key
+    FROM lineitem GROUP BY 1
+    """,
+)
+def sink_compact(spark, sf_dir):
+    """Small-files compaction — THE table-maintenance job at 100 TB:
+    streaming/CDC sinks leave thousands of KB-sized files per
+    partition, and every downstream scan then pays one task + one
+    footer read per file.  The job rewrites a fragmented layout into
+    ~target-sized files: read, coalesce to ceil(bytes/target) output
+    partitions (coalesce, NOT repartition — compaction must not pay a
+    full shuffle), write back.  Fragmentation is simulated by first
+    writing the table as 64 shards; the oracle aggregates the source
+    directly, proving the compacted copy is lossless.  The file-count
+    collapse itself is asserted in tests/test_contract.py.
+    """
+    frag = os.path.join(SCRATCH, "compact_fragmented")
+    compacted = os.path.join(SCRATCH, "compact_out")
+    li = t(spark, sf_dir, "lineitem")
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+    back = spark.read.parquet(frag)
+    size = sum(
+        f.stat().st_size for f in os.scandir(frag) if f.name.endswith(".parquet")
+    )
+    target = 128 << 20  # 128 MB files — row-group-friendly at scale
+    n_out = max(1, -(-size // target))
+    back.coalesce(n_out).write.mode("overwrite").parquet(compacted)
+    out = spark.read.parquet(compacted)
+    return out.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"), F.sum("l_orderkey").cast("bigint").alias("sum_key")
+    )
+
+
+# 16-bit × 16-bit Morton (Z-order) interleave — engine-twin formulas.
+_Z_SPARK = (
+    "aggregate(sequence(0, 15), cast(0 as bigint), (acc, i) -> acc"
+    " + shiftleft(shiftright(a, i) & 1, 2*i)"
+    " + shiftleft(shiftright(b, i) & 1, 2*i + 1))"
+)
+_Z_DUCK = (
+    "list_aggregate(list_transform(range(0, 16), i -> "
+    "(((a >> i) & 1) << (2*i)) + (((b >> i) & 1) << (2*i + 1))), 'sum')"
+)
+
+
+@register(
+    "sink_zorder",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT l_orderkey, l_partkey % 65536 AS a, l_suppkey % 65536 AS b,
+               l_extendedprice
+        FROM lineitem
+    ),
+    z AS (SELECT l_orderkey, a, b, {_Z_DUCK} AS zkey, l_extendedprice FROM keyed)
+    SELECT count(*) AS n, cast(sum(zkey) AS bigint) AS sum_z,
+           cast(min(zkey) AS bigint) AS min_z, cast(max(zkey) AS bigint) AS max_z,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM z WHERE a < 1024 AND b < 1024
+    """,
+)
+def sink_zorder(spark, sf_dir):
+    """Z-order (Morton-curve) clustering — the multi-dimension layout
+    move (Delta OPTIMIZE ZORDER BY, Iceberg sort orders): interleave
+    the bits of two filter columns into one sort key so rows close in
+    (partkey, suppkey) space land in the same files, giving row-group
+    min/max skipping on BOTH dimensions at once (a single-column sort
+    — sink_sorted — only skips on its one key).
+
+    The z-key is pure bit arithmetic over a 16-level fold (JVM
+    codegen; the DuckDB twin runs the identical formula, so the hash
+    check pins the Morton math exactly).  Layout: repartitionByRange +
+    sortWithinPartitions on zkey — the range shuffle is the one cost
+    compaction-style maintenance pays for clustered layout.  The
+    re-read aggregates a 2-D box (a,b < 1024 ⇒ zkey < 2^20 under
+    interleaving, which is what makes the skip work) and must match
+    the source-side oracle — losslessness + formula parity in one
+    check.
+    """
+    path = os.path.join(SCRATCH, "sink_zorder")
+    keyed = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_partkey") % 65536).alias("a"),
+        (F.col("l_suppkey") % 65536).alias("b"),
+        "l_extendedprice",
+    )
+    z = keyed.withColumn("zkey", F.expr(_Z_SPARK))
+    (
+        z.repartitionByRange(8, "zkey")
+        .sortWithinPartitions("zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter((F.col("a") < 1024) & (F.col("b") < 1024))
+    return back.agg(
+        F.count("*").alias("n"),
+        F.sum("zkey").cast("bigint").alias("sum_z"),
+        F.min("zkey").cast("bigint").alias("min_z"),
+        F.max("zkey").cast("bigint").alias("max_z"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )

@@ -59,3 +59,32 @@ def test_merge_upsert_row_accounting(spark, registry):
     n_ins = base.filter((F.col("c_custkey") % 2 == 0) & (F.col("c_custkey") % 5 >= 2)).count()
     out = registry["merge_upsert"].fn(spark, SF0001).collect()
     assert sum(r.n for r in out) == n_base - n_del + n_ins
+
+
+def test_sink_compact_collapses_file_count(spark, registry):
+    """Compaction must reduce 64 fragment files to ceil(bytes/128MB)
+    (= 1 at test scale) without losing rows."""
+    import os
+
+    from raster2points_spark.queries._util import SCRATCH
+
+    registry["sink_compact"].fn(spark, SF0001).collect()
+    frag = [f for f in os.listdir(os.path.join(SCRATCH, "compact_fragmented")) if f.endswith(".parquet")]
+    out = [f for f in os.listdir(os.path.join(SCRATCH, "compact_out")) if f.endswith(".parquet")]
+    assert len(frag) == 64
+    assert len(out) == 1
+
+
+def test_zorder_key_interleaves_bits(spark):
+    """Morton key ground truth: z(1,0)=1, z(0,1)=2, z(3,3)=15,
+    z(1023,1023)=2^20-1 — and locality: the 2-D box (a,b)<2^k maps to
+    zkey<4^k."""
+    from pyspark.sql import functions as F
+
+    from raster2points_spark.queries.scans import _Z_SPARK
+
+    df = spark.createDataFrame(
+        [(1, 0), (0, 1), (3, 3), (1023, 1023), (65535, 65535)], "a long, b long"
+    )
+    got = [r.z for r in df.select(F.expr(_Z_SPARK).alias("z")).collect()]
+    assert got == [1, 2, 15, 2**20 - 1, 2**32 - 1]
