@@ -87,12 +87,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # ROUND-5 ROTATION NOTE: after this window every oracle key has ≥1
 # driver row except any that fail here.  Next round: refill the window
 # with (a) any r4 reds, (b) the keys ADDED in r4 after the window froze
-# (text_gopher_rules, pack_sequences, sample_mixture,
-# text_unigram_ppl, embed_quantize, merge_upsert, sink_compact,
-# sink_zorder — local oracle
-# diff green, no driver row yet), (c) the r1-only keys with the oldest
-# evidence (joins/aggs/filters/functions families), (d) keys whose
-# oracle changed since their last green row.
+# (text_gopher_rules, pack_sequences, sample_mixture, text_unigram_ppl,
+# embed_quantize, merge_upsert, sink_compact, sink_zorder, scd2_build —
+# local oracle diff green, no driver row yet; see
+# reports/diff_oracle_r4_sf0.01.txt), (c) the r1-only keys with the
+# oldest evidence (joins/aggs/filters/functions families), (d) keys
+# whose oracle changed since their last green row.
 
 
 def _ordered():

@@ -167,3 +167,65 @@ def win_analytic(spark, sf_dir):
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@register(
+    "scd2_build",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_id, user_id, value, {_TSEC} AS tsec FROM events
+        WHERE event_type = 'purchase'
+    ),
+    ver AS (
+        SELECT user_id, event_id, round(value, 2) AS value,
+               tsec AS valid_from,
+               lead(tsec) OVER (PARTITION BY user_id ORDER BY tsec, event_id)
+                   AS valid_to
+        FROM ev
+    )
+    SELECT user_id,
+           count(*) AS n_versions,
+           cast(sum(valid_to - valid_from) AS bigint) AS closed_seconds,
+           count(*) FILTER (WHERE valid_to IS NULL) AS n_current,
+           round(sum(value) FILTER (WHERE valid_to IS NULL), 2) AS current_value
+    FROM ver GROUP BY user_id
+    """,
+)
+def scd2_build(spark, sf_dir):
+    """Slowly-Changing-Dimension Type-2 build: turn a change log into
+    versioned rows with [valid_from, valid_to) intervals — valid_to is
+    the NEXT change's timestamp (lead), NULL marks the current
+    version.  This is the standard warehouse history-tracking
+    transform (Kimball SCD2), here over each user's purchase stream.
+
+    Scale shape: one shuffle on the dimension key feeds the lead()
+    window AND the verification rollup (same partitioning, no second
+    exchange); interval arithmetic is per-row.  The rollup checks
+    version counts, total closed-interval seconds, and that exactly
+    one open (current) version exists per key.
+    """
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 2).alias("value"),
+            unix_secs(F.col("ts")).alias("tsec"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+    ver = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.col("tsec").alias("valid_from"),
+        F.lead("tsec").over(w).alias("valid_to"),
+    )
+    cur = F.col("valid_to").isNull()
+    return ver.groupBy("user_id").agg(
+        F.count("*").alias("n_versions"),
+        F.sum(F.col("valid_to") - F.col("valid_from")).cast("bigint").alias("closed_seconds"),
+        F.count(F.when(cur, 1)).alias("n_current"),
+        F.round(F.sum(F.when(cur, F.col("value"))), 2).alias("current_value"),
+    )
