@@ -328,17 +328,20 @@ def stream_foreach_batch(spark, sf_dir):
     def write_batch(batch_df, batch_id):
         batch_df.write.mode("overwrite").parquet(out)
 
+    from raster2points_spark.streaming import scoped_shuffle_partitions
+
     for q in spark.streams.active:
         if q.name == "foreach_batch":
             q.stop()
     ckpt = tempfile.mkdtemp(prefix="ckpt_feb_")
-    (
-        agg.writeStream.foreachBatch(write_batch)
-        .outputMode("complete")
-        .queryName("foreach_batch")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with scoped_shuffle_partitions(spark):
+        (
+            agg.writeStream.foreachBatch(write_batch)
+            .outputMode("complete")
+            .queryName("foreach_batch")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     return spark.read.parquet(out)
