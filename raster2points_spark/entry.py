@@ -22,9 +22,9 @@ SF0001 = "/root/testdata/sf0.001"
 #   2. the 9 analytics keys (same status),
 #   3. the 7 round-3 reds (ts-unit loader bug, fixed in io.load_events)
 #      to prove the fix,
-#   4. 16 r1-green keys that read the REGENERATED events/documents
-#      corpus — re-confirmation that the corpus change broke nothing
-#      else.
+#   4. the 9 operators added this round (first driver evidence),
+#   5. 7 r1-green keys most exposed to the regenerated corpus's
+#      ts-unit change — re-confirmation.
 # Keys absent from this list keep their natural registration order
 # after it; rows-only/smoke keys go last (they'd burn driver slots on
 # "no_oracle" rows).
@@ -66,7 +66,18 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_session",
     "stream_funnel",
     "stream_stream_join",
-    # --- 4. r1-green keys over the regenerated corpus (16) ---
+    # --- 4. operators ADDED in r4 — first driver evidence (9) ---
+    "text_gopher_rules",
+    "pack_sequences",
+    "sample_mixture",
+    "text_unigram_ppl",
+    "embed_quantize",
+    "merge_upsert",
+    "sink_compact",
+    "sink_zorder",
+    "scd2_build",
+    # --- 5. r1-green keys most exposed to the regenerated corpus's
+    #        ts-unit change — re-confirmation (7) ---
     "agg_count_distinct",
     "join_asof",
     "join_interval",
@@ -74,25 +85,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "fn_date",
     "filter_between_in",
     "agg_kmv_sketch",
-    "agg_rollup_cascade",
-    "dedup_exact",
-    "dedup_jaccard",
-    "dedup_near",
-    "dedup_simhash",
-    "sim_knn",
-    "sim_knn_label",
-    "text_tokens",
-    "text_stats",
 )
-# ROUND-5 ROTATION NOTE: after this window every oracle key has ≥1
-# driver row except any that fail here.  Next round: refill the window
-# with (a) any r4 reds, (b) the keys ADDED in r4 after the window froze
-# (text_gopher_rules, pack_sequences, sample_mixture, text_unigram_ppl,
-# embed_quantize, merge_upsert, sink_compact, sink_zorder, scd2_build —
-# local oracle diff green, no driver row yet; see
-# reports/diff_oracle_r4_sf0.01.txt), (c) the r1-only keys with the
-# oldest evidence (joins/aggs/filters/functions families), (d) keys
-# whose oracle changed since their last green row.
+# ROUND-5 ROTATION NOTE: refill the window with (a) any r4 reds,
+# (b) the 9 documents-based r1-green keys bumped from this window
+# (dedup_exact/jaccard/near/simhash, sim_knn, sim_knn_label,
+# text_tokens, text_stats, agg_rollup_cascade — all green in the r4
+# local diff, reports/diff_oracle_r4_sf0.01.txt), (c) the r1-only keys
+# with the oldest evidence (joins/aggs/filters/functions families),
+# (d) keys whose oracle changed since their last green row.
 
 
 def _ordered():
