@@ -194,3 +194,43 @@ def test_sample_mixture_broadcasts_counts(spark, registry):
     plan = _formatted_plan(spark, registry["sample_mixture"].fn(spark, SF001))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Evidence that the session's skew-join insurance actually
+    engages: a 75%-hot key joined without broadcast must execute as
+    SortMergeJoin(skew=true) with an 'AQEShuffleRead … skewed' read —
+    AQE split the hot partition into parallel subtasks at runtime.
+    (join_salted is the manual mitigation; this pins the automatic
+    one.)  Thresholds are lowered to make 400k local rows 'skewed' and
+    restored afterwards — at real scale the defaults fire unmodified.
+    """
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "65536",
+    }
+    prev = {k: spark.conf.get(k) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 400_000).select(
+            F.when(F.col("id") < 300_000, 0)
+            .otherwise((F.col("id") % 99) + 1)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 400_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE did not split the skewed partition"
+        assert "skewed" in plan, "no skewed AQEShuffleRead in final plan"
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
