@@ -294,3 +294,82 @@ def raster_big(spark, sf_dir):
         F.sum(F.when(F.col("val2").isNull(), 1).otherwise(0)).alias("n_null2"),
         F.round(F.sum(area), 0).alias("sum_area"),
     )
+
+
+@register(
+    "spatial_join_grid",
+    oracle=f"""
+    {_PX}
+    , pts AS (
+        SELECT tile_id, col, row, value FROM pix
+        WHERE band_id = 'b1' AND value IS NOT NULL
+    ),
+    sites AS (
+        SELECT tile_id AS site_tile, pos,
+               transform[3] + (col + 0.5) * transform[1] AS lon,
+               transform[6] + (row + 0.5) * transform[5] AS lat,
+               transform
+        FROM pix WHERE band_id = 'b2' AND pos % 11 = 0
+    ),
+    celled AS (
+        SELECT site_tile, pos, lon, lat,
+               cast(floor((lon - transform[3]) / transform[1]) AS int) AS cell_col,
+               cast(floor((lat - transform[6]) / transform[5]) AS int) AS cell_row
+        FROM sites
+    )
+    SELECT c.site_tile, count(*) AS n_hits,
+           cast(sum(cast(round(p.value * 1000, 0) AS bigint)) AS bigint) AS sum_v_milli,
+           round(sum(c.lon), 6) AS sum_lon, round(sum(c.lat), 6) AS sum_lat
+    FROM celled c JOIN pts p ON p.col = c.cell_col AND p.row = c.cell_row
+    GROUP BY c.site_tile
+    """,
+)
+def spatial_join_grid(spark, sf_dir):
+    """Grid-bucketed point-in-cell spatial join — THE scalable spatial
+    join shape: instead of a cross join with a containment predicate
+    (O(|sites|·|cells|)), each site's coordinates are inverse-affine
+    mapped to its containing cell id and the match becomes a plain
+    EQUI-join on (cell_col, cell_row) that shuffles each side once.
+    At 100 TB this generalizes to any fixed grid (geohash / S2 / H3
+    bucketing); a multi-resolution variant unions a few cell levels.
+
+    Sites are derived deterministically from the fixture (every 11th
+    b2 pixel center); the inverse mapping uses the same transform
+    values the forward projection used, with identical float
+    association in the DuckDB twin, so cell ids match bit-exactly.
+    """
+    px = nodata_filter(grid_unpivot(_tiles(spark, sf_dir)))
+    pts = px.filter(F.col("band_id") == "b1").select("col", "row", "value")
+    b2 = grid_unpivot(_tiles(spark, sf_dir).filter(F.col("band_id") == "b2"))
+    sites = (
+        b2.filter(F.col("pos") % 11 == 0)
+        .select(
+            F.col("tile_id").alias("site_tile"),
+            "pos",
+            (F.element_at("transform", 3) + (F.col("col") + 0.5) * F.element_at("transform", 1)).alias("lon"),
+            (F.element_at("transform", 6) + (F.col("row") + 0.5) * F.element_at("transform", 5)).alias("lat"),
+            "transform",
+        )
+    )
+    celled = sites.select(
+        "site_tile",
+        "pos",
+        "lon",
+        "lat",
+        F.floor((F.col("lon") - F.element_at("transform", 3)) / F.element_at("transform", 1))
+        .cast("int")
+        .alias("cell_col"),
+        F.floor((F.col("lat") - F.element_at("transform", 6)) / F.element_at("transform", 5))
+        .cast("int")
+        .alias("cell_row"),
+    )
+    joined = celled.join(
+        pts,
+        (pts["col"] == celled["cell_col"]) & (pts["row"] == celled["cell_row"]),
+    )
+    return joined.groupBy("site_tile").agg(
+        F.count("*").alias("n_hits"),
+        F.sum(F.round(F.col("value") * 1000, 0).cast("long")).alias("sum_v_milli"),
+        F.round(F.sum("lon"), 6).alias("sum_lon"),
+        F.round(F.sum("lat"), 6).alias("sum_lat"),
+    )

@@ -234,3 +234,12 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_spatial_join_is_equi_join(spark, registry):
+    # the whole point of grid bucketing: containment becomes an
+    # equi-join — a nested-loop or cartesian plan means the bucketing
+    # regressed to predicate-matching
+    plan = _formatted_plan(spark, registry["spatial_join_grid"].fn(spark, SF001))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
