@@ -2092,3 +2092,110 @@ def embed_quantize(spark, sf_dir):
             4,
         ).alias("recon_err"),
     )
+
+
+@register(
+    "pipeline_train_ready",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id, source, text, {TOKS_DUCK} AS toks FROM documents
+    ),
+    gated AS (
+        SELECT doc_id, source, text, len(toks) AS n_tok
+        FROM feat
+        WHERE len(toks) >= 5
+          AND len(list_filter(list_distinct(toks),
+                              x -> list_contains([{_GOPHER_STOPWORDS}], x))) >= 1
+          AND len(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) * 1.0 / len(toks) <= 0.6
+    ),
+    deduped AS (
+        SELECT doc_id, source, n_tok
+        FROM (
+            SELECT doc_id, source, n_tok,
+                   row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM gated
+        ) WHERE rn = 1
+    ),
+    counts AS (SELECT source, count(*) AS n_src FROM deduped GROUP BY source),
+    target AS (SELECT min(n_src) AS n_min FROM counts),
+    mixed AS (
+        SELECT d.doc_id, d.source, d.n_tok
+        FROM deduped d JOIN counts c USING (source) CROSS JOIN target t
+        WHERE cast(concat('0x', substr(md5(concat('mix#', cast(d.doc_id AS varchar))), 1, 15)) AS bigint) % 1000
+              < cast(floor(t.n_min * 1000.0 / c.n_src) AS bigint)
+    ),
+    packed AS (
+        SELECT source, n_tok,
+               sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tok AS tok_offset
+        FROM mixed
+    )
+    SELECT source, cast(floor(tok_offset / {PACK_BUDGET}) AS bigint) AS seq_id,
+           count(*) AS n_docs, cast(sum(n_tok) AS bigint) AS total_tokens
+    FROM packed GROUP BY 1, 2
+    """,
+)
+def pipeline_train_ready(spark, sf_dir):
+    """Flagship curation composition: raw corpus → PACKED TRAINING
+    SEQUENCES in one declarative plan — Gopher quality gate (pure
+    projection), exact dedup (min-id survivor per text hash), domain
+    mixture rebalance to the smallest source (broadcast counts +
+    keyed-md5 threshold), and fixed-budget sequence packing
+    (shard-partitioned cumsum).  This is the end-to-end path a
+    pretraining data pipeline runs nightly; every stage is the
+    registered standalone operator, composed unchanged.
+
+    Shuffle budget at any scale: dedup window (by text hash) + counts
+    aggregate (tiny) + packing window (by source) = three key-shuffles
+    of the *surviving* corpus — the gate runs fused into the scan
+    before any of them, so filtered-out docs never shuffle at all.
+    """
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents").withColumn("toks", F.expr(TOKS_SPARK))
+    n = F.size("toks")
+    n_stop = F.size(
+        F.expr(
+            f"filter(array_distinct(toks), x -> array_contains(array({_GOPHER_STOPWORDS}), x))"
+        )
+    )
+    sym_ratio = F.length(F.regexp_replace("text", r"[a-z0-9\s]", "")) * F.lit(1.0) / n
+    gated = docs.filter((n >= 5) & (n_stop >= 1) & (sym_ratio <= 0.6)).select(
+        "doc_id", "source", "text", n.alias("n_tok")
+    )
+    w_dup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(w_dup))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "n_tok")
+    )
+    counts = deduped.groupBy("source").agg(F.count("*").alias("n_src"))
+    n_min = counts.agg(F.min("n_src").alias("n_min"))
+    bkt = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix#"), F.col("doc_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000
+    )
+    mixed = (
+        deduped.join(F.broadcast(counts), "source")
+        .crossJoin(F.broadcast(n_min))
+        .filter(bkt < F.floor(F.col("n_min") * F.lit(1000.0) / F.col("n_src")).cast("bigint"))
+        .select("doc_id", "source", "n_tok")
+    )
+    w_pack = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = mixed.withColumn("tok_offset", F.sum("n_tok").over(w_pack) - F.col("n_tok"))
+    return (
+        packed.groupBy(
+            "source", F.floor(F.col("tok_offset") / PACK_BUDGET).alias("seq_id")
+        )
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").cast("bigint").alias("total_tokens"))
+    )
