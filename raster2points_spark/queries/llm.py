@@ -2199,3 +2199,64 @@ def pipeline_train_ready(spark, sf_dir):
         )
         .agg(F.count("*").alias("n_docs"), F.sum("n_tok").cast("bigint").alias("total_tokens"))
     )
+
+
+@register(
+    "dedup_incremental",
+    oracle="""
+    WITH index_hashes AS (
+        SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 250
+    ),
+    batch AS (
+        SELECT doc_id, source, md5(text) AS h FROM documents WHERE doc_id >= 250
+    ),
+    new_docs AS (
+        SELECT b.doc_id, b.source, b.h
+        FROM batch b LEFT JOIN index_hashes i ON b.h = i.h
+        WHERE i.h IS NULL
+    ),
+    first_in_batch AS (
+        SELECT doc_id, source
+        FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+            FROM new_docs
+        ) WHERE rn = 1
+    )
+    SELECT source, count(*) AS n_ingested, min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM first_in_batch GROUP BY source
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    """Incremental ingest dedup — the shape a production pipeline runs
+    nightly: a NEW batch is deduplicated against the hash index of
+    everything already ingested (anti-join), then within itself
+    (first-occurrence window).  Nothing is recomputed over the
+    historical corpus — only its hash index (one slim column) is
+    touched, which is what makes dedup sustainable at a growing
+    100 TB: the index is partitioned by hash and the anti-join
+    co-shuffles just the new batch against it.
+
+    The 'index' here is the first half of documents (doc_id < 250)
+    and the batch the second half — deterministic, so fully
+    oracle-checked.
+    """
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+    index_hashes = docs.filter(F.col("doc_id") < 250).select("h").distinct()
+    batch = docs.filter(F.col("doc_id") >= 250)
+    new_docs = batch.join(index_hashes, "h", "left_anti")
+    w = Window.partitionBy("h").orderBy("doc_id")
+    first = (
+        new_docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source")
+    )
+    return first.groupBy("source").agg(
+        F.count("*").alias("n_ingested"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

@@ -243,3 +243,13 @@ def test_spatial_join_is_equi_join(spark, registry):
     plan = _formatted_plan(spark, registry["spatial_join_grid"].fn(spark, SF001))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_train_ready_pipeline_shuffle_budget(spark, registry):
+    # gate fused into the scan, then dedup window + tiny counts agg +
+    # packing window — and NEVER a global (range) sort
+    plan = _formatted_plan(spark, registry["pipeline_train_ready"].fn(spark, SF001))
+    assert "rangepartitioning" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 4, plan.count(
+        "Exchange hashpartitioning"
+    )
