@@ -51,6 +51,13 @@ HEADLINE = [
     "udf_pandas_scalar",
     "udf_grouped_map",
 ]
+# The r4 flagships (pipeline_train_ready, merge_upsert,
+# spatial_join_grid, …) are deliberately NOT in the headline set: at
+# sf0.1 they are constant-overhead-dominated micro-queries (DuckDB
+# ~10 ms vs Spark's ~0.5 s fixed job cost), so adding them would only
+# skew the comparator ratio without measuring anything real.  Their
+# correctness evidence lives in the driver window + the committed
+# all-keys gate report; their scale properties in tests/test_plans.py.
 
 
 def main() -> int:
