@@ -301,3 +301,55 @@ def fn_regex(spark, sf_dir):
         F.length(F.regexp_replace("text", r"[aeiou]", "")).alias("len_novowel"),
         F.regexp_replace("text", r"[0-9]+", "#").alias("masked"),
     )
+
+
+@register(
+    "fn_try_arith",
+    oracle="""
+    SELECT o_orderkey,
+           round(o_totalprice / (o_orderkey % 3), 4) AS safe_div,
+           try_cast(o_orderstatus AS int) AS bad_cast,
+           try_cast(substr(o_orderpriority, 1, 1) AS int) AS prio_digit
+    FROM orders
+    """,
+)
+def fn_try_arith(spark, sf_dir):
+    """ANSI-safe error handling (SURVEY §7 R4): Spark 4 runs ANSI mode
+    where /0 and bad casts THROW — the `try_*` family restores
+    NULL-on-error semantics, which is exactly what DuckDB produces
+    natively (x/0 → NULL, try_cast → NULL).  Every third order divides
+    by zero and every status string fails the int cast, so the NULL
+    paths are exercised on most rows, not vacuously."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.round(
+            F.expr("try_divide(o_totalprice, cast(o_orderkey % 3 as double))"), 4
+        ).alias("safe_div"),
+        F.expr("try_cast(o_orderstatus as int)").alias("bad_cast"),
+        F.expr("try_cast(substr(o_orderpriority, 1, 1) as int)").alias("prio_digit"),
+    )
+
+
+@register(
+    "agg_decimal_exact",
+    oracle="""
+    SELECT o_orderstatus,
+           sum(cast(o_totalprice AS decimal(18, 2))) AS sum_exact,
+           count(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_decimal_exact(spark, sf_dir):
+    """Exact decimal money aggregation — the alternative to the
+    round()-both-sides discipline used elsewhere: cast to
+    DECIMAL(18,2) BEFORE summing and the result is exact and
+    order-independent in both engines (Spark widens to DECIMAL(28,2)
+    internally; no float addition ever happens).  At 100 TB this is
+    how financial rollups avoid drift entirely rather than masking it
+    with rounding."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_exact"),
+        F.count("*").alias("n"),
+    )
