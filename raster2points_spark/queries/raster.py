@@ -373,3 +373,91 @@ def spatial_join_grid(spark, sf_dir):
         F.round(F.sum("lon"), 6).alias("sum_lon"),
         F.round(F.sum("lat"), 6).alias("sum_lat"),
     )
+
+
+@register(
+    "raster_downsample",
+    oracle=f"""
+    {_PX}
+    SELECT cast(floor(col / 2) AS int) AS c2, cast(floor(row / 2) AS int) AS r2,
+           count(value) AS n_valid,
+           round(avg(value), 6) AS mean_v
+    FROM pix WHERE band_id = 'b1'
+    GROUP BY 1, 2
+    """,
+)
+def raster_downsample(spark, sf_dir):
+    """Raster pyramid level: 2×2 average-pool downsampling (the
+    overview/COG-pyramid build every tiled-raster store runs).  Pixel
+    → parent cell is integer arithmetic, the pool is one partial-
+    aggregated groupBy — at 100 TB each factor-2 level shuffles only
+    its own (4× smaller) key space, and levels chain like
+    agg_rollup_cascade.  NULLs (nodata) are excluded from the mean
+    exactly as count(value)/avg(value) SQL semantics state."""
+    px = grid_unpivot(_tiles(spark, sf_dir).filter(F.col("band_id") == "b1"))
+    return (
+        px.groupBy(
+            F.floor(F.col("col") / 2).cast("int").alias("c2"),
+            F.floor(F.col("row") / 2).cast("int").alias("r2"),
+        )
+        .agg(
+            F.count("value").alias("n_valid"),
+            F.round(F.avg("value"), 6).alias("mean_v"),
+        )
+    )
+
+
+@register(
+    "raster_focal_mean",
+    oracle=f"""
+    {_PX}
+    , valid AS (
+        SELECT col, row, value FROM pix
+        WHERE band_id = 'b1' AND value IS NOT NULL
+    ),
+    offsets AS (
+        SELECT dc, dr
+        FROM (SELECT unnest([-1, 0, 1]) AS dc) CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dr)
+    ),
+    contrib AS (
+        SELECT v.col + o.dc AS col, v.row + o.dr AS row, v.value
+        FROM valid v CROSS JOIN offsets o
+    )
+    SELECT c.col, c.row, count(*) AS n_nbr, round(avg(c.value), 6) AS focal_mean
+    FROM contrib c JOIN valid ctr ON ctr.col = c.col AND ctr.row = c.row
+    GROUP BY c.col, c.row
+    """,
+)
+def raster_focal_mean(spark, sf_dir):
+    """3×3 focal (moving-window) mean — the stencil/convolution
+    primitive behind hillshade, slope, blur and every neighborhood
+    raster analysis, expressed scale-first: each valid pixel SCATTERS
+    its value to the 9 cells it influences (a 9-row explode, pure
+    projection), then one groupBy(col,row) gathers the neighborhood
+    mean — a stencil as partial-aggregated shuffle, never a 9-way
+    self-join or a windowed sort over the pixel stream.  A semi-join
+    against valid centers masks the halo ring so output cells are
+    exactly the valid pixels.  Scatter-gather generalizes to any
+    kernel footprint; at 100 TB the shuffle carries 9×|valid| rows
+    pre-combined map-side."""
+    px = nodata_filter(grid_unpivot(_tiles(spark, sf_dir).filter(F.col("band_id") == "b1")))
+    valid = px.select("col", "row", "value")
+    offsets = F.expr(
+        "explode(flatten(transform(array(-1, 0, 1), "
+        "dc -> transform(array(-1, 0, 1), dr -> struct(dc as dc, dr as dr)))))"
+    )
+    contrib = valid.select(
+        "col", "row", "value", offsets.alias("o")
+    ).select(
+        (F.col("col") + F.col("o.dc")).alias("ccol"),
+        (F.col("row") + F.col("o.dr")).alias("crow"),
+        "value",
+    )
+    centers = valid.select(
+        F.col("col").alias("ccol"), F.col("row").alias("crow")
+    )
+    return (
+        contrib.join(centers, ["ccol", "crow"])
+        .groupBy(F.col("ccol").alias("col"), F.col("crow").alias("row"))
+        .agg(F.count("*").alias("n_nbr"), F.round(F.avg("value"), 6).alias("focal_mean"))
+    )
