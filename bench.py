@@ -56,8 +56,9 @@ HEADLINE = [
 # sf0.1 they are constant-overhead-dominated micro-queries (DuckDB
 # ~10 ms vs Spark's ~0.5 s fixed job cost), so adding them would only
 # skew the comparator ratio without measuring anything real.  Their
-# correctness evidence lives in the driver window + the committed
-# all-keys gate report; their scale properties in tests/test_plans.py.
+# correctness evidence lives in the committed all-keys gate report
+# (reports/diff_oracle_r4_sf0.01.txt; driver-window rows arrive via
+# the entry.py rotation); their scale properties in tests/test_plans.py.
 
 
 def main() -> int:

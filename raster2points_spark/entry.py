@@ -22,7 +22,9 @@ SF0001 = "/root/testdata/sf0.001"
 #   2. the 9 analytics keys (same status),
 #   3. the 7 round-3 reds (ts-unit loader bug, fixed in io.load_events)
 #      to prove the fix,
-#   4. the 9 operators added this round (first driver evidence),
+#   4. 9 of the 16 operators added this round (first driver evidence;
+#      the other 7 landed after the window filled — see the ROUND-5
+#      note below),
 #   5. 7 r1-green keys most exposed to the regenerated corpus's
 #      ts-unit change — re-confirmation.
 # Keys absent from this list keep their natural registration order
@@ -87,12 +89,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_kmv_sketch",
 )
 # ROUND-5 ROTATION NOTE: refill the window with (a) any r4 reds,
-# (b) the 9 documents-based r1-green keys bumped from this window
+# (b) FIRST the 7 r4 operators that landed after this window filled
+# and so still have ZERO driver evidence: pipeline_train_ready,
+# dedup_incremental, spatial_join_grid, raster_downsample,
+# raster_focal_mean, fn_try_arith, agg_decimal_exact (all green in the
+# r4 local diff, reports/diff_oracle_r4_sf0.01.txt),
+# (c) the 9 documents-based r1-green keys bumped from this window
 # (dedup_exact/jaccard/near/simhash, sim_knn, sim_knn_label,
-# text_tokens, text_stats, agg_rollup_cascade — all green in the r4
-# local diff, reports/diff_oracle_r4_sf0.01.txt), (c) the r1-only keys
-# with the oldest evidence (joins/aggs/filters/functions families),
-# (d) keys whose oracle changed since their last green row.
+# text_tokens, text_stats, agg_rollup_cascade — also green in the r4
+# local diff), (d) the r1-only keys with the oldest evidence
+# (joins/aggs/filters/functions families), (e) keys whose oracle
+# changed since their last green row.
 
 
 def _ordered():

@@ -45,9 +45,13 @@ _EVENTS_RAW_SCHEMA = (
 
 
 def parquet_ts_type(path: str, field: str = "ts"):
-    """pyarrow type of ``field`` from the parquet footer, or None when
-    unreadable.  Accepts a bare file or a directory of part files
-    (checks the first)."""
+    """pyarrow type of ``field`` from the parquet footer.  Accepts a
+    bare file or a directory of part files (checks the first).
+
+    RAISES on an unreadable footer / missing field / empty directory —
+    a sniff failure must never be silently conflated with "plain
+    int64" (that failure mode is exactly the r3 clock-compression bug
+    class; fail LOUDLY instead)."""
     import pyarrow.parquet as pq
 
     p = path
@@ -58,17 +62,15 @@ def parquet_ts_type(path: str, field: str = "ts"):
             if f.endswith(".parquet") and not f.startswith(("_", "."))
         )
         if not parts:
-            return None
+            raise FileNotFoundError(f"no parquet part files in {path!r}")
         p = os.path.join(p, parts[0])
-    try:
-        return pq.read_schema(p).field(field).type
-    except (OSError, KeyError):
-        return None
+    return pq.read_schema(p).field(field).type  # KeyError/OSError propagate
 
 
 def parquet_ts_unit(path: str, field: str = "ts"):
     """Time unit ('s'/'ms'/'us'/'ns') of ``field``, or None when the
-    column is not a logical timestamp (plain int64)."""
+    column is stored as a non-timestamp type (e.g. plain int64).
+    Raises when the footer itself cannot be read."""
     return getattr(parquet_ts_type(path, field), "unit", None)
 
 
@@ -79,16 +81,22 @@ def load_events(spark: SparkSession, path: str) -> DataFrame:
     plain int64 → treated as epoch µs; logical timestamps → native
     read, with a cast that lifts TIMESTAMP_NTZ to TimestampType
     (identity wall-clock under the UTC session TZ the query layer pins
-    — queries/_util.t).
+    — queries/_util.t).  Any other storage type is an error, not a
+    guess.
     """
-    unit = parquet_ts_unit(path)
+    import pyarrow as pa
+
+    typ = parquet_ts_type(path)
+    unit = getattr(typ, "unit", None)
     if unit == "ns":
         raw = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(path)
         return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    if unit is None:
+    if unit is not None:
+        return spark.read.parquet(path).withColumn("ts", F.col("ts").cast("timestamp"))
+    if typ == pa.int64():
         raw = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(path)
         return raw.withColumn("ts", F.expr("timestamp_micros(ts)"))
-    return spark.read.parquet(path).withColumn("ts", F.col("ts").cast("timestamp"))
+    raise ValueError(f"events.ts has unsupported parquet type {typ!r} in {path!r}")
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

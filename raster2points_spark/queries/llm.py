@@ -56,6 +56,23 @@ TOKS_DUCK = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
 MAX_SHINGLE_DF = 100
 
 
+def hash_bucket(prefix: str, col="doc_id", mod: int = 1000):
+    """Keyed md5 bucket in [0, mod): the engine-independent
+    reproducible-sampling primitive shared by sample_split ('split#')
+    and sample_mixture / pipeline_train_ready ('mix#').  One definition
+    so a salt or width change cannot silently diverge the pipeline from
+    its standalone operators; each oracle carries the same formula as
+    cast(concat('0x', substr(md5(concat(prefix, cast(doc_id AS
+    varchar))), 1, 15)) AS bigint) % mod."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(prefix), c.cast("string"))), 1, 15), 16, 10)
+        .cast("bigint")
+        % mod
+    )
+
+
+
 @register(
     "dedup_exact",
     oracle="""
@@ -1571,11 +1588,7 @@ def sample_split(spark, sf_dir):
     before the verification rollup.
     """
     d = t(spark, sf_dir, "documents")
-    bkt = (
-        F.conv(F.substring(F.md5(F.concat(F.lit("split#"), F.col("doc_id").cast("string"))), 1, 15), 16, 10)
-        .cast("bigint")
-        % 1000
-    )
+    bkt = hash_bucket("split#")
     tagged = (
         d.select("doc_id", "lang", bkt.alias("bkt"))
         .filter((F.col("bkt") % 100) < F.when(F.col("lang") == "en", 50).otherwise(100))
@@ -1777,6 +1790,24 @@ def dedup_sorted_neighborhood(spark, sf_dir):
 _GOPHER_STOPWORDS = "'the','a','and','of','to','in','is'"
 
 
+def gopher_stop_hits():
+    """Distinct-stopword hit count over the ``toks`` column — shared by
+    text_gopher_rules and pipeline_train_ready so the gate cannot
+    silently diverge from the standalone operator."""
+    return F.size(
+        F.expr(
+            f"filter(array_distinct(toks), x -> array_contains(array({_GOPHER_STOPWORDS}), x))"
+        )
+    )
+
+
+def gopher_symbol_ratio(n_tokens):
+    """Non-alphanumeric character count per token (unrounded) — the
+    symbol-to-word ratio rule's shared core."""
+    return F.length(F.regexp_replace("text", r"[a-z0-9\s]", "")) * F.lit(1.0) / n_tokens
+
+
+
 @register(
     "text_gopher_rules",
     oracle=f"""
@@ -1831,14 +1862,8 @@ def text_gopher_rules(spark, sf_dir):
     frac_alpha = F.round(
         F.size(F.expr("filter(toks, x -> x rlike '[a-z]')")) * F.lit(1.0) / n, 4
     )
-    n_stop = F.size(
-        F.expr(
-            f"filter(array_distinct(toks), x -> array_contains(array({_GOPHER_STOPWORDS}), x))"
-        )
-    )
-    sym_ratio = F.round(
-        F.length(F.regexp_replace("text", r"[a-z0-9\s]", "")) * F.lit(1.0) / n, 4
-    )
+    n_stop = gopher_stop_hits()
+    sym_ratio = F.round(gopher_symbol_ratio(n), 4)
     feat = docs.filter(n > 0).select(
         "doc_id",
         n.alias("n_words"),
@@ -1953,16 +1978,7 @@ def sample_mixture(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     counts = d.groupBy("source").agg(F.count("*").alias("n_src"))
     n_min = counts.agg(F.min("n_src").alias("n_min"))
-    bkt = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("mix#"), F.col("doc_id").cast("string"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 1000
-    )
+    bkt = hash_bucket("mix#")
     keyed = (
         d.join(F.broadcast(counts), "source")
         .crossJoin(F.broadcast(n_min))
@@ -2154,12 +2170,8 @@ def pipeline_train_ready(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents").withColumn("toks", F.expr(TOKS_SPARK))
     n = F.size("toks")
-    n_stop = F.size(
-        F.expr(
-            f"filter(array_distinct(toks), x -> array_contains(array({_GOPHER_STOPWORDS}), x))"
-        )
-    )
-    sym_ratio = F.length(F.regexp_replace("text", r"[a-z0-9\s]", "")) * F.lit(1.0) / n
+    n_stop = gopher_stop_hits()
+    sym_ratio = gopher_symbol_ratio(n)
     gated = docs.filter((n >= 5) & (n_stop >= 1) & (sym_ratio <= 0.6)).select(
         "doc_id", "source", "text", n.alias("n_tok")
     )
@@ -2171,16 +2183,7 @@ def pipeline_train_ready(spark, sf_dir):
     )
     counts = deduped.groupBy("source").agg(F.count("*").alias("n_src"))
     n_min = counts.agg(F.min("n_src").alias("n_min"))
-    bkt = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("mix#"), F.col("doc_id").cast("string"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 1000
-    )
+    bkt = hash_bucket("mix#")
     mixed = (
         deduped.join(F.broadcast(counts), "source")
         .crossJoin(F.broadcast(n_min))

@@ -338,11 +338,16 @@ def spatial_join_grid(spark, sf_dir):
     values the forward projection used, with identical float
     association in the DuckDB twin, so cell ids match bit-exactly.
     """
-    px = nodata_filter(grid_unpivot(_tiles(spark, sf_dir)))
-    pts = px.filter(F.col("band_id") == "b1").select("col", "row", "value")
-    b2 = grid_unpivot(_tiles(spark, sf_dir).filter(F.col("band_id") == "b2"))
+    # ONE scan + unpivot feeds both sides (band filters prune after the
+    # melt, mirroring the oracle's single pix CTE) — a second read of
+    # the raster would be a full duplicate pass at scale.
+    px = grid_unpivot(_tiles(spark, sf_dir))
+    pts = (
+        px.filter((F.col("band_id") == "b1") & F.col("value").isNotNull())
+        .select("col", "row", "value")
+    )
     sites = (
-        b2.filter(F.col("pos") % 11 == 0)
+        px.filter((F.col("band_id") == "b2") & (F.col("pos") % 11 == 0))
         .select(
             F.col("tile_id").alias("site_tile"),
             "pos",
@@ -424,7 +429,8 @@ def raster_downsample(spark, sf_dir):
         FROM valid v CROSS JOIN offsets o
     )
     SELECT c.col, c.row, count(*) AS n_nbr, round(avg(c.value), 6) AS focal_mean
-    FROM contrib c JOIN valid ctr ON ctr.col = c.col AND ctr.row = c.row
+    FROM contrib c SEMI JOIN (SELECT DISTINCT col, row FROM valid) ctr
+      ON ctr.col = c.col AND ctr.row = c.row
     GROUP BY c.col, c.row
     """,
 )
@@ -453,11 +459,15 @@ def raster_focal_mean(spark, sf_dir):
         (F.col("row") + F.col("o.dr")).alias("crow"),
         "value",
     )
+    # TRUE semi-join mask (not an inner join against a non-distinct
+    # projection): contributions landing outside the valid-center set
+    # are dropped, and a hypothetical duplicate center can never
+    # multiply neighborhood counts.
     centers = valid.select(
         F.col("col").alias("ccol"), F.col("row").alias("crow")
     )
     return (
-        contrib.join(centers, ["ccol", "crow"])
+        contrib.join(centers, ["ccol", "crow"], "left_semi")
         .groupBy(F.col("ccol").alias("col"), F.col("crow").alias("row"))
         .agg(F.count("*").alias("n_nbr"), F.round(F.avg("value"), 6).alias("focal_mean"))
     )

@@ -46,26 +46,37 @@ def _split_events(src: str) -> str:
     type (pyarrow preserves the schema), so the reader's footer sniff
     applies unchanged.
     """
-    key = f"{os.path.abspath(src)}:{os.path.getmtime(src)}:{N_STREAM_SLICES}"
+    # size is part of the key: the corpus is regenerated between
+    # rounds, and an install that preserves mtime (cp -p, rsync -t)
+    # must not serve stale slices.
+    st = os.stat(src)
+    key = f"{os.path.abspath(src)}:{st.st_mtime}:{st.st_size}:{N_STREAM_SLICES}"
     digest = hashlib.md5(key.encode()).hexdigest()[:10]
     stream_dir = os.path.join(tempfile.gettempdir(), f"r2p_stream_{digest}")
-    done = os.path.join(stream_dir, "_SPLIT_DONE")
-    if os.path.exists(done):
+    if os.path.isdir(stream_dir):
         return stream_dir
+    import shutil
+
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(src)
     tbl = tbl.sort_by("ts")
     n = max(1, min(N_STREAM_SLICES, tbl.num_rows))
-    os.makedirs(stream_dir, exist_ok=True)
+    # build in a private tmp dir, then one atomic rename into place —
+    # a concurrent session never observes half-written part files.
+    tmp = f"{stream_dir}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
     step = -(-tbl.num_rows // n)  # ceil division
     now = time.time()
     for i in range(n):
-        part = os.path.join(stream_dir, f"part-{i:05d}.parquet")
+        part = os.path.join(tmp, f"part-{i:05d}.parquet")
         pq.write_table(tbl.slice(i * step, step), part)
         os.utime(part, (now + i, now + i))
-    with open(done, "w") as fh:
-        fh.write(f"{n}\n")
+    try:
+        os.rename(tmp, stream_dir)
+    except OSError:
+        # a concurrent builder won the rename; its content is identical
+        shutil.rmtree(tmp, ignore_errors=True)
     return stream_dir
 
 
@@ -82,9 +93,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if unit == "ns":
         raw = reader.schema(_EVENTS_RAW_SCHEMA).parquet(stream_dir)
         return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    # plain-int64 ts (unit None) is treated as epoch µs by the raw
-    # schema; logical timestamps read natively, NTZ when untagged.
     if unit is None:
+        # same contract as io.load_events: plain int64 = epoch µs;
+        # anything else is an error, never a guess.
+        import pyarrow as pa
+
+        if typ != pa.int64():
+            raise ValueError(f"events.ts has unsupported parquet type {typ!r}")
         raw = reader.schema(_EVENTS_RAW_SCHEMA).parquet(stream_dir)
         return raw.withColumn("ts", F.expr("timestamp_micros(ts)"))
     ts_ddl = "timestamp_ntz" if getattr(typ, "tz", None) is None else "timestamp"
@@ -109,15 +124,25 @@ class scoped_shuffle_partitions:
     instead; the conf is restored on exit so batch plans are untouched.
     """
 
+    _depth = 0  # reentrancy guard: only the OUTERMOST scope restores,
+    _outer_prev: str | None = None  # so nested/overlapping scopes can't
+    # capture the temporary value as "previous" and pin the session low.
+
     def __init__(self, spark: SparkSession, n: str = STREAM_SHUFFLE_PARTITIONS):
         self.spark, self.n = spark, n
 
     def __enter__(self):
-        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        cls = scoped_shuffle_partitions
+        if cls._depth == 0:
+            cls._outer_prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        cls._depth += 1
         self.spark.conf.set("spark.sql.shuffle.partitions", self.n)
 
     def __exit__(self, *exc):
-        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        cls = scoped_shuffle_partitions
+        cls._depth -= 1
+        if cls._depth == 0 and cls._outer_prev is not None:
+            self.spark.conf.set("spark.sql.shuffle.partitions", cls._outer_prev)
         return False
 
 
