@@ -2263,3 +2263,91 @@ def dedup_incremental(spark, sf_dir):
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+N_BPE_MERGES = 5
+
+
+def _bpe_pair_counts(words):
+    """Weighted adjacent-symbol pair counts over the word vocabulary.
+    words: (syms array<string>, n bigint).  Explode+groupBy with
+    map-side combine — the shuffle carries distinct pairs, and it runs
+    over the VOCABULARY (distinct words × their counts), never the
+    token stream."""
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(slice(syms, 1, size(syms) - 1), (s, i) -> struct(s as a, syms[i + 1] as b))"
+            )
+        ).alias("p"),
+        "n",
+    )
+    return pairs.groupBy("p.a", "p.b").agg(F.sum("n").alias("cnt"))
+
+
+def _bpe_apply_merge(words, a: str, b: str):
+    """Greedy left-to-right merge of adjacent (a, b) → a||b inside each
+    word's symbol array — a per-row aggregate() fold, zero shuffles.
+    A merged symbol does not re-pair within the same pass (standard
+    BPE application)."""
+    merged = (
+        "aggregate(syms, struct(cast(array() as array<string>) as acc, "
+        "cast(null as string) as prev), "
+        "(s, x) -> case "
+        f" when s.prev is null then struct(s.acc as acc, x as prev) "
+        f" when s.prev = '{a}' and x = '{b}' then "
+        f"   struct(concat(s.acc, array('{a}{b}')) as acc, cast(null as string) as prev) "
+        " else struct(concat(s.acc, array(s.prev)) as acc, x as prev) end, "
+        "s -> case when s.prev is null then s.acc "
+        "     else concat(s.acc, array(s.prev)) end)"
+    )
+    return words.select(F.expr(merged).alias("syms"), "n")
+
+
+def bpe_train(spark, sf_dir, n_merges: int = N_BPE_MERGES):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016) —
+    learn the top-K merge rules from the corpus.
+
+    Scale shape per iteration: ONE pair-count aggregate over the word
+    vocabulary (map-side combined; the corpus itself is touched once,
+    to build the vocab) + a 1-row argmax collect (metadata-only,
+    like the grid validation collects) + a per-row merge fold.  K
+    iterations = K tiny jobs over an ever-smaller symbol population;
+    the vocab is cached between rounds.  This is the textbook
+    map-reduce BPE trainer, not a driver-side loop over tokens.
+    """
+    docs = t_fanout(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.expr(TOKS_SPARK)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .select(F.expr("transform(split(w, ''), c -> c)").alias("syms"), "n")
+        .filter(F.size("syms") > 0)
+    )
+    rules = []
+    for rank in range(n_merges):
+        words = words.localCheckpoint(eager=True)  # truncate fold lineage
+        top = (
+            _bpe_pair_counts(words)
+            .orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0].a, top[0].b, top[0].cnt
+        rules.append((rank, a, b, int(cnt)))
+        words = _bpe_apply_merge(words, a, b)
+    return spark.createDataFrame(
+        rules, "rank int, sym_a string, sym_b string, pair_count bigint"
+    )
+
+
+@register("bpe_train", check="rows-only")
+def bpe_train_q(spark, sf_dir):
+    """Driver key: the learned top-5 merge table.  rows-only by design
+    — replicating 5 unrolled merge iterations in one SQL oracle would
+    test the oracle author, not the engine; instead the unit test
+    checks the merges against a pure-Python reference BPE trainer on
+    the same corpus sample."""
+    return bpe_train(spark, sf_dir)

@@ -283,3 +283,52 @@ def test_embed_quantize_bounds_and_error(spark, registry):
         # 64-dim unit-norm vector, step size scale/127: worst-case L2
         # error sqrt(64)*(scale/254) — allow 2x slack
         assert r.recon_err <= 2 * (64 ** 0.5) * r.scale / 254 + 1e-6, r
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    """The distributed trainer must learn the exact merge sequence a
+    sequential reference BPE (Sennrich-style, same tiebreak) learns on
+    the same corpus."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from tests.conftest import SF0001
+    from raster2points_spark.queries.llm import N_BPE_MERGES, bpe_train
+
+    texts = pq.read_table(f"{SF0001}/documents.parquet", columns=["text"]).column(
+        "text"
+    ).to_pylist()
+    words = Counter()
+    for t_ in texts:
+        for w in t_.lower().split(" "):
+            if w:
+                words[w] += 1
+    vocab = Counter()
+    for w, n in words.items():
+        vocab[tuple(w)] += n
+    want = []
+    for rank in range(N_BPE_MERGES):
+        pc = Counter()
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += n
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        want.append((rank, a, b, cnt))
+        new_vocab = Counter()
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] += n
+        vocab = new_vocab
+
+    got = [tuple(r) for r in bpe_train(spark, SF0001).orderBy("rank").collect()]
+    assert got == want
