@@ -345,3 +345,12 @@ def stream_foreach_batch(spark, sf_dir):
             .awaitTermination()
         )
     return spark.read.parquet(out)
+
+
+# NOTE (r4): Spark 4's transformWithStateInPandas (the modern typed-
+# ValueState successor to applyInPandasWithState) was prototyped here
+# but cannot run in this container — its runner requires
+# google.protobuf, which is absent/broken (ImportError: cannot import
+# name 'descriptor').  stream_custom_state covers the same workload on
+# the applyInPandasWithState API; swap in transformWithStateInPandas
+# where protobuf is available.
