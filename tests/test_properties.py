@@ -157,3 +157,61 @@ def test_connected_components_matches_union_find(spark, edges):
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
     got = {r.doc: r.lab for r in connected_components(df).collect()}
     assert got == _union_find_components(edges)
+
+
+def test_bpe_merge_fold_matches_python_on_random_words(spark):
+    """The aggregate() merge fold must apply greedy left-to-right BPE
+    merging identically to the obvious sequential implementation, for
+    arbitrary symbol sequences including overlapping pairs (aaa),
+    repeats, and pair-at-boundary cases.  200 seeded random words are
+    checked in ONE Spark job (the word index rides in the n column)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from raster2points_spark.queries.llm import _bpe_apply_merge
+
+    rng = random.Random(42)
+    alphabet = ["a", "b", "c"]
+    words = [
+        [rng.choice(alphabet) for _ in range(rng.randint(1, 12))] for _ in range(200)
+    ]
+    a, b = "a", "b"
+
+    def ref_merge(syms):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    tagged = spark.createDataFrame(
+        [(w, i) for i, w in enumerate(words)], "syms array<string>, n long"
+    )
+    got = {r.n: r.syms for r in _bpe_apply_merge(tagged, a, b).collect()}
+    want = {i: ref_merge(w) for i, w in enumerate(words)}
+    assert got == want
+
+
+def test_morton_key_roundtrip_random_pairs(spark):
+    """z-order interleave must be invertible: deinterleaving the even/
+    odd bits of zkey recovers (a, b) exactly for 200 seeded random
+    16-bit pairs — one Spark job."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from raster2points_spark.queries.scans import _Z_SPARK
+
+    rng = random.Random(7)
+    pairs = [(rng.randrange(0, 65536), rng.randrange(0, 65536)) for _ in range(200)]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    rows = df.select("a", "b", F.expr(_Z_SPARK).alias("z")).collect()
+    for r in rows:
+        a = sum(((r.z >> (2 * i)) & 1) << i for i in range(16))
+        b = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (a, b) == (r.a, r.b), (r.a, r.b, r.z)
