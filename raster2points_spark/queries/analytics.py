@@ -273,3 +273,86 @@ def profile_columns(spark, sf_dir):
             "AS (col, n_filled, n_distinct, min_str, max_str)"
         )
     )
+
+
+@register(
+    "graph_pagerank",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT l_orderkey AS src, l_partkey + 10000000 AS dst FROM lineitem
+    ),
+    nodes AS (
+        SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges
+    ),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
+    c1 AS (
+        SELECT e.dst AS id, sum(r0.r / o.d) AS c
+        FROM edges e JOIN r0 ON r0.id = e.src JOIN outdeg o ON o.src = e.src
+        GROUP BY e.dst
+    ),
+    r1 AS (
+        SELECT n.id, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c1.c, 0) AS r
+        FROM nodes n LEFT JOIN c1 ON c1.id = n.id
+    ),
+    c2 AS (
+        SELECT e.dst AS id, sum(r1.r / o.d) AS c
+        FROM edges e JOIN r1 ON r1.id = e.src JOIN outdeg o ON o.src = e.src
+        GROUP BY e.dst
+    ),
+    r2 AS (
+        SELECT n.id, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c2.c, 0) AS r
+        FROM nodes n LEFT JOIN c2 ON c2.id = n.id
+    )
+    SELECT id, round(r * (SELECT n FROM nn), 6) AS rank_scaled
+    FROM r2
+    ORDER BY rank_scaled DESC, id
+    LIMIT 100
+    """,
+)
+def graph_pagerank(spark, sf_dir):
+    """PageRank, 2 synchronous iterations (damping 0.85, naive sink
+    handling) over the order→part bipartite graph — the iterative
+    message-passing companion to connected_components: each round is
+    one edges⋈ranks join + a partial-aggregated groupBy(dst), the
+    textbook Pregel step as DataFrames.
+
+    Scale shape: ranks and out-degrees co-shuffle on src; the
+    node-count and per-round scalars are 1-row broadcasts; a real run
+    adds localCheckpoint per round (see connected_components) and
+    iterates to convergence — 2 rounds are unrolled here so the DuckDB
+    oracle can state the exact fixpoint-prefix.  Output is rank×N
+    (scale-free, O(1) magnitudes) rounded at 6 dp, top-100 with id
+    tiebreak (R2)."""
+    li = t(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            F.col("l_orderkey").alias("src"),
+            (F.col("l_partkey") + 10000000).alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = edges.select(F.col("src").alias("id")).union(
+        edges.select(F.col("dst").alias("id"))
+    ).distinct()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    n_nodes = nodes.count()  # one scalar job; drives literals below
+    ranks = nodes.select("id", F.lit(1.0 / n_nodes).alias("r"))
+    for _ in range(2):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("id", "src"), "src")
+            .join(outdeg, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("r") / F.col("d")).alias("c"))
+        )
+        ranks = nodes.join(contrib, "id", "left").select(
+            "id",
+            (F.lit(0.15 / n_nodes) + F.lit(0.85) * F.coalesce("c", F.lit(0.0))).alias("r"),
+        )
+        ranks = ranks.localCheckpoint(eager=False)
+    return (
+        ranks.select("id", F.round(F.col("r") * n_nodes, 6).alias("rank_scaled"))
+        .orderBy(F.col("rank_scaled").desc(), "id")
+        .limit(100)
+    )
