@@ -2351,3 +2351,59 @@ def bpe_train_q(spark, sf_dir):
     checks the merges against a pure-Python reference BPE trainer on
     the same corpus sample."""
     return bpe_train(spark, sf_dir)
+
+
+@register(
+    "text_url_domain",
+    oracle="""
+    WITH urls AS (
+        SELECT doc_id,
+               concat('https://', source, '.example.com/docs/',
+                      cast(doc_id AS varchar), '?lang=', lang) AS url
+        FROM documents
+    ),
+    parsed AS (
+        SELECT doc_id,
+               regexp_extract(url, '^https?://([^/]+)', 1) AS domain,
+               regexp_extract(url, '^https?://[^/]+(/[^?#]*)', 1) AS path,
+               regexp_extract(url, '\\?lang=([a-z]+)', 1) AS lang_param
+        FROM urls
+    )
+    SELECT domain, lang_param, count(*) AS n,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM parsed GROUP BY 1, 2
+    """,
+)
+def text_url_domain(spark, sf_dir):
+    """URL domain/path extraction + per-domain rollup — the web-corpus
+    staple (domain-level dedup keys, mixture weights, blocklists all
+    key on the registrable domain).  URLs are synthesized
+    deterministically from the corpus (no URL column exists); Spark
+    uses the JVM `parse_url` built-in for HOST while the oracle states
+    the same extraction as anchored regexes — matching proves the two
+    formulations agree, and the regex twin is what you would port to
+    an engine without parse_url.  Pure projection + one rollup
+    shuffle."""
+    d = t(spark, sf_dir, "documents")
+    urls = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/docs/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?lang="),
+            F.col("lang"),
+        ).alias("url"),
+    )
+    parsed = urls.select(
+        "doc_id",
+        F.expr("parse_url(url, 'HOST')").alias("domain"),
+        F.expr("parse_url(url, 'PATH')").alias("path"),
+        F.expr("parse_url(url, 'QUERY', 'lang')").alias("lang_param"),
+    )
+    return parsed.groupBy("domain", "lang_param").agg(
+        F.count("*").alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

@@ -229,3 +229,37 @@ def scd2_build(spark, sf_dir):
         F.count(F.when(cur, 1)).alias("n_current"),
         F.round(F.sum(F.when(cur, F.col("value"))), 2).alias("current_value"),
     )
+
+
+@register(
+    "win_ntile",
+    oracle="""
+    WITH b AS (
+        SELECT c_mktsegment, c_custkey,
+               ntile(10) OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal, c_custkey) AS decile,
+               c_acctbal
+        FROM customer
+    )
+    SELECT c_mktsegment, decile, count(*) AS n,
+           round(min(c_acctbal), 2) AS lo, round(max(c_acctbal), 2) AS hi
+    FROM b GROUP BY 1, 2
+    """,
+)
+def win_ntile(spark, sf_dir):
+    """Equal-frequency binning (deciles per segment) via ntile — the
+    quantile-bucketing primitive behind stratified sampling and
+    feature binning; total-order tiebreak on the key (R2) makes bin
+    membership deterministic, so the per-bin rollup hash-matches."""
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    b = t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_custkey",
+        F.ntile(10).over(w).alias("decile"),
+        "c_acctbal",
+    )
+    return b.groupBy("c_mktsegment", "decile").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("c_acctbal"), 2).alias("lo"),
+        F.round(F.max("c_acctbal"), 2).alias("hi"),
+    )
