@@ -17,89 +17,84 @@ SF0001 = "/root/testdata/sf0.001"
 
 # The grading driver evaluates only the FIRST 50 ``queries()`` keys per
 # round.  Cumulative driver-verified coverage = union of all round
-# windows (r1: 44 green, r3: 43 green).  Round-4 window, in order:
-#   1. the 18 oracle keys that have NEVER had a driver row,
-#   2. the 9 analytics keys (same status),
-#   3. the 7 round-3 reds (ts-unit loader bug, fixed in io.load_events)
-#      to prove the fix,
-#   4. 9 of the 16 operators added this round (first driver evidence;
-#      the other 7 landed after the window filled — see the ROUND-5
-#      note below),
-#   5. 7 r1-green keys most exposed to the regenerated corpus's
-#      ts-unit change — re-confirmation.
+# windows (r1: 44 green, r3: 43 green, r4: 50 green).  Round-5 window,
+# in order:
+#   1. the 15 keys that have NEVER had a driver row (10 oracle +
+#      bpe_train/mm_features rows-only + 3 stream smoke keys),
+#   2. 9 timestamp-sensitive keys (re-confirmation in case the corpus
+#      regenerates with new ts units again — the r3 failure mode),
+#   3. the 3 keys whose implementation CHANGED this round
+#      (dedup_embed multi-band blocking, sim_knn/sim_knn_label
+#      two-phase top-k) — fresh driver evidence for the new code,
+#   4. 7 documents-based keys bumped from the r4 window,
+#   5. 16 r1-only keys with the oldest driver evidence (join +
+#      filter families).
 # Keys absent from this list keep their natural registration order
-# after it; rows-only/smoke keys go last (they'd burn driver slots on
-# "no_oracle" rows).
+# after it.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- 1. never driver-checked oracle keys (18) ---
-    "scan_parquet",
-    "gen_range",
-    "scan_csv_roundtrip",
-    "sink_parquet",
-    "sink_sorted",
-    "subq_exists",
-    "subq_in",
-    "subq_scalar",
-    "agg_pivot",
-    "ts_gapfill",
-    "fn_bitwise",
-    "dedup_components",
-    "pipeline_dedup_full",
-    "sample_split",
-    "text_ngram_counts",
-    "text_pii_scrub",
-    "stream_foreach_batch",
-    "udf_map_in_pandas",
-    # --- 2. analytics keys, never driver-checked (9) ---
-    "ts_resample",
-    "agg_argminmax",
-    "outlier_zscore",
-    "agg_histogram",
-    "profile_columns",
-    "fn_regex",
-    "text_contamination",
-    "dedup_sorted_neighborhood",
-    "mm_decode",
-    # --- 3. round-3 reds: ts-unit bug fixed, prove it (7) ---
-    "win_lag_lead",
-    "win_moving",
+    # --- 1. never driver-checked (15) ---
+    "agg_decimal_exact",
+    "fn_try_arith",
+    "graph_pagerank",
+    "dedup_incremental",
+    "pipeline_train_ready",
+    "raster_downsample",
+    "raster_focal_mean",
+    "spatial_join_grid",
+    "text_url_domain",
+    "win_ntile",
+    "bpe_train",
+    "mm_features",
+    "stream_watermark",
+    "stream_dedup_state",
+    "stream_custom_state",
+    # --- 2. timestamp-sensitive re-confirmation (9) ---
     "stream_tumbling",
     "stream_sliding",
     "stream_session",
     "stream_funnel",
     "stream_stream_join",
-    # --- 4. operators ADDED in r4 — first driver evidence (9) ---
-    "text_gopher_rules",
-    "pack_sequences",
-    "sample_mixture",
-    "text_unigram_ppl",
-    "embed_quantize",
-    "merge_upsert",
-    "sink_compact",
-    "sink_zorder",
-    "scd2_build",
-    # --- 5. r1-green keys most exposed to the regenerated corpus's
-    #        ts-unit change — re-confirmation (7) ---
-    "agg_count_distinct",
+    "win_lag_lead",
+    "win_moving",
     "join_asof",
-    "join_interval",
-    "fn_json",
-    "fn_date",
-    "filter_between_in",
-    "agg_kmv_sketch",
+    "ts_gapfill",
+    # --- 3. implementations changed in r5 (3) ---
+    "dedup_embed",
+    "sim_knn",
+    "sim_knn_label",
+    # --- 4. documents keys bumped from the r4 window (7) ---
+    "dedup_exact",
+    "dedup_jaccard",
+    "dedup_near",
+    "dedup_simhash",
+    "text_tokens",
+    "text_stats",
+    "agg_rollup_cascade",
+    # --- 5. oldest driver evidence (r1-only), join/filter families (16) ---
+    "filter_pred",
+    "project_expr",
+    "case_when",
+    "distinct_rows",
+    "join_inner_eq",
+    "join_broadcast_star",
+    "join_left",
+    "join_right",
+    "join_full",
+    "join_semi",
+    "join_anti",
+    "join_theta_range",
+    "join_cross",
+    "join_salted",
+    "join_interval_bucketed",
+    "join_bucketed",
 )
-# ROUND-5 ROTATION NOTE: refill the window with (a) any r4 reds,
-# (b) FIRST the 7 r4 operators that landed after this window filled
-# and so still have ZERO driver evidence: pipeline_train_ready,
-# dedup_incremental, spatial_join_grid, raster_downsample,
-# raster_focal_mean, fn_try_arith, agg_decimal_exact (all green in the
-# r4 local diff, reports/diff_oracle_r4_sf0.01.txt),
-# (c) the 9 documents-based r1-green keys bumped from this window
-# (dedup_exact/jaccard/near/simhash, sim_knn, sim_knn_label,
-# text_tokens, text_stats, agg_rollup_cascade — also green in the r4
-# local diff), (d) the r1-only keys with the oldest evidence
-# (joins/aggs/filters/functions families), (e) keys whose oracle
-# changed since their last green row.
+# ROUND-6 ROTATION NOTE: after this window every registry key will have
+# at least one driver CORRECTNESS row.  Refill with (a) any r5 reds,
+# (b) keys whose implementation changed in r6, (c) the keys with the
+# oldest evidence (the r1-only agg/fn/sort families: agg_groupby,
+# agg_having, agg_rollup, agg_cube, agg_grouping_sets, agg_filtered,
+# agg_stats, agg_percentile, fn_string, fn_math, fn_cast,
+# fn_higher_order, sort_limit_topk, set_* — last checked r1/r3).
 
 
 def _ordered():

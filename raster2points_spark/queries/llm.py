@@ -526,7 +526,18 @@ _DOT_SPARK = (
 )
 
 
-def _knn_pairs(spark, sf_dir, n_probes=5, k=10):
+def _knn_pairs(spark, sf_dir, n_probes=5, k=10, prune_buckets=64):
+    """Two-phase distributed top-k of probe·corpus cosine scores.
+
+    Phase 1 prunes per (probe_id, pmod(vec_id, P)) sub-bucket: every
+    window partition holds ~n/P candidate rows, so with P=64 the sort
+    work stays spread over n_probes·P tasks instead of funnelling the
+    whole corpus into n_probes partitions.  Because the bucket prune
+    uses the SAME total order as the final rank (sim DESC, vec_id ASC),
+    every global top-k row is by construction within the top-k of its
+    own bucket — phase 2 then ranks at most P·k survivors per probe.
+    At 100 TB raise P to ~#cores; the survivor set stays O(P·k) rows.
+    """
     emb = t_fanout(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("ce"), "label"
     )
@@ -545,8 +556,17 @@ def _knn_pairs(spark, sf_dir, n_probes=5, k=10):
     )
     from pyspark.sql import Window
 
+    wb = Window.partitionBy("probe_id", "bkt").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    pruned = (
+        pairs.withColumn("bkt", F.pmod(F.col("vec_id"), F.lit(prune_buckets)))
+        .withColumn("prn", F.row_number().over(wb))
+        .filter(F.col("prn") <= k)
+        .drop("bkt", "prn")
+    )
     w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
-    return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return pruned.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
 
 _KNN_ORACLE_CTE = """
@@ -1115,48 +1135,82 @@ _EMB_UNNEST_CTE = """
 """
 
 
-# Sign-random-projection LSH for dedup_embed: _SRP_BITS md5-seeded
-# integer hyperplanes over the 64-dim embedding.  Weights are derived
-# from md5("bit#dim") at query-BUILD time (hashlib == SQL md5, so both
-# engines could re-derive them; we embed them as literals), components
-# are quantized to integer milli-units, and the projection sign is
-# computed in exact bigint arithmetic — the bucket id is therefore
+# Sign-random-projection LSH for dedup_embed: md5-seeded integer
+# hyperplanes over the 64-dim embedding, arranged as an OR-construction
+# of _SRP_BANDS independent bands of _SRP_BAND_BITS bits each (the same
+# banding trick as dedup_near's 4×3 MinHash bands).  A pair is a
+# candidate iff it collides on ANY band's full bucket, so expected
+# bucket size is n/2^band_bits (2^8 = 256 buckets per band — quadratic
+# blow-up per bucket is n²/256, vs n²/16 for the old single 4-bit
+# band) while multi-band OR keeps recall: for a true near-dup at
+# cos≈0.9 the per-bit collision prob is ~0.857, so one 8-bit band
+# catches ~29% and three bands 1-(1-0.29)³ ≈ 64% — better than the old
+# single 4-bit band's 54%, with 16× smaller buckets.  At 100 TB raise
+# band_bits (buckets shrink 2× per bit) and add bands to hold recall.
+#
+# Weights derive from md5("band:bit#dim") at query-BUILD time (band 0
+# keeps the legacy "bit#dim" seed so single-band containment is
+# property-testable), components are quantized to integer milli-units,
+# and projection signs use exact bigint arithmetic — bucket ids are
 # bit-identical across engines with no float-sum-order risk.
-_SRP_BITS, _SRP_DIM = 4, 64
+_SRP_BANDS, _SRP_BAND_BITS, _SRP_DIM = 3, 8, 64
 
 
-def _srp_weights() -> list[list[int]]:
+def _srp_weights() -> list[list[list[int]]]:
     import hashlib
+
+    def seed(band: int, k: int, j: int) -> str:
+        return f"{k}#{j}" if band == 0 else f"{band}:{k}#{j}"
 
     return [
         [
-            int(hashlib.md5(f"{k}#{j}".encode()).hexdigest()[:15], 16) % 2001 - 1000
-            for j in range(_SRP_DIM)
+            [
+                int(hashlib.md5(seed(band, k, j).encode()).hexdigest()[:15], 16) % 2001
+                - 1000
+                for j in range(_SRP_DIM)
+            ]
+            for k in range(_SRP_BAND_BITS)
         ]
-        for k in range(_SRP_BITS)
+        for band in range(_SRP_BANDS)
     ]
 
 
-def _srp_bucket_spark() -> str:
-    """Bucket expression over a materialized bigint-array column ``ei``."""
-    bits = []
-    for k, row in enumerate(_srp_weights()):
-        arr = "array(" + ", ".join(f"{w}L" for w in row) + ")"
-        s = f"aggregate(zip_with(ei, {arr}, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
-        bits.append(f"CASE WHEN {s} >= 0 THEN {1 << (_SRP_BITS - 1 - k)} ELSE 0 END")
-    return " + ".join(bits)
+def _srp_band_exprs_spark() -> list[str]:
+    """Per-band bucket expressions over a materialized bigint-array ``ei``.
+
+    Band b's bucket id is offset by b·2^bits so bucket keys never
+    collide across bands in the join.
+    """
+    out = []
+    for band, rows in enumerate(_srp_weights()):
+        bits = []
+        for k, row in enumerate(rows):
+            arr = "array(" + ", ".join(f"{w}L" for w in row) + ")"
+            s = f"aggregate(zip_with(ei, {arr}, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+            bits.append(
+                f"CASE WHEN {s} >= 0 THEN {1 << (_SRP_BAND_BITS - 1 - k)} ELSE 0 END"
+            )
+        out.append(f"cast({band * (1 << _SRP_BAND_BITS)} + " + " + ".join(bits) + " AS bigint)")
+    return out
 
 
-def _srp_bucket_duck() -> str:
-    bits = []
-    for k, row in enumerate(_srp_weights()):
-        arr = "[" + ", ".join(str(w) for w in row) + "]"
-        s = (
-            f"list_aggregate(list_transform(generate_series(1, {_SRP_DIM}), "
-            f"i -> ({arr})[i] * ei[i]), 'sum')"
+def _srp_band_exprs_duck() -> list[str]:
+    out = []
+    for band, rows in enumerate(_srp_weights()):
+        bits = []
+        for k, row in enumerate(rows):
+            arr = "[" + ", ".join(str(w) for w in row) + "]"
+            s = (
+                f"list_aggregate(list_transform(generate_series(1, {_SRP_DIM}), "
+                f"i -> ({arr})[i] * ei[i]), 'sum')"
+            )
+            bits.append(
+                f"CASE WHEN {s} >= 0 THEN {1 << (_SRP_BAND_BITS - 1 - k)} ELSE 0 END"
+            )
+        out.append(
+            f"cast({band * (1 << _SRP_BAND_BITS)} + " + " + ".join(bits) + " AS bigint)"
         )
-        bits.append(f"CASE WHEN {s} >= 0 THEN {1 << (_SRP_BITS - 1 - k)} ELSE 0 END")
-    return " + ".join(bits)
+    return out
 
 
 @register(
@@ -1168,9 +1222,12 @@ def _srp_bucket_duck() -> str:
                list_transform(embedding, x -> cast(x AS double)) AS e
         FROM embeddings
     ),
-    bkt AS (SELECT vec_id, e, {_srp_bucket_duck()} AS bucket FROM q),
+    bkt AS (
+        SELECT vec_id, e, unnest([{", ".join(_srp_band_exprs_duck())}]) AS bucket
+        FROM q
+    ),
     pairs AS (
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
                round(list_aggregate(list_transform(generate_series(1, {_SRP_DIM}),
                      i -> a.e[i] * b.e[i]), 'sum'), 4) AS cos_sim
         FROM bkt a JOIN bkt b
@@ -1180,27 +1237,33 @@ def _srp_bucket_duck() -> str:
     """,
 )
 def dedup_embed(spark, sf_dir):
-    """Embedding-cosine near-dup pairs, LSH-bucket-blocked.
+    """Embedding-cosine near-dup pairs, multi-band SRP-LSH-blocked.
 
-    The block key is a 4-bit sign-random-projection bucket
-    (md5-seeded integer hyperplanes, exact bigint arithmetic — see
-    _srp_weights), so the pair space is O(n²/2^bits) in expectation and
-    shrinks geometrically with more bits; at 100 TB you'd raise
-    _SRP_BITS until buckets fit a shuffle partition.  r1 blocked on
-    ``label`` — a coarse stand-in the judge flagged (O(n²/L) pairs).
-    Candidate dot products run JVM-side via zip_with/aggregate after a
-    single shuffle on the bucket key.
+    Block keys are _SRP_BANDS independent sign-random-projection bands
+    of _SRP_BAND_BITS bits (OR-construction — same banding trick as
+    dedup_near): each vector lands in exactly B buckets, a pair is a
+    candidate iff it collides in ANY band, and the within-bucket pair
+    space is O(n²/2^band_bits) per band — 256 buckets/band here vs the
+    old single 4-bit band's 16, with BETTER recall on true near-dups
+    (see _srp_weights block comment for the numbers).  Candidate dot
+    products run JVM-side via zip_with/aggregate after one shuffle on
+    the bucket key; distinct() collapses pairs that collide in
+    multiple bands (cos_sim is a deterministic sequential fold, so
+    duplicate rows are bit-identical).
     """
     emb = t_fanout(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("e"),
-        # materialized (NOT inlined into the 4 bucket folds — the
+        # materialized (NOT inlined into the 24 bucket folds — the
         # project-collapse re-eval trap) integer milli-unit components
         F.expr("transform(embedding, x -> cast(round(cast(x AS double) * 1000) AS bigint))").alias(
             "ei"
         ),
     )
-    bkt = emb.select("vec_id", "e", F.expr(_srp_bucket_spark()).alias("bucket"))
+    bands = "array(" + ", ".join(_srp_band_exprs_spark()) + ")"
+    bkt = emb.select(
+        "vec_id", "e", F.explode(F.expr(bands)).alias("bucket")
+    )
     a = bkt.alias("a")
     b = bkt.alias("b")
     dot = F.expr(
@@ -1213,6 +1276,7 @@ def dedup_embed(spark, sf_dir):
             F.col("b.vec_id").alias("vec_b"),
             F.round(dot, 4).alias("cos_sim"),
         )
+        .distinct()
         .filter(F.col("cos_sim") >= 0.3)
     )
 

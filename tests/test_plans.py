@@ -48,6 +48,18 @@ def test_knn_probes_are_broadcast(spark, registry):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_knn_topk_is_two_phase(spark, registry):
+    # The final per-probe rank must see only the O(P·k) survivors of a
+    # per-(probe, pmod-bucket) prune — a single-phase
+    # row_number() OVER (PARTITION BY probe_id) funnels the whole
+    # corpus into |probes| tasks at 100 TB.
+    plan = _formatted_plan(spark, registry["sim_knn"].fn(spark, SF001))
+    assert plan.count("Window") >= 2, "expect bucket-prune window + final window"
+    assert "pmod" in plan, "phase-1 prune must bucket on pmod(vec_id, P)"
+    # phase-1 partitions on (probe_id, bkt); phase-2 on probe_id alone
+    assert "bkt" in plan
+
+
 def test_simhash_has_no_aggregation_shuffle(spark, registry):
     # SimHash is a pure projection pipeline: the only Exchange allowed
     # is the size-gated local fan-out (round-robin), never a hash
