@@ -50,15 +50,15 @@ HEADLINE = [
     "stream_session",
     "udf_pandas_scalar",
     "udf_grouped_map",
+    # r4 flagships (added r5): the composed pipelines and iterative ops
+    # are exactly where a silent 2x regression would hide — bench them
+    # with their DuckDB comparator SQL like everything else.
+    "pipeline_train_ready",
+    "graph_pagerank",
+    "dedup_incremental",
+    "pack_sequences",
+    "text_unigram_ppl",
 ]
-# The r4 flagships (pipeline_train_ready, merge_upsert,
-# spatial_join_grid, …) are deliberately NOT in the headline set: at
-# sf0.1 they are constant-overhead-dominated micro-queries (DuckDB
-# ~10 ms vs Spark's ~0.5 s fixed job cost), so adding them would only
-# skew the comparator ratio without measuring anything real.  Their
-# correctness evidence lives in the committed all-keys gate report
-# (reports/diff_oracle_r4_sf0.01.txt; driver-window rows arrive via
-# the entry.py rotation); their scale properties in tests/test_plans.py.
 
 
 def main() -> int:

@@ -326,18 +326,27 @@ def graph_pagerank(spark, sf_dir):
     (scale-free, O(1) magnitudes) rounded at 6 dp, top-100 with id
     tiebreak (R2)."""
     li = t(spark, sf_dir, "lineitem")
+    # Loop invariants are persisted once: without this every branch
+    # (nodes x2, outdeg, and BOTH per-round contrib joins) re-runs the
+    # edge-dedup shuffle — at sf0.1 that alone was ~5 of the key's 6 s,
+    # and at 100 TB it is the difference between one scan of the edge
+    # list and seven.
     edges = (
         li.select(
             F.col("l_orderkey").alias("src"),
             (F.col("l_partkey") + 10000000).alias("dst"),
         )
         .distinct()
+        .persist()
     )
-    nodes = edges.select(F.col("src").alias("id")).union(
-        edges.select(F.col("dst").alias("id"))
-    ).distinct()
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("d"))
-    n_nodes = nodes.count()  # one scalar job; drives literals below
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("d")).persist()
+    n_nodes = nodes.count()  # one scalar job; also materializes the caches
     ranks = nodes.select("id", F.lit(1.0 / n_nodes).alias("r"))
     for _ in range(2):
         contrib = (

@@ -191,8 +191,14 @@ def stream_stream_join(spark, sf_dir):
     test corpus; on an unbounded feed you would tighten it to bound
     state (the join condition already lets Spark expire view-state
     older than an hour behind the purchase watermark).
+
+    Replays in 2 coarse micro-batches (max_files_per_trigger=4 over 8
+    slices): still genuinely cross-batch — batch-1 view-state joins
+    batch-2 purchases, asserted by the batch-equality test — but with
+    4x fewer state-store commit rounds than the aggregation keys,
+    whose per-batch state cost is far lower.
     """
-    ev = read_events_stream(spark, sf_dir)
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger=4)
     views = (
         ev.filter(F.col("event_type") == "view")
         .select(

@@ -80,16 +80,27 @@ def _split_events(src: str) -> str:
     return stream_dir
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
     """events.parquet as a streaming source, ``ts`` normalized to
     TimestampType (µs) exactly like the batch loader: footer-sniffed
-    unit, raw-int64 workaround only for genuine ns storage."""
+    unit, raw-int64 workaround only for genuine ns storage.
+
+    ``max_files_per_trigger`` controls replay granularity: 1 runs all
+    N_STREAM_SLICES micro-batches (maximum watermark/state exercise);
+    heavier stateful operators (stream-stream join) can pass a coarser
+    value — still multi-batch, but with proportionally fewer
+    state-store commit rounds.
+    """
     spark.conf.set("spark.sql.session.timeZone", "UTC")  # see queries._util.t
     src = os.path.join(sf_dir, "events.parquet")
     stream_dir = src if os.path.isdir(src) else _split_events(src)
     typ = parquet_ts_type(stream_dir)
     unit = getattr(typ, "unit", None)
-    reader = spark.readStream.option("maxFilesPerTrigger", "1")
+    reader = spark.readStream.option(
+        "maxFilesPerTrigger", str(max_files_per_trigger)
+    )
     if unit == "ns":
         raw = reader.schema(_EVENTS_RAW_SCHEMA).parquet(stream_dir)
         return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
