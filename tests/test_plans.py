@@ -265,3 +265,75 @@ def test_train_ready_pipeline_shuffle_budget(spark, registry):
     assert plan.count("Exchange hashpartitioning") <= 4, plan.count(
         "Exchange hashpartitioning"
     )
+
+
+@pytest.mark.skipif(
+    __import__("os").environ.get("SPARK_GRAFT_SF01_TESTS") != "1",
+    reason="sf0.1 evidence run; set SPARK_GRAFT_SF01_TESTS=1 (committed report: reports/aqe_skew_sf0.1.txt)",
+)
+def test_join_salted_matches_plain_and_aqe_splits_at_sf01(spark, registry):
+    """Heavy-corpus (sf0.1) evidence, two claims:
+
+    1. join_salted's aggregated result is row-identical to the plain
+       unsalted join on the real 600k-row lineitem — salting changes
+       only physical distribution, never values.
+    2. With a genuinely hot key (75% of lineitem mapped to one supplier)
+       and broadcast disabled, AQE's skew-join split fires on the real
+       corpus, not just the 400k synthetic rows of the sf0.01 test.
+    """
+    from pyspark.sql import functions as F
+
+    from raster2points_spark.queries._util import t
+
+    SF01 = "/root/testdata/sf0.1"
+
+    salted = registry["join_salted"].fn(spark, SF01)
+    li = t(spark, SF01, "lineitem")
+    sup = t(spark, SF01, "supplier")
+    plain = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+    got = {(r.l_suppkey, r.n, r.sum_price) for r in salted.collect()}
+    want = {(r.l_suppkey, r.n, r.sum_price) for r in plain.collect()}
+    assert got == want and len(got) > 0
+
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "65536",
+    }
+    prev = {k: spark.conf.get(k) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        hot = li.select(
+            F.when(F.rand(42) < 0.75, F.lit(1))
+            .otherwise(F.col("l_suppkey"))
+            .alias("k"),
+            "l_extendedprice",
+        )
+        dim = sup.select(F.col("s_suppkey").alias("k"), "s_name")
+        # The fact side must pass through an upstream shuffle first:
+        # AQE splits a skewed reduce partition at MAPPER boundaries,
+        # and the local sf0.1 parquet is a single row group — every
+        # scan split but one is empty, so a scan-fed exchange has ONE
+        # real mapper and nothing to split (verified empirically; a
+        # real 100 TB corpus has thousands of row groups, so the
+        # scan-fed case splits fine there).  repartition(32) is the
+        # honest stand-in for "fact side arrives from a prior stage".
+        j = hot.repartition(32).join(dim, "k").select("k", "l_extendedprice")
+        # materialize THIS DataFrame (not a derived count) so its own
+        # AQE plan finalizes; Arrow path keeps the 600k-row fetch cheap
+        assert len(j.toPandas()) > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE did not split the hot partition at sf0.1"
+        assert "skewed" in plan, "no skewed AQEShuffleRead at sf0.1"
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
