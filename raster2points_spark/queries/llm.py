@@ -2471,3 +2471,199 @@ def text_url_domain(spark, sf_dir):
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding utilities (round-5 additions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embed_normalize",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS e
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, e, len(e) AS dim,
+               sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm
+        FROM q
+    )
+    SELECT vec_id, dim, round(nrm, 4) AS l2,
+           round(e[1] / nrm, 4) AS unit_head,
+           round(list_aggregate(e, 'sum') / nrm, 4) AS unit_sum
+    FROM n
+    """,
+)
+def embed_normalize(spark, sf_dir):
+    """L2 norms + unit-vector checks — the preprocessing step every
+    cosine-similarity stage assumes.  Pure zero-shuffle projection:
+    the square-sum folds run JVM-side per row; at 100 TB this pipelines
+    inside the scan stage.  Exposes norm, first unit component and the
+    unit-projected component sum (deterministic sequential folds, so
+    both engines agree bit-for-bit before the 4-dp round)."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    n = emb.select(
+        "vec_id",
+        "e",
+        F.size("e").alias("dim"),
+        F.sqrt(
+            F.expr("aggregate(transform(e, x -> x * x), cast(0.0 AS double), (a, v) -> a + v)")
+        ).alias("nrm"),
+    )
+    return n.select(
+        "vec_id",
+        "dim",
+        F.round("nrm", 4).alias("l2"),
+        F.round(F.element_at("e", 1) / F.col("nrm"), 4).alias("unit_head"),
+        F.round(
+            F.expr("aggregate(e, cast(0.0 AS double), (a, v) -> a + v)") / F.col("nrm"), 4
+        ).alias("unit_sum"),
+    )
+
+
+@register(
+    "embed_centroids",
+    oracle="""
+    WITH e AS (
+        SELECT label,
+               generate_subscripts(embedding, 1) AS pos,
+               cast(unnest(embedding) AS double) AS v
+        FROM embeddings
+    )
+    SELECT label, pos, round(avg(v), 4) AS c, count(*) AS n
+    FROM e GROUP BY label, pos
+    """,
+)
+def embed_centroids(spark, sf_dir):
+    """Per-label centroid in long (label, dim-pos) form — the k-means /
+    class-prototype building block.  posexplode fans each vector into
+    dim rows, then ONE map-side-combined groupBy(label, pos): partial
+    sums collapse to |labels|x|dim| rows before the shuffle, so at
+    100 TB the exchange moves kilobytes regardless of corpus size.
+    pos is emitted 1-based to match the SQL generate_subscripts twin."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    return (
+        emb.select("label", F.posexplode("e").alias("pos0", "v"))
+        .groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.round(F.avg("v"), 4).alias("c"), F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sampling (round-5 additions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    WITH ranked AS (
+        SELECT source, doc_id,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(concat('strat#', cast(doc_id AS varchar))), doc_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY source) AS n_strat
+        FROM documents
+    )
+    SELECT source, doc_id, rn, n_strat
+    FROM ranked
+    WHERE rn <= ceil(0.1 * n_strat)
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Exact 10%-per-stratum sample: rank by a keyed md5 inside each
+    source stratum and keep ceil(0.1·n) rows — engine- and
+    partitioning-independent (same survivors everywhere), unlike
+    rate-based hash sampling which is only 10% in expectation.  One
+    shuffle on the stratum key serves both the rank and the stratum
+    count; at 100 TB strata are the natural partition and a skewed
+    mega-stratum falls back to the two-phase top-k shape (_knn_pairs)."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("strat#"), F.col("doc_id").cast("string"))), F.col("doc_id")
+    )
+    wc = Window.partitionBy("source")
+    ranked = d.select(
+        "source",
+        "doc_id",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n_strat"),
+    )
+    return ranked.filter(F.col("rn") <= F.ceil(0.1 * F.col("n_strat")))
+
+
+@register(
+    "sample_reservoir",
+    oracle="""
+    SELECT doc_id, source,
+           md5(concat('res#', cast(doc_id AS varchar))) AS sort_key
+    FROM documents
+    ORDER BY sort_key, doc_id
+    LIMIT 100
+    """,
+)
+def sample_reservoir(spark, sf_dir):
+    """Deterministic fixed-size (k=100) corpus sample: global top-k by
+    a keyed md5 — the reproducible stand-in for reservoir sampling
+    (same k rows regardless of engine, partitioning or arrival order).
+    Spark plans orderBy+limit as TakeOrderedAndProject: each partition
+    keeps its local top-100 and only P·k rows reach the driver-side
+    merge — no global sort at any scale."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.md5(F.concat(F.lit("res#"), F.col("doc_id").cast("string"))).alias("sort_key"),
+        )
+        .orderBy("sort_key", "doc_id")
+        .limit(100)
+    )
+
+
+@register(
+    "text_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct({TOKS_DUCK})) AS token
+        FROM documents
+    ),
+    tot AS (SELECT count(*) AS n_docs FROM documents),
+    df AS (SELECT token, count(*) AS doc_freq FROM tok GROUP BY token)
+    SELECT token, doc_freq,
+           round(doc_freq * 1.0 / (SELECT n_docs FROM tot), 4) AS df_frac
+    FROM df
+    WHERE doc_freq >= 0.05 * (SELECT n_docs FROM tot)
+    """,
+)
+def text_heavy_hitters(spark, sf_dir):
+    """Corpus-wide frequent tokens (document frequency >= 5% of docs)
+    — the data-driven stopword/boilerplate detector that feeds df-caps
+    like dedup_jaccard's MAX_SHINGLE_DF.  array_distinct in-row, then
+    ONE map-side-combined groupBy(token); the doc count joins back as
+    a 1-row broadcast.  Output is intrinsically tiny (tokens above a
+    df floor), so the final filter never materializes the long tail."""
+    d = t_fanout(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.expr(TOKS_SPARK))).alias("token")
+    )
+    df_counts = tok.groupBy("token").agg(F.count("*").alias("doc_freq"))
+    total = d.agg(F.count("*").alias("n_docs"))
+    return (
+        df_counts.crossJoin(F.broadcast(total))
+        .filter(F.col("doc_freq") >= 0.05 * F.col("n_docs"))
+        .select(
+            "token",
+            "doc_freq",
+            F.round(F.col("doc_freq") / F.col("n_docs"), 4).alias("df_frac"),
+        )
+    )

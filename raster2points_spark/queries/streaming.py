@@ -360,3 +360,28 @@ def stream_foreach_batch(spark, sf_dir):
 # name 'descriptor').  stream_custom_state covers the same workload on
 # the applyInPandasWithState API; swap in transformWithStateInPandas
 # where protobuf is available.
+
+
+@register(
+    "stream_distinct_users",
+    oracle="""
+    SELECT cast(floor(epoch(date_trunc('hour', ts))) AS bigint) AS ws,
+           event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_distinct_users(spark, sf_dir):
+    """Hourly distinct-user counts per event_type — the windowed
+    cardinality shape.  Batch form uses the exact two-level aggregate
+    (`window()` is again the streaming operator run in batch); the
+    unbounded-stream equivalent is dropDuplicates on
+    (window, event_type, user_id) within the watermark followed by a
+    plain count — both shapes shuffle once on the window+type key with
+    partial aggregation, and the distinct expansion stays bounded by
+    |users| per window, not event volume."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(unix_secs(F.col("w.start")).alias("ws"), "event_type", "n_users")
+    )

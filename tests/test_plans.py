@@ -337,3 +337,26 @@ def test_join_salted_matches_plain_and_aqe_splits_at_sf01(spark, registry):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_embed_normalize_is_pure_projection(spark, registry):
+    # norms/unit checks must pipeline inside the scan stage — any
+    # Exchange means the fold escaped the row
+    plan = _formatted_plan(spark, registry["embed_normalize"].fn(spark, SF001))
+    assert "Exchange" not in plan, "embed_normalize must not shuffle"
+
+
+def test_sample_reservoir_is_take_ordered(spark, registry):
+    # the k=100 deterministic sample must plan as a distributed partial
+    # top-k, never a full global sort
+    plan = _formatted_plan(spark, registry["sample_reservoir"].fn(spark, SF001))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan, "global sort leaked into sampling"
+
+
+def test_heavy_hitters_broadcasts_total(spark, registry):
+    # the 1-row corpus count joins via broadcast; the token counts side
+    # must be the only hash shuffle
+    plan = _formatted_plan(spark, registry["text_heavy_hitters"].fn(spark, SF001))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
