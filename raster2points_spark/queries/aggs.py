@@ -444,3 +444,51 @@ def ts_gapfill(spark, sf_dir):
         F.col("h").alias("hour_bkt"),
         F.coalesce("n", F.lit(0)).alias("n_events"),
     )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+    WITH cnt AS (
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT o_orderstatus, o_orderpriority, n,
+               row_number() OVER (
+                   PARTITION BY o_orderstatus
+                   ORDER BY n DESC, o_orderpriority
+               ) AS rn
+        FROM cnt
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS mode_count
+    FROM ranked WHERE rn = 1
+    """,
+)
+def agg_mode(spark, sf_dir):
+    """Per-group mode (most frequent value, smallest-value tiebreak) —
+    the categorical summary SQL's mode() gives single-node engines,
+    stated as the scalable two-level shape: map-side-combined
+    groupBy(group, value) counts (the only corpus-sized shuffle), then
+    a rank over the tiny (group x value) count relation.  Never
+    collect_list of raw values — at 100 TB a per-group value list OOMs
+    where the count relation stays |groups|·|distinct values| rows."""
+    from pyspark.sql import Window
+
+    cnt = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority")
+    )
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_count"),
+        )
+    )

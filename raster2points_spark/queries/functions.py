@@ -353,3 +353,34 @@ def agg_decimal_exact(spark, sf_dir):
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_exact"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "fn_binary",
+    oracle="""
+    SELECT o_orderkey,
+           to_base64(encode(o_orderpriority)) AS b64,
+           decode(from_base64(to_base64(encode(o_orderpriority)))) AS b64_rt,
+           lower(to_hex(encode(o_orderstatus))) AS hexs,
+           md5(o_orderpriority) AS md5_hex,
+           octet_length(encode(o_orderpriority)) AS n_bytes
+    FROM orders
+    """,
+)
+def fn_binary(spark, sf_dir):
+    """Binary codec surface: base64/hex encode + round-trip decode and
+    byte length — the opaque-payload plumbing the multimodal columns
+    ride on (mm_struct stores binary; sinks exchange it as base64).
+    Pure codegen projections, zero shuffles; Spark's base64() chunks
+    per RFC 2045 only past 57 bytes, so short strings match DuckDB's
+    unchunked to_base64 exactly."""
+    o = t(spark, sf_dir, "orders")
+    b = F.col("o_orderpriority").cast("binary")
+    return o.select(
+        "o_orderkey",
+        F.base64(b).alias("b64"),
+        F.unbase64(F.base64(b)).cast("string").alias("b64_rt"),
+        F.lower(F.hex(F.col("o_orderstatus").cast("binary"))).alias("hexs"),
+        F.md5(b).alias("md5_hex"),
+        F.length(b).alias("n_bytes"),
+    )
