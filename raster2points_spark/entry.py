@@ -27,8 +27,10 @@ SF0001 = "/root/testdata/sf0.001"
 #      (dedup_embed multi-band blocking, sim_knn/sim_knn_label
 #      two-phase top-k) — fresh driver evidence for the new code,
 #   4. 7 documents-based keys bumped from the r4 window,
-#   5. 16 r1-only keys with the oldest driver evidence (join +
-#      filter families).
+#   5. the 8 operators ADDED in r5 (zero driver evidence otherwise),
+#   6. 8 r1-only keys with the oldest driver evidence (join/filter
+#      families; the other 8 r1-only keys keep their r1 rows and
+#      rotate in next round).
 # Keys absent from this list keep their natural registration order
 # after it.
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -70,20 +72,21 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_tokens",
     "text_stats",
     "agg_rollup_cascade",
-    # --- 5. oldest driver evidence (r1-only), join/filter families (16) ---
+    # --- 5. operators ADDED in r5 — first driver evidence (8) ---
+    "embed_normalize",
+    "embed_centroids",
+    "sample_stratified",
+    "sample_reservoir",
+    "text_heavy_hitters",
+    "stream_distinct_users",
+    "agg_mode",
+    "fn_binary",
+    # --- 6. oldest driver evidence (r1-only), join/filter families (8) ---
     "filter_pred",
-    "project_expr",
-    "case_when",
-    "distinct_rows",
     "join_inner_eq",
     "join_broadcast_star",
-    "join_left",
-    "join_right",
-    "join_full",
     "join_semi",
     "join_anti",
-    "join_theta_range",
-    "join_cross",
     "join_salted",
     "join_interval_bucketed",
     "join_bucketed",
@@ -91,10 +94,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # ROUND-6 ROTATION NOTE: after this window every registry key will have
 # at least one driver CORRECTNESS row.  Refill with (a) any r5 reds,
 # (b) keys whose implementation changed in r6, (c) the keys with the
-# oldest evidence (the r1-only agg/fn/sort families: agg_groupby,
-# agg_having, agg_rollup, agg_cube, agg_grouping_sets, agg_filtered,
-# agg_stats, agg_percentile, fn_string, fn_math, fn_cast,
-# fn_higher_order, sort_limit_topk, set_* — last checked r1/r3).
+# oldest evidence — the r1-only keys bumped from this window
+# (project_expr, case_when, distinct_rows, join_left, join_right,
+# join_full, join_theta_range, join_cross) plus the r1-only agg/fn/
+# sort families (agg_groupby, agg_having, agg_rollup, agg_cube,
+# agg_grouping_sets, agg_filtered, agg_stats, agg_percentile,
+# fn_string, fn_math, fn_cast, fn_higher_order, sort_limit_topk,
+# set_* — last checked r1/r3).
 
 
 def _ordered():
