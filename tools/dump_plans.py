@@ -29,7 +29,7 @@ SHOWCASE = [
     ("dedup_embed", "candidate pairs from an EQUI join on the sign-random-projection LSH bucket - no cross/theta join over the corpus, no hinted broadcast"),
     ("text_tfidf", "term counts computed in-row; the vocabulary df join is UNHINTED (shuffle join at scale, AQE broadcasts when small) - only the 1-row corpus count is hint-broadcast"),
     ("subq_exists", "correlated EXISTS decorrelated by Catalyst into a semi join - no per-row subquery execution"),
-    ("sim_knn", "probe set broadcast; corpus side is one linear scan with JVM-side zip_with/aggregate dot products"),
+    ("sim_knn", "probe set broadcast; corpus side is one linear scan with JVM-side zip_with/aggregate dot products; top-k is TWO-phase - per-(probe, pmod-bucket) prune window before the final per-probe rank, so no task sorts the whole corpus"),
     ("sim_ivf", "broadcast codebook, persisted assignment index, probe searches only its own cluster"),
     ("raster_big", "bands zipped at tile granularity (arrays_zip before ONE posexplode) - the pixel stream is never shuffled"),
     ("pipeline_clean_corpus", "the composed cleaning pipeline stays two shuffles: dedup aggregate + survivor join; quality features are per-row projections"),
@@ -42,6 +42,11 @@ SHOWCASE = [
     ("spatial_join_grid", "containment as an EQUI join on inverse-affine cell ids - no CartesianProduct/BroadcastNestedLoopJoin"),
     ("dedup_incremental", "new batch anti-joined (LeftAnti) against the slim historical hash index; history data never rescanned"),
     ("pipeline_train_ready", "gate fused into the scan; dedup window + counts agg + packing window = the whole curation chain's shuffle budget; no rangepartitioning anywhere"),
+    ("graph_pagerank", "final plan is TakeOrderedAndProject over a localCheckpoint RDD scan - the checkpoint deliberately TRUNCATES the per-round lineage (no quadratic plan growth across iterations); the loop internals (persisted edges/nodes/outdeg, partial-aggregated contrib groupBy) are asserted by the oracle + timings, not visible here by design"),
+    ("embed_normalize", "zero Exchange: norm + unit checks are per-row folds pipelined inside the scan stage"),
+    ("embed_centroids", "posexplode fan-out collapses via map-side-combined partial aggregation - the Exchange carries labels x dims rows, not the corpus"),
+    ("sample_reservoir", "deterministic k=100 sample plans as TakeOrderedAndProject (partition-local top-k) - no rangepartitioning/global sort"),
+    ("text_heavy_hitters", "array_distinct in-row then one map-side-combined token groupBy; the 1-row corpus count joins via BroadcastExchange"),
 ]
 
 
