@@ -9,10 +9,14 @@ here:
     raster2df(spark, tiles, bands, ...)  -> pyspark DataFrame (lazy)
     raster2csv(spark, tiles, bands, output, separator=",", ...)
 
-Inputs are tile tables (path or DataFrame) instead of GeoTIFF paths —
-the scale-native landing format (see sources/tiles.py).  Tiling
-replaces ``max_block_size``: the tile table is already blocked, and
-Spark partitioning replaces the reference's parallelpipe workers.
+Inputs are tile tables (path or DataFrame) — the scale-native landing
+format (see sources/tiles.py) — or, reference-style, GeoTIFF paths
+(a ``.tif`` path or a list of them): those convert through
+sources/geotiff.py when rasterio is available, else through the
+dependency-free mini reader (sources/minitiff.py, uncompressed striped
+subset).  Tiling replaces ``max_block_size``: the tile table is
+already blocked, and Spark partitioning replaces the reference's
+parallelpipe workers.
 """
 
 from __future__ import annotations
@@ -27,13 +31,34 @@ from raster2points_spark.operators.grid import (
 from raster2points_spark.sources.tiles import read_tiles
 
 
-def _as_tiles(spark: SparkSession, tiles: DataFrame | str) -> DataFrame:
+def tiles_from_rasters(
+    spark: SparkSession, paths: list[str], tile_size: int = 512
+) -> DataFrame:
+    """GeoTIFF paths → tile table, one band per path (the reference's
+    positional multi-raster convention, band ids b1..bN).  Prefers the
+    full rasterio adapter; falls back to the pure-Python mini reader
+    for uncompressed striped files when rasterio is absent."""
+    try:
+        from raster2points_spark.sources.geotiff import geotiff_to_tiles
+
+        return geotiff_to_tiles(spark, paths, tile_size=tile_size)
+    except ImportError:
+        from raster2points_spark.sources.minitiff import minitiff_to_tiles
+
+        return minitiff_to_tiles(spark, paths, tile_size=tile_size)
+
+
+def _as_tiles(spark: SparkSession, tiles) -> DataFrame:
+    if isinstance(tiles, (list, tuple)):
+        return tiles_from_rasters(spark, list(tiles))
+    if isinstance(tiles, str) and tiles.lower().endswith((".tif", ".tiff")):
+        return tiles_from_rasters(spark, [tiles])
     return read_tiles(spark, tiles) if isinstance(tiles, str) else tiles
 
 
 def raster2df(
     spark: SparkSession,
-    tiles: DataFrame | str,
+    tiles: DataFrame | str | list[str],
     bands: list[str],
     col_names: list[str] | None = None,
     calc_area: bool = False,
@@ -78,7 +103,7 @@ def raster2df(
 
 def raster2csv(
     spark: SparkSession,
-    tiles: DataFrame | str,
+    tiles: DataFrame | str | list[str],
     bands: list[str],
     output: str,
     col_names: list[str] | None = None,

@@ -3,11 +3,16 @@
 reference (reconstructed): ``raster2csv in1.tif [in2.tif ...] out.csv
 [--col_names ...] [--separator {,|;|t}] [--calc_area]``.
 
-here: tile-table parquet in, CSV/Parquet directory out:
+here: tile-table parquet in — or, reference-style, GeoTIFF paths
+(rasterio when available, else the pure-Python mini reader for
+uncompressed striped files) — CSV/Parquet directory out:
 
     python -m raster2points_spark.cli TILES_PARQUET OUT_DIR \
         --bands b1 b2 [--col-names elev slope] [--separator ';'] \
         [--calc-area] [--format csv|parquet]
+
+    python -m raster2points_spark.cli in1.tif in2.tif OUT_DIR \
+        [--col-names elev slope] ...    # bands default to b1..bN
 """
 
 from __future__ import annotations
@@ -20,9 +25,14 @@ from raster2points_spark.session import get_spark
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="raster2points-spark")
-    ap.add_argument("tiles")
+    ap.add_argument(
+        "inputs",
+        nargs="+",
+        metavar="TILES_OR_TIF",
+        help="one tile-table parquet path, or N GeoTIFF paths (one band each)",
+    )
     ap.add_argument("output")
-    ap.add_argument("--bands", nargs="+", required=True)
+    ap.add_argument("--bands", nargs="+", default=None)
     ap.add_argument("--col-names", nargs="+", default=None)
     ap.add_argument("--separator", default=",", choices=[",", ";", "t"])
     ap.add_argument("--calc-area", action="store_true")
@@ -36,6 +46,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     args = ap.parse_args(argv)
 
+    tif_mode = all(p.lower().endswith((".tif", ".tiff")) for p in args.inputs)
+    if len(args.inputs) > 1 and not tif_mode:
+        ap.error("multiple inputs are only supported for GeoTIFF paths")
+    tiles = args.inputs if tif_mode else args.inputs[0]
+    bands = args.bands or (
+        [f"b{i + 1}" for i in range(len(args.inputs))] if tif_mode else None
+    )
+    if bands is None:
+        ap.error("--bands is required for tile-table input")
+
     sep = "\t" if args.separator == "t" else args.separator
     spark = get_spark("raster2points_cli")
 
@@ -47,20 +67,20 @@ def main(argv: list[str] | None = None) -> int:
     from raster2points_spark.api import _as_tiles
 
     present = {
-        r[0] for r in _as_tiles(spark, args.tiles).select(F.col("band_id")).distinct().collect()
+        r[0] for r in _as_tiles(spark, tiles).select(F.col("band_id")).distinct().collect()
     }
-    missing = [b for b in args.bands if b not in present]
+    missing = [b for b in bands if b not in present]
     if missing:
         ap.error(f"band(s) not in tile table: {missing}; present: {sorted(present)}")
     if args.format == "csv":
         raster2csv(
-            spark, args.tiles, args.bands, args.output,
+            spark, tiles, bands, args.output,
             col_names=args.col_names, calc_area=args.calc_area, separator=sep,
             max_block_size=args.max_block_size,
         )
     else:
         df = raster2df(
-            spark, args.tiles, args.bands, col_names=args.col_names,
+            spark, tiles, bands, col_names=args.col_names,
             calc_area=args.calc_area, max_block_size=args.max_block_size,
         )
         df.write.mode("overwrite").parquet(args.output)

@@ -51,6 +51,18 @@ _DTYPES = {
     (3, 64): "f8",
 }
 
+# short code -> the numpy NAME the tile table's dtype column uses
+# (operators/grid.py NUMPY_TO_SPARK_DTYPE keys)
+_DTYPE_NAMES = {
+    "u1": "uint8",
+    "u2": "uint16",
+    "u4": "uint32",
+    "i2": "int16",
+    "i4": "int32",
+    "f4": "float32",
+    "f8": "float64",
+}
+
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
 _TYPE_FMT = {1: "B", 3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d"}
 
@@ -233,7 +245,7 @@ def minitiff_to_tiles(
                     w["height"],
                     hdr.transform,
                     hdr.nodata,
-                    str(hdr.dtype).lstrip("<>"),
+                    _DTYPE_NAMES[hdr.dtype.lstrip("<>")],
                 )
             )
     meta_df = spark.createDataFrame(

@@ -166,7 +166,7 @@ def test_minitiff_to_tiles_golden(spark, tiny_tif):
     t0, t1 = rows[0], rows[1]
     assert (t0.col_off, t0.row_off, t0.width, t0.height) == (0, 0, 4, 4)
     assert (t1.col_off, t1.row_off, t1.width, t1.height) == (4, 0, 2, 4)
-    assert t0.band_id == "elev" and t0.dtype == "f8"
+    assert t0.band_id == "elev" and t0.dtype == "float64"
     assert t0.transform == [0.5, 0.0, 10.0, 0.0, -0.5, 45.0]
     assert t0.nodata == -9999.0
     assert t0.data == [vals[r * w + c] for r in range(4) for c in range(4)]
@@ -205,3 +205,57 @@ def test_nodata_masks_through_grid_operators(spark, tmp_path):
     )
     got = sorted(r.val for r in pts.collect())
     assert got == [1.0, 3.0, 5.0, 6.0, 8.0]
+
+
+def test_raster2df_from_tif_paths(spark, tmp_path):
+    """Reference parity, end to end: raster2df fed GeoTIFF PATHS (the
+    reference's actual signature) runs through the minitiff fallback —
+    band 1 masks nodata, band 2 contributes a nullable column, pixel
+    centers come from the GeoTIFF transform."""
+    from raster2points_spark.api import raster2df
+
+    w, h = 4, 2
+    # band 1: mask band — one nodata pixel
+    b1 = [1.0, 2.0, -9999.0, 4.0, 5.0, 6.0, 7.0, 8.0]
+    # band 2: values — nodata at a DIFFERENT pixel (kept as NULL)
+    b2 = [10.0, -9999.0, 30.0, 40.0, 50.0, 60.0, 70.0, 80.0]
+    p1, p2 = str(tmp_path / "band1.tif"), str(tmp_path / "band2.tif")
+    _write_tiff(p1, b1, w, h)
+    _write_tiff(p2, b2, w, h)
+
+    df = raster2df(spark, [p1, p2], bands=["b1", "b2"], col_names=["elev", "slope"])
+    rows = {(r.lon, r.lat): (r.elev, r.slope) for r in df.collect()}
+    # transform: scale 0.5, origin (10, 45); pixel centers at +0.25
+    # 7 points survive (band-1 nodata at pixel (2,0) dropped)
+    assert len(rows) == 7
+    assert (10.25, 44.75) in rows and rows[(10.25, 44.75)] == (1.0, 10.0)
+    assert (11.25, 44.75) not in rows  # masked by band 1
+    # band-2 nodata -> NULL, row kept
+    assert rows[(10.75, 44.75)] == (2.0, None)
+    # dtype preservation: float64 source -> double columns
+    assert dict(df.dtypes)["elev"] == "double"
+
+
+def test_cli_accepts_tif_paths(spark, tmp_path):
+    """Reference CLI contract: ``raster2csv in1.tif in2.tif out`` with
+    bands defaulting to b1..bN positionally."""
+    from raster2points_spark.cli import main
+
+    w, h = 4, 2
+    _write_tiff(str(tmp_path / "a.tif"), [1.0, 2.0, -9999.0, 4.0, 5.0, 6.0, 7.0, 8.0], w, h)
+    _write_tiff(str(tmp_path / "b.tif"), [float(v) for v in range(10, 90, 10)], w, h)
+    out = str(tmp_path / "out")
+    rc = main(
+        [str(tmp_path / "a.tif"), str(tmp_path / "b.tif"), out,
+         "--col-names", "elev", "slope", "--separator", ";"]
+    )
+    assert rc == 0
+    import glob
+
+    lines = sorted(
+        l for f in glob.glob(f"{out}/part-*.csv") for l in open(f).read().splitlines() if l
+    )
+    assert "lon;lat;elev;slope" in lines
+    data = [l for l in lines if not l.startswith("lon")]
+    assert len(data) == 7  # one pixel masked by band-1 nodata
+    assert "10.25;44.75;1.0;10.0" in data
