@@ -3,6 +3,7 @@
 from raster2points_spark.queries import (  # noqa: F401
     aggs,
     analytics,
+    behavioral,
     filters,
     functions,
     joins,

@@ -1,0 +1,335 @@
+"""Behavioral / event-sequence analytics operators.
+
+Beyond-reference keys ([N] in SURVEY §2): the clickstream analytics a
+product/training-data team runs over an event log — sessionization,
+cohort retention, conversion funnels, transition matrices, and
+gaps-and-islands run-length encoding.  The reference
+(wri/raster2points) has none of these; they extend the north-star
+mandate the same way §2.9 does.
+
+Scale notes (the shapes that survive 100 TB of events):
+- Every operator here shuffles the event stream AT MOST ONCE, keyed on
+  ``user_id``.  Window functions partitioned by ``user_id`` and the
+  follow-up ``groupBy(user_id, …)`` share that one exchange: Spark's
+  ``HashPartitioning(user_id)`` satisfies
+  ``ClusteredDistribution(user_id, session_no)`` (partition keys are a
+  subset of the grouping keys), so EnsureRequirements inserts no
+  second shuffle — asserted in tests/test_plans.py.
+- Per-user derived tables (first-touch week, funnel stage times) are
+  |users| rows, orders of magnitude smaller than the event stream;
+  joins back to events stay keyed on user_id (no new shuffle key) and
+  AQE runtime-broadcasts them when small.
+- Final rollups (cohort grid, transition matrix, run-length rows) are
+  map-side-combined hash aggregates whose output cardinality is
+  bounded by |cohorts|x|weeks| / |types|^2 — tiny regardless of input
+  scale.
+
+Determinism (SURVEY §7): timestamps compared at whole-second
+granularity via ``unix_secs`` (R3); every window order carries the
+``(tsec, event_id)`` total-order tiebreak (R2); session gap threshold
+is 1800 s in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from raster2points_spark.registry import register
+from raster2points_spark.queries._util import ORACLE_TSEC, t, unix_secs
+
+_TSEC = ORACLE_TSEC.format(c="ts")
+_GAP_S = 1800  # 30-minute session timeout, both engines
+_WEEK_S = 7 * 86400
+
+
+def _ev(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return ev.withColumn("tsec", unix_secs(F.col("ts")))
+
+
+@register(
+    "sessionize_batch",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, {_TSEC} AS tsec FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, tsec,
+             CASE WHEN tsec - lag(tsec) OVER w > {_GAP_S}
+                    OR lag(tsec) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)
+    ), numbered AS (
+      SELECT user_id, tsec,
+             cast(sum(new_s) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS bigint) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, session_no,
+           min(tsec) AS session_start,
+           max(tsec) AS session_end,
+           max(tsec) - min(tsec) AS duration_s,
+           count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def sessionize_batch(spark, sf_dir):
+    """Batch sessionization: split each user's event stream into
+    sessions at >30-minute gaps (the gaps-and-islands pattern every
+    product-analytics warehouse runs nightly).
+
+    ONE shuffle total: the lag window, the cumulative-sum window, and
+    the final groupBy are all keyed on user_id (the group key's
+    prefix), so Spark reuses the single hash exchange for all three —
+    at 100 TB the event stream moves over the network exactly once.
+    """
+    w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+    flagged = _ev(spark, sf_dir).withColumn(
+        "new_s",
+        F.when(
+            (F.col("tsec") - F.lag("tsec").over(w) > _GAP_S)
+            | F.lag("tsec").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_no", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.min("tsec").alias("session_start"),
+        F.max("tsec").alias("session_end"),
+        (F.max("tsec") - F.min("tsec")).alias("duration_s"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle=f"""
+    WITH wk AS (
+      SELECT user_id, cast(floor({_TSEC} / {_WEEK_S}) AS bigint) AS week FROM events
+    ), first_touch AS (
+      SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           w.week - f.cohort_week AS week_offset,
+           count(DISTINCT w.user_id) AS active_users
+    FROM wk w JOIN first_touch f ON w.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    """Cohort-retention grid: users bucketed by first-seen week, then
+    distinct-active counts per (cohort, weeks-since-signup) cell.
+
+    first_touch is a |users|-row aggregate (map-side combined on
+    user_id); the join back to the weekly activity set stays keyed on
+    user_id and AQE runtime-broadcasts first_touch when it is small.
+    The final cell grid is |cohorts|x|offsets| — tiny at any scale.
+    """
+    wk = _ev(spark, sf_dir).select(
+        "user_id", F.floor(F.col("tsec") / _WEEK_S).cast("bigint").alias("week")
+    )
+    first_touch = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        wk.join(first_touch, "user_id")
+        .groupBy(
+            "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+@register(
+    "funnel_batch",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type, {_TSEC} AS tsec FROM events
+    ), s1 AS (
+      SELECT user_id, min(tsec) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id, min(e.tsec) AS t2
+      FROM e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.tsec >= s1.t1
+      GROUP BY 1
+    ), s3 AS (
+      SELECT e.user_id, min(e.tsec) AS t3
+      FROM e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.tsec >= s2.t2
+      GROUP BY 1
+    )
+    SELECT 1 AS stage, 'view' AS event_type, (SELECT count(*) FROM s1) AS users
+    UNION ALL
+    SELECT 2, 'click', (SELECT count(*) FROM s2)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+    """,
+)
+def funnel_batch(spark, sf_dir):
+    """Batch conversion funnel view -> click -> purchase with strict
+    temporal ordering (each stage's earliest event must be at or after
+    the previous stage's earliest qualifying event).
+
+    Stage tables are per-user minima (|users| rows each); every join
+    is on user_id against the already-user_id-keyed event stream, so
+    the big table's partitioning is reused and the stage tables
+    runtime-broadcast.  The streaming twin is ``stream_funnel`` —
+    same semantics, incremental.
+    """
+    e = _ev(spark, sf_dir).select("user_id", "event_type", "tsec")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("tsec").alias("t1"))
+    )
+    s2 = (
+        e.join(s1, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("tsec") >= F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("tsec").alias("t2"))
+    )
+    s3 = (
+        e.join(s2, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("tsec") >= F.col("t2")))
+        .groupBy("user_id")
+        .agg(F.min("tsec").alias("t3"))
+    )
+
+    def stage(n, name, df):
+        return df.agg(
+            F.lit(n).alias("stage"),
+            F.lit(name).alias("event_type"),
+            F.count("*").alias("users"),
+        )
+
+    return (
+        stage(1, "view", s1).unionAll(stage(2, "click", s2)).unionAll(stage(3, "purchase", s3))
+    )
+
+
+@register(
+    "seq_transitions",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY {_TSEC}, event_id) AS prev
+      FROM events
+    )
+    SELECT prev, event_type AS next, count(*) AS n
+    FROM s WHERE prev IS NOT NULL
+    GROUP BY prev, next
+    """,
+)
+def seq_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences — the \"what happens after X\" table behind
+    next-event-prediction features and behavioral QA.
+
+    One lag window keyed on user_id (the only shuffle of the stream),
+    then a map-side-combined count whose output is |types|^2 rows.
+    """
+    w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+    return (
+        _ev(spark, sf_dir)
+        .select("event_type", F.lag("event_type").over(w).alias("prev"))
+        .filter(F.col("prev").isNotNull())
+        .groupBy(F.col("prev"), F.col("event_type").alias("next"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "rle_events",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, event_type,
+             {_TSEC} AS tsec,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY {_TSEC}, event_id) AS rn,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY {_TSEC}, event_id) AS rnt
+      FROM events
+    )
+    SELECT user_id, event_type,
+           min(tsec) AS run_start,
+           count(*) AS run_len
+    FROM s
+    GROUP BY user_id, event_type, rn - rnt
+    """,
+)
+def rle_events(spark, sf_dir):
+    """Run-length encoding of consecutive same-type events per user —
+    the classic gaps-and-islands via the rn - rn_per_type trick
+    (collapsing retries/bursts before sequence modeling).
+
+    Both row_number windows partition on user_id (+ event_type, a
+    superset), and the grouping keys contain user_id — a single hash
+    exchange feeds both sorts and the final aggregate.
+    """
+    w_all = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy("tsec", "event_id")
+    s = _ev(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        "tsec",
+        (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias("grp"),
+    )
+    return (
+        s.groupBy("user_id", "event_type", "grp")
+        .agg(F.min("tsec").alias("run_start"), F.count("*").alias("run_len"))
+        .drop("grp")
+    )
+
+
+@register(
+    "anomaly_mad",
+    oracle=f"""
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY 1
+    ), madt AS (
+      SELECT e.event_type, median(abs(e.value - m.med)) AS mad, any_value(m.med) AS med
+      FROM events e JOIN med m ON e.event_type = m.event_type
+      GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, round(e.value, 4) AS value,
+           round(abs(e.value - m.med) / (1.4826 * m.mad), 3) AS robust_z
+    FROM events e JOIN madt m ON e.event_type = m.event_type
+    WHERE abs(e.value - m.med) > 3 * 1.4826 * m.mad
+    """,
+)
+def anomaly_mad(spark, sf_dir):
+    """Robust outlier detection via median absolute deviation — the
+    heavy-tail-safe sibling of ``outlier_zscore`` (mean/std break when
+    the outliers themselves inflate sigma).
+
+    Two tiny per-type aggregates (exact percentile(0.5): one pass,
+    |types| output rows each) feed broadcast joins back onto the
+    stream; the event table itself is never shuffled — filters and
+    the robust-z projection run map-side.  1.4826 is the standard
+    normal-consistency constant.
+    """
+    ev = t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.percentile("value", F.lit(0.5)).alias("med"))
+    madt = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad"),
+            F.any_value("med").alias("med"),
+        )
+    )
+    return (
+        ev.join(F.broadcast(madt), "event_type")
+        .filter(F.abs(F.col("value") - F.col("med")) > 3 * 1.4826 * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round(
+                F.abs(F.col("value") - F.col("med")) / (1.4826 * F.col("mad")), 3
+            ).alias("robust_z"),
+        )
+    )

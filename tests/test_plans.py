@@ -360,3 +360,27 @@ def test_heavy_hitters_broadcasts_total(spark, registry):
     plan = _formatted_plan(spark, registry["text_heavy_hitters"].fn(spark, SF001))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_sessionize_single_exchange(spark, registry):
+    # lag window, cumsum window and the session rollup all key on
+    # user_id; HashPartitioning(user_id) satisfies the groupBy's
+    # ClusteredDistribution(user_id, session_no) so EnsureRequirements
+    # must not add a second shuffle of the event stream
+    plan = _formatted_plan(spark, registry["sessionize_batch"].fn(spark, SF001))
+    assert plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_rle_single_exchange(spark, registry):
+    # both row_number windows and the run rollup share the user_id
+    # exchange (partition keys are a prefix of every clustering)
+    plan = _formatted_plan(spark, registry["rle_events"].fn(spark, SF001))
+    assert plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_anomaly_mad_never_shuffles_events(spark, registry):
+    # the per-type median/MAD tables broadcast back onto the stream;
+    # the only exchanges allowed are the two tiny |types|-row aggregates
+    plan = _formatted_plan(spark, registry["anomaly_mad"].fn(spark, SF001))
+    assert "SortMergeJoin" not in plan, "stats join must broadcast"
+    assert plan.count("BroadcastHashJoin") >= 2
