@@ -64,14 +64,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_embed",
     "sim_knn",
     "sim_knn_label",
-    # --- 4. documents keys bumped from the r4 window (7) ---
+    # --- 4. documents keys bumped from the r4 window (6) ---
     "dedup_exact",
     "dedup_jaccard",
     "dedup_near",
     "dedup_simhash",
     "text_tokens",
     "text_stats",
-    "agg_rollup_cascade",
     # --- 5. operators ADDED in r5 — first driver evidence (8) ---
     "embed_normalize",
     "embed_centroids",
@@ -81,15 +80,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_distinct_users",
     "agg_mode",
     "fn_binary",
-    # --- 6. oldest driver evidence (r1-only), join/filter families (8) ---
-    "filter_pred",
-    "join_inner_eq",
-    "join_broadcast_star",
-    "join_semi",
-    "join_anti",
-    "join_salted",
-    "join_interval_bucketed",
-    "join_bucketed",
+    # --- 6. operators added later in r5 — never driver-checked, so
+    #        they outrank re-confirmation of r1-evidenced keys (9) ---
+    "sessionize_batch",
+    "cohort_retention",
+    "funnel_batch",
+    "seq_transitions",
+    "rle_events",
+    "anomaly_mad",
+    "agg_corr",
+    "agg_regression",
+    "dedup_edit_distance",
 )
 # ROUND-6 ROTATION NOTE: after this window every registry key will have
 # at least one driver CORRECTNESS row.  Refill with (a) any r5 reds,

@@ -365,3 +365,63 @@ def graph_pagerank(spark, sf_dir):
         .orderBy(F.col("rank_scaled").desc(), "id")
         .limit(100)
     )
+
+
+@register(
+    "agg_corr",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 5) AS corr_qty_price,
+           round(corr(l_extendedprice, l_discount), 5) AS corr_price_disc,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_corr(spark, sf_dir):
+    """Pairwise Pearson correlation / sample covariance per group —
+    the feature-correlation screen run before model training.
+
+    corr/covar_samp are single-pass moment aggregates (sum, sum^2,
+    cross-sum) with map-side partial combine: the shuffle carries one
+    moment tuple per (group, partition), never the rows.  Rounded to
+    5 dp in both engines (R1: last-bit float divergence).
+    """
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 5).alias("corr_qty_price"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 5).alias("corr_price_disc"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qty_price"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "agg_regression",
+    oracle="""
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 5) AS r2,
+           cast(regr_count(l_extendedprice, l_quantity) AS bigint) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_regression(spark, sf_dir):
+    """Per-group ordinary-least-squares fit (price ~ quantity) via the
+    SQL-standard regr_* aggregates — trend estimation without leaving
+    the JVM.
+
+    Same scale shape as agg_corr: one hash aggregate, moment tuples
+    only on the wire.  Spark and DuckDB both implement the SQL:2003
+    regr_* family, so the oracle is a literal twin.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 5).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").cast("bigint").alias("n"),
+    )

@@ -2667,3 +2667,59 @@ def text_heavy_hitters(spark, sf_dir):
             F.round(F.col("doc_freq") / F.col("n_docs"), 4).alias("df_frac"),
         )
     )
+
+
+@register(
+    "dedup_edit_distance",
+    oracle="""
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           levenshtein(a.text, b.text) AS dist,
+           levenshtein(a.text, b.text) <= 20 AS is_dup
+    FROM documents a
+    JOIN documents b
+      ON a.lang = b.lang AND a.source = b.source
+     AND cast(floor(a.n_chars / 16) AS bigint) = cast(floor(b.n_chars / 16) AS bigint)
+     AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_edit_distance(spark, sf_dir):
+    """Exact edit-distance near-dup verification over a blocked
+    candidate set — the high-precision last pass after LSH recall
+    (dedup_near) when character-level fidelity matters (OCR dumps,
+    config files, license boilerplate).
+
+    Scale shape: never all-pairs.  Candidates come from a pure
+    EQUI-join on (lang, source, floor(n_chars/16)) — three cheap
+    deterministic blocking keys that shard the corpus into small
+    homogeneous buckets, so the join hash-partitions cleanly and the
+    O(len^2) levenshtein kernel runs only on same-bucket pairs.  The
+    distance is computed JVM-side (codegen levenshtein), every
+    candidate pair is emitted with its distance so the oracle
+    discriminates even when the block has no true dups at small SF;
+    is_dup flags the <= 20 band.
+    """
+    docs = t_fanout(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / 16).cast("bigint").alias("len_blk"),
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    dist = F.levenshtein(F.col("a.text"), F.col("b.text"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.len_blk") == F.col("b.len_blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            dist.alias("dist"),
+            (dist <= 20).alias("is_dup"),
+        )
+    )
