@@ -58,6 +58,10 @@ HEADLINE = [
     "dedup_incremental",
     "pack_sequences",
     "text_unigram_ppl",
+    # r5 behavioral analytics: single-exchange event-stream shapes
+    "sessionize_batch",
+    "cohort_retention",
+    "anomaly_mad",
 ]
 
 

@@ -64,11 +64,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_embed",
     "sim_knn",
     "sim_knn_label",
-    # --- 4. documents keys bumped from the r4 window (6) ---
-    "dedup_exact",
+    # --- 4. documents keys bumped from the r4 window (4; dedup_exact/
+    #        dedup_simhash keep their d1 rows and yield slots to
+    #        never-checked keys) ---
     "dedup_jaccard",
     "dedup_near",
-    "dedup_simhash",
     "text_tokens",
     "text_stats",
     # --- 5. operators ADDED in r5 — first driver evidence (8) ---
@@ -91,6 +91,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_corr",
     "agg_regression",
     "dedup_edit_distance",
+    "join_dpp",
+    "reshape_unpivot",
 )
 # ROUND-6 ROTATION NOTE: after this window every registry key will have
 # at least one driver CORRECTNESS row.  Refill with (a) any r5 reds,

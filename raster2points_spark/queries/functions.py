@@ -384,3 +384,37 @@ def fn_binary(spark, sf_dir):
         F.md5(b).alias("md5_hex"),
         F.length(b).alias("n_bytes"),
     )
+
+
+@register(
+    "reshape_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+           round(l_quantity, 2) AS val FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', round(l_extendedprice, 2)
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', round(l_discount, 2) FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', round(l_tax, 2) FROM lineitem
+    """,
+)
+def reshape_unpivot(spark, sf_dir):
+    """Wide→long reshape via the first-class ``DataFrame.unpivot``
+    (SQL UNPIVOT / pandas melt) — the inverse of agg_pivot, feeding
+    measure-per-row stores and long-format feature tables.
+
+    unpivot is a zero-shuffle PROJECTION (each input row expands to
+    |measures| output rows inside the scan stage) — unlike the
+    oracle's UNION ALL of 4 scans, Spark reads the fact table ONCE.
+    At 100 TB that is a 4x scan saving; the expand happens pipelined,
+    never materialized.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="v",
+    ).select("l_orderkey", "l_linenumber", "measure", F.round("v", 2).alias("val"))

@@ -325,3 +325,52 @@ def sink_zorder(spark, sf_dir):
         F.max("zkey").cast("bigint").alias("max_z"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
     )
+
+
+@register(
+    "join_dpp",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS m
+      FROM orders WHERE extract(year FROM o_orderdate) = 1995
+    )
+    SELECT f.ship_month, count(*) AS n, round(sum(f.l_extendedprice), 2) AS sum_price
+    FROM (SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, l_extendedprice
+          FROM lineitem) f
+    JOIN dim ON f.ship_month = dim.m
+    GROUP BY 1
+    """,
+)
+def join_dpp(spark, sf_dir):
+    """Dynamic partition pruning: fact table laid out partitioned by
+    ship month, joined to a runtime-filtered dim — Spark injects the
+    dim's surviving keys as a partition filter into the fact SCAN
+    (``dynamicpruningexpression`` in the plan), so only the matching
+    month directories are read.
+
+    This is THE layout feature for 100 TB fact tables: static pruning
+    handles literal predicates, DPP handles join-derived ones — the
+    scan cost becomes proportional to the dim selectivity, not the
+    fact size.  Plan-pinned in tests/test_plans.py.
+    """
+    path = os.path.join(SCRATCH, "join_dpp_fact")
+    # cluster on the partition column before the write: one file per
+    # month directory instead of |tasks|x|months| small files — the
+    # standard partitioned-layout hygiene at any scale
+    t(spark, sf_dir, "lineitem").select(
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"), "l_extendedprice"
+    ).repartition(F.col("ship_month")).write.mode("overwrite").partitionBy(
+        "ship_month"
+    ).parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        t(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1995)
+        .select(F.date_format("o_orderdate", "yyyy-MM").alias("m"))
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(dim), fact.ship_month == dim.m)
+        .groupBy("ship_month")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
+    )

@@ -384,3 +384,20 @@ def test_anomaly_mad_never_shuffles_events(spark, registry):
     plan = _formatted_plan(spark, registry["anomaly_mad"].fn(spark, SF001))
     assert "SortMergeJoin" not in plan, "stats join must broadcast"
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_join_dpp_prunes_partitions(spark, registry):
+    # the join-derived month filter must reach the fact scan as a
+    # dynamic partition filter — scan cost ∝ dim selectivity, not
+    # fact size
+    plan = _formatted_plan(spark, registry["join_dpp"].fn(spark, SF001))
+    assert "dynamicpruningexpression" in plan
+
+
+def test_unpivot_is_zero_shuffle(spark, registry):
+    # wide→long must expand pipelined inside the scan stage (ONE read
+    # of the fact table), never via a union of per-measure scans
+    plan = _formatted_plan(spark, registry["reshape_unpivot"].fn(spark, SF001))
+    assert "Exchange" not in plan
+    assert "Expand" in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1, "fact must be scanned once"
