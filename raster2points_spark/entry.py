@@ -60,6 +60,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "win_moving",
     "join_asof",
     "ts_gapfill",
+    "join_lateral",
+    "cte_recursive",
     # --- 3. implementations changed in r5 (3) ---
     "dedup_embed",
     "sim_knn",
@@ -69,8 +71,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     #        never-checked keys) ---
     "dedup_jaccard",
     "dedup_near",
-    "text_tokens",
-    "text_stats",
     # --- 5. operators ADDED in r5 — first driver evidence (8) ---
     "embed_normalize",
     "embed_centroids",

@@ -492,3 +492,54 @@ def agg_mode(spark, sf_dir):
             F.col("n").alias("mode_count"),
         )
     )
+
+
+@register(
+    "cte_recursive",
+    oracle="""
+    WITH RECURSIVE spine(i) AS (
+      SELECT 0
+      UNION ALL
+      SELECT i + 1 FROM spine WHERE i < 23
+    ), m AS (
+      SELECT cast(1995 + i // 12 AS int) AS yr, cast(1 + i % 12 AS int) AS mo FROM spine
+    ), oc AS (
+      SELECT cast(extract(year FROM o_orderdate) AS int) AS yr,
+             cast(extract(month FROM o_orderdate) AS int) AS mo,
+             count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT m.yr, m.mo, coalesce(oc.n, 0) AS n, coalesce(oc.total, 0.0) AS total
+    FROM m LEFT JOIN oc ON m.yr = oc.yr AND m.mo = oc.mo
+    """,
+)
+def cte_recursive(spark, sf_dir):
+    """Recursive CTE (Spark 4 WITH RECURSIVE): generate a 24-month
+    spine by recursion, then left-join monthly order rollups with
+    zero-fill — the SQL-standard twin of ts_gapfill's sequence()
+    approach, exercising Catalyst's UnionLoop execution.
+
+    The recursion produces 24 driver-side rows (depth bounded by the
+    WHERE guard, never data-dependent); the only big-table work is one
+    map-side-combined monthly aggregate of orders.  DuckDB runs the
+    IDENTICAL text modulo `//` vs `div` integer division.
+    """
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(i) AS (
+          SELECT 0
+          UNION ALL
+          SELECT i + 1 FROM spine WHERE i < 23
+        ), m AS (
+          SELECT cast(1995 + i div 12 AS int) AS yr, cast(1 + i % 12 AS int) AS mo FROM spine
+        ), oc AS (
+          SELECT cast(extract(year FROM o_orderdate) AS int) AS yr,
+                 cast(extract(month FROM o_orderdate) AS int) AS mo,
+                 count(*) AS n, round(sum(o_totalprice), 2) AS total
+          FROM orders GROUP BY 1, 2
+        )
+        SELECT m.yr, m.mo, coalesce(oc.n, 0) AS n, coalesce(oc.total, 0.0) AS total
+        FROM m LEFT JOIN oc ON m.yr = oc.yr AND m.mo = oc.mo
+        """
+    )

@@ -17,6 +17,7 @@ import os
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from raster2points_spark.io import register_views
 from raster2points_spark.registry import register
 from raster2points_spark.queries._util import ORACLE_TSEC, t, unix_secs
 
@@ -525,4 +526,37 @@ def merge_upsert(spark, sf_dir):
     )
     return merged.groupBy("seg").agg(
         F.count("*").alias("n"), F.sum("cents").cast("bigint").alias("sum_bal_cents")
+    )
+
+
+@register(
+    "join_lateral",
+    oracle="""
+    SELECT n.n_name, t.c_custkey, t.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal
+      FROM customer c WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+    """,
+)
+def join_lateral(spark, sf_dir):
+    """Correlated LATERAL subquery — per-nation top-2 customers by
+    balance, expressed as the SQL-standard lateral join both engines
+    parse verbatim.
+
+    Catalyst DECORRELATES the per-row subquery into a set-based plan
+    (window/limit per key under a join) rather than re-executing the
+    inner query per outer row — the difference between one pass over
+    customer and |nation| probe scans.  Tiebreak on c_custkey keeps
+    the LIMIT deterministic (R2).
+    """
+    register_views(spark, sf_dir, ("nation", "customer"))
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM nation n, LATERAL (
+          SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal
+          FROM customer c WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        """
     )

@@ -401,3 +401,12 @@ def test_unpivot_is_zero_shuffle(spark, registry):
     assert "Exchange" not in plan
     assert "Expand" in plan
     assert plan.count("Location: InMemoryFileIndex") == 1, "fact must be scanned once"
+
+
+def test_lateral_is_decorrelated_group_limit(spark, registry):
+    # the per-nation LIMIT 2 subquery must decorrelate into a
+    # WindowGroupLimit (map-side partial top-k, one exchange) under a
+    # broadcast join — never a re-executed per-row probe
+    plan = _formatted_plan(spark, registry["join_lateral"].fn(spark, SF001))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
