@@ -56,12 +56,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_session",
     "stream_funnel",
     "stream_stream_join",
-    "win_lag_lead",
-    "win_moving",
     "join_asof",
     "ts_gapfill",
     "join_lateral",
     "cte_recursive",
+    "dedup_chunks",
+    "agg_entropy",
     # --- 3. implementations changed in r5 (3) ---
     "dedup_embed",
     "sim_knn",

@@ -425,3 +425,41 @@ def agg_regression(spark, sf_dir):
         F.round(F.regr_r2("l_extendedprice", "l_quantity"), 5).alias("r2"),
         F.regr_count("l_extendedprice", "l_quantity").cast("bigint").alias("n"),
     )
+
+
+@register(
+    "agg_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT user_id, sum(n) AS tot FROM c GROUP BY 1
+    )
+    SELECT c.user_id, cast(tot.tot AS bigint) AS n_events,
+           round(-sum((c.n / tot.tot) * ln(c.n / tot.tot)), 4) AS entropy
+    FROM c JOIN tot ON c.user_id = tot.user_id
+    GROUP BY c.user_id, tot.tot
+    """,
+)
+def agg_entropy(spark, sf_dir):
+    """Shannon entropy of each user's event-type distribution — the
+    behavioral-diversity / bot-detection feature (entropy ~0 = single
+    repeated action, ~ln(5) = uniform over the 5 types).
+
+    The event stream collapses to |users|x|types| count rows in ONE
+    map-side-combined aggregate; everything after (totals, p·ln p,
+    entropy) runs over that tiny relation, so the wire cost is
+    independent of event volume.
+    """
+    ev = t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    tot = c.groupBy("user_id").agg(F.sum("n").alias("tot"))
+    p = F.col("n") / F.col("tot")
+    return (
+        c.join(tot, "user_id")
+        .groupBy("user_id", "tot")
+        .agg(F.round(-F.sum(p * F.log(p)), 4).alias("entropy"))
+        .select(
+            "user_id", F.col("tot").cast("bigint").alias("n_events"), "entropy"
+        )
+    )

@@ -2723,3 +2723,69 @@ def dedup_edit_distance(spark, sf_dir):
             (dist <= 20).alias("is_dup"),
         )
     )
+
+
+@register(
+    "dedup_chunks",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    c AS (SELECT doc_id, i - 1 AS chunk_no,
+                 array_to_string(words[(i-1)*5+1:i*5], ' ') AS chunk
+          FROM w, unnest(generate_series(1, cast(ceil(len(words)/5.0) AS int))) t(i)),
+    k AS (SELECT doc_id, chunk_no, chunk,
+                 row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_no) AS rn
+          FROM c)
+    SELECT doc_id,
+           string_agg(chunk, ' ' ORDER BY chunk_no) FILTER (WHERE rn = 1) AS clean_text,
+           count(*) FILTER (WHERE rn = 1) AS kept,
+           count(*) FILTER (WHERE rn > 1) AS dropped
+    FROM k GROUP BY doc_id
+    """,
+)
+def dedup_chunks(spark, sf_dir):
+    """Sub-document (chunk-level) exact dedup — the CCNet/RefinedWeb
+    curation step that strips repeated boilerplate SPANS while keeping
+    the documents: split every doc into consecutive 5-word chunks,
+    keep only the corpus-wide FIRST occurrence of each chunk (total
+    order: doc_id, chunk_no), reassemble the survivors in order.
+
+    Scale shape: the only corpus-wide shuffle keys on the CHUNK TEXT
+    (content-addressed, uniformly distributed — no hot keys), exactly
+    like dedup_exact's hash-groupBy but at span granularity.  The
+    window inside each chunk group touches |occurrences| rows; doc
+    reassembly re-shuffles on doc_id once.  Docs whose every chunk was
+    seen earlier reassemble to NULL (matching the oracle's FILTERed
+    string_agg).
+    """
+    w = t_fanout(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("words")
+    )
+    c = w.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.ceil(F.size("words") / F.lit(5.0)).cast("int") - 1),
+                lambda i: F.array_join(F.slice("words", i * 5 + 1, 5), " "),
+            )
+        ).alias("chunk_no", "chunk"),
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("chunk").orderBy("doc_id", "chunk_no")
+    )
+    k = c.withColumn("rn", rn)
+    kept_struct = F.when(F.col("rn") == 1, F.struct("chunk_no", "chunk"))
+    return k.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept_struct)), lambda x: x.chunk),
+            " ",
+        ).alias("_joined"),
+        F.count(F.when(F.col("rn") == 1, 1)).alias("kept"),
+        F.count(F.when(F.col("rn") > 1, 1)).alias("dropped"),
+    ).select(
+        "doc_id",
+        F.when(F.col("kept") > 0, F.col("_joined")).alias("clean_text"),
+        "kept",
+        "dropped",
+    )
