@@ -47,6 +47,12 @@ SHOWCASE = [
     ("embed_centroids", "posexplode fan-out collapses via map-side-combined partial aggregation - the Exchange carries labels x dims rows, not the corpus"),
     ("sample_reservoir", "deterministic k=100 sample plans as TakeOrderedAndProject (partition-local top-k) - no rangepartitioning/global sort"),
     ("text_heavy_hitters", "array_distinct in-row then one map-side-combined token groupBy; the 1-row corpus count joins via BroadcastExchange"),
+    ("sessionize_batch", "lag window + cumsum window + session rollup share ONE hashpartitioning(user_id) Exchange - HashPartitioning(user_id) satisfies the wider ClusteredDistribution(user_id, session_no)"),
+    ("join_dpp", "dynamicpruningexpression in the fact scan's PartitionFilters - the join-derived month set prunes directories at runtime, scan cost proportional to dim selectivity"),
+    ("join_lateral", "correlated LATERAL with LIMIT decorrelated into WindowGroupLimit (map-side partial top-k before the exchange) under a broadcast join - no per-outer-row probe"),
+    ("reshape_unpivot", "wide-to-long melt as a pipelined Expand over ONE parquet scan, zero Exchange - the UNION-ALL formulation would read the fact table once per measure"),
+    ("anomaly_mad", "per-type median/MAD stats broadcast back onto the stream (BroadcastHashJoin x2) - the event table itself is never shuffled or sorted"),
+    ("dedup_chunks", "chunk-level first-occurrence dedup shuffles on the CHUNK TEXT (content-addressed, uniform) then reassembles with one doc_id shuffle - no global sort"),
 ]
 
 
