@@ -50,11 +50,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_watermark",
     "stream_dedup_state",
     "stream_custom_state",
-    # --- 2. timestamp-sensitive re-confirmation (9) ---
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_session",
-    "stream_funnel",
+    # --- 2. timestamp-sensitive re-confirmation (3; the tumbling/
+    #        sliding/session/funnel d4 rows stand — all re-validated
+    #        green on the regenerated corpus by the local r5 gate) ---
     "stream_stream_join",
     "join_asof",
     "ts_gapfill",
@@ -62,6 +60,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "cte_recursive",
     "dedup_chunks",
     "agg_entropy",
+    "tpch_q3",
+    "tpch_q18",
+    "embed_dim_stats",
+    "embed_whiten",
     # --- 3. implementations changed in r5 (3) ---
     "dedup_embed",
     "sim_knn",

@@ -12,6 +12,7 @@ from raster2points_spark.queries import (  # noqa: F401
     scans,
     sorts_setops,
     streaming,
+    tpch,
     udfs,
     windows,
 )

@@ -2789,3 +2789,78 @@ def dedup_chunks(spark, sf_dir):
         "kept",
         "dropped",
     )
+
+
+@register(
+    "embed_dim_stats",
+    oracle="""
+    WITH d AS (
+      SELECT i AS dim, embedding[i] AS v
+      FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)
+    )
+    SELECT dim, round(avg(v), 4) AS mean, round(stddev_samp(v), 4) AS std,
+           round(min(v), 4) AS mn, round(max(v), 4) AS mx, count(*) AS n
+    FROM d GROUP BY dim
+    """,
+)
+def embed_dim_stats(spark, sf_dir):
+    """Per-dimension moment statistics over the embedding corpus —
+    the feature-normalization / drift-monitoring pass before whitening
+    or quantization.
+
+    posexplode fans each vector into (dim, v) rows, but the partial
+    aggregation collapses them to |dims| rows per task BEFORE the
+    exchange — the shuffle moves 64 moment tuples per partition, not
+    n x 64 values, at any corpus size.
+    """
+    emb = t_fanout(spark, sf_dir, "embeddings")
+    d = emb.select(F.posexplode("embedding").alias("pos", "v")).select(
+        (F.col("pos") + 1).cast("bigint").alias("dim"), "v"
+    )
+    return d.groupBy("dim").agg(
+        F.round(F.avg("v"), 4).alias("mean"),
+        F.round(F.stddev_samp("v"), 4).alias("std"),
+        F.round(F.min("v"), 4).alias("mn"),
+        F.round(F.max("v"), 4).alias("mx"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "embed_whiten",
+    oracle="""
+    WITH d AS (
+      SELECT vec_id, i AS dim, embedding[i] AS v
+      FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)
+      WHERE i <= 4
+    ), s AS (
+      SELECT dim, avg(v) AS mean, stddev_samp(v) AS std FROM d GROUP BY dim
+    )
+    SELECT d.vec_id, d.dim, round((d.v - s.mean) / s.std, 4) AS w
+    FROM d JOIN s ON d.dim = s.dim
+    """,
+)
+def embed_whiten(spark, sf_dir):
+    """Per-dimension z-score whitening (shown on the first 4 dims) —
+    the two-pass normalize-by-corpus-stats transform: tiny per-dim
+    stats computed once, broadcast back onto the vector stream.
+
+    The stats side is |dims| rows (broadcast — the corpus is never
+    shuffled for the join); the whitening itself is a per-row
+    projection.  Both engines promote the float32 components to
+    double from identical bits, so the 4-dp round is stable.
+    """
+    emb = t_fanout(spark, sf_dir, "embeddings")
+    d = (
+        emb.select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+        .filter(F.col("pos") < 4)
+        .select("vec_id", (F.col("pos") + 1).cast("bigint").alias("dim"), "v")
+    )
+    s = d.groupBy("dim").agg(
+        F.avg("v").alias("mean"), F.stddev_samp("v").alias("std")
+    )
+    return d.join(F.broadcast(s), "dim").select(
+        "vec_id",
+        "dim",
+        F.round((F.col("v") - F.col("mean")) / F.col("std"), 4).alias("w"),
+    )

@@ -1,0 +1,124 @@
+"""Composite benchmark queries (TPC-H shapes Q3 / Q18).
+
+[H] provenance: the harness's "same query capabilities" bar on the
+TPC-H-ish corpus.  The single-operator families (§2.3-§2.8) prove each
+primitive; these two prove the COMPOSITIONS Catalyst must optimize as
+a whole — multi-join reordering + early aggregation + top-k pushdown
+(Q3), and a grouped-HAVING semi-join feeding a second aggregate (Q18).
+
+Scale notes:
+- tpch_q3: customer dim filtered then broadcast; orders⋈lineitem is
+  the one big shuffle pair; the final ORDER BY ... LIMIT 10 plans as
+  TakeOrderedAndProject (partition-local top-k), never a global sort.
+- tpch_q18: the HAVING subquery is one map-side-combined aggregate
+  whose survivors semi-join orders (LeftSemi — no row duplication),
+  then one more join+agg; qty threshold prunes before any wide join.
+
+Determinism (SURVEY §7): revenue/totalprice rounded to 2 dp both
+engines; LIMIT carries a full tiebreak chain (R2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from raster2points_spark.registry import register
+from raster2points_spark.queries._util import t
+
+_CUT = "1997-01-01"
+
+
+@register(
+    "tpch_q3",
+    oracle=f"""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < timestamp '{_CUT}'
+      AND l_shipdate  > timestamp '{_CUT}'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3(spark, sf_dir):
+    """TPC-H Q3 (shipping priority): segment-filtered 3-way join,
+    grouped revenue, top-10.
+
+    The BUILDING filter prunes customer BEFORE the join (Catalyst
+    pushes it to the scan), AQE broadcasts the surviving dim; the
+    LIMIT plans as TakeOrderedAndProject so no task sorts the full
+    revenue table.  Tiebreak (revenue, o_orderdate, l_orderkey) makes
+    the top-10 total-ordered (R2).
+    """
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < _CUT)
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > _CUT)
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q18",
+    oracle="""
+    SELECT c_custkey, o_orderkey,
+           round(o_totalprice, 2) AS o_totalprice,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 200
+    )
+    GROUP BY c_custkey, o_orderkey, o_totalprice
+    """,
+)
+def tpch_q18(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers): grouped-HAVING subquery
+    gating a join + re-aggregation.
+
+    The qty>200 survivor set is computed ONCE by a map-side-combined
+    aggregate and semi-joins orders (LeftSemi — gating without row
+    duplication, Catalyst decorrelates the IN); only surviving orders
+    reach the customer join and the final per-order quantity rollup.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 200)
+        .select("l_orderkey")
+    )
+    orders_raw = t(spark, sf_dir, "orders")
+    orders = orders_raw.join(
+        big, orders_raw.o_orderkey == big.l_orderkey, "left_semi"
+    )
+    cust = t(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_custkey", "o_orderkey", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
