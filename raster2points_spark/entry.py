@@ -55,7 +55,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     #        green on the regenerated corpus by the local r5 gate) ---
     "stream_stream_join",
     "join_asof",
-    "ts_gapfill",
+    "sample_weighted",
     "join_lateral",
     "cte_recursive",
     "dedup_chunks",

@@ -2864,3 +2864,55 @@ def embed_whiten(spark, sf_dir):
         "dim",
         F.round((F.col("v") - F.col("mean")) / F.col("std"), 4).alias("w"),
     )
+
+
+@register(
+    "sample_weighted",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             cast(('0x' || substr(md5(cast(doc_id AS varchar) || ':ws'), 1, 8)) AS bigint)
+               % 1000000 AS h
+      FROM documents
+    ), k AS (
+      SELECT doc_id, n_chars,
+             pow((h + 0.5) / 1000000.0, 1.0 / n_chars) AS key
+      FROM d
+    )
+    SELECT doc_id, n_chars, round(key, 6) AS wkey
+    FROM k ORDER BY key DESC, doc_id LIMIT 50
+    """,
+)
+def sample_weighted(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (Efraimidis
+    -Spirakis A-ES): per-row key u^(1/w) with u derived from a seeded
+    md5 of the row id, w = doc length; the global top-k by key IS a
+    weighted sample — longer docs proportionally likelier.
+
+    The standard one-pass distributed weighted sampler: key assignment
+    is a pure projection, selection is top-k (TakeOrderedAndProject —
+    each partition keeps its best 50, the driver merges |tasks|*50
+    candidates; no global sort, no shuffle of the corpus).  Seeded md5
+    instead of rand() keeps the sample reproducible across engines,
+    partitionings and reruns — the property a training pipeline needs
+    for auditable mixtures.
+    """
+    d = t_fanout(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        (
+            F.conv(F.substring(F.md5(F.concat_ws(":", F.col("doc_id"), F.lit("ws"))), 1, 8), 16, 10)
+            .cast("bigint")
+            % 1000000
+        ).alias("h"),
+    )
+    k = d.select(
+        "doc_id",
+        "n_chars",
+        F.pow((F.col("h") + 0.5) / 1000000.0, 1.0 / F.col("n_chars")).alias("key"),
+    )
+    return (
+        k.orderBy(F.col("key").desc(), "doc_id")
+        .limit(50)
+        .select("doc_id", "n_chars", F.round("key", 6).alias("wkey"))
+    )

@@ -275,3 +275,78 @@ def test_srp_banded_recall_contains_single_band(spark):
     assert len(banded) >= len(single)
     # and the operator itself still runs green on the fixture
     assert full_df.count() >= 0
+
+
+def test_sessionize_conserves_events(spark, registry):
+    """Invariant: session rollup partitions the event stream — the
+    per-session n_events sum equals the raw event count, and every
+    duration is non-negative."""
+    from tests.conftest import SF001
+    from pyspark.sql import functions as F
+
+    sessions = registry["sessionize_batch"].fn(spark, SF001)
+    agg = sessions.agg(
+        F.sum("n_events").alias("total"),
+        F.min("duration_s").alias("min_dur"),
+    ).collect()[0]
+    n_events = spark.read.parquet(f"{SF001}/events.parquet").count()
+    assert agg["total"] == n_events
+    assert agg["min_dur"] >= 0
+
+
+def test_funnel_is_monotone(spark, registry):
+    """Invariant: each funnel stage's user count is <= the previous
+    stage's (strict temporal ordering can only lose users)."""
+    from tests.conftest import SF001
+
+    rows = registry["funnel_batch"].fn(spark, SF001).orderBy("stage").collect()
+    users = [r["users"] for r in rows]
+    assert len(users) == 3
+    assert users[0] >= users[1] >= users[2]
+
+
+def test_rle_runs_conserve_events(spark, registry):
+    """Invariant: run lengths sum to the event count (runs partition
+    each user's sequence)."""
+    from tests.conftest import SF001
+    from pyspark.sql import functions as F
+
+    runs = registry["rle_events"].fn(spark, SF001)
+    total = runs.agg(F.sum("run_len").alias("s")).collect()[0]["s"]
+    n_events = spark.read.parquet(f"{SF001}/events.parquet").count()
+    assert total == n_events
+
+
+def test_dedup_chunks_conserves_and_only_shrinks(spark, registry):
+    """Invariants: every doc survives (500 rows), kept+dropped equals
+    the doc's chunk count, and nothing is ever ADDED (clean_text word
+    count <= original word count)."""
+    from tests.conftest import SF001
+    from pyspark.sql import functions as F
+
+    out = registry["dedup_chunks"].fn(spark, SF001)
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    assert out.count() == docs.count()
+    bad = (
+        out.join(docs, "doc_id")
+        .filter(
+            F.size(F.split(F.coalesce("clean_text", F.lit("")), " "))
+            > F.size(F.split("text", " "))
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_weighted_sample_prefers_heavier_docs(spark, registry):
+    """Statistical sanity: the A-ES weighted sample's mean doc length
+    must exceed the corpus mean (weights = n_chars)."""
+    from tests.conftest import SF001
+    from pyspark.sql import functions as F
+
+    sample = registry["sample_weighted"].fn(spark, SF001)
+    s_mean = sample.agg(F.avg("n_chars")).collect()[0][0]
+    c_mean = (
+        spark.read.parquet(f"{SF001}/documents.parquet").agg(F.avg("n_chars")).collect()[0][0]
+    )
+    assert s_mean > c_mean
