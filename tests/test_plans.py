@@ -410,3 +410,20 @@ def test_lateral_is_decorrelated_group_limit(spark, registry):
     plan = _formatted_plan(spark, registry["join_lateral"].fn(spark, SF001))
     assert "WindowGroupLimit" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q3_topk_and_broadcast(spark, registry):
+    # the LIMIT 10 must plan as TakeOrderedAndProject (partition-local
+    # top-k) and the filtered customer dim must broadcast — no
+    # SortMergeJoin, no global sort
+    plan = _formatted_plan(spark, registry["tpch_q3"].fn(spark, SF001))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q18_semi_join_gate(spark, registry):
+    # the HAVING survivor set must gate orders via LeftSemi (no row
+    # duplication before the final rollup)
+    plan = _formatted_plan(spark, registry["tpch_q18"].fn(spark, SF001))
+    assert "LeftSemi" in plan
