@@ -62,6 +62,9 @@ HEADLINE = [
     "sessionize_batch",
     "cohort_retention",
     "anomaly_mad",
+    # r5 composites + span dedup
+    "tpch_q3",
+    "dedup_chunks",
 ]
 
 
