@@ -447,7 +447,6 @@ def dedup_minhash_ml(spark, sf_dir):
             F.col("datasetB.doc_id").alias("doc_b"),
             F.round(F.col("jaccard_dist"), 4).alias("jaccard_dist"),
         )
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -665,7 +664,6 @@ def sim_lsh(spark, sf_dir):
             F.col("datasetB.vec_id").alias("vec_b"),
             F.round(F.col("euclid"), 4).alias("euclid"),
         )
-        .orderBy("vec_a", "vec_b")
     )
 
 
@@ -1009,7 +1007,7 @@ def mm_features(spark, sf_dir):
             "mean_byte double, n_distinct_bytes long, entropy_bits double"
         ),
     )
-    return out.orderBy("doc_id")
+    return out
 
 
 @register(

@@ -235,6 +235,5 @@ def udtf_py(spark, sf_dir):
         SELECT p.tile_id, p.pos, p.value
         FROM udtf_tiles t,
         LATERAL explode_tile(t.tile_id, t.nodata, t.data) p
-        ORDER BY p.tile_id, p.pos
         """
     )

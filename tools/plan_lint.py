@@ -1,0 +1,114 @@
+"""Plan linter: mechanical 100-TB-hygiene audit over EVERY registry key.
+
+Builds each declared query's physical plan at sf0.001 and flags the
+anti-scale patterns that individual plan pins can miss when new
+operators land:
+
+- ``CartesianProduct``          — all-pairs blowup (only the explicit
+                                  cross-join surface key may do this)
+- ``BroadcastNestedLoopJoin``   — only acceptable against provably
+                                  constant-size sides (probe sets,
+                                  1-row counts, literal ranges)
+- ``BatchEvalPython``           — row-at-a-time Python in the hot path
+                                  (only the deliberate UDF surface
+                                  keys)
+- ``rangepartitioning``         — global sort; only layout sinks that
+                                  MUST range-cluster may pay it
+- ``SortAggregate``             — usually means a missing hash-able
+                                  grouping expression
+
+Keys with a justified exception are allowlisted HERE, next to the
+reason, so every exception is reviewed text — a new operator that
+trips a rule fails tests/test_plan_lint.py until it is either fixed
+or justified below.
+
+Usage: python tools/plan_lint.py [keys...]   (default: all keys)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from raster2points_spark.plans import explain_formatted
+from raster2points_spark.registry import load_all
+from raster2points_spark.session import get_spark
+
+SF = "/root/testdata/sf0.001"
+
+# Streaming keys execute a replayed stream inside fn(); their batch
+# result plans are scans of drained state, not the operator itself —
+# lint the batch families only.
+SKIP_PREFIXES = ("stream_",)
+
+RULES: dict[str, dict[str, str]] = {
+    # pattern -> {allowlisted key: reason}
+    "CartesianProduct": {
+        "join_cross": "the explicit cross-join surface key (tiny dims)",
+    },
+    "BroadcastNestedLoopJoin": {
+        "join_cross": "tiny dim x dim cross product",
+        "join_theta_range": "non-equi theta join vs a broadcast 25-row dim",
+        "sim_knn": "probe set (5 rows) broadcast against the corpus scan",
+        "sim_knn_label": "probe set broadcast",
+        "sim_ivf": "8-centroid codebook broadcast",
+        "text_heavy_hitters": "1-row corpus count broadcast",
+        "text_unigram_ppl": "1-row corpus token total broadcast",
+        "text_tfidf": "1-row corpus doc-count (nd) broadcast",
+        "pipeline_train_ready": "mixture stage's per-source count relation (rows = |sources|)",
+        "sample_mixture": "per-source count relation joined on TRUE (rows = |sources|)",
+        "ts_gapfill": "1-row global min/max bounds broadcast",
+        "bpe_train": "1-row argmax pair broadcast per iteration",
+        "subq_scalar": "1-row scalar aggregate broadcast",
+        "tile_stats": "1-row global stats broadcast",
+        "profile_columns": "constant-width stats unpivot join",
+        "text_contamination": "broadcast eval-set n-gram list (constant size)",
+    },
+    "BatchEvalPython": {
+        "udf_scalar_py": "THE deliberate row-Python surface key",
+        "udtf_py": "Python UDTF surface key",
+    },
+    "rangepartitioning": {
+        "sink_zorder": "repartitionByRange on zkey IS the clustering layout",
+        "sink_sorted": "range layout for row-group min/max stats",
+    },
+}
+
+
+def lint(keys=None) -> list[tuple[str, str]]:
+    spark = get_spark("plan_lint")
+    reg = load_all()
+    names = keys or [
+        n for n in reg if not n.startswith(SKIP_PREFIXES)
+    ]
+    violations: list[tuple[str, str]] = []
+    for name in names:
+        try:
+            plan = explain_formatted(reg[name].fn(spark, SF))
+        except Exception as ex:  # pragma: no cover - lint must name the key
+            violations.append((name, f"plan build failed: {ex}"))
+            continue
+        for pattern, allow in RULES.items():
+            if pattern in plan and name not in allow:
+                violations.append((name, pattern))
+    return violations
+
+
+def main() -> int:
+    keys = sys.argv[1:] or None
+    violations = lint(keys)
+    reg_n = len(load_all())
+    checked = keys or "all-batch"
+    if violations:
+        for name, what in violations:
+            print(f"VIOLATION {name}: {what}")
+        print(f"{len(violations)} violations")
+        return 1
+    print(f"plan lint clean ({reg_n} registered keys; scope={checked})")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
