@@ -54,8 +54,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     #        sliding/session/funnel d4 rows stand — all re-validated
     #        green on the regenerated corpus by the local r5 gate) ---
     "stream_stream_join",
-    "join_asof",
     "sample_weighted",
+    "mv_incremental",
     "join_lateral",
     "cte_recursive",
     "dedup_chunks",

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from raster2points_spark.io import register_views
 from raster2points_spark.registry import register
-from raster2points_spark.queries._util import t
+from raster2points_spark.queries._util import ORACLE_TSEC, SCRATCH, t, unix_secs
 
 
 @register(
@@ -542,4 +542,54 @@ def cte_recursive(spark, sf_dir):
         SELECT m.yr, m.mo, coalesce(oc.n, 0) AS n, coalesce(oc.total, 0.0) AS total
         FROM m LEFT JOIN oc ON m.yr = oc.yr AND m.mo = oc.mo
         """
+    )
+
+
+@register(
+    "mv_incremental",
+    oracle=f"""
+    SELECT event_type,
+           cast(floor({ORACLE_TSEC.format(c='ts')} / 86400) AS bigint) AS day,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def mv_incremental(spark, sf_dir):
+    """Materialized-view incremental refresh: a standing daily rollup
+    is maintained by aggregating ONLY the new days and merging the
+    partial aggregates into the stored MV — history is never
+    rescanned.
+
+    The 100 TB standing-pipeline pattern: refresh cost is
+    O(delta) + O(|MV|), independent of history size.  Works because
+    count/sum are decomposable (merge = re-aggregate the partials);
+    the oracle recomputes the SAME rollup from the full table, so the
+    hash match PROVES base ⊎ delta == full — the MV maintenance
+    invariant itself.  Day split at epoch-day 19740 (Jan 24 2024) puts
+    real rows on both sides at every shipped SF.
+    """
+    import os as _os
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(unix_secs(F.col("ts")) / 86400).cast("bigint").alias("day"),
+        "value",
+    )
+
+    def rollup(df):
+        return df.groupBy("event_type", "day").agg(
+            F.count("*").alias("n"), F.sum("value").alias("sv")
+        )
+
+    split_day = 19740
+    path = _os.path.join(SCRATCH, "mv_incremental_base")
+    rollup(ev.filter(F.col("day") < split_day)).write.mode("overwrite").parquet(path)
+    base = spark.read.parquet(path)  # the stored MV (history's partials)
+    delta = rollup(ev.filter(F.col("day") >= split_day))  # only new days scanned
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type", "day")
+        .agg(F.sum("n").alias("n"), F.round(F.sum("sv"), 2).alias("sum_value"))
     )
