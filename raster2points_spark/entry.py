@@ -19,18 +19,20 @@ SF0001 = "/root/testdata/sf0.001"
 # round.  Cumulative driver-verified coverage = union of all round
 # windows (r1: 44 green, r3: 43 green, r4: 50 green).  Round-5 window,
 # in order:
-#   1. the 15 keys that have NEVER had a driver row (10 oracle +
-#      bpe_train/mm_features rows-only + 3 stream smoke keys),
-#   2. 9 timestamp-sensitive keys (re-confirmation in case the corpus
-#      regenerates with new ts units again — the r3 failure mode),
-#   3. the 3 keys whose implementation CHANGED this round
-#      (dedup_embed multi-band blocking, sim_knn/sim_knn_label
-#      two-phase top-k) — fresh driver evidence for the new code,
-#   4. 7 documents-based keys bumped from the r4 window,
-#   5. the 8 operators ADDED in r5 (zero driver evidence otherwise),
-#   6. 8 r1-only keys with the oldest driver evidence (join/filter
-#      families; the other 8 r1-only keys keep their r1 rows and
-#      rotate in next round).
+#   1. the 15 keys that have NEVER had a driver row before r5 (10
+#      oracle + bpe_train/mm_features rows-only + 3 stream smoke),
+#   2. stream_stream_join (the one timestamp-sensitive re-confirmation
+#      kept after the corpus regenerated — the cheaper stream/window
+#      d4 rows were re-validated green by the local r5 all-keys gate)
+#      plus the 10 late-r5 SQL-surface/pipeline keys (sample_weighted,
+#      mv_incremental, join_lateral, cte_recursive, dedup_chunks,
+#      agg_entropy, tpch_q3/q18, embed_dim_stats/whiten),
+#   3. the 3 keys whose implementation CHANGED in r5 (dedup_embed
+#      multi-band blocking, sim_knn/sim_knn_label two-phase top-k),
+#   4. dedup_jaccard/dedup_near re-confirmation on the new corpus,
+#   5. the 8 operators added early in r5,
+#   6. the 11 operators added mid-r5 (behavioral family, corr/
+#      regression, edit-distance dedup, DPP, unpivot).
 # Keys absent from this list keep their natural registration order
 # after it.
 DRIVER_PRIORITY: tuple[str, ...] = (
