@@ -70,11 +70,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_embed",
     "sim_knn",
     "sim_knn_label",
-    # --- 4. documents keys bumped from the r4 window (4; dedup_exact/
-    #        dedup_simhash keep their d1 rows and yield slots to
-    #        never-checked keys) ---
-    "dedup_jaccard",
-    "dedup_near",
+    # --- 4. raster additions late in r5 — never driver-checked (the
+    #        dedup_* d1 rows stand; all re-validated green locally) ---
+    "raster_slope",
+    "fn_haversine",
     # --- 5. operators ADDED in r5 — first driver evidence (8) ---
     "embed_normalize",
     "embed_centroids",

@@ -471,3 +471,133 @@ def raster_focal_mean(spark, sf_dir):
         .groupBy(F.col("ccol").alias("col"), F.col("crow").alias("row"))
         .agg(F.count("*").alias("n_nbr"), F.round(F.avg("value"), 6).alias("focal_mean"))
     )
+
+
+@register(
+    "raster_slope",
+    oracle=f"""
+    {_PX}
+    , valid AS (
+        SELECT col, row, value FROM pix
+        WHERE band_id = 'b1' AND value IS NOT NULL
+    ),
+    offsets AS (
+        SELECT * FROM (VALUES (-1, 0, 'x', 1.0), (1, 0, 'x', -1.0),
+                              (0, -1, 'y', 1.0), (0, 1, 'y', -1.0)) t(dc, dr, axis, w)
+    ),
+    contrib AS (
+        SELECT v.col + o.dc AS col, v.row + o.dr AS row, o.axis, o.w * v.value AS wv
+        FROM valid v CROSS JOIN offsets o
+    ),
+    grad AS (
+        SELECT c.col, c.row,
+               sum(CASE WHEN axis = 'x' THEN wv END) / 2 AS dzdx,
+               sum(CASE WHEN axis = 'y' THEN wv END) / 2 AS dzdy,
+               count(*) AS n
+        FROM contrib c SEMI JOIN (SELECT DISTINCT col, row FROM valid) ctr
+          ON ctr.col = c.col AND ctr.row = c.row
+        GROUP BY c.col, c.row
+    )
+    SELECT col, row, round(dzdx, 6) AS dzdx, round(dzdy, 6) AS dzdy,
+           round(sqrt(dzdx * dzdx + dzdy * dzdy), 6) AS slope
+    FROM grad WHERE n = 4
+    """,
+)
+def raster_slope(spark, sf_dir):
+    """Per-pixel gradient magnitude (slope) by central differences —
+    the terrain-analysis sibling of raster_focal_mean, and the second
+    stencil kernel proving the scatter-gather pattern generalizes:
+    each valid pixel scatters a SIGNED, axis-tagged contribution to
+    the 4 centers it influences; one groupBy(col,row) gathers
+    dz/dx = (v(x+1) - v(x-1))/2 and dz/dy, and sqrt of the squared
+    sums is the slope.
+
+    Same scale shape as focal_mean: a 4-row in-row explode (pure
+    projection), one partial-aggregated shuffle of 4x|valid| rows,
+    a semi-join mask against valid centers; interior-only output via
+    the n = 4 completeness gate (border pixels lack a neighbor on
+    some axis — emitting them would silently bias the gradient).
+    """
+    px = nodata_filter(grid_unpivot(_tiles(spark, sf_dir).filter(F.col("band_id") == "b1")))
+    valid = px.select("col", "row", "value")
+    offsets = F.expr(
+        "explode(array("
+        "struct(-1 as dc, 0 as dr, 'x' as axis, 1.0D as w),"
+        "struct( 1 as dc, 0 as dr, 'x' as axis, -1.0D as w),"
+        "struct(0 as dc, -1 as dr, 'y' as axis, 1.0D as w),"
+        "struct(0 as dc,  1 as dr, 'y' as axis, -1.0D as w)))"
+    )
+    contrib = valid.select("col", "row", "value", offsets.alias("o")).select(
+        (F.col("col") + F.col("o.dc")).alias("ccol"),
+        (F.col("row") + F.col("o.dr")).alias("crow"),
+        F.col("o.axis").alias("axis"),
+        (F.col("o.w") * F.col("value")).alias("wv"),
+    )
+    centers = valid.select(F.col("col").alias("ccol"), F.col("row").alias("crow"))
+    grad = (
+        contrib.join(centers, ["ccol", "crow"], "left_semi")
+        .groupBy(F.col("ccol").alias("col"), F.col("crow").alias("row"))
+        .agg(
+            (F.sum(F.when(F.col("axis") == "x", F.col("wv"))) / 2).alias("dzdx"),
+            (F.sum(F.when(F.col("axis") == "y", F.col("wv"))) / 2).alias("dzdy"),
+            F.count("*").alias("n"),
+        )
+    )
+    return grad.filter(F.col("n") == 4).select(
+        "col",
+        "row",
+        F.round("dzdx", 6).alias("dzdx"),
+        F.round("dzdy", 6).alias("dzdy"),
+        F.round(
+            F.sqrt(F.col("dzdx") * F.col("dzdx") + F.col("dzdy") * F.col("dzdy")), 6
+        ).alias("slope"),
+    )
+
+
+@register(
+    "fn_haversine",
+    oracle=f"""
+    {_PX}
+    , pts AS (
+        SELECT tile_id, row, col,
+               transform[3] + (col + 0.5) * transform[1] + (row + 0.5) * transform[2] AS lon,
+               transform[6] + (col + 0.5) * transform[4] + (row + 0.5) * transform[5] AS lat
+        FROM pix WHERE band_id = 'b1' AND value IS NOT NULL
+    )
+    SELECT tile_id, row, col,
+           round(2 * 6371.0088 * asin(sqrt(
+               pow(sin(radians(lat - 44.0) / 2), 2)
+               + cos(radians(44.0)) * cos(radians(lat))
+                 * pow(sin(radians(lon - 11.0) / 2), 2)
+           )), 3) AS dist_km
+    FROM pts
+    """,
+)
+def fn_haversine(spark, sf_dir):
+    """Great-circle (haversine) distance from every masked pixel
+    center to a reference point (11°E, 44°N) — the geo-distance
+    function behind proximity filters and nearest-site joins on the
+    point table the engine produces.
+
+    Pure per-row trigonometry fused into the scan stage (zero
+    shuffles); both engines evaluate the identical double-precision
+    formula from the identical affine-projected coordinates, rounded
+    to meter precision (3 dp of km) to absorb last-ulp libm
+    divergence.
+    """
+    px = nodata_filter(grid_unpivot(_tiles(spark, sf_dir).filter(F.col("band_id") == "b1")))
+    px = affine_coords(px)
+    lat0 = F.lit(44.0)
+    lon0 = F.lit(11.0)
+    hav = (
+        F.pow(F.sin(F.radians(F.col("lat") - lat0) / 2), 2)
+        + F.cos(F.radians(lat0))
+        * F.cos(F.radians(F.col("lat")))
+        * F.pow(F.sin(F.radians(F.col("lon") - lon0) / 2), 2)
+    )
+    return px.select(
+        "tile_id",
+        "row",
+        "col",
+        F.round(2 * 6371.0088 * F.asin(F.sqrt(hav)), 3).alias("dist_km"),
+    )
