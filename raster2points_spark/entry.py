@@ -52,9 +52,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_watermark",
     "stream_dedup_state",
     "stream_custom_state",
-    # --- 2. timestamp-sensitive re-confirmation (3; the tumbling/
-    #        sliding/session/funnel d4 rows stand — all re-validated
-    #        green on the regenerated corpus by the local r5 gate) ---
+    # --- 2. stream_stream_join re-confirmation + the 10 late-r5
+    #        SQL-surface/pipeline keys (see header note) ---
     "stream_stream_join",
     "sample_weighted",
     "mv_incremental",
