@@ -73,6 +73,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     #        dedup_* d1 rows stand; all re-validated green locally) ---
     "raster_slope",
     "fn_haversine",
+    "raster_band_math",
+    "rfm_segments",
     # --- 5. operators ADDED in r5 — first driver evidence (8) ---
     "embed_normalize",
     "embed_centroids",

@@ -463,3 +463,65 @@ def agg_entropy(spark, sf_dir):
             "user_id", F.col("tot").cast("bigint").alias("n_events"), "entropy"
         )
     )
+
+
+@register(
+    "rfm_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT c_custkey,
+             cast(max(epoch(o_orderdate)) AS bigint) AS last_order_sec,
+             count(*) AS frequency,
+             round(sum(o_totalprice), 2) AS monetary
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_custkey
+    )
+    SELECT c_custkey, last_order_sec, frequency, monetary,
+           ntile(4) OVER (ORDER BY last_order_sec DESC, c_custkey) AS r_quartile,
+           ntile(4) OVER (ORDER BY frequency DESC, c_custkey) AS f_quartile,
+           ntile(4) OVER (ORDER BY monetary DESC, c_custkey) AS m_quartile
+    FROM rfm
+    """,
+)
+def rfm_segments(spark, sf_dir):
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the classic warehouse composite: per-customer order rollup, then
+    quartile bucketing on each axis.
+
+    The rollup collapses orders to |customers| rows map-side before
+    the one shuffle; the ntile windows then run over the aggregate,
+    never the order stream.  Caveat for extreme entity counts: an
+    unpartitioned ntile funnels the aggregate through one task — at
+    billions of customers switch to percentile-threshold bucketing
+    (compute the 3 quartile boundaries with percentile(), bucket by
+    comparison broadcast — approximate at ties but fully distributed).
+    Deterministic quartiles via the (metric, c_custkey) tiebreak (R2).
+    """
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    rfm = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey")
+        .agg(
+            unix_secs(F.max("o_orderdate")).alias("last_order_sec"),
+            F.count("*").alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+    )
+    from pyspark.sql import Window
+
+    return rfm.select(
+        "c_custkey",
+        "last_order_sec",
+        "frequency",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("last_order_sec").desc(), "c_custkey"))
+        .alias("r_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("frequency").desc(), "c_custkey"))
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary").desc(), "c_custkey"))
+        .alias("m_quartile"),
+    )

@@ -601,3 +601,44 @@ def fn_haversine(spark, sf_dir):
         "col",
         F.round(2 * 6371.0088 * F.asin(F.sqrt(hav)), 3).alias("dist_km"),
     )
+
+
+@register(
+    "raster_band_math",
+    oracle=f"""
+    {_PX}
+    SELECT b1.tile_id, b1.row, b1.col,
+           round((b2.value - b1.value) / nullif(b2.value + b1.value, 0), 6) AS ndi
+    FROM (SELECT * FROM pix WHERE band_id = 'b1' AND value IS NOT NULL) b1
+    JOIN (SELECT * FROM pix WHERE band_id = 'b2' AND value IS NOT NULL) b2
+      ON b1.tile_id = b2.tile_id AND b1.pos = b2.pos
+    """,
+)
+def raster_band_math(spark, sf_dir):
+    """Normalized-difference index (the NDVI shape: (b2-b1)/(b2+b1))
+    over positionally-aligned bands — the band-algebra composite every
+    remote-sensing pipeline derives before thresholding.
+
+    Same zero-blowup alignment as band_zip_join (equi-join on
+    (tile_id, pos) — at tile granularity this is arrays_zip, never a
+    pixel shuffle) with the arithmetic fused as a codegen projection;
+    nullif guards the zero-denominator pixels identically in both
+    engines (ANSI-safe, no try_divide asymmetry).
+    """
+    tl = _tiles(spark, sf_dir)
+    b1 = nodata_filter(grid_unpivot(tl.filter(F.col("band_id") == "b1")))
+    b2 = nodata_filter(grid_unpivot(tl.filter(F.col("band_id") == "b2")))
+    return (
+        b1.select("tile_id", "pos", "row", "col", F.col("value").alias("v1"))
+        .join(b2.select("tile_id", "pos", F.col("value").alias("v2")), ["tile_id", "pos"])
+        .select(
+            "tile_id",
+            "row",
+            "col",
+            F.round(
+                (F.col("v2") - F.col("v1"))
+                / F.nullif(F.col("v2") + F.col("v1"), F.lit(0)),
+                6,
+            ).alias("ndi"),
+        )
+    )
