@@ -75,6 +75,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "fn_haversine",
     "raster_band_math",
     "rfm_segments",
+    "join_asof_forward",
     # --- 5. operators ADDED in r5 — first driver evidence (8) ---
     "embed_normalize",
     "embed_centroids",

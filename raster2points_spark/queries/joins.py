@@ -560,3 +560,50 @@ def join_lateral(spark, sf_dir):
           ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
         """
     )
+
+
+@register(
+    "join_asof_forward",
+    oracle=f"""
+    WITH ev AS (SELECT event_id, user_id, event_type, {_TSEC} AS tsec FROM events)
+    SELECT p.event_id, p.user_id, p.tsec AS purchase_tsec,
+           coalesce((SELECT min(v.tsec) FROM ev v
+                     WHERE v.user_id = p.user_id AND v.event_type = 'error'
+                       AND v.tsec >= p.tsec), -1) AS next_error_tsec
+    FROM ev p WHERE p.event_type = 'purchase'
+    """,
+)
+def join_asof_forward(spark, sf_dir):
+    """FORWARD as-of join (nearest following match): for each purchase
+    the next error by the same user — the "what broke after checkout"
+    direction, complementing join_asof's backward lookup.
+
+    Same single-shuffle shape mirrored in time: union both types,
+    shuffle ONCE on user_id, carry the next error timestamp BACKWARD
+    with first(ignoreNulls) over a currentRow→unboundedFollowing
+    frame.  Purchases sort before errors at equal timestamps so a
+    simultaneous error is inside the frame (matches the oracle's >=).
+    """
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("error", "purchase"))
+        .select(
+            "event_id",
+            "user_id",
+            unix_secs(F.col("ts")).alias("tsec"),
+            F.when(F.col("event_type") == "purchase", 0).otherwise(1).alias("kind"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tsec", "kind", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    err_ts = F.first(F.when(F.col("kind") == 1, F.col("tsec")), ignorenulls=True).over(w)
+    return (
+        ev.withColumn("next_error_tsec", F.coalesce(err_ts, F.lit(-1)))
+        .filter(F.col("kind") == 0)
+        .select(
+            "event_id", "user_id", F.col("tsec").alias("purchase_tsec"), "next_error_tsec"
+        )
+    )
