@@ -43,6 +43,12 @@ SUBSET = [
     "embed_dim_stats",
     "embed_whiten",
     "sample_weighted",
+    "mv_incremental",
+    "raster_slope",
+    "fn_haversine",
+    "raster_band_math",
+    "rfm_segments",
+    "join_asof_forward",
 ]
 
 
