@@ -76,6 +76,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "raster_band_math",
     "rfm_segments",
     "join_asof_forward",
+    "stream_join_static",
     # --- 5. operators ADDED in r5 — first driver evidence (8) ---
     "embed_normalize",
     "embed_centroids",

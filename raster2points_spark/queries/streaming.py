@@ -385,3 +385,34 @@ def stream_distinct_users(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("n_users"))
         .select(unix_secs(F.col("w.start")).alias("ws"), "event_type", "n_users")
     )
+
+
+@register(
+    "stream_join_static",
+    oracle="""
+    SELECT c_mktsegment, event_type, count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_join_static(spark, sf_dir):
+    """Stream-static enrichment join — the canonical streaming
+    pattern: an unbounded event stream joins a STATIC dimension
+    (customer) with no watermark needed (the static side never
+    changes mid-query), then aggregates per (segment, type).
+
+    The static dim is broadcast per micro-batch (never shuffled with
+    the stream); complete-mode output makes the drained table equal
+    the batch join+agg bit-for-bit, which is exactly what the oracle
+    recomputes.  Multi-batch replay (availableNow over file slices)
+    proves the incremental aggregation state merges correctly across
+    batches.
+    """
+    stream = read_events_stream(spark, sf_dir, max_files_per_trigger=4)
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = stream.join(F.broadcast(cust), stream.user_id == cust.c_custkey)
+    agg = joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    return run_available_now(agg, "stream_join_static", output_mode="complete")
