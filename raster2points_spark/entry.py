@@ -77,6 +77,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "rfm_segments",
     "join_asof_forward",
     "stream_join_static",
+    "scan_pysource",
     # --- 5. operators ADDED in r5 — first driver evidence (8) ---
     "embed_normalize",
     "embed_centroids",
@@ -100,8 +101,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "join_dpp",
     "reshape_unpivot",
 )
-# ROUND-6 ROTATION NOTE: after this window every registry key will have
-# at least one driver CORRECTNESS row.  Refill with (a) any r5 reds,
+# ROUND-6 ROTATION NOTE: the priority list intentionally exceeds 50 —
+# the overflow (the tail of section 6: agg_corr, agg_regression,
+# dedup_edit_distance, join_dpp, reshape_unpivot and later additions)
+# gets NO r5 row and must LEAD the r6 window.  Refill with (a) any r5
+# reds, then the overflow,
 # (b) keys whose implementation changed in r6, (c) the keys with the
 # oldest evidence — the r1-only keys bumped from this window
 # (project_expr, case_when, distinct_rows, join_left, join_right,

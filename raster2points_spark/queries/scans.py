@@ -374,3 +374,55 @@ def join_dpp(spark, sf_dir):
         .groupBy("ship_month")
         .agg(F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
     )
+
+
+@register(
+    "scan_pysource",
+    oracle="""
+    WITH t(i) AS (SELECT unnest(generate_series(0, 9))),
+    cells AS (
+      SELECT a.i AS col, b.i AS row,
+             round(sin(a.i * 1.7 + b.i * 0.3) * 100, 6) AS value
+      FROM t a CROSS JOIN t b
+    )
+    SELECT col, row, value FROM cells WHERE value > 0
+    """,
+)
+def scan_pysource(spark, sf_dir):
+    """Custom Python data source (Spark 4 DataSource API) — the
+    extension seam a REAL GeoTIFF/COG reader would plug into when
+    rasterio is available: the source declares its schema and
+    PARTITIONS (one per tile row here), executors pull each partition
+    independently — distributed ingest without a JVM connector.
+
+    The generated cells are a pure deterministic function of (col,
+    row), so the DuckDB twin regenerates them exactly — proving the
+    source delivers every partition exactly once.  Filters compose on
+    top like any scan (the value > 0 predicate runs in Spark's plan).
+    """
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class GridReader(DataSourceReader):
+        def partitions(self):
+            return [InputPartition(r) for r in range(10)]
+
+        def read(self, partition):
+            import math
+
+            r = partition.value
+            for c in range(10):
+                yield (c, r, round(math.sin(c * 1.7 + r * 0.3) * 100, 6))
+
+    class GridSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "synthetic_grid"
+
+        def schema(self):
+            return "col int, row int, value double"
+
+        def reader(self, schema):
+            return GridReader()
+
+    spark.dataSource.register(GridSource)
+    return spark.read.format("synthetic_grid").load().filter(F.col("value") > 0)
