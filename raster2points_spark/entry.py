@@ -78,6 +78,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "join_asof_forward",
     "stream_join_static",
     "scan_pysource",
+    "scan_text_lines",
+    "scan_binary_files",
     # --- 5. operators ADDED in r5 — first driver evidence (8) ---
     "embed_normalize",
     "embed_centroids",

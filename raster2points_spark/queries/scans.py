@@ -426,3 +426,76 @@ def scan_pysource(spark, sf_dir):
 
     spark.dataSource.register(GridSource)
     return spark.read.format("synthetic_grid").load().filter(F.col("value") > 0)
+
+
+@register(
+    "scan_text_lines",
+    oracle="""
+    SELECT lang, count(*) AS n_lines,
+           cast(sum(length(text)) AS bigint) AS total_len
+    FROM documents GROUP BY lang
+    """,
+)
+def scan_text_lines(spark, sf_dir):
+    """Raw text-lines source (``spark.read.text``) — the ingest format
+    of every web-crawl dump: one doc per line, written per-language
+    into a lang=<x> directory tree, re-read with partition discovery.
+
+    Splittable line reads parallelize by byte range at scale; the
+    lang partition column comes from the DIRECTORY (no parsing), and
+    the post-roundtrip per-lang aggregate must equal the source-table
+    oracle — newline-free texts make the line<->doc bijection exact.
+    """
+    path = os.path.join(SCRATCH, "text_lines")
+    t(spark, sf_dir, "documents").select("lang", "text").write.mode(
+        "overwrite"
+    ).partitionBy("lang").text(path)
+    back = spark.read.text(path)  # partition discovery adds `lang`
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.length("value")).alias("total_len"),
+    )
+
+
+@register(
+    "scan_binary_files",
+    oracle="""
+    SELECT count(*) AS n_files,
+           cast(sum(length(text)) AS bigint) AS total_bytes,
+           min(length(text)) AS min_bytes,
+           max(length(text)) AS max_bytes
+    FROM documents WHERE doc_id < 20
+    """,
+)
+def scan_binary_files(spark, sf_dir):
+    """Opaque-binary ingest (``binaryFile`` source) — the multimodal
+    on-ramp: image/audio blobs land as (path, modificationTime,
+    length, content) rows with NO decode, exactly how §2.9's mm_*
+    kernels expect them.
+
+    20 docs are materialized as one file each (ascii text ⇒ byte
+    length == char length, which is what the oracle counts on the
+    source table); the binaryFile scan lists + reads them
+    distributed, content stays a byte column until a kernel asks.
+    """
+    import shutil
+
+    path = os.path.join(SCRATCH, "binary_files")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    rows = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 20)
+        .select("doc_id", "text")
+        .collect()  # 20 tiny rows — fixture materialization, not the operator
+    )
+    for r in rows:
+        with open(os.path.join(path, f"doc_{r['doc_id']:05d}.bin"), "wb") as f:
+            f.write(r["text"].encode("ascii"))
+    blobs = spark.read.format("binaryFile").load(path)
+    return blobs.agg(
+        F.count("*").alias("n_files"),
+        F.sum(F.length("content")).alias("total_bytes"),
+        F.min(F.length("content")).cast("bigint").alias("min_bytes"),
+        F.max(F.length("content")).cast("bigint").alias("max_bytes"),
+    )
