@@ -80,6 +80,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "scan_pysource",
     "scan_text_lines",
     "scan_binary_files",
+    "audience_overlap",
     # --- 5. operators ADDED in r5 — first driver evidence (8) ---
     "embed_normalize",
     "embed_centroids",

@@ -333,3 +333,42 @@ def anomaly_mad(spark, sf_dir):
             ).alias("robust_z"),
         )
     )
+
+
+@register(
+    "audience_overlap",
+    oracle="""
+    WITH a AS (SELECT DISTINCT event_type, user_id FROM events)
+    SELECT x.event_type AS type_a, y.event_type AS type_b,
+           count(*) AS shared_users
+    FROM a x JOIN a y ON x.user_id = y.user_id
+    WHERE x.event_type < y.event_type
+    GROUP BY 1, 2
+    """,
+)
+def audience_overlap(spark, sf_dir):
+    """Audience-overlap matrix: for every event-type pair, how many
+    users did both — the co-occurrence table behind audience targeting
+    and feature-correlation screens.
+
+    The stream collapses to DISTINCT (type, user) pairs first (one
+    map-side-combined shuffle, ≤ |types|x|users| rows); the self-join
+    keys on user_id over that collapsed relation, so the pair blowup
+    is bounded by |types|² per user — never event², and the output is
+    |types| choose 2 rows.
+    """
+    a = t(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    x = a.alias("x")
+    y = a.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("shared_users"))
+    )
