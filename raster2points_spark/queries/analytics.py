@@ -345,13 +345,19 @@ def graph_pagerank(spark, sf_dir):
         .distinct()
         .persist()
     )
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("d")).persist()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    # The edges⋈outdeg join is ALSO loop-invariant — hoist it so each
+    # iteration pays exactly ONE join (ranks) + one partial-agg
+    # groupBy, not two joins.  Pre-dividing by out-degree is the
+    # standard "weighted edges" PageRank form.
+    edges_w = edges.join(outdeg, "src").select("src", "dst", "d").persist()
     n_nodes = nodes.count()  # one scalar job; also materializes the caches
     ranks = nodes.select("id", F.lit(1.0 / n_nodes).alias("r"))
     for _ in range(2):
+        # r/d stays a per-row division (NOT pre-inverted r*(1/d)) so
+        # the float arithmetic is bit-identical to the oracle's
         contrib = (
-            edges.join(ranks.withColumnRenamed("id", "src"), "src")
-            .join(outdeg, "src")
+            edges_w.join(ranks.withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("r") / F.col("d")).alias("c"))
         )
