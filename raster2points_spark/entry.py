@@ -81,6 +81,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "scan_text_lines",
     "scan_binary_files",
     "audience_overlap",
+    "fn_variant",
+    "fn_collation",
     # --- 5. operators ADDED in r5 — first driver evidence (8) ---
     "embed_normalize",
     "embed_centroids",

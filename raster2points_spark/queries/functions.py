@@ -418,3 +418,67 @@ def reshape_unpivot(spark, sf_dir):
         variableColumnName="measure",
         valueColumnName="v",
     ).select("l_orderkey", "l_linenumber", "measure", F.round("v", 2).alias("val"))
+
+
+@register(
+    "fn_variant",
+    oracle="""
+    SELECT event_id, cast(json_extract_string(props, '$.k') AS int) AS k
+    FROM events
+    WHERE cast(json_extract_string(props, '$.k') AS int) > 79
+    """,
+)
+def fn_variant(spark, sf_dir):
+    """Spark 4 VARIANT type: parse the JSON props column ONCE into the
+    binary variant encoding, then typed extraction with
+    ``try_variant_get`` — the schema-on-read path that replaces
+    repeated string re-parsing (get_json_object) for semi-structured
+    columns.
+
+    At scale the win is representational: variant parses each value
+    once into a binary form that all downstream extractions share,
+    instead of one JSON string parse per get_json_object call.  Pure
+    projection + filter, zero shuffles; the oracle states the same
+    extraction over DuckDB's JSON functions.
+    """
+    ev = t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return ev.select("event_id", k.alias("k")).filter(F.col("k") > 79)
+
+
+@register(
+    "fn_collation",
+    oracle="""
+    WITH mixed AS (
+      SELECT CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment
+                  ELSE lower(c_mktsegment) END AS seg
+      FROM customer
+    )
+    SELECT lower(seg) AS seg, count(*) AS n
+    FROM mixed GROUP BY lower(seg)
+    """,
+)
+def fn_collation(spark, sf_dir):
+    """Spark 4 string collations: group case-insensitively via
+    ``collate('UTF8_LCASE')`` instead of wrapping every comparison in
+    lower() — collation-aware comparison happens inside the
+    aggregation's byte comparator (no derived column, sort keys stay
+    binary-comparable).
+
+    The output value is canonicalized with lower() because a
+    collation-grouped representative is whichever variant a partition
+    saw first — the grouping is deterministic, the representative is
+    not (same contract as any case-insensitive engine).  Oracle states
+    the lower()-rewrite DuckDB equivalent.
+    """
+    cust = t(spark, sf_dir, "customer")
+    mixed = cust.select(
+        F.when(F.col("c_custkey") % 2 == 0, F.col("c_mktsegment"))
+        .otherwise(F.lower("c_mktsegment"))
+        .alias("seg")
+    )
+    return (
+        mixed.groupBy(F.collate(F.col("seg"), "UTF8_LCASE").alias("segc"))
+        .agg(F.count("*").alias("n"))
+        .select(F.lower("segc").alias("seg"), "n")
+    )
