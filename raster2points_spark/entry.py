@@ -107,9 +107,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "reshape_unpivot",
 )
 # ROUND-6 ROTATION NOTE: the priority list intentionally exceeds 50 —
-# the overflow (the tail of section 6: rle_events, anomaly_mad,
-# agg_corr, agg_regression, dedup_edit_distance, join_dpp,
-# reshape_unpivot) gets NO r5 row and must LEAD the r6 window.  Refill with (a) any r5
+# the overflow (cohort_retention, funnel_batch, seq_transitions,
+# rle_events, anomaly_mad, agg_corr, agg_regression,
+# dedup_edit_distance, join_dpp, reshape_unpivot — all green in the
+# local r5 all-keys gate) gets NO r5 driver row and must LEAD the r6
+# window.  Refill with (a) any r5
 # reds, then the overflow,
 # (b) keys whose implementation changed in r6, (c) the keys with the
 # oldest evidence — the r1-only keys bumped from this window
