@@ -83,6 +83,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "audience_overlap",
     "fn_variant",
     "fn_collation",
+    "win_rolling_z",
     # --- 5. operators ADDED in r5 — first driver evidence (8) ---
     "embed_normalize",
     "embed_centroids",

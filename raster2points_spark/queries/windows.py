@@ -263,3 +263,43 @@ def win_ntile(spark, sf_dir):
         F.round(F.min("c_acctbal"), 2).alias("lo"),
         F.round(F.max("c_acctbal"), 2).alias("hi"),
     )
+
+
+@register(
+    "win_rolling_z",
+    oracle=f"""
+    WITH ev AS (SELECT event_id, user_id, value, {_TSEC} AS tsec FROM events)
+    SELECT event_id, user_id, tsec,
+           round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 3) AS z
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY tsec
+                 RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+    QUALIFY count(*) OVER w >= 5 AND stddev_samp(value) OVER w > 0
+    """,
+)
+def win_rolling_z(spark, sf_dir):
+    """Rolling z-score over a trailing 24-hour RANGE frame per user —
+    the streaming-style anomaly score computed in batch: each event
+    scored against ITS OWN trailing context, not the global moments
+    (outlier_zscore) or the static per-type MAD (anomaly_mad).
+
+    One user_id shuffle serves all three window aggregates (avg, std,
+    count share the frame); the n>=5 gate drops cold-start rows where
+    the trailing std is meaningless.  RANGE frames make peers at equal
+    timestamps share the frame — no tiebreak needed (R2 note).
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", unix_secs(F.col("ts")).alias("tsec")
+    )
+    w = Window.partitionBy("user_id").orderBy("tsec").rangeBetween(-86400, Window.currentRow)
+    scored = ev.select(
+        "event_id",
+        "user_id",
+        "tsec",
+        F.round((F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w), 3).alias("z"),
+        F.count("*").over(w).alias("n"),
+        F.stddev_samp("value").over(w).alias("sd"),
+    )
+    return scored.filter((F.col("n") >= 5) & (F.col("sd") > 0)).select(
+        "event_id", "user_id", "tsec", "z"
+    )
