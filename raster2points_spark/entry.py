@@ -84,6 +84,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "fn_variant",
     "fn_collation",
     "win_rolling_z",
+    "raster_fill_idw",
+    "funnel_latency",
+    "source_vocab_overlap",
     # --- 5. operators ADDED in r5 — first driver evidence (8) ---
     "embed_normalize",
     "embed_centroids",

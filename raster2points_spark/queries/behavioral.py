@@ -372,3 +372,59 @@ def audience_overlap(spark, sf_dir):
         )
         .agg(F.count("*").alias("shared_users"))
     )
+
+
+@register(
+    "funnel_latency",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type, {_TSEC} AS tsec FROM events
+    ), s1 AS (
+      SELECT user_id, min(tsec) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1
+    ), s3 AS (
+      SELECT e.user_id, min(e.tsec) AS t3
+      FROM e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'purchase' AND e.tsec >= s1.t1
+      GROUP BY 1
+    ), lat AS (
+      SELECT s3.user_id, s3.t3 - s1.t1 AS secs
+      FROM s3 JOIN s1 ON s3.user_id = s1.user_id
+    )
+    SELECT count(*) AS n_converted,
+           cast(min(secs) AS bigint) AS min_s,
+           cast(round(quantile_cont(secs, 0.5), 0) AS bigint) AS median_s,
+           cast(round(quantile_cont(secs, 0.9), 0) AS bigint) AS p90_s,
+           cast(max(secs) AS bigint) AS max_s
+    FROM lat
+    """,
+)
+def funnel_latency(spark, sf_dir):
+    """Time-to-convert distribution (first view → first subsequent
+    purchase): the latency percentiles behind every conversion SLA
+    dashboard.
+
+    Same per-user stage minima as funnel_batch (|users|-row
+    aggregates, user_id-keyed joins), then ONE exact-percentile
+    aggregate over the |converted-users| latency relation — tiny at
+    any scale.  Percentiles rounded to whole seconds in both engines.
+    """
+    e = _ev(spark, sf_dir).select("user_id", "event_type", "tsec")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("tsec").alias("t1"))
+    )
+    s3 = (
+        e.join(s1, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("tsec") >= F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("tsec").alias("t3"))
+    )
+    lat = s3.join(s1, "user_id").select((F.col("t3") - F.col("t1")).alias("secs"))
+    return lat.agg(
+        F.count("*").alias("n_converted"),
+        F.min("secs").cast("bigint").alias("min_s"),
+        F.round(F.percentile("secs", F.lit(0.5)), 0).cast("bigint").alias("median_s"),
+        F.round(F.percentile("secs", F.lit(0.9)), 0).cast("bigint").alias("p90_s"),
+        F.max("secs").cast("bigint").alias("max_s"),
+    )

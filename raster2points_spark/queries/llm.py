@@ -2914,3 +2914,67 @@ def sample_weighted(spark, sf_dir):
         .limit(50)
         .select("doc_id", "n_chars", F.round("key", 6).alias("wkey"))
     )
+
+
+@register(
+    "source_vocab_overlap",
+    oracle=f"""
+    WITH sv AS (
+      SELECT DISTINCT source, unnest({TOKS_DUCK}) AS word FROM documents
+    ), sizes AS (
+      SELECT source, count(*) AS n FROM sv GROUP BY source
+    ), inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+      FROM sv a JOIN sv b ON a.word = b.word AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b, i.n_common,
+           round(i.n_common * 1.0 / (sa.n + sb.n - i.n_common), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+    """,
+)
+def source_vocab_overlap(spark, sf_dir):
+    """Vocabulary overlap (Jaccard) between every pair of corpus
+    sources — the domain-shift diagnostic run before mixing crawl
+    snapshots into one training corpus.
+
+    The corpus collapses to DISTINCT (source, word) ONCE (map-side
+    combined); everything after runs over that vocabulary relation:
+    the pair intersection is an equi-join on word (sources only meet
+    where they share a token — the inverted-index trick again, pair
+    blowup ≤ |sources|² per word), and the sizes join back is a
+    |sources|-row broadcast.  Output is |sources| choose 2 rows.
+    """
+    sv = (
+        t_fanout(spark, sf_dir, "documents")
+        .select("source", F.explode(F.expr(TOKS_SPARK)).alias("word"))
+        .distinct()
+        .persist()
+    )
+    sizes = sv.groupBy("source").agg(F.count("*").alias("n"))
+    a = sv.alias("a")
+    b = sv.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.round(
+                F.col("n_common") * 1.0 / (F.col("na") + F.col("nb") - F.col("n_common")), 4
+            ).alias("jaccard"),
+        )
+    )

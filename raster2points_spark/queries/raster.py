@@ -642,3 +642,69 @@ def raster_band_math(spark, sf_dir):
             ).alias("ndi"),
         )
     )
+
+
+@register(
+    "raster_fill_idw",
+    oracle=f"""
+    {_PX}
+    , b AS (SELECT col, row, value FROM pix WHERE band_id = 'b1'),
+    holes AS (SELECT col, row FROM b WHERE value IS NULL),
+    valid AS (SELECT col, row, value FROM b WHERE value IS NOT NULL),
+    offsets AS (
+        SELECT dc, dr, sqrt(cast(dc*dc + dr*dr AS double)) AS dist
+        FROM (SELECT unnest([-1, 0, 1]) AS dc) CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dr)
+        WHERE NOT (dc = 0 AND dr = 0)
+    ),
+    contrib AS (
+        SELECT v.col + o.dc AS col, v.row + o.dr AS row,
+               v.value / o.dist AS wv, 1.0 / o.dist AS w
+        FROM valid v CROSS JOIN offsets o
+    )
+    SELECT h.col, h.row,
+           round(sum(c.wv) / sum(c.w), 6) AS filled,
+           count(*) AS n_nbr
+    FROM contrib c JOIN holes h ON h.col = c.col AND h.row = c.row
+    GROUP BY h.col, h.row
+    """,
+)
+def raster_fill_idw(spark, sf_dir):
+    """NoData gap-filling by inverse-distance-weighted interpolation
+    from the 8 valid neighbors — the third stencil kernel (after
+    focal_mean and slope), this one writing INTO the mask holes
+    instead of over the valid set.
+
+    Identical scatter-gather scale shape: valid pixels scatter
+    (value/d, 1/d) pairs to their 8 neighbors (in-row explode), one
+    partial-aggregated shuffle gathers the weighted mean, and the
+    gather is masked to the HOLE set (join against nodata centers) —
+    holes with zero valid neighbors stay absent, exactly like the
+    oracle.  Diagonal neighbors weigh 1/√2: true IDW, not a box mean.
+    """
+    px = grid_unpivot(_tiles(spark, sf_dir).filter(F.col("band_id") == "b1"))
+    b = px.select("col", "row", "value")
+    holes = b.filter(F.col("value").isNull()).select(
+        F.col("col").alias("ccol"), F.col("row").alias("crow")
+    )
+    valid = b.filter(F.col("value").isNotNull())
+    offsets = F.expr(
+        "explode(filter(flatten(transform(array(-1, 0, 1), "
+        "dc -> transform(array(-1, 0, 1), dr -> struct(dc as dc, dr as dr)))), "
+        "o -> NOT (o.dc = 0 AND o.dr = 0)))"
+    )
+    contrib = valid.select("col", "row", "value", offsets.alias("o")).select(
+        (F.col("col") + F.col("o.dc")).alias("ccol"),
+        (F.col("row") + F.col("o.dr")).alias("crow"),
+        F.sqrt((F.col("o.dc") * F.col("o.dc") + F.col("o.dr") * F.col("o.dr")).cast("double")).alias("dist"),
+        "value",
+    )
+    return (
+        contrib.join(holes, ["ccol", "crow"])
+        .groupBy(F.col("ccol").alias("col"), F.col("crow").alias("row"))
+        .agg(
+            F.round(
+                F.sum(F.col("value") / F.col("dist")) / F.sum(F.lit(1.0) / F.col("dist")), 6
+            ).alias("filled"),
+            F.count("*").alias("n_nbr"),
+        )
+    )
