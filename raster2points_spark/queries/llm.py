@@ -2978,3 +2978,42 @@ def source_vocab_overlap(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
+
+
+@register("text_compression_ratio", check="rows-only")
+def text_compression_ratio(spark, sf_dir):
+    """Compression-ratio quality signal (zlib level 6): highly
+    repetitive/boilerplate text compresses far below ~0.5, random
+    noise stays near 1.0 — the cheap entropy proxy CCNet/Gopher-style
+    pipelines cut on.
+
+    No SQL twin exists (DuckDB has no gzip/zlib scalar), so this is a
+    rows-only key; exactness is pinned instead by a unit test that
+    recomputes the same deterministic zlib-6 ratio in plain Python
+    (tests/test_properties.py).  Arrow-batched mapInPandas — the
+    kernel compresses each batch's strings vectorized-ish in C (zlib),
+    never a per-row Python UDF.
+    """
+    import pandas as pd
+
+    def kernel(batches):
+        import zlib
+
+        for pdf in batches:
+            enc = pdf["text"].str.encode("utf-8")
+            comp = enc.map(lambda b: len(zlib.compress(b, 6)))
+            raw = enc.map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw_bytes": raw,
+                    "comp_bytes": comp,
+                    "ratio": (comp / raw).round(4),
+                }
+            )
+
+    return (
+        t_fanout(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .mapInPandas(kernel, schema="doc_id long, raw_bytes long, comp_bytes long, ratio double")
+    )

@@ -708,3 +708,90 @@ def raster_fill_idw(spark, sf_dir):
             F.count("*").alias("n_nbr"),
         )
     )
+
+
+@register(
+    "raster_hillshade",
+    oracle=f"""
+    {_PX}
+    , valid AS (
+        SELECT col, row, value FROM pix
+        WHERE band_id = 'b1' AND value IS NOT NULL
+    ),
+    offsets AS (
+        SELECT * FROM (VALUES (-1, 0, 'x', 1.0), (1, 0, 'x', -1.0),
+                              (0, -1, 'y', 1.0), (0, 1, 'y', -1.0)) t(dc, dr, axis, w)
+    ),
+    contrib AS (
+        SELECT v.col + o.dc AS col, v.row + o.dr AS row, o.axis, o.w * v.value AS wv
+        FROM valid v CROSS JOIN offsets o
+    ),
+    grad AS (
+        SELECT c.col, c.row,
+               sum(CASE WHEN axis = 'x' THEN wv END) / 2 AS dzdx,
+               sum(CASE WHEN axis = 'y' THEN wv END) / 2 AS dzdy,
+               count(*) AS n
+        FROM contrib c SEMI JOIN (SELECT DISTINCT col, row FROM valid) ctr
+          ON ctr.col = c.col AND ctr.row = c.row
+        GROUP BY c.col, c.row
+    )
+    SELECT col, row,
+           round(greatest(0.0,
+               cos(radians(45.0)) * cos(atan(sqrt(dzdx*dzdx + dzdy*dzdy)))
+             + sin(radians(45.0)) * sin(atan(sqrt(dzdx*dzdx + dzdy*dzdy)))
+               * cos(radians(315.0) - atan2(dzdy, -dzdx))
+           ) * 255, 3) AS shade
+    FROM grad WHERE n = 4
+    """,
+)
+def raster_hillshade(spark, sf_dir):
+    """Hillshade (illumination from azimuth 315°, altitude 45°) — the
+    cartographic composite over the central-difference gradient,
+    completing the terrain suite (slope, IDW fill, focal mean,
+    downsample) with the standard Horn-style shade formula.
+
+    The gradient reuses raster_slope's scatter-gather (one
+    partial-aggregated shuffle); the shade itself is pure per-row trig
+    in whole-stage codegen.  Both engines evaluate the identical
+    double formula; 3-dp round on the 0-255 scale absorbs libm ulp
+    skew.
+    """
+    px = nodata_filter(grid_unpivot(_tiles(spark, sf_dir).filter(F.col("band_id") == "b1")))
+    valid = px.select("col", "row", "value")
+    offsets = F.expr(
+        "explode(array("
+        "struct(-1 as dc, 0 as dr, 'x' as axis, 1.0D as w),"
+        "struct( 1 as dc, 0 as dr, 'x' as axis, -1.0D as w),"
+        "struct(0 as dc, -1 as dr, 'y' as axis, 1.0D as w),"
+        "struct(0 as dc,  1 as dr, 'y' as axis, -1.0D as w)))"
+    )
+    contrib = valid.select("col", "row", "value", offsets.alias("o")).select(
+        (F.col("col") + F.col("o.dc")).alias("ccol"),
+        (F.col("row") + F.col("o.dr")).alias("crow"),
+        F.col("o.axis").alias("axis"),
+        (F.col("o.w") * F.col("value")).alias("wv"),
+    )
+    centers = valid.select(F.col("col").alias("ccol"), F.col("row").alias("crow"))
+    grad = (
+        contrib.join(centers, ["ccol", "crow"], "left_semi")
+        .groupBy(F.col("ccol").alias("col"), F.col("crow").alias("row"))
+        .agg(
+            (F.sum(F.when(F.col("axis") == "x", F.col("wv"))) / 2).alias("dzdx"),
+            (F.sum(F.when(F.col("axis") == "y", F.col("wv"))) / 2).alias("dzdy"),
+            F.count("*").alias("n"),
+        )
+    )
+    slope_rad = F.atan(
+        F.sqrt(F.col("dzdx") * F.col("dzdx") + F.col("dzdy") * F.col("dzdy"))
+    )
+    aspect = F.atan2(F.col("dzdy"), -F.col("dzdx"))
+    alt = F.radians(F.lit(45.0))
+    az = F.radians(F.lit(315.0))
+    shade = (
+        F.cos(alt) * F.cos(slope_rad) + F.sin(alt) * F.sin(slope_rad) * F.cos(az - aspect)
+    )
+    return grad.filter(F.col("n") == 4).select(
+        "col",
+        "row",
+        F.round(F.greatest(F.lit(0.0), shade) * 255, 3).alias("shade"),
+    )

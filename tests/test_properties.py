@@ -350,3 +350,24 @@ def test_weighted_sample_prefers_heavier_docs(spark, registry):
         spark.read.parquet(f"{SF001}/documents.parquet").agg(F.avg("n_chars")).collect()[0][0]
     )
     assert s_mean > c_mean
+
+
+def test_compression_ratio_matches_plain_zlib(spark, registry):
+    """The mapInPandas zlib-6 ratio must equal the same computation in
+    plain Python for every doc (determinism of the rows-only key)."""
+    import zlib
+
+    from tests.conftest import SF001
+
+    out = {
+        r["doc_id"]: (r["raw_bytes"], r["comp_bytes"], r["ratio"])
+        for r in registry["text_compression_ratio"].fn(spark, SF001).collect()
+    }
+    docs = spark.read.parquet(f"{SF001}/documents.parquet").collect()
+    assert len(out) == len(docs)
+    for d in docs:
+        raw = d["text"].encode("utf-8")
+        comp = len(zlib.compress(raw, 6))
+        got = out[d["doc_id"]]
+        assert got[0] == len(raw) and got[1] == comp
+        assert abs(got[2] - round(comp / len(raw), 4)) < 1e-9
