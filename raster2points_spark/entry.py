@@ -111,11 +111,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "reshape_unpivot",
 )
 # ROUND-6 ROTATION NOTE: the priority list intentionally exceeds 50 —
-# the overflow (cohort_retention, funnel_batch, seq_transitions,
+# the overflow (stream_distinct_users, agg_mode, fn_binary,
+# sessionize_batch, cohort_retention, funnel_batch, seq_transitions,
 # rle_events, anomaly_mad, agg_corr, agg_regression,
-# dedup_edit_distance, join_dpp, reshape_unpivot — all green in the
-# local r5 all-keys gate) gets NO r5 driver row and must LEAD the r6
-# window.  Refill with (a) any r5
+# dedup_edit_distance, join_dpp, reshape_unpivot, plus rows-only
+# text_compression_ratio — all green in the local r5 all-keys gate)
+# gets NO r5 driver row and must LEAD the r6 window.  Refill with (a) any r5
 # reds, then the overflow,
 # (b) keys whose implementation changed in r6, (c) the keys with the
 # oldest evidence — the r1-only keys bumped from this window
