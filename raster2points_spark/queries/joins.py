@@ -607,3 +607,47 @@ def join_asof_forward(spark, sf_dir):
             "event_id", "user_id", F.col("tsec").alias("purchase_tsec"), "next_error_tsec"
         )
     )
+
+
+@register(
+    "basket_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           count(*) AS support
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= 3
+    """,
+)
+def basket_pairs(spark, sf_dir):
+    """Market-basket pair mining: co-purchased part pairs with support
+    ≥ 3 — the first step of association-rule mining (the co-view /
+    co-purchase recommender signal).
+
+    The pair join keys on l_orderkey, so the blowup is bounded by
+    (lines-per-order choose 2) — a per-KEY constant (~7 lines in
+    TPC-H), never corpus² — and the distinct-items collapse runs
+    map-side first.  The support filter prunes before anything
+    downstream; output is the co-occurrence graph's edge list.
+    """
+    items = (
+        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 3)
+    )

@@ -416,3 +416,105 @@ def stream_join_static(spark, sf_dir):
         F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
     )
     return run_available_now(agg, "stream_join_static", output_mode="complete")
+
+
+@register(
+    "stream_cdc_apply",
+    oracle="""
+    SELECT user_id,
+           arg_max(value, cast(floor(epoch(ts)) AS bigint) * 10000000 + event_id)
+             AS last_value,
+           arg_max(event_type, cast(floor(epoch(ts)) AS bigint) * 10000000 + event_id)
+             AS last_type,
+           count(*) AS n_updates
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_cdc_apply(spark, sf_dir):
+    """Streaming CDC apply: each micro-batch's events are UPSERTed
+    into a keyed per-user state table via foreachBatch merge — the
+    change-data-capture consumption pattern (Debezium→lakehouse) where
+    the target must always hold each key's LATEST row plus an update
+    counter.
+
+    Merge = full-outer of (target, batch-reduced) with packed-bigint
+    recency resolution — the same decomposable-merge trick as
+    mv_incremental, so replaying batches in any grouping yields the
+    same table; after the availableNow drain the target equals the
+    batch arg_max oracle exactly.  Per batch the target is rewritten
+    once (|users| rows), the stream is never rescanned.
+    """
+    import os as _os
+    import tempfile
+
+    from raster2points_spark.queries._util import SCRATCH
+    from raster2points_spark.streaming import scoped_shuffle_partitions
+
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger=4)
+    upd = ev.select(
+        "user_id",
+        "value",
+        "event_type",
+        (unix_secs(F.col("ts")) * 10000000 + F.col("event_id")).alias("ver"),
+    )
+    out = _os.path.join(SCRATCH, "cdc_apply_target")
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+
+    def reduce_batch(df):
+        return df.groupBy("user_id").agg(
+            F.max_by("value", "ver").alias("last_value"),
+            F.max_by("event_type", "ver").alias("last_type"),
+            F.max("ver").alias("ver"),
+            F.count("*").alias("n_updates"),
+        )
+
+    def apply_batch(batch_df, batch_id):
+        sp = batch_df.sparkSession
+        delta = reduce_batch(batch_df)
+        try:
+            target = sp.read.parquet(out)
+        except Exception:
+            target = None
+        if target is None:
+            merged = delta
+        else:
+            t_, d_ = target.alias("t"), delta.alias("d")
+            merged = t_.join(d_, F.col("t.user_id") == F.col("d.user_id"), "full").select(
+                F.coalesce(F.col("d.user_id"), F.col("t.user_id")).alias("user_id"),
+                F.when(
+                    F.coalesce(F.col("d.ver"), F.lit(-1)) >= F.coalesce(F.col("t.ver"), F.lit(-1)),
+                    F.col("d.last_value"),
+                ).otherwise(F.col("t.last_value")).alias("last_value"),
+                F.when(
+                    F.coalesce(F.col("d.ver"), F.lit(-1)) >= F.coalesce(F.col("t.ver"), F.lit(-1)),
+                    F.col("d.last_type"),
+                ).otherwise(F.col("t.last_type")).alias("last_type"),
+                F.greatest(
+                    F.coalesce(F.col("d.ver"), F.lit(-1)), F.coalesce(F.col("t.ver"), F.lit(-1))
+                ).alias("ver"),
+                (
+                    F.coalesce(F.col("d.n_updates"), F.lit(0))
+                    + F.coalesce(F.col("t.n_updates"), F.lit(0))
+                ).alias("n_updates"),
+            )
+        tmp = out + "_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        sp.read.parquet(tmp).write.mode("overwrite").parquet(out)
+
+    for q in spark.streams.active:
+        if q.name == "cdc_apply":
+            q.stop()
+    ckpt = tempfile.mkdtemp(prefix="ckpt_cdc_")
+    with scoped_shuffle_partitions(spark):
+        (
+            upd.writeStream.foreachBatch(apply_batch)
+            .outputMode("append")
+            .queryName("cdc_apply")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    return spark.read.parquet(out).select("user_id", "last_value", "last_type", "n_updates")
