@@ -593,3 +593,33 @@ def mv_incremental(spark, sf_dir):
         .groupBy("event_type", "day")
         .agg(F.sum("n").alias("n"), F.round(F.sum("sv"), 2).alias("sum_value"))
     )
+
+
+@register(
+    "agg_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+             AS wavg_price,
+           round(avg(l_extendedprice), 4) AS plain_avg,
+           cast(round(sum(l_quantity), 0) AS bigint) AS total_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_avg(spark, sf_dir):
+    """Quantity-weighted average price per return flag (vs the plain
+    average, which over-weights small lots) — the sum(w·x)/sum(w)
+    pattern every pricing/index rollup uses.
+
+    Two decomposable sums in ONE map-side-combined aggregate — the
+    division happens on the |groups|-row result, so the weighted
+    average costs exactly what the plain one does at any scale.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity")) / F.sum("l_quantity"), 4
+        ).alias("wavg_price"),
+        F.round(F.avg("l_extendedprice"), 4).alias("plain_avg"),
+        F.round(F.sum("l_quantity"), 0).cast("bigint").alias("total_qty"),
+    )

@@ -531,3 +531,44 @@ def rfm_segments(spark, sf_dir):
         .over(Window.orderBy(F.col("monetary").desc(), "c_custkey"))
         .alias("m_quartile"),
     )
+
+
+@register(
+    "ts_pct_change",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             cast(floor({ORACLE_TSEC.format(c='ts')} / 86400) AS bigint) AS day,
+             round(sum(value), 2) AS total
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, total,
+           round((total - lag(total) OVER w) / lag(total) OVER w * 100, 3) AS pct_change
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
+)
+def ts_pct_change(spark, sf_dir):
+    """Period-over-period percent change of the daily value series per
+    event type — the BI staple (DoD/WoW growth).
+
+    The stream collapses to |types|x|days| rows in one map-side-
+    combined aggregate; the lag window runs over that tiny rollup
+    (partitioned by type — never an unpartitioned global sort).  First
+    day per type yields NULL, identically in both engines.
+    """
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(unix_secs(F.col("ts")) / 86400).cast("bigint").alias("day"),
+    ).agg(F.round(F.sum("value"), 2).alias("total"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("total").over(w)
+    return daily.select(
+        "event_type",
+        "day",
+        "total",
+        F.round((F.col("total") - prev) / prev * 100, 3).alias("pct_change"),
+    )

@@ -303,3 +303,34 @@ def win_rolling_z(spark, sf_dir):
     return scored.filter((F.col("n") >= 5) & (F.col("sd") > 0)).select(
         "event_id", "user_id", "tsec", "z"
     )
+
+
+@register(
+    "win_ratio_share",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(o_totalprice, 2) AS o_totalprice,
+           round(o_totalprice / sum(o_totalprice) OVER (PARTITION BY o_custkey), 6)
+             AS share_of_customer
+    FROM orders
+    """,
+)
+def win_ratio_share(spark, sf_dir):
+    """Ratio-to-report: each order's share of its customer's lifetime
+    spend — the windowed normalization behind contribution and
+    concentration reports.
+
+    One hash exchange on o_custkey; the partition total is an
+    unbounded-frame window aggregate sharing that exchange (no
+    separate groupBy+join round trip).
+    """
+    w = Window.partitionBy("o_custkey")
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.round(F.col("o_totalprice") / F.sum("o_totalprice").over(w), 6).alias(
+            "share_of_customer"
+        ),
+    )
