@@ -21,7 +21,16 @@ from raster2points_spark.io import table
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 GRID_DIR = os.path.join(REPO_ROOT, "fixtures", "grid")
-SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/r2p_spark_scratch")
+# Per-PROCESS scratch root: sink/layout keys write-then-reread fixed
+# relative paths under here, so two concurrent processes (e.g. the
+# grading driver and a local pytest) sharing one directory would race
+# each other's overwrites mid-read.  The pid suffix isolates them;
+# within a process, reruns still reuse (and correctly overwrite) the
+# same paths.  SPARK_GRAFT_SCRATCH overrides verbatim for callers that
+# deliberately want a shared/stable location.
+SCRATCH = os.environ.get(
+    "SPARK_GRAFT_SCRATCH", f"/tmp/r2p_spark_scratch_{os.getpid()}"
+)
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -27,9 +27,11 @@ _DEFAULTS = {
     "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
     "spark.sql.ui.retainedExecutions": "5",
     "spark.ui.enabled": "false",
-    # managed tables (bucketed-join layouts) live in scratch, not cwd
+    # managed tables (bucketed-join layouts) live in scratch, not cwd;
+    # pid-suffixed like queries._util.SCRATCH so concurrent processes
+    # (driver + local pytest) never race each other's table overwrites
     "spark.sql.warehouse.dir": os.environ.get(
-        "SPARK_GRAFT_SCRATCH", "/tmp/r2p_spark_scratch"
+        "SPARK_GRAFT_SCRATCH", f"/tmp/r2p_spark_scratch_{os.getpid()}"
     )
     + "/warehouse",
 }
