@@ -572,3 +572,57 @@ def ts_pct_change(spark, sf_dir):
         "total",
         F.round((F.col("total") - prev) / prev * 100, 3).alias("pct_change"),
     )
+
+
+@register(
+    "pareto_customers",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+      FROM orders GROUP BY 1
+    ), ranked AS (
+      SELECT o_custkey, spend,
+             sum(spend) OVER (ORDER BY spend DESC, o_custkey
+                              ROWS UNBOUNDED PRECEDING) AS cum_spend,
+             sum(spend) OVER () AS total,
+             row_number() OVER (ORDER BY spend DESC, o_custkey) AS rnk
+      FROM spend
+    )
+    SELECT o_custkey, spend, rnk,
+           round(cum_spend / total, 6) AS cum_share
+    FROM ranked
+    WHERE cum_spend / total <= 0.5
+    """,
+)
+def pareto_customers(spark, sf_dir):
+    """Pareto / revenue-concentration analysis: the smallest customer
+    set covering the top 50% of revenue, with each member's cumulative
+    share — the 80/20 report behind every account-tiering decision.
+
+    Orders collapse to |customers| spend rows map-side FIRST; the
+    global ranking windows then run over that per-entity aggregate
+    (same caveat as rfm_segments: at extreme entity counts switch to
+    a percentile-threshold cut).  Tiebreak (spend DESC, custkey)
+    total-orders the frontier (R2).
+    """
+    from pyspark.sql import Window
+
+    spend = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+    )
+    w_ord = Window.orderBy(F.col("spend").desc(), "o_custkey")
+    ranked = spend.select(
+        "o_custkey",
+        "spend",
+        F.sum("spend").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_spend"),
+        F.sum("spend").over(Window.partitionBy()).alias("total"),
+        F.row_number().over(w_ord).alias("rnk"),
+    )
+    return ranked.filter(F.col("cum_spend") / F.col("total") <= 0.5).select(
+        "o_custkey",
+        "spend",
+        "rnk",
+        F.round(F.col("cum_spend") / F.col("total"), 6).alias("cum_share"),
+    )

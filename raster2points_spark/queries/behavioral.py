@@ -428,3 +428,75 @@ def funnel_latency(spark, sf_dir):
         F.round(F.percentile("secs", F.lit(0.9)), 0).cast("bigint").alias("p90_s"),
         F.max("secs").cast("bigint").alias("max_s"),
     )
+
+
+@register(
+    "concurrency_peak",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, {_TSEC} AS tsec FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, tsec,
+             CASE WHEN tsec - lag(tsec) OVER w > {_GAP_S}
+                    OR lag(tsec) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)
+    ), numbered AS (
+      SELECT user_id, tsec,
+             cast(sum(new_s) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS bigint) AS session_no
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, session_no, min(tsec) AS s, max(tsec) AS e
+      FROM numbered GROUP BY 1, 2
+    ), bounds AS (
+      SELECT s AS t, 1 AS delta FROM sessions
+      UNION ALL
+      SELECT e + 1 AS t, -1 FROM sessions
+    ), sweep AS (
+      SELECT t, sum(sum(delta)) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+               AS concurrent
+      FROM bounds GROUP BY t
+    )
+    SELECT cast(max(concurrent) AS bigint) AS peak_concurrent,
+           cast(count(*) AS bigint) AS n_boundaries
+    FROM sweep
+    """,
+)
+def concurrency_peak(spark, sf_dir):
+    """Peak concurrent sessions — the sweep-line over session
+    intervals: +1 at each session start, −1 just after each end, and
+    the maximum of the running sum is the peak (capacity-planning's
+    favourite number).
+
+    The sweep compresses to |2·sessions| boundary rows, pre-summed per
+    timestamp map-side; only that tiny boundary relation passes
+    through the ordered cumsum.  Sessionization itself reuses the
+    single-exchange gaps-and-islands shape of sessionize_batch.
+    """
+    w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+    flagged = _ev(spark, sf_dir).withColumn(
+        "new_s",
+        F.when(
+            (F.col("tsec") - F.lag("tsec").over(w) > _GAP_S)
+            | F.lag("tsec").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_no", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    sessions = numbered.groupBy("user_id", "session_no").agg(
+        F.min("tsec").alias("s"), F.max("tsec").alias("e")
+    )
+    bounds = sessions.select(F.col("s").alias("t"), F.lit(1).alias("delta")).unionAll(
+        sessions.select((F.col("e") + 1).alias("t"), F.lit(-1).alias("delta"))
+    )
+    per_t = bounds.groupBy("t").agg(F.sum("delta").alias("d"))
+    sweep = per_t.select(
+        F.sum("d").over(Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)).alias("concurrent")
+    )
+    return sweep.agg(
+        F.max("concurrent").cast("bigint").alias("peak_concurrent"),
+        F.count("*").cast("bigint").alias("n_boundaries"),
+    )

@@ -651,3 +651,68 @@ def basket_pairs(spark, sf_dir):
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= 3)
     )
+
+
+@register(
+    "basket_rules",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), item_n AS (
+      SELECT l_partkey, count(*) AS n FROM items GROUP BY 1
+    ), pair_n AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 3
+    ), orders_n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items)
+    SELECT p.part_a, p.part_b, p.support,
+           round(p.support * 1.0 / na.n, 4) AS confidence_a_to_b,
+           round(p.support * 1.0 * o.n_orders / (na.n * nb.n), 4) AS lift
+    FROM pair_n p
+    JOIN item_n na ON na.l_partkey = p.part_a
+    JOIN item_n nb ON nb.l_partkey = p.part_b
+    CROSS JOIN orders_n o
+    """,
+)
+def basket_rules(spark, sf_dir):
+    """Association rules over the basket pairs: confidence
+    P(b|a) = supp(ab)/supp(a) and lift = P(ab)/(P(a)P(b)) — the step
+    that turns co-occurrence counts into a recommender signal.
+
+    Builds on basket_pairs' keyed self-join (blowup bounded per
+    order); the per-item supports and the 1-row order count are tiny
+    relations broadcast back onto the ≥3-support pair list.  Lift > 1
+    marks genuinely associated parts rather than merely popular ones.
+    """
+    items = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct().persist()
+    item_n = items.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pair_n = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b"))
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+    orders_n = items.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    na = item_n.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("na"))
+    nb = item_n.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("nb"))
+    return (
+        pair_n.join(na, "part_a")
+        .join(nb, "part_b")
+        .crossJoin(F.broadcast(orders_n))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            F.round(F.col("support") * 1.0 / F.col("na"), 4).alias("confidence_a_to_b"),
+            F.round(
+                F.col("support") * 1.0 * F.col("n_orders") / (F.col("na") * F.col("nb")), 4
+            ).alias("lift"),
+        )
+    )

@@ -334,3 +334,65 @@ def win_ratio_share(spark, sf_dir):
             "share_of_customer"
         ),
     )
+
+
+@register(
+    "scd2_asof_lookup",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, user_id, round(value, 2) AS value, {_TSEC} AS tsec
+      FROM events WHERE event_type = 'purchase'
+    ), ver AS (
+      SELECT user_id, event_id, value,
+             tsec AS valid_from,
+             lead(tsec) OVER (PARTITION BY user_id ORDER BY tsec, event_id) AS valid_to
+      FROM ev
+    )
+    SELECT user_id, event_id AS version_event, value,
+           valid_from, coalesce(valid_to, -1) AS valid_to
+    FROM ver
+    WHERE valid_from <= 1705795200
+      AND (valid_to IS NULL OR valid_to > 1705795200)
+    """,
+)
+def scd2_asof_lookup(spark, sf_dir):
+    """Point-in-time (time-travel) lookup against the SCD2 history:
+    the state of every user AS OF 2024-01-21 00:00 UTC — the query an
+    SCD2 table exists to answer (reproduce any past report without
+    snapshots).
+
+    Same single user_id shuffle as scd2_build; the as-of predicate
+    ``valid_from <= T < valid_to`` is a per-row filter over the
+    versioned relation (at 100 TB a date-partitioned/clustered layout
+    additionally prunes it — see sink_partitioned/sink_zorder).  At
+    most one version per key survives by construction.
+    """
+    as_of = 1705795200  # 2024-01-21 00:00:00 UTC, mid-corpus
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 2).alias("value"),
+            unix_secs(F.col("ts")).alias("tsec"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+    ver = ev.select(
+        "user_id",
+        F.col("event_id").alias("version_event"),
+        "value",
+        F.col("tsec").alias("valid_from"),
+        F.lead("tsec").over(w).alias("valid_to"),
+    )
+    return ver.filter(
+        (F.col("valid_from") <= as_of)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > as_of))
+    ).select(
+        "user_id",
+        "version_event",
+        "value",
+        "valid_from",
+        F.coalesce("valid_to", F.lit(-1)).alias("valid_to"),
+    )
