@@ -65,6 +65,7 @@ RULES: dict[str, dict[str, str]] = {
         "tile_stats": "1-row global stats broadcast",
         "profile_columns": "constant-width stats unpivot join",
         "text_contamination": "broadcast eval-set n-gram list (constant size)",
+        "basket_rules": "1-row distinct-order count broadcast",
     },
     "BatchEvalPython": {
         "udf_scalar_py": "THE deliberate row-Python surface key",
