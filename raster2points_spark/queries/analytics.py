@@ -626,3 +626,48 @@ def pareto_customers(spark, sf_dir):
         "rnk",
         F.round(F.col("cum_spend") / F.col("total"), 6).alias("cum_share"),
     )
+
+
+@register(
+    "ts_spike_detect",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type,
+             cast(floor({ORACLE_TSEC.format(c='ts')} / 300) AS bigint) AS bucket,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sigma
+      FROM b GROUP BY 1
+    )
+    SELECT b.event_type, b.bucket, b.n,
+           round((b.n - s.mu) / s.sigma, 3) AS z
+    FROM b JOIN stats s ON b.event_type = s.event_type
+    WHERE (b.n - s.mu) / s.sigma > 3
+    """,
+)
+def ts_spike_detect(spark, sf_dir):
+    """Traffic-spike detection: 5-minute event-rate buckets per type,
+    flagged where the bucket count exceeds its series mean by 3σ — the
+    per-SERIES burst monitor (vs per-row anomaly_mad and per-entity
+    win_rolling_z).
+
+    The stream collapses to |types|×|buckets| counts in one map-side-
+    combined aggregate; series stats are a second tiny aggregate
+    broadcast back.  Everything after the first rollup is
+    volume-independent.
+    """
+    ev = t(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type",
+        F.floor(unix_secs(F.col("ts")) / 300).cast("bigint").alias("bucket"),
+    ).agg(F.count("*").alias("n"))
+    stats = b.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sigma")
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        b.join(F.broadcast(stats), "event_type")
+        .filter(z > 3)
+        .select("event_type", "bucket", "n", F.round(z, 3).alias("z"))
+    )

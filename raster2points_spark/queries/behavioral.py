@@ -500,3 +500,56 @@ def concurrency_peak(spark, sf_dir):
         F.max("concurrent").cast("bigint").alias("peak_concurrent"),
         F.count("*").cast("bigint").alias("n_boundaries"),
     )
+
+
+@register(
+    "attribution_first_touch",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, {_TSEC} AS tsec,
+             CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS kind
+      FROM events WHERE event_type IN ('view', 'purchase')
+    )
+    SELECT event_id, user_id, tsec AS purchase_tsec,
+           coalesce(min(CASE WHEN kind = 0 THEN tsec END) OVER (
+             PARTITION BY user_id ORDER BY tsec
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), -1)
+             AS first_view_tsec
+    FROM ev
+    QUALIFY kind = 1
+    """,
+)
+def attribution_first_touch(spark, sf_dir):
+    """First-touch attribution: each purchase credited to the EARLIEST
+    view in its trailing 7 days — the marketing-attribution
+    counterpart of join_asof (which is last-touch).
+
+    Same one-shuffle union-window shape: views and purchases co-sort
+    on user_id, and a conditional min over a trailing RANGE frame
+    finds the window-opening view without any join — at 100 TB the
+    event stream moves once, and the 7-day frame bounds state exactly
+    like a stream-stream join watermark would.
+    """
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "event_id",
+            "user_id",
+            unix_secs(F.col("ts")).alias("tsec"),
+            F.when(F.col("event_type") == "view", 0).otherwise(1).alias("kind"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tsec")
+        .rangeBetween(-604800, Window.currentRow)
+    )
+    first_view = F.min(F.when(F.col("kind") == 0, F.col("tsec"))).over(w)
+    return (
+        ev.withColumn("first_view_tsec", F.coalesce(first_view, F.lit(-1)))
+        .filter(F.col("kind") == 1)
+        .select(
+            "event_id", "user_id", F.col("tsec").alias("purchase_tsec"), "first_view_tsec"
+        )
+    )

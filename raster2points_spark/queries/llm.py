@@ -3017,3 +3017,48 @@ def text_compression_ratio(spark, sf_dir):
         .select("doc_id", "text")
         .mapInPandas(kernel, schema="doc_id long, raw_bytes long, comp_bytes long, ratio double")
     )
+
+
+@register(
+    "text_zipf_slope",
+    oracle=f"""
+    WITH counts AS (
+      SELECT word, count(*) AS n
+      FROM (SELECT unnest({TOKS_DUCK}) AS word FROM documents)
+      GROUP BY word
+    ), ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, word) AS rnk
+      FROM counts
+    )
+    SELECT cast(count(*) AS bigint) AS vocab,
+           round(regr_slope(ln(n), ln(rnk)), 4) AS zipf_slope,
+           round(regr_r2(ln(n), ln(rnk)), 4) AS r2
+    FROM ranked
+    """,
+)
+def text_zipf_slope(spark, sf_dir):
+    """Zipf's-law fit over the corpus token distribution: OLS slope of
+    log(freq) ~ log(rank) (natural text ≈ −1; synthetic/boilerplate
+    corpora deviate hard) — a one-number corpus health diagnostic.
+
+    Token counts are one map-side-combined aggregate; the ranking
+    window and the regr_* fit run over the |vocab|-row count relation
+    (tiny next to the corpus).  Deterministic rank ties via the word
+    tiebreak (R2).
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        t_fanout(spark, sf_dir, "documents")
+        .select(F.explode(F.expr(TOKS_SPARK)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    ranked = counts.select(
+        "n", F.row_number().over(Window.orderBy(F.col("n").desc(), "word")).alias("rnk")
+    )
+    return ranked.agg(
+        F.count("*").cast("bigint").alias("vocab"),
+        F.round(F.regr_slope(F.log("n"), F.log("rnk")), 4).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log("n"), F.log("rnk")), 4).alias("r2"),
+    )
