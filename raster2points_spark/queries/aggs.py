@@ -623,3 +623,30 @@ def agg_weighted_avg(spark, sf_dir):
         F.round(F.avg("l_extendedprice"), 4).alias("plain_avg"),
         F.round(F.sum("l_quantity"), 0).cast("bigint").alias("total_qty"),
     )
+
+
+@register(
+    "agg_any_all",
+    oracle="""
+    SELECT o_custkey,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_orderstatus = 'F') AS any_filled,
+           count(*) AS n
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def agg_any_all(spark, sf_dir):
+    """Boolean aggregates every/some (SQL bool_and/bool_or) — the
+    per-group invariant checks data-quality gates are written in
+    (\"did EVERY order clear the floor? did ANY fill?\").
+
+    Single-pass decomposable aggregates with map-side combine —
+    booleans fold like min/max, so the shuffle carries one bit pair
+    per (group, partition).
+    """
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_filled"),
+        F.count("*").alias("n"),
+    )

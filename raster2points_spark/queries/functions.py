@@ -482,3 +482,38 @@ def fn_collation(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .select(F.lower("segc").alias("seg"), "n")
     )
+
+
+@register(
+    "fn_map",
+    oracle="""
+    SELECT event_id,
+           cast(json_extract_string(props, '$.k') AS int) AS k_val,
+           cast(json_extract_string(props, '$.k') AS int) * 2 AS k_doubled,
+           2 AS n_keys,
+           'k,src' AS keys_sorted
+    FROM events WHERE event_id < 1000
+    """,
+)
+def fn_map(spark, sf_dir):
+    """MapType surface: props parsed into a real ``map<string,int>``,
+    merged with a second map (map_concat), then element_at /
+    map_keys / transform_values — the collection type JSON columns
+    normalize into.
+
+    All map ops are per-row codegen (zero shuffles); outputs are
+    serialized to scalars (sorted key list, extracted values) because
+    map cells are not hash-comparable across engines — the oracle
+    states the equivalent JSON-extraction arithmetic.
+    """
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    m = F.from_json("props", "map<string,int>")
+    merged = F.map_concat(m, F.create_map(F.lit("src"), F.lit(1)))
+    doubled = F.transform_values(merged, lambda _, v: v * 2)
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_val"),
+        F.element_at(doubled, "k").alias("k_doubled"),
+        F.size(merged).alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(merged)), ",").alias("keys_sorted"),
+    )

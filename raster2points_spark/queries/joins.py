@@ -716,3 +716,43 @@ def basket_rules(spark, sf_dir):
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END AS k
+      FROM orders
+    ), b AS (
+      SELECT DISTINCT CASE WHEN o_orderstatus = 'P' THEN NULL
+                           ELSE o_orderstatus END AS k
+      FROM orders
+    )
+    SELECT coalesce(a.k, '<null>') AS k, count(*) AS n
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY 1
+    """,
+)
+def join_null_safe(spark, sf_dir):
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of vanishing — the semantics CDC
+    merges and dimension lookups with optional keys actually need
+    (a plain equi-join silently drops every NULL-keyed row).
+
+    Planned as a regular hash join (null-safe equality is still an
+    equi-join key — Spark hashes NULL to a bucket like any value), so
+    scale behavior is identical to join_inner_eq; no fallback to a
+    nested-loop plan.
+    """
+    o = t(spark, sf_dir, "orders")
+    k = F.when(F.col("o_orderstatus") == "P", None).otherwise(F.col("o_orderstatus"))
+    a = o.select("o_orderkey", k.alias("k"))
+    b = o.select(k.alias("k")).distinct()
+    return (
+        a.join(b, a["k"].eqNullSafe(b["k"]))
+        .select(F.coalesce(a["k"], F.lit("<null>")).alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+    )
