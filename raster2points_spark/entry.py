@@ -116,7 +116,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # rle_events, anomaly_mad, agg_corr, agg_regression,
 # dedup_edit_distance, join_dpp, reshape_unpivot, plus rows-only
 # text_compression_ratio — all green in the local r5 all-keys gate)
-# gets NO r5 driver row and must LEAD the r6 window.  Refill with (a) any r5
+# gets NO r5 driver row and must LEAD the r6 window, together with
+# every operator registered after the window froze (basket_pairs/
+# basket_rules, stream_cdc_apply, scd2_asof_lookup, concurrency_peak,
+# pareto_customers, ts_spike_detect, ts_pct_change, text_zipf_slope,
+# attribution_first_touch, join_null_safe, fn_map, agg_any_all,
+# agg_weighted_avg, win_ratio_share, win_rolling_z, raster_fill_idw,
+# raster_hillshade, funnel_latency, source_vocab_overlap,
+# text_compression_ratio — all green in the closing local gate).  Refill with (a) any r5
 # reds, then the overflow,
 # (b) keys whose implementation changed in r6, (c) the keys with the
 # oldest evidence — the r1-only keys bumped from this window
