@@ -335,7 +335,8 @@ def fn_try_arith(spark, sf_dir):
     "agg_decimal_exact",
     oracle="""
     SELECT o_orderstatus,
-           sum(cast(o_totalprice AS decimal(18, 2))) AS sum_exact,
+           cast(sum(cast(o_totalprice AS decimal(18, 2))) * 100 AS bigint)
+             AS sum_cents,
            count(*) AS n
     FROM orders GROUP BY 1
     """,
@@ -347,10 +348,20 @@ def agg_decimal_exact(spark, sf_dir):
     order-independent in both engines (Spark widens to DECIMAL(28,2)
     internally; no float addition ever happens).  At 100 TB this is
     how financial rollups avoid drift entirely rather than masking it
-    with rounding."""
+    with rounding.
+
+    The RESULT crosses the engine boundary as bigint cents, not as a
+    DECIMAL cell: Spark's toPandas() renders decimals as
+    decimal.Decimal objects while DuckDB's .df() converts to float64,
+    so a DecimalType output column hashes differently per engine even
+    when the values are identical (the r5 driver red).  Scaling the
+    exact sum by 100 and casting to bigint is still exact — only the
+    wire format changes."""
     o = t(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_exact"),
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("sum_cents"),
         F.count("*").alias("n"),
     )
 

@@ -42,7 +42,17 @@ def canon_val(v):
             return "0.0"
         return repr(v)
     if isinstance(v, Decimal):
-        return repr(float(v))
+        # The DRIVER does NOT bridge Decimal cells: Spark toPandas()
+        # yields decimal.Decimal while DuckDB .df() yields float64, and
+        # the driver canonicalizes them differently → guaranteed hash
+        # mismatch (the r5 agg_decimal_exact red, which this coercion
+        # used to mask).  Mirror the driver by refusing, so any query
+        # returning DecimalType fails LOCALLY first.
+        raise TypeError(
+            "Decimal result cell: queries must return engine-neutral "
+            "scalars (bigint cents or identically-formatted strings on "
+            "both sides), never DecimalType"
+        )
     if isinstance(v, (datetime, pd.Timestamp)):
         if pd.isna(v):
             return NULL
@@ -60,8 +70,15 @@ def canon_val(v):
     if hasattr(v, "tolist"):  # numpy scalar / ndarray
         t = v.tolist()
         return canon_val(t)
-    if isinstance(v, bytes):
-        return v.hex()
+    if isinstance(v, (bytes, bytearray)):
+        # Same class of bug as Decimal: driver-side rendering of bytes
+        # cells is not guaranteed engine-neutral.  No registered key
+        # returns raw binary (all pre-convert to hex/md5/length) — keep
+        # it that way by refusing here.
+        raise TypeError(
+            "bytes result cell: queries must pre-convert binary to "
+            "hex/base64/md5 strings on both sides"
+        )
     if v is pd.NaT or (isinstance(v, float) and pd.isna(v)):
         return NULL
     return f"{type(v).__name__}:{v}" if isinstance(v, bool) else str(v)
