@@ -126,6 +126,11 @@ def main() -> int:
             finally:
                 done.set()
                 timer.cancel()
+                # Drop caches persisted inside the query fn: each
+                # invocation builds fresh DataFrames, so prior passes'
+                # pinned blocks are dead weight that would otherwise
+                # accumulate across 3 passes x |HEADLINE| keys.
+                spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     total = 0.0

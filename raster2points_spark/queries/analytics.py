@@ -543,7 +543,8 @@ def rfm_segments(spark, sf_dir):
       FROM events GROUP BY 1, 2
     )
     SELECT event_type, day, total,
-           round((total - lag(total) OVER w) / lag(total) OVER w * 100, 3) AS pct_change
+           round((total - lag(total) OVER w)
+                 / nullif(lag(total) OVER w, 0) * 100, 3) AS pct_change
     FROM daily
     WINDOW w AS (PARTITION BY event_type ORDER BY day)
     """,
@@ -555,7 +556,9 @@ def ts_pct_change(spark, sf_dir):
     The stream collapses to |types|x|days| rows in one map-side-
     combined aggregate; the lag window runs over that tiny rollup
     (partitioned by type — never an unpartitioned global sort).  First
-    day per type yields NULL, identically in both engines.
+    day per type yields NULL, identically in both engines; a prior day
+    totalling exactly 0 would be NULL-in-Spark vs Inf-in-DuckDB, so the
+    denominator is nullif-guarded symmetrically.
     """
     from pyspark.sql import Window
 
@@ -570,7 +573,9 @@ def ts_pct_change(spark, sf_dir):
         "event_type",
         "day",
         "total",
-        F.round((F.col("total") - prev) / prev * 100, 3).alias("pct_change"),
+        F.round((F.col("total") - prev) / F.nullif(prev, F.lit(0.0)) * 100, 3).alias(
+            "pct_change"
+        ),
     )
 
 

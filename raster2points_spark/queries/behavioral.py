@@ -295,7 +295,7 @@ def rle_events(spark, sf_dir):
       GROUP BY 1
     )
     SELECT e.event_id, e.event_type, round(e.value, 4) AS value,
-           round(abs(e.value - m.med) / (1.4826 * m.mad), 3) AS robust_z
+           round(abs(e.value - m.med) / nullif(1.4826 * m.mad, 0), 3) AS robust_z
     FROM events e JOIN madt m ON e.event_type = m.event_type
     WHERE abs(e.value - m.med) > 3 * 1.4826 * m.mad
     """,
@@ -310,6 +310,11 @@ def anomaly_mad(spark, sf_dir):
     stream; the event table itself is never shuffled — filters and
     the robust-z projection run map-side.  1.4826 is the standard
     normal-consistency constant.
+
+    When a type's MAD is exactly 0 (a constant-valued majority) the
+    filter still passes any deviating row, but x/0 is NULL in Spark
+    and +Inf in DuckDB IEEE doubles — nullif(denominator, 0) on BOTH
+    sides makes the engines agree on NULL.
     """
     ev = t(spark, sf_dir, "events")
     med = ev.groupBy("event_type").agg(F.percentile("value", F.lit(0.5)).alias("med"))
@@ -329,7 +334,9 @@ def anomaly_mad(spark, sf_dir):
             "event_type",
             F.round("value", 4).alias("value"),
             F.round(
-                F.abs(F.col("value") - F.col("med")) / (1.4826 * F.col("mad")), 3
+                F.abs(F.col("value") - F.col("med"))
+                / F.nullif(F.lit(1.4826) * F.col("mad"), F.lit(0.0)),
+                3,
             ).alias("robust_z"),
         )
     )

@@ -461,9 +461,9 @@ def scan_text_lines(spark, sf_dir):
     "scan_binary_files",
     oracle="""
     SELECT count(*) AS n_files,
-           cast(sum(length(text)) AS bigint) AS total_bytes,
-           min(length(text)) AS min_bytes,
-           max(length(text)) AS max_bytes
+           cast(sum(octet_length(encode(text))) AS bigint) AS total_bytes,
+           cast(min(octet_length(encode(text))) AS bigint) AS min_bytes,
+           cast(max(octet_length(encode(text))) AS bigint) AS max_bytes
     FROM documents WHERE doc_id < 20
     """,
 )
@@ -473,10 +473,11 @@ def scan_binary_files(spark, sf_dir):
     length, content) rows with NO decode, exactly how §2.9's mm_*
     kernels expect them.
 
-    20 docs are materialized as one file each (ascii text ⇒ byte
-    length == char length, which is what the oracle counts on the
-    source table); the binaryFile scan lists + reads them
-    distributed, content stays a byte column until a kernel asks.
+    20 docs are materialized as one file each, utf-8 encoded so a
+    regenerated corpus with non-ASCII text still round-trips (the
+    oracle counts utf-8 BYTES via octet_length(encode(text)), never
+    chars); the binaryFile scan lists + reads them distributed,
+    content stays a byte column until a kernel asks.
     """
     import shutil
 
@@ -491,7 +492,7 @@ def scan_binary_files(spark, sf_dir):
     )
     for r in rows:
         with open(os.path.join(path, f"doc_{r['doc_id']:05d}.bin"), "wb") as f:
-            f.write(r["text"].encode("ascii"))
+            f.write(r["text"].encode("utf-8"))
     blobs = spark.read.format("binaryFile").load(path)
     return blobs.agg(
         F.count("*").alias("n_files"),

@@ -49,9 +49,58 @@ SUBSET = [
     "raster_band_math",
     "rfm_segments",
     "join_asof_forward",
+    # post-r5-freeze keys (never in a committed lint sweep before r6)
+    "basket_pairs",
+    "basket_rules",
+    "fn_map",
+    "agg_any_all",
+    "agg_weighted_avg",
+    "agg_mode",
+    "win_ratio_share",
+    "scd2_asof_lookup",
+    "concurrency_peak",
+    "pareto_customers",
+    "ts_spike_detect",
+    "ts_pct_change",
+    "text_zipf_slope",
+    "attribution_first_touch",
+    "join_null_safe",
+    "raster_hillshade",
+    "raster_fill_idw",
+    "funnel_latency",
+    "source_vocab_overlap",
+    "text_compression_ratio",
+    # SortAggregate allowlisted trio — keep them linted so the reasons
+    # stay honest (a plan change that loses the justification fails)
+    "profile_columns",
+    "fn_collation",
+    "join_bucketed",
 ]
 
 
 def test_plan_lint_subset(spark):
     violations = lint(SUBSET)
     assert not violations, violations
+
+
+def test_committed_sweep_covers_current_registry():
+    """The r5 gap: the committed full-sweep report said '176 registered
+    keys' while the registry had grown to 210 — the newest keys had no
+    lint evidence.  Pin: the NEWEST reports/plan_lint_r*.txt clean line
+    must state exactly the current registry size, so growing the
+    registry without re-running tools/plan_lint.py fails here."""
+    import re
+
+    from raster2points_spark.registry import load_all
+
+    reports = sorted(
+        (Path(__file__).resolve().parent.parent / "reports").glob("plan_lint_r*.txt")
+    )
+    assert reports, "no committed plan-lint sweep"
+    text = reports[-1].read_text()
+    m = re.search(r"plan lint clean \((\d+) registered keys", text)
+    assert m, f"latest sweep {reports[-1].name} is not clean: {text[:200]}"
+    assert int(m.group(1)) == len(load_all()), (
+        f"registry has {len(load_all())} keys but {reports[-1].name} swept "
+        f"{m.group(1)} — re-run tools/plan_lint.py and commit the report"
+    )

@@ -135,6 +135,13 @@ def main() -> int:
 
     passed, failed, skipped = [], [], []
     for k in keys:
+        # Registry-level cache hygiene: some keys persist() reused
+        # intermediates (basket_rules, source_vocab_overlap, dedup_*)
+        # and cannot unpersist them before the returned lazy plan is
+        # consumed.  Those caches are dead once the key's comparison is
+        # done — drop them so a 210-key session doesn't accumulate
+        # pinned executor storage.
+        spark.catalog.clearCache()
         spec = registry.get(k)
         if spec is None:
             print(f"?? {k}: not registered")

@@ -75,6 +75,20 @@ RULES: dict[str, dict[str, str]] = {
         "sink_zorder": "repartitionByRange on zkey IS the clustering layout",
         "sink_sorted": "range layout for row-group min/max stats",
     },
+    "SortAggregate (": {
+        # Spark falls back from hash agg when a grouping or aggregate
+        # expression is not hash-supported — usually a smell (missing
+        # hashable key) but legitimate for inherently sort-based aggs.
+        # The "(" suffix keeps the match on the operator node, not on
+        # substring hits inside other node names.
+        "profile_columns": "min/max over STRING columns buffer strings "
+        "(not hash-agg mutable) — inherent to profiling text columns",
+        "fn_collation": "grouping on a collated key is not hash-agg "
+        "supported — the collation surface IS the operator",
+        "join_bucketed": "any_value(STRING) falls back, but the input "
+        "arrives sorted on the grouping key from the bucketed merge "
+        "join — the sort-agg pays no extra sort",
+    },
 }
 
 
