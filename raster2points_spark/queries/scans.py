@@ -352,16 +352,39 @@ def join_dpp(spark, sf_dir):
     handles literal predicates, DPP handles join-derived ones — the
     scan cost becomes proportional to the dim selectivity, not the
     fact size.  Plan-pinned in tests/test_plans.py.
+
+    The partitioned layout is a FIXTURE, paid once per corpus: cached
+    on (source path, mtime, size) like the stream-slice cache, so
+    repeated invocations in a gate/bench session read instead of
+    rewriting, and a regenerated corpus still invalidates it.
     """
-    path = os.path.join(SCRATCH, "join_dpp_fact")
-    # cluster on the partition column before the write: one file per
-    # month directory instead of |tasks|x|months| small files — the
-    # standard partitioned-layout hygiene at any scale
-    t(spark, sf_dir, "lineitem").select(
-        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"), "l_extendedprice"
-    ).repartition(F.col("ship_month")).write.mode("overwrite").partitionBy(
-        "ship_month"
-    ).parquet(path)
+    import hashlib
+    import tempfile
+
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    st = os.stat(src)
+    digest = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_mtime}:{st.st_size}:dpp1".encode()
+    ).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"r2p_dpp_fact_{digest}")
+    if not os.path.isdir(path):
+        import shutil
+
+        tmp = f"{path}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        # cluster on the partition column before the write: one file per
+        # month directory instead of |tasks|x|months| small files — the
+        # standard partitioned-layout hygiene at any scale
+        t(spark, sf_dir, "lineitem").select(
+            F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"), "l_extendedprice"
+        ).repartition(F.col("ship_month")).write.mode("overwrite").partitionBy(
+            "ship_month"
+        ).parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # a concurrent builder won the rename; content is identical
+            shutil.rmtree(tmp, ignore_errors=True)
     fact = spark.read.parquet(path)
     dim = (
         t(spark, sf_dir, "orders")
