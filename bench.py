@@ -65,6 +65,14 @@ HEADLINE = [
     # r5 composites + span dedup
     "tpch_q3",
     "dedup_chunks",
+    # r6: the remaining heavy r5 keys with no bench history — blocked
+    # pairwise dedup, set-overlap and sweep-line shapes whose cost is
+    # candidate-count-driven, so a silent blowup shows here first.
+    "dedup_edit_distance",
+    "audience_overlap",
+    "source_vocab_overlap",
+    "concurrency_peak",
+    "attribution_first_touch",
 ]
 
 

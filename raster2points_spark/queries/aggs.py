@@ -650,3 +650,79 @@ def agg_any_all(spark, sf_dir):
         F.bool_or(F.col("o_orderstatus") == "F").alias("any_filled"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    WITH words AS (
+      SELECT l_returnflag,
+             l_suppkey // 63 AS w,
+             bit_or(1::BIGINT << (l_suppkey % 63)) AS bits
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_returnflag,
+           cast(sum(bit_count(bits)) AS bigint) AS n_distinct_supp
+    FROM words GROUP BY 1
+    """,
+)
+def agg_bitmap_distinct(spark, sf_dir):
+    """Exact distinct counting via RE-AGGREGATABLE 64-bit word bitmaps —
+    the scalable alternative to count(DISTINCT) when the same distinct
+    sets roll up across many dimensions: per (group, id div 63) word,
+    bit_or the membership bits, then popcount-sum per group.
+
+    Why this wins at 100 TB: stage 1 is a partial-aggregated groupBy
+    whose shuffle carries one int64 per (group, word) — bounded by
+    |groups| x |id-universe|/63 regardless of row count — and the word
+    relation is a MATERIALIZABLE sketch: bit_or is associative, so
+    daily word tables merge into weekly/monthly exact distincts
+    without touching raw data (count(DISTINCT) re-scans everything).
+    63-bit words (bits 0..62) keep every shifted value in int64
+    positive range — DuckDB raises on 1<<63 where Spark would wrap
+    negative, so the sign bit is the one bit the engines would
+    disagree on.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    words = li.groupBy(
+        "l_returnflag",
+        F.expr("l_suppkey div 63").alias("w"),
+    ).agg(F.expr("bit_or(shiftleft(1L, cast(l_suppkey % 63 as int)))").alias("bits"))
+    return words.groupBy("l_returnflag").agg(
+        F.sum(F.bit_count("bits")).cast("bigint").alias("n_distinct_supp")
+    )
+
+
+@register(
+    "agg_salted_twophase",
+    oracle="""
+    SELECT o_orderpriority,
+           cast(sum(cast(round(o_totalprice * 100) AS bigint)) AS bigint)
+             AS sum_cents,
+           count(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_salted_twophase(spark, sf_dir):
+    """Skew-resistant aggregation: explicit two-phase salt —
+    groupBy(key, salt16) partial, then groupBy(key) combine.  The
+    oracle is the plain GROUP BY (salting must be semantically
+    invisible).
+
+    Spark's built-in partial aggregation already handles MODERATE
+    skew (map-side combine collapses per-partition duplicates), but a
+    hot key whose partials still overwhelm one reducer needs the salt
+    stage: phase 1 spreads the hot key over 16 reducers, phase 2
+    combines 16 rows per key.  Summing integer cents keeps both
+    phases exact — a two-phase double sum would re-order float
+    addition and drift against the single-pass oracle.
+    """
+    o = t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    phase1 = o.groupBy(
+        "o_orderpriority", (F.col("o_orderkey") % 16).alias("salt")
+    ).agg(F.sum(cents).alias("pc_sum"), F.count("*").alias("pc_n"))
+    return phase1.groupBy("o_orderpriority").agg(
+        F.sum("pc_sum").cast("bigint").alias("sum_cents"),
+        F.sum("pc_n").cast("bigint").alias("n"),
+    )

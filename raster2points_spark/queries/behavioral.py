@@ -560,3 +560,51 @@ def attribution_first_touch(spark, sf_dir):
             "event_id", "user_id", F.col("tsec").alias("purchase_tsec"), "first_view_tsec"
         )
     )
+
+
+@register(
+    "seq_markov",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, event_type, event_id, {_TSEC} AS tsec FROM events
+    ),
+    p AS (
+      SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY tsec, event_id) AS prev
+      FROM s
+    )
+    SELECT prev, event_type AS next, count(*) AS n,
+           round(count(*) * 1.0
+                 / sum(count(*)) OVER (PARTITION BY prev), 6) AS prob
+    FROM p WHERE prev IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def seq_markov(spark, sf_dir):
+    """First-order Markov transition MATRIX over per-user event
+    sequences: seq_transitions' counts row-normalized into
+    probabilities P(next | prev) — the output a next-event predictor
+    or funnel simulator consumes directly.
+
+    Same single user-keyed exchange as seq_transitions for the lag;
+    the normalizing window then runs over the |types|^2-row count
+    relation (constant-size at any corpus scale), so the probability
+    pass is free.  Probabilities rounded to 6 dp both sides; rows sum
+    to 1 per prev by construction.
+    """
+    w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+    counts = (
+        _ev(spark, sf_dir)
+        .select("event_type", F.lag("event_type").over(w).alias("prev"))
+        .filter(F.col("prev").isNotNull())
+        .groupBy(F.col("prev"), F.col("event_type").alias("next"))
+        .agg(F.count("*").alias("n"))
+    )
+    w_prev = Window.partitionBy("prev")
+    return counts.select(
+        "prev",
+        "next",
+        "n",
+        F.round(F.col("n") * 1.0 / F.sum("n").over(w_prev), 6).alias("prob"),
+    )

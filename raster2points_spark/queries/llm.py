@@ -3062,3 +3062,329 @@ def text_zipf_slope(spark, sf_dir):
         F.round(F.regr_slope(F.log("n"), F.log("rnk")), 4).alias("zipf_slope"),
         F.round(F.regr_r2(F.log("n"), F.log("rnk")), 4).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r6 additions: temperature mixture, context windowing, URL canonical
+# dedup, repetition-ratio quality gate
+# ---------------------------------------------------------------------------
+
+_TEMP_ALPHA = 0.7  # mixture temperature (UL2/mT5-style n^alpha reweighting)
+_TEMP_BUDGET = 10000  # documents to allocate across sources
+
+
+@register(
+    "sample_temperature",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+    ),
+    w AS (
+      SELECT source, n_docs,
+             round(pow(n_docs, {_TEMP_ALPHA})
+                   / sum(pow(n_docs, {_TEMP_ALPHA})) OVER (), 6) AS weight
+      FROM counts
+    ),
+    e AS (
+      SELECT source, n_docs, weight,
+             cast(floor({_TEMP_BUDGET} * weight) AS bigint) AS base,
+             {_TEMP_BUDGET} * weight - floor({_TEMP_BUDGET} * weight) AS rem
+      FROM w
+    ),
+    r AS (
+      SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk,
+             (SELECT {_TEMP_BUDGET} - sum(base) FROM e) AS deficit
+      FROM e
+    )
+    SELECT source, n_docs, weight,
+           cast(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS bigint) AS alloc
+    FROM r
+    """,
+)
+def sample_temperature(spark, sf_dir):
+    """Temperature-scaled mixture allocation (the mT5/UL2 sampling
+    rule): source weights w_s = n_s^alpha / sum(n^alpha) with
+    alpha=0.7 — upweights small domains relative to proportional
+    sampling without the full flattening of uniform — then an exact
+    largest-remainder integer allocation of a 10k-doc budget (floor
+    everywhere + one extra doc to the largest fractional remainders,
+    so allocations always sum to the budget).
+
+    Everything after the per-source count (a map-side-combined
+    aggregate, |sources| rows) runs over a constant-size relation —
+    the windows are free at any corpus scale.  pow() ulp skew is
+    absorbed by rounding weights to 6 dp BEFORE the allocation
+    arithmetic, so both engines allocate from identical doubles.
+    """
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w_all = Window.partitionBy()
+    w = counts.select(
+        "source",
+        "n_docs",
+        F.round(
+            F.pow("n_docs", F.lit(_TEMP_ALPHA))
+            / F.sum(F.pow("n_docs", F.lit(_TEMP_ALPHA))).over(w_all),
+            6,
+        ).alias("weight"),
+    )
+    e = w.select(
+        "source",
+        "n_docs",
+        "weight",
+        F.floor(_TEMP_BUDGET * F.col("weight")).cast("bigint").alias("base"),
+        (
+            _TEMP_BUDGET * F.col("weight") - F.floor(_TEMP_BUDGET * F.col("weight"))
+        ).alias("rem"),
+    )
+    r = e.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("rem").desc(), F.col("source")))
+        .alias("rk"),
+        (F.lit(_TEMP_BUDGET) - F.sum("base").over(w_all)).alias("deficit"),
+    )
+    return r.select(
+        "source",
+        "n_docs",
+        "weight",
+        (F.col("base") + F.when(F.col("rk") <= F.col("deficit"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("alloc"),
+    )
+
+
+_CTX_W, _CTX_S = 64, 48  # window size / stride (16-token overlap)
+
+
+@register(
+    "text_context_windows",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {TOKS_DUCK} AS toks FROM documents
+    ),
+    d AS (
+      SELECT doc_id, toks, len(toks) AS n FROM base WHERE len(toks) > 0
+    ),
+    w AS (
+      SELECT doc_id, n, toks,
+             unnest(range(0, 1 + greatest(0,
+                 cast(ceil((n - {_CTX_W}) * 1.0 / {_CTX_S}) AS bigint)))) AS widx
+      FROM d
+    )
+    SELECT doc_id, cast(widx AS bigint) AS win_idx,
+           cast(widx * {_CTX_S} AS bigint) AS start_tok,
+           cast(least({_CTX_W}, n - widx * {_CTX_S}) AS bigint) AS n_toks,
+           md5(array_to_string(
+               toks[widx * {_CTX_S} + 1 :
+                    widx * {_CTX_S} + least({_CTX_W}, n - widx * {_CTX_S})],
+               ' ')) AS window_md5
+    FROM w
+    """,
+)
+def text_context_windows(spark, sf_dir):
+    """Overlapping context-window chunking — the training-data
+    complement to pack_sequences: long documents split into 64-token
+    windows at stride 48 (16-token overlap keeps boundary context),
+    short documents kept whole.  The md5 of each window's text is the
+    hash-checked proof that BOTH engines slice identical token spans.
+
+    Scale shape: window offsets are generated IN-ROW
+    (explode(sequence(...))) — no self-join, no shuffle; output rows ~=
+    corpus tokens / stride.  The downstream tokenize-and-pack stage
+    consumes (doc_id, win_idx) as its stable sequence key.
+    """
+    d = t(spark, sf_dir, "documents")
+    docs = (
+        d.withColumn("toks", F.expr(TOKS_SPARK))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") > 0)
+    )
+    nwin = F.expr(
+        f"1 + greatest(0, cast(ceil((n - {_CTX_W}) * 1.0 / {_CTX_S}) as int))"
+    )
+    exploded = docs.select(
+        "doc_id",
+        "n",
+        "toks",
+        F.explode(F.sequence(F.lit(0), nwin - 1)).alias("widx"),
+    )
+    n_toks = F.least(F.lit(_CTX_W), F.col("n") - F.col("widx") * _CTX_S)
+    return exploded.select(
+        "doc_id",
+        F.col("widx").cast("bigint").alias("win_idx"),
+        (F.col("widx") * _CTX_S).cast("bigint").alias("start_tok"),
+        n_toks.cast("bigint").alias("n_toks"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    f"slice(toks, widx * {_CTX_S} + 1, "
+                    f"least({_CTX_W}, n - widx * {_CTX_S}))"
+                ),
+            )
+        ).alias("window_md5"),
+    )
+
+
+@register(
+    "dedup_url_canonical",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN 'https://' || source || '.example.com/docs/p'
+                           || cast(doc_id % 50 AS varchar)
+               WHEN 1 THEN 'https://' || source || '.example.com/docs/p'
+                           || cast(doc_id % 50 AS varchar) || '/'
+               WHEN 2 THEN 'https://' || upper(source) || '.EXAMPLE.COM/docs/p'
+                           || cast(doc_id % 50 AS varchar) || '?utm_source=feed'
+               ELSE 'https://' || source || '.example.com/docs/p'
+                           || cast(doc_id % 50 AS varchar) || '#section-2'
+             END AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id, url,
+             concat(
+               lower(regexp_extract(
+                 regexp_replace(regexp_replace(regexp_replace(url,
+                     '#.*$', ''), '\\?.*$', ''), '/$', ''),
+                 '^(https?://[^/]*)', 1)),
+               regexp_extract(
+                 regexp_replace(regexp_replace(regexp_replace(url,
+                     '#.*$', ''), '\\?.*$', ''), '/$', ''),
+                 '^https?://[^/]*(.*)$', 1)
+             ) AS canonical_url
+      FROM raw
+    )
+    SELECT canonical_url,
+           min(doc_id) AS keep_id,
+           count(*) AS n_docs,
+           count(DISTINCT url) AS n_raw_variants
+    FROM canon GROUP BY 1
+    """,
+)
+def dedup_url_canonical(spark, sf_dir):
+    """URL canonicalization dedup — the CommonCrawl-style first pass
+    that collapses fetch-level variants of one resource BEFORE any
+    content hashing: strip fragment, strip query string, strip
+    trailing slash, lowercase scheme+host ONLY (paths are
+    case-sensitive per RFC 3986, so the path's case is preserved).
+    Noisy variants are synthesized deterministically from the corpus
+    (trailing slash / uppercase host / tracking query / fragment), and
+    doc_id%50 paths force real collisions to dedup.
+
+    Scale shape: canonicalization is a pure regexp projection fused
+    into the scan; the dedup groupBy shuffles one row per URL — at
+    100 TB this is the cheap gate that spares the expensive
+    content-hash and MinHash stages ~30% of their input.
+    """
+    d = t(spark, sf_dir, "documents")
+    pid = (F.col("doc_id") % 50).cast("string")
+    base = F.concat(F.col("source"), F.lit(".example.com/docs/p"), pid)
+    raw = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("https://"), base))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("https://"), base, F.lit("/")))
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("https://"),
+                F.upper(F.col("source")),
+                F.lit(".EXAMPLE.COM/docs/p"),
+                pid,
+                F.lit("?utm_source=feed"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("https://"), base, F.lit("#section-2")))
+        .alias("url"),
+    )
+    stripped = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(F.col("url"), "#.*$", ""), r"\?.*$", ""),
+        "/$",
+        "",
+    )
+    canon = raw.select(
+        "doc_id",
+        "url",
+        F.concat(
+            F.lower(F.regexp_extract(stripped, "^(https?://[^/]*)", 1)),
+            F.regexp_extract(stripped, "^https?://[^/]*(.*)$", 1),
+        ).alias("canonical_url"),
+    )
+    return canon.groupBy("canonical_url").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count("*").alias("n_docs"),
+        F.count_distinct("url").alias("n_raw_variants"),
+    )
+
+
+@register(
+    "text_repetition_ratio",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {TOKS_DUCK} AS toks FROM documents
+    ),
+    d AS (
+      SELECT doc_id, toks, len(toks) AS n FROM base WHERE len(toks) >= 2
+    ),
+    feat AS (
+      SELECT doc_id, n,
+             round(1.0 - len(list_distinct(toks)) * 1.0 / n, 4) AS dup_word_frac,
+             round(1.0 - len(list_distinct(
+                       list_transform(range(1, n),
+                                      i -> toks[i] || ' ' || toks[i + 1])))
+                   * 1.0 / (n - 1), 4) AS dup_bigram_frac
+      FROM d
+    )
+    SELECT doc_id, cast(n AS bigint) AS n_words, dup_word_frac, dup_bigram_frac,
+           (dup_bigram_frac <= 0.2) AS passes
+    FROM feat
+    """,
+)
+def text_repetition_ratio(spark, sf_dir):
+    """Repetition-ratio quality gate (Gopher §A1.1's repetition
+    filters): duplicate-word fraction and duplicate-BIGRAM fraction
+    per document — boilerplate, keyword-stuffed and looping-generation
+    text scores high and is dropped before training.
+
+    Scale shape: bigrams are built IN-ROW (transform over an index
+    sequence — adjacent-pair concat never leaves the row) and both
+    fractions are pure array expressions: zero shuffles, whole-stage
+    codegen, fused into the corpus scan alongside the other quality
+    gates.  The 0.2 bigram threshold is the conventional cut; the raw
+    fractions are emitted so tuning reads this same relation.
+    """
+    d = t(spark, sf_dir, "documents")
+    docs = (
+        d.withColumn("toks", F.expr(TOKS_SPARK))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") >= 2)
+    )
+    dup_word = F.round(
+        1.0 - F.size(F.array_distinct("toks")) * F.lit(1.0) / F.col("n"), 4
+    )
+    dup_bigram = F.round(
+        1.0
+        - F.size(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, n - 1), "
+                    "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+                )
+            )
+        )
+        * F.lit(1.0)
+        / (F.col("n") - 1),
+        4,
+    )
+    feat = docs.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_words"),
+        dup_word.alias("dup_word_frac"),
+        dup_bigram.alias("dup_bigram_frac"),
+    )
+    return feat.withColumn("passes", F.col("dup_bigram_frac") <= 0.2)

@@ -795,3 +795,56 @@ def raster_hillshade(spark, sf_dir):
         "row",
         F.round(F.greatest(F.lit(0.0), shade) * 255, 3).alias("shade"),
     )
+
+
+@register(
+    "raster_zonal_stats",
+    oracle=f"""
+    {_PX}
+    SELECT cast(floor(b2.value / 10) AS bigint) AS zone,
+           count(*) AS n_px,
+           cast(sum(cast(round(b1.value * 1000) AS bigint)) AS bigint) AS sum_milli,
+           round(avg(b1.value), 4) AS mean_val,
+           round(min(b1.value), 3) AS min_val,
+           round(max(b1.value), 3) AS max_val
+    FROM (SELECT * FROM pix WHERE band_id = 'b1' AND value IS NOT NULL) b1
+    JOIN (SELECT * FROM pix WHERE band_id = 'b2' AND value IS NOT NULL) b2
+      ON b1.tile_id = b2.tile_id AND b1.pos = b2.pos
+    GROUP BY 1
+    """,
+)
+def raster_zonal_stats(spark, sf_dir):
+    """Zonal statistics — the classic two-raster GIS op: band 2 acts
+    as the ZONE raster (categorical zones = floor(value/10)), band 1
+    as the value raster; per-zone count/sum/mean/min/max over pixels
+    valid in BOTH bands.
+
+    Scale shape: the positional band alignment is band_zip_join's
+    equi-join on (tile_id, pos) — zones travel WITH the pixel rows, so
+    the zonal rollup is one map-side-combined aggregate whose output
+    is |zones| rows; the pixel stream shuffles once for the join key
+    and never again.  Values sum exactly in integer milli-units (the
+    fixture payloads are exact 3-decimals), floats round identically
+    both sides.
+    """
+    tl = _tiles(spark, sf_dir)
+    b1 = nodata_filter(grid_unpivot(tl.filter(F.col("band_id") == "b1")))
+    b2 = nodata_filter(grid_unpivot(tl.filter(F.col("band_id") == "b2")))
+    joined = b1.join(
+        b2.select("tile_id", "pos", F.col("value").alias("zone_val")),
+        ["tile_id", "pos"],
+    )
+    return (
+        joined.groupBy(
+            F.floor(F.col("zone_val") / 10).cast("bigint").alias("zone")
+        )
+        .agg(
+            F.count("*").alias("n_px"),
+            F.sum(F.round(F.col("value") * 1000).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_milli"),
+            F.round(F.avg("value"), 4).alias("mean_val"),
+            F.round(F.min("value"), 3).alias("min_val"),
+            F.round(F.max("value"), 3).alias("max_val"),
+        )
+    )

@@ -396,3 +396,51 @@ def scd2_asof_lookup(spark, sf_dir):
         "valid_from",
         F.coalesce("valid_to", F.lit(-1)).alias("valid_to"),
     )
+
+
+@register(
+    "win_count_distinct",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, event_id, event_type, {_TSEC} AS tsec,
+             CASE WHEN row_number() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY {_TSEC}, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT user_id, event_id,
+           cast(sum(first_seen) OVER (
+               PARTITION BY user_id ORDER BY tsec, event_id
+               ROWS UNBOUNDED PRECEDING) AS bigint) AS distinct_types_so_far
+    FROM s
+    """,
+)
+def win_count_distinct(spark, sf_dir):
+    """Running DISTINCT count over a window — the surface SQL engines
+    write as count(DISTINCT x) OVER (...) and Spark does not support
+    directly; the idiomatic translation is size(collect_set() OVER
+    (growing frame)).
+
+    The oracle states the engine-neutral decomposition (first-occurrence
+    flag via row_number, then a running sum), which is also the SHUFFLE-
+    CHEAPER plan at scale: collect_set buffers up to |distinct| values
+    per row in the window state, while the flag formulation carries one
+    bit — both windows here partition on user_id, one exchange total.
+    Matching the two formulations proves the set semantics agree.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", unix_secs(F.col("ts")).alias("tsec")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tsec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.size(F.collect_set("event_type").over(w))
+        .cast("bigint")
+        .alias("distinct_types_so_far"),
+    )

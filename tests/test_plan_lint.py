@@ -75,6 +75,17 @@ SUBSET = [
     "profile_columns",
     "fn_collation",
     "join_bucketed",
+    # r6 additions
+    "agg_bitmap_distinct",
+    "agg_salted_twophase",
+    "win_count_distinct",
+    "seq_markov",
+    "graph_triangle_count",
+    "raster_zonal_stats",
+    "sample_temperature",
+    "text_context_windows",
+    "dedup_url_canonical",
+    "text_repetition_ratio",
 ]
 
 

@@ -66,6 +66,8 @@ RULES: dict[str, dict[str, str]] = {
         "profile_columns": "constant-width stats unpivot join",
         "text_contamination": "broadcast eval-set n-gram list (constant size)",
         "basket_rules": "1-row distinct-order count broadcast",
+        "graph_triangle_count": "three 1-row scalar aggregates crossed "
+        "into the single summary row",
     },
     "BatchEvalPython": {
         "udf_scalar_py": "THE deliberate row-Python surface key",
