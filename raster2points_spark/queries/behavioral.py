@@ -608,3 +608,59 @@ def seq_markov(spark, sf_dir):
         "n",
         F.round(F.col("n") * 1.0 / F.sum("n").over(w_prev), 6).alias("prob"),
     )
+
+
+@register(
+    "seq_pattern_detect",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, event_id, event_type, {_TSEC} AS tsec FROM events
+    ),
+    led AS (
+      SELECT user_id, event_id, event_type, tsec,
+             lead(event_type, 1) OVER w AS t1,
+             lead(event_type, 2) OVER w AS t2,
+             lead(tsec, 2) OVER w AS tsec2
+      FROM s
+      WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)
+    )
+    SELECT user_id, event_id AS anchor_event, tsec AS t_view,
+           tsec2 AS t_purchase, tsec2 - tsec AS span_s
+    FROM led
+    WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+    """,
+)
+def seq_pattern_detect(spark, sf_dir):
+    """CONSECUTIVE-pattern detection (the MATCH_RECOGNIZE shape):
+    find every view→click→purchase triple that occurs as three
+    ADJACENT events in a user's stream — stricter than funnel_batch,
+    which only orders stage minima and tolerates interleaving.  Each
+    match reports its anchor event and the view→purchase span.
+
+    One lead-chain window on the single user_id exchange; the pattern
+    predicate is a codegen filter over the lead columns — longer
+    patterns extend the lead chain, never add shuffles.  This is the
+    batch twin of a CEP rule; arbitrary-gap variants relax adjacency
+    back toward funnel semantics.
+    """
+    w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+    led = _ev(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "tsec",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead("tsec", 2).over(w).alias("tsec2"),
+    )
+    return led.filter(
+        (F.col("event_type") == "view")
+        & (F.col("t1") == "click")
+        & (F.col("t2") == "purchase")
+    ).select(
+        "user_id",
+        F.col("event_id").alias("anchor_event"),
+        F.col("tsec").alias("t_view"),
+        F.col("tsec2").alias("t_purchase"),
+        (F.col("tsec2") - F.col("tsec")).alias("span_s"),
+    )

@@ -3388,3 +3388,82 @@ def text_repetition_ratio(spark, sf_dir):
         dup_bigram.alias("dup_bigram_frac"),
     )
     return feat.withColumn("passes", F.col("dup_bigram_frac") <= 0.2)
+
+
+@register(
+    "embed_gram_matrix",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id,
+             unnest(generate_series(1, len(embedding))) AS i,
+             unnest(embedding) AS vi
+      FROM embeddings
+    )
+    SELECT a.i, b.i AS j,
+           round(sum(cast(a.vi AS double) * cast(b.vi AS double)), 4) AS g
+    FROM ex a JOIN ex b USING (vec_id)
+    GROUP BY 1, 2
+    """,
+)
+def embed_gram_matrix(spark, sf_dir):
+    """Gram matrix X'X over the embedding corpus — the D×D sufficient
+    statistic behind PCA/whitening/linear probes (covariance = Gram of
+    the centered stream; embed_whiten consumes the diagonal).
+
+    Scale shape: each row's OUTER PRODUCT is built IN-ROW (nested
+    transform over the array, flattened) so nothing is exploded before
+    aggregation can combine it — the groupBy(i, j) partial-aggregates
+    map-side and the shuffle carries at most D² = 4096 cells per task
+    REGARDLESS of corpus size.  The oracle's exploded self-join states
+    the same sum; the in-row form is what survives 100 TB (a join
+    would shuffle n·D rows).  Products accumulate in double; 4-dp
+    round absorbs cross-engine addition order.
+    """
+    e = t_fanout(spark, sf_dir, "embeddings")
+    cells = e.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(embedding, (vi, i) -> "
+                "transform(embedding, (vj, j) -> "
+                "struct(i + 1 as i, j + 1 as j, "
+                "cast(vi as double) * cast(vj as double) as p))))"
+            )
+        ).alias("c")
+    )
+    return cells.groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j")).agg(
+        F.round(F.sum("c.p"), 4).alias("g")
+    )
+
+
+@register("agg_hll_partial_merge", check="rows-only")
+def agg_hll_partial_merge(spark, sf_dir):
+    """Two-level HyperLogLog pipeline over the Apache DataSketches
+    surface (Spark 3.5+): per-source HLL sketches of the distinct
+    doc_id universe, then hll_union_agg MERGES the partial sketches
+    into a corpus-wide estimate — the re-aggregatable approximate twin
+    of agg_bitmap_distinct (sketches are KBs where bitmaps are
+    universe-sized; both merge without rescanning raw data).
+
+    rows-only by design: DuckDB's approx sketch is a different
+    algorithm, so there is no value-exact oracle — instead
+    tests/test_llm.py pins every estimate within 5%% of the exact
+    distinct count.  Output carries source-level estimates plus the
+    merged ALL row so one relation shows sketch → merge → estimate.
+    """
+    d = t(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.hll_sketch_agg("doc_id").alias("sk"), F.count("*").alias("n_rows")
+    )
+    per_out = per_source.select(
+        "source",
+        F.hll_sketch_estimate("sk").cast("bigint").alias("est_distinct"),
+        "n_rows",
+    )
+    merged = per_source.agg(
+        F.hll_union_agg("sk").alias("sk"), F.sum("n_rows").alias("n_rows")
+    ).select(
+        F.lit("__ALL__").alias("source"),
+        F.hll_sketch_estimate("sk").cast("bigint").alias("est_distinct"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+    )
+    return per_out.unionAll(merged)

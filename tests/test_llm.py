@@ -332,3 +332,26 @@ def test_bpe_train_matches_reference_implementation(spark):
 
     got = [tuple(r) for r in bpe_train(spark, SF0001).orderBy("rank").collect()]
     assert got == want
+
+
+def test_hll_partial_merge_accuracy(spark, registry):
+    """agg_hll_partial_merge is rows-only (no DuckDB oracle — different
+    sketch algorithm), so exactness is pinned here instead: every
+    per-source estimate AND the merged __ALL__ estimate must land
+    within 5% of the exact distinct count (doc_id is unique, so exact
+    distinct == row count)."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF001
+
+    out = {r.source: r for r in registry["agg_hll_partial_merge"].fn(spark, SF001).collect()}
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    exact = {
+        r.source: r.n
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    total = docs.count()
+    assert abs(out["__ALL__"].est_distinct - total) / total <= 0.05
+    assert out["__ALL__"].n_rows == total
+    for src, n in exact.items():
+        assert abs(out[src].est_distinct - n) / n <= 0.05, (src, out[src], n)
