@@ -28,12 +28,13 @@ SF0001 = "/root/testdata/sf0.001"
 #      this round (symmetric zero-denominator guards).
 #   3. scan_binary_files — implementation changed in r6 (utf-8 +
 #      octet_length oracle), so it re-enters despite its r5 pass.
-#   4. the 10 operators ADDED in r6 — newly registered keys always get
+#   4. the 13 operators ADDED in r6 — newly registered keys always get
 #      first driver evidence in their own round.
-#   5. refill to exactly 50 with the most load-bearing of the 38 keys
+#   5. sim_knn — its prune phase became size-gated in r6 (plan
+#      change), so it re-enters despite the r5 pass.
+#   6. refill to exactly 50 with the most load-bearing of the 38 keys
 #      whose NEWEST driver evidence is round 1 (old corpus
-#      generation): the core agg family, the inner join, the dedup
-#      trio.
+#      generation): the Q1 aggregate and the two heavy dedup keys.
 # Keys absent from this list keep their natural registration order
 # after it.
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -73,7 +74,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "scd2_asof_lookup",
     # --- 3. implementation changed in r6 (1) ---
     "scan_binary_files",
-    # --- 4. operators ADDED in r6 — first driver evidence (10) ---
+    # --- 4. operators ADDED in r6 — first driver evidence (13) ---
     "agg_bitmap_distinct",
     "agg_salted_twophase",
     "win_count_distinct",
@@ -84,28 +85,33 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_context_windows",
     "dedup_url_canonical",
     "text_repetition_ratio",
-    # --- 5. oldest driver evidence (r1-last, old corpus) — refill (7) ---
+    "seq_pattern_detect",
+    "embed_gram_matrix",
+    "agg_hll_partial_merge",
+    # --- 5. sim_knn — prune phase size-gated in r6 (plan change) ---
+    "sim_knn",
+    # --- 6. oldest driver evidence (r1-last, old corpus) — refill (3) ---
     "agg_groupby",
-    "agg_having",
-    "agg_rollup",
-    "join_inner_eq",
-    "dedup_exact",
     "dedup_jaccard",
     "dedup_near",
 )
 # ROUND-7 ROTATION NOTE: after this window every key has at least one
-# driver row and none of the reds remain.  The r1-last keys (newest
-# driver evidence = round 1, old corpus generation) that did NOT fit
-# this window and should lead r7: agg_cube, agg_grouping_sets,
-# agg_filtered, agg_stats, agg_percentile, agg_rollup_cascade,
-# filter_pred, project_expr, case_when, distinct_rows, fn_string,
-# fn_math, fn_cast, fn_higher_order, join_broadcast_star (also
-# smoke-run by entry() every round), join_left, join_right, join_full,
+# driver row and none of the reds remain.  Lead r7 with (a)
+# sim_knn_label — it shares _knn_pairs, whose prune phase was
+# size-gated in r6, but did not fit this window (oracle re-verified
+# green locally); then (b) the r1-last keys (newest driver evidence =
+# round 1, old corpus generation) that did NOT fit this window:
+# agg_having, agg_rollup, agg_cube, agg_grouping_sets, agg_filtered,
+# agg_stats, agg_percentile, agg_rollup_cascade, filter_pred,
+# project_expr, case_when, distinct_rows, fn_string, fn_math, fn_cast,
+# fn_higher_order, join_inner_eq, join_broadcast_star (also smoke-run
+# by entry() every round), join_left, join_right, join_full,
 # join_theta_range, join_semi, join_anti, join_cross, join_salted,
-# join_bucketed, join_interval_bucketed, dedup_simhash, text_tokens,
-# text_stats, plus rows-only agg_approx_distinct / dedup_minhash_ml /
-# sim_lsh.  Then r3-last keys, then any implementation-changed or
-# newly added keys (which always outrank re-confirmation).
+# join_bucketed, join_interval_bucketed, dedup_exact, dedup_simhash,
+# text_tokens, text_stats, plus rows-only agg_approx_distinct /
+# dedup_minhash_ml / sim_lsh.  Then r3-last keys, then any
+# implementation-changed or newly added keys (which always outrank
+# re-confirmation).
 
 
 def _ordered():

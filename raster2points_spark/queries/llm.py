@@ -35,6 +35,8 @@ they are the BASELINE.json:6 north-star mandate ([N] rows in SURVEY §2.9).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from raster2points_spark.registry import register
@@ -525,7 +527,7 @@ _DOT_SPARK = (
 )
 
 
-def _knn_pairs(spark, sf_dir, n_probes=5, k=10, prune_buckets=64):
+def _knn_pairs(spark, sf_dir, n_probes=5, k=10, prune_buckets=64, force_prune=None):
     """Two-phase distributed top-k of probe·corpus cosine scores.
 
     Phase 1 prunes per (probe_id, pmod(vec_id, P)) sub-bucket: every
@@ -536,7 +538,20 @@ def _knn_pairs(spark, sf_dir, n_probes=5, k=10, prune_buckets=64):
     every global top-k row is by construction within the top-k of its
     own bucket — phase 2 then ranks at most P·k survivors per probe.
     At 100 TB raise P to ~#cores; the survivor set stays O(P·k) rows.
+
+    The prune phase is SIZE-GATED (same 64 MB threshold as t_fanout):
+    a toy corpus fits one window partition comfortably, so the extra
+    bucket window would only add a pass — the gate keeps toy-scale
+    latency flat while the big-corpus plan stays two-phase
+    (tests/test_plans.py pins both sides via force_prune).
     """
+    if force_prune is None:
+        try:
+            force_prune = (
+                os.path.getsize(os.path.join(sf_dir, "embeddings.parquet")) >= 64 << 20
+            )
+        except OSError:
+            force_prune = True
     emb = t_fanout(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("ce"), "label"
     )
@@ -555,17 +570,18 @@ def _knn_pairs(spark, sf_dir, n_probes=5, k=10, prune_buckets=64):
     )
     from pyspark.sql import Window
 
-    wb = Window.partitionBy("probe_id", "bkt").orderBy(
-        F.col("sim").desc(), F.col("vec_id")
-    )
-    pruned = (
-        pairs.withColumn("bkt", F.pmod(F.col("vec_id"), F.lit(prune_buckets)))
-        .withColumn("prn", F.row_number().over(wb))
-        .filter(F.col("prn") <= k)
-        .drop("bkt", "prn")
-    )
+    if force_prune:
+        wb = Window.partitionBy("probe_id", "bkt").orderBy(
+            F.col("sim").desc(), F.col("vec_id")
+        )
+        pairs = (
+            pairs.withColumn("bkt", F.pmod(F.col("vec_id"), F.lit(prune_buckets)))
+            .withColumn("prn", F.row_number().over(wb))
+            .filter(F.col("prn") <= k)
+            .drop("bkt", "prn")
+        )
     w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
-    return pruned.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
 
 _KNN_ORACLE_CTE = """

@@ -76,6 +76,9 @@ SUBSET = [
     "fn_collation",
     "join_bucketed",
     # r6 additions
+    "seq_pattern_detect",
+    "embed_gram_matrix",
+    "agg_hll_partial_merge",
     "agg_bitmap_distinct",
     "agg_salted_twophase",
     "win_count_distinct",

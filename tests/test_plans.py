@@ -52,12 +52,18 @@ def test_knn_topk_is_two_phase(spark, registry):
     # The final per-probe rank must see only the O(P·k) survivors of a
     # per-(probe, pmod-bucket) prune — a single-phase
     # row_number() OVER (PARTITION BY probe_id) funnels the whole
-    # corpus into |probes| tasks at 100 TB.
-    plan = _formatted_plan(spark, registry["sim_knn"].fn(spark, SF001))
+    # corpus into |probes| tasks at 100 TB.  The prune is size-gated
+    # (r6): pin BOTH sides — forced-on shows the two-phase plan, and
+    # the registered toy-scale key must NOT pay the extra window.
+    from raster2points_spark.queries.llm import _knn_pairs
+
+    plan = _formatted_plan(spark, _knn_pairs(spark, SF001, force_prune=True))
     assert plan.count("Window") >= 2, "expect bucket-prune window + final window"
     assert "pmod" in plan, "phase-1 prune must bucket on pmod(vec_id, P)"
     # phase-1 partitions on (probe_id, bkt); phase-2 on probe_id alone
     assert "bkt" in plan
+    toy = _formatted_plan(spark, registry["sim_knn"].fn(spark, SF001))
+    assert "pmod" not in toy, "toy-scale corpus must skip the prune window"
 
 
 def test_simhash_has_no_aggregation_shuffle(spark, registry):
