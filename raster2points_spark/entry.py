@@ -26,15 +26,11 @@ SF0001 = "/root/testdata/sf0.001"
 #      keys; 30 oracle + text_compression_ratio rows-only).
 #      anomaly_mad and ts_pct_change are also implementation-changed
 #      this round (symmetric zero-denominator guards).
-#   3. scan_binary_files — implementation changed in r6 (utf-8 +
-#      octet_length oracle), so it re-enters despite its r5 pass.
-#   4. the 13 operators ADDED in r6 — newly registered keys always get
+#   3. the 17 operators ADDED in r6 — newly registered keys always get
 #      first driver evidence in their own round.
-#   5. sim_knn — its prune phase became size-gated in r6 (plan
-#      change), so it re-enters despite the r5 pass.
-#   6. refill to exactly 50 with the most load-bearing of the 38 keys
-#      whose NEWEST driver evidence is round 1 (old corpus
-#      generation): the Q1 aggregate and the two heavy dedup keys.
+#   4. sim_knn — its prune phase became size-gated in r6, so the
+#      single-phase path that now executes at driver scale re-enters
+#      despite the r5 pass.  (1 + 31 + 17 + 1 = 50 exactly.)
 # Keys absent from this list keep their natural registration order
 # after it.
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -72,9 +68,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_cdc_apply",
     "win_ratio_share",
     "scd2_asof_lookup",
-    # --- 3. implementation changed in r6 (1) ---
-    "scan_binary_files",
-    # --- 4. operators ADDED in r6 — first driver evidence (13) ---
+    # --- 3. operators ADDED in r6 — first driver evidence (17) ---
+    "tpch_q5",
+    "agg_session_window",
+    "raster_reproject_nn",
+    "agg_approx_percentile",
     "agg_bitmap_distinct",
     "agg_salted_twophase",
     "win_count_distinct",
@@ -88,30 +86,31 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "seq_pattern_detect",
     "embed_gram_matrix",
     "agg_hll_partial_merge",
-    # --- 5. sim_knn — prune phase size-gated in r6 (plan change) ---
+    # --- 4. sim_knn — prune phase size-gated in r6: the ungated
+    #        single-phase path is what actually EXECUTES at driver
+    #        scale now, so it re-enters despite the r5 pass ---
     "sim_knn",
-    # --- 6. oldest driver evidence (r1-last, old corpus) — refill (3) ---
-    "agg_groupby",
-    "dedup_jaccard",
-    "dedup_near",
 )
 # ROUND-7 ROTATION NOTE: after this window every key has at least one
-# driver row and none of the reds remain.  Lead r7 with (a)
-# sim_knn_label — it shares _knn_pairs, whose prune phase was
-# size-gated in r6, but did not fit this window (oracle re-verified
-# green locally); then (b) the r1-last keys (newest driver evidence =
-# round 1, old corpus generation) that did NOT fit this window:
+# driver row and none of the reds remain.  Lead r7 with (a) the two
+# implementation-changed keys that did not fit this window, both
+# oracle re-verified green locally: sim_knn_label (shares _knn_pairs,
+# whose prune phase was size-gated in r6) and scan_binary_files (r6
+# utf-8 fixture write + octet_length oracle — byte-identical on an
+# all-ASCII corpus, so the r5 pass still covers today's behavior);
+# then (b) ALL 38 r1-last keys (newest driver evidence = round 1, old
+# corpus generation) — none fit the r6 window: agg_groupby,
 # agg_having, agg_rollup, agg_cube, agg_grouping_sets, agg_filtered,
 # agg_stats, agg_percentile, agg_rollup_cascade, filter_pred,
 # project_expr, case_when, distinct_rows, fn_string, fn_math, fn_cast,
 # fn_higher_order, join_inner_eq, join_broadcast_star (also smoke-run
 # by entry() every round), join_left, join_right, join_full,
 # join_theta_range, join_semi, join_anti, join_cross, join_salted,
-# join_bucketed, join_interval_bucketed, dedup_exact, dedup_simhash,
-# text_tokens, text_stats, plus rows-only agg_approx_distinct /
-# dedup_minhash_ml / sim_lsh.  Then r3-last keys, then any
-# implementation-changed or newly added keys (which always outrank
-# re-confirmation).
+# join_bucketed, join_interval_bucketed, dedup_exact, dedup_jaccard,
+# dedup_near, dedup_simhash, text_tokens, text_stats, plus rows-only
+# agg_approx_distinct / dedup_minhash_ml / sim_lsh.  Then r3-last
+# keys, then any implementation-changed or newly added keys (which
+# always outrank re-confirmation).
 
 
 def _ordered():

@@ -726,3 +726,82 @@ def agg_salted_twophase(spark, sf_dir):
         F.sum("pc_sum").cast("bigint").alias("sum_cents"),
         F.sum("pc_n").cast("bigint").alias("n"),
     )
+
+
+@register(
+    "agg_session_window",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, {ORACLE_TSEC.format(c='ts')} AS tsec FROM events
+    ), flagged AS (
+      SELECT user_id, tsec,
+             CASE WHEN tsec - lag(tsec) OVER w > 1800
+                    OR lag(tsec) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)
+    ), numbered AS (
+      SELECT user_id, tsec,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY tsec
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           min(tsec) AS session_start,
+           max(tsec) + 1800 AS session_end,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def agg_session_window(spark, sf_dir):
+    """Spark's BUILT-IN session_window() run as a batch aggregate —
+    the declarative twin of the hand-rolled sessionize_batch: one
+    groupBy(session_window(ts, gap), user_id) replaces the
+    lag-flag + cumulative-sum + rollup pipeline, and the same operator
+    is streaming-ready (swap readStream in, add a watermark).
+
+    Session bounds follow Spark's contract: [first event, last event +
+    gap).  The oracle states the gaps-and-islands decomposition with
+    end = max + gap, hash-proving the built-in merges sessions exactly
+    at the >30-min boundary.  Sessionization runs on whole-second
+    timestamps both sides (the corpus carries sub-second parts the
+    oracle's epoch-floor would otherwise disagree on).  One user-keyed
+    exchange, SessionWindowStateStore-free in batch.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.timestamp_seconds(unix_secs(F.col("ts"))).alias("tss")
+    )
+    return (
+        ev.groupBy(F.session_window("tss", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_seconds(F.col("session_window.start")).alias("session_start"),
+            F.unix_seconds(F.col("session_window.end")).alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register("agg_approx_percentile", check="rows-only")
+def agg_approx_percentile(spark, sf_dir):
+    """Approximate percentiles via Spark's Greenwald-Khanna sketch
+    (accuracy parameter 10000 → max rank error 1/10000) — the
+    single-pass mergeable alternative to exact percentile() when the
+    fact table is too large to buffer per group.
+
+    rows-only by design: DuckDB's approx_quantile is t-digest, a
+    different sketch — no value-exact oracle exists.  Exactness is
+    pinned by tests/test_properties.py instead: every approximate
+    quantile must land within 1% RANK error of the exact percentile
+    (the GK guarantee, checked against sorted truth).
+    """
+    li = t(spark, sf_dir, "lineitem")
+    pcts = F.expr(
+        "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
+    )
+    return li.groupBy("l_returnflag").agg(
+        pcts[0].alias("p50"),
+        pcts[1].alias("p90"),
+        pcts[2].alias("p99"),
+        F.count("*").alias("n"),
+    )

@@ -10,6 +10,7 @@ the libm-dependent area is rounded.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from raster2points_spark.operators.grid import (
@@ -847,4 +848,91 @@ def raster_zonal_stats(spark, sf_dir):
             F.round(F.min("value"), 3).alias("min_val"),
             F.round(F.max("value"), 3).alias("max_val"),
         )
+    )
+
+
+# Target grid for raster_reproject_nn: same CRS, different origin/
+# resolution (0.08° vs the source's 0.05° — a non-integer ratio, so
+# cells genuinely resample rather than aggregate neatly).
+_RP_X0, _RP_Y0, _RP_RES = -20.0, 60.0, 0.08
+
+
+@register(
+    "raster_reproject_nn",
+    oracle=f"""
+    {_PX}
+    , src AS (
+      SELECT tile_id, row, col, value,
+             transform[3] + (col + 0.5) * transform[1] AS lon,
+             transform[6] + (row + 0.5) * transform[5] AS lat
+      FROM pix WHERE band_id = 'b1' AND value IS NOT NULL
+    ),
+    mapped AS (
+      SELECT row, col, value, lon, lat,
+             cast(floor((lon - {_RP_X0}) / {_RP_RES}) AS bigint) AS tc,
+             cast(floor(({_RP_Y0} - lat) / {_RP_RES}) AS bigint) AS tr
+      FROM src
+    ),
+    ranked AS (
+      SELECT tc, tr, value,
+             row_number() OVER (
+               PARTITION BY tc, tr
+               ORDER BY (lon - ({_RP_X0} + (tc + 0.5) * {_RP_RES}))
+                        * (lon - ({_RP_X0} + (tc + 0.5) * {_RP_RES}))
+                      + (lat - ({_RP_Y0} - (tr + 0.5) * {_RP_RES}))
+                        * (lat - ({_RP_Y0} - (tr + 0.5) * {_RP_RES})),
+                        row, col) AS rn,
+             count(*) OVER (PARTITION BY tc, tr) AS n_src
+      FROM mapped
+    )
+    SELECT tc, tr, round(value, 3) AS value, cast(n_src AS bigint) AS n_src
+    FROM ranked WHERE rn = 1
+    """,
+)
+def raster_reproject_nn(spark, sf_dir):
+    """Nearest-neighbor reprojection/regrid — the GDAL-warp shape: the
+    masked band resampled onto a target grid with a different origin
+    and a NON-integer resolution ratio (0.05° → 0.08°).  Each source
+    pixel center is inverse-mapped to its covering target cell; the
+    cell's value is the source pixel nearest the cell center
+    (squared-degree distance, (row, col) total-order tiebreak), with
+    the contributing-pixel count kept for QA.
+
+    Scale shape: the inverse mapping is a pure projection fused into
+    the pixel scan (same trick as spatial_join_grid — bucketing makes
+    resampling an EQUI-grouping, never a spatial join); one
+    (tc, tr)-keyed exchange serves both the rank and the count.  The
+    distance expressions are written with identical association both
+    sides, so the doubles — and therefore the chosen pixel — match
+    bitwise.  Empty target cells are absent rows (sparse semantics,
+    as everywhere in the melted-raster model).
+    """
+    px = nodata_filter(grid_unpivot(_tiles(spark, sf_dir).filter(F.col("band_id") == "b1")))
+    src = affine_coords(px).select("row", "col", "value", "lon", "lat")
+    mapped = src.select(
+        "row",
+        "col",
+        "value",
+        "lon",
+        "lat",
+        F.floor((F.col("lon") - _RP_X0) / _RP_RES).cast("bigint").alias("tc"),
+        F.floor((F.lit(_RP_Y0) - F.col("lat")) / _RP_RES).cast("bigint").alias("tr"),
+    )
+    dx = F.col("lon") - (_RP_X0 + (F.col("tc") + 0.5) * _RP_RES)
+    dy = F.col("lat") - (F.lit(_RP_Y0) - (F.col("tr") + 0.5) * _RP_RES)
+    w = Window.partitionBy("tc", "tr").orderBy(
+        (dx * dx + dy * dy).asc(), F.col("row"), F.col("col")
+    )
+    ranked = mapped.select(
+        "tc",
+        "tr",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("tc", "tr")).alias("n_src"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "tc",
+        "tr",
+        F.round("value", 3).alias("value"),
+        F.col("n_src").cast("bigint").alias("n_src"),
     )

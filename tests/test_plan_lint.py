@@ -76,6 +76,10 @@ SUBSET = [
     "fn_collation",
     "join_bucketed",
     # r6 additions
+    "tpch_q5",
+    "agg_session_window",
+    "raster_reproject_nn",
+    "agg_approx_percentile",
     "seq_pattern_detect",
     "embed_gram_matrix",
     "agg_hll_partial_merge",

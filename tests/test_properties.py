@@ -371,3 +371,34 @@ def test_compression_ratio_matches_plain_zlib(spark, registry):
         got = out[d["doc_id"]]
         assert got[0] == len(raw) and got[1] == comp
         assert abs(got[2] - round(comp / len(raw), 4)) < 1e-9
+
+
+def test_approx_percentile_rank_error_bound(spark, registry):
+    """agg_approx_percentile is rows-only (GK sketch has no DuckDB
+    twin) — pin the GK guarantee instead: each approximate quantile's
+    RANK in the exact sorted values must be within accuracy=1/10000
+    (plus slack) of the requested rank."""
+    from tests.conftest import SF001
+
+    rows = registry["agg_approx_percentile"].fn(spark, SF001).collect()
+    li = spark.read.parquet(f"{SF001}/lineitem.parquet")
+    for r in rows:
+        vals = sorted(
+            x.l_extendedprice
+            for x in li.filter(li.l_returnflag == r.l_returnflag)
+            .select("l_extendedprice")
+            .collect()
+        )
+        n = len(vals)
+        assert n == r.n
+        for q, est in ((0.5, r.p50), (0.9, r.p90), (0.99, r.p99)):
+            import bisect
+
+            rank = bisect.bisect_left(vals, est)
+            assert abs(rank - q * n) <= max(0.01 * n, 1.5), (
+                r.l_returnflag,
+                q,
+                est,
+                rank,
+                q * n,
+            )
