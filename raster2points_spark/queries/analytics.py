@@ -781,3 +781,65 @@ def graph_triangle_count(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "ts_ewma",
+    oracle=f"""
+    WITH hr AS (
+      SELECT event_type,
+             cast(floor({ORACLE_TSEC.format(c='ts')} / 3600) AS bigint) AS h,
+             sum(value) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type, a.h,
+           round(sum(b.v * pow(0.5, a.h - b.h)) / sum(pow(0.5, a.h - b.h)), 4)
+             AS ewma
+    FROM hr a
+    JOIN hr b ON a.event_type = b.event_type AND b.h BETWEEN a.h - 23 AND a.h
+    GROUP BY 1, 2
+    """,
+)
+def ts_ewma(spark, sf_dir):
+    """Exponentially-weighted moving average over the hourly series per
+    event type — the smoother behind every monitoring dashboard.
+    Half-life = 1 hour (decay base 0.5), truncated at 24 hours of
+    lookback; weights are measured in HOUR DISTANCE, not row offset,
+    so gaps in the series decay correctly (a RANGE frame, not ROWS).
+
+    Spark shape: collect the trailing 24-hour (h, v) pairs with ONE
+    range-frame window over the |hours|-per-type relation (already
+    aggregated — the event table itself is reduced by a map-side
+    combine first, so the window sorts bars, not events), then the
+    weighted sum is an IN-ROW `aggregate()` fold referencing the outer
+    row's hour — no self-join, no second shuffle.  The oracle states
+    the equivalent bounded self-join.  Decay base 0.5 makes every
+    weight an exact power of two, so pow() is bitwise identical across
+    engines (no libm ulp skew); the 4-dp round absorbs summation-order
+    differences in the dot product.
+
+    Scale: the window runs over |types|×|hours| rows — independent of
+    event count; state per row is ≤24 structs.
+    """
+    ev = t(spark, sf_dir, "events")
+    hr = ev.groupBy(
+        "event_type",
+        F.floor(unix_secs(F.col("ts")) / 3600).cast("bigint").alias("h"),
+    ).agg(F.sum("value").alias("v"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("h").rangeBetween(-23, 0)
+    tail24 = hr.withColumn("trail", F.collect_list(F.struct("h", "v")).over(w))
+    num = F.aggregate(
+        F.col("trail"),
+        F.lit(0.0),
+        lambda acc, x: acc + x["v"] * F.pow(F.lit(0.5), F.col("h") - x["h"]),
+    )
+    den = F.aggregate(
+        F.col("trail"),
+        F.lit(0.0),
+        lambda acc, x: acc + F.pow(F.lit(0.5), F.col("h") - x["h"]),
+    )
+    return tail24.select(
+        "event_type", "h", F.round(num / den, 4).alias("ewma")
+    )

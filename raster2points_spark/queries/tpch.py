@@ -180,3 +180,121 @@ def tpch_q5(spark, sf_dir):
             ).alias("revenue")
         )
     )
+
+
+@register(
+    "tpch_q17",
+    oracle="""
+    SELECT p_brand,
+           round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           count(*) AS n_small
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (
+      SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS qty_lim
+      FROM lineitem GROUP BY 1
+    ) a ON pk = l_partkey
+    WHERE p_type = 'PROMO'
+      AND l_quantity < qty_lim
+    GROUP BY p_brand
+    """,
+)
+def tpch_q17(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue), adapted to the corpus
+    (no p_container column — p_type = 'PROMO' is the dim filter, and
+    the result is per-brand instead of one global row so the hash
+    checks 25 groups, not 1).
+
+    The correlated scalar subquery `0.2 * avg(l_quantity) per part`
+    DECORRELATES into one map-side-combined aggregate over lineitem
+    keyed by partkey; its |parts|-row result joins back to lineitem on
+    the same key.  Catalyst does this rewrite for correlated SQL — the
+    DataFrame form states it explicitly, which is also the only shape
+    that scales (per-row re-aggregation is quadratic).  The threshold
+    comparison is exact cross-engine: l_quantity is integer-valued, so
+    sum/avg are order-independent in doubles (< 2^53).
+
+    Scale: lineitem is scanned twice (avg pass + probe pass) but
+    shuffles only the |parts|-row aggregate; the part dim is filtered
+    then joined (AQE broadcasts the survivor side); no sort.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    lim = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_lim")
+    )
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(lim, F.col("pk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_lim"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_small"),
+        )
+    )
+
+
+@register(
+    "tpch_q21",
+    oracle="""
+    SELECT l1.l_suppkey AS s_suppkey, count(*) AS numwait
+    FROM lineitem l1
+    JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_shipdate > l1.l_shipdate
+    )
+    GROUP BY 1
+    ORDER BY numwait DESC, s_suppkey
+    LIMIT 20
+    """,
+)
+def tpch_q21(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted to the
+    corpus: the original's `l_receiptdate > l_commitdate` lateness
+    columns don't exist, so "the blocking supplier" becomes "the
+    STRICTLY-LATEST shipper of a multi-supplier finished order" — the
+    same EXISTS (another supplier participated) + NOT EXISTS (none of
+    them shipped later) correlated pair, which is the whole point of
+    Q21: one fact table probed three ways.
+
+    Spark shape: the EXISTS plans as a LeftSemi and the NOT EXISTS as
+    a LeftAnti self-join, both EQUI on l_orderkey with the suppkey/
+    shipdate conditions as residual predicates inside the hash join —
+    never a per-row subquery.  Orders filtered to 'F' first (scan
+    pushdown) then joined to gate l1; the two self-join probes reuse
+    the same orderkey shuffle partitioning.  Top-20 with full tiebreak
+    plans as TakeOrderedAndProject (R2).
+    """
+    li = t(spark, sf_dir, "lineitem")
+    o_f = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = li.join(o_f, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"),
+        F.col("l_suppkey").alias("s2"),
+        F.col("l_shipdate").alias("d2"),
+    )
+    multi = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    )
+    latest = multi.join(
+        l2,
+        (F.col("l_orderkey") == F.col("k2"))
+        & (F.col("l_suppkey") != F.col("s2"))
+        & (F.col("d2") > F.col("l_shipdate")),
+        "left_anti",
+    )
+    return (
+        latest.groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+        .limit(20)
+    )

@@ -444,3 +444,68 @@ def win_count_distinct(spark, sf_dir):
         .cast("bigint")
         .alias("distinct_types_so_far"),
     )
+
+
+@register(
+    "win_locf",
+    oracle="""
+    WITH sparse AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CASE WHEN o_orderkey % 5 = 0 THEN round(o_totalprice, 2) END AS obs
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, obs,
+           coalesce(last_value(obs IGNORE NULLS) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1.0) AS locf,
+           coalesce(first_value(obs IGNORE NULLS) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), -1.0) AS nocb
+    FROM sparse
+    """,
+)
+def win_locf(spark, sf_dir):
+    """Missing-value imputation by observation carry: LOCF (last
+    observation carried forward) and NOCB (next observation carried
+    backward) via IGNORE-NULLS window functions — the standard
+    sensor/price gap-fill that ts_gapfill's zero-fill can't express.
+
+    Every 5th order is an "observation", the rest are gaps; `last(...,
+    ignorenulls=True)` over a growing frame carries it forward and
+    `first(..., ignorenulls=True)` over the mirror frame carries it
+    backward.  Both directions reuse ONE (custkey, orderdate) sort —
+    two frames over the same window spec is still a single exchange +
+    sort in the plan.  Leading/trailing all-null edges are coalesced
+    to -1 so both engines emit non-null doubles (nullable-float
+    hashing hazard).  At 100 TB this is one shuffle keyed by the
+    series id — per-series state never leaves its partition.
+    """
+    sparse = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.round("o_totalprice", 2)
+        ).alias("obs"),
+    )
+    fwd = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bwd = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return sparse.select(
+        "o_custkey",
+        "o_orderkey",
+        "obs",
+        F.coalesce(F.last("obs", ignorenulls=True).over(fwd), F.lit(-1.0)).alias(
+            "locf"
+        ),
+        F.coalesce(F.first("obs", ignorenulls=True).over(bwd), F.lit(-1.0)).alias(
+            "nocb"
+        ),
+    )
