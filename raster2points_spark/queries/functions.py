@@ -528,3 +528,113 @@ def fn_map(spark, sf_dir):
         F.size(merged).alias("n_keys"),
         F.array_join(F.array_sort(F.map_keys(merged)), ",").alias("keys_sorted"),
     )
+
+
+@register(
+    "fn_url",
+    oracle="""
+    WITH urls AS (
+      SELECT o_orderkey,
+             concat('https://shop.example.com:8443/order/',
+                    cast(o_orderkey AS varchar),
+                    '/item%20list?status=', o_orderstatus,
+                    '&prio=', replace(o_orderpriority, ' ', '%20'),
+                    '#line-', cast(o_orderkey % 7 AS varchar)) AS url
+      FROM orders
+    )
+    SELECT o_orderkey,
+           regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+           regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '\\?([^#]*)', 1) AS query,
+           regexp_extract(url, 'prio=([^&#]*)', 1) AS prio_raw,
+           replace(regexp_extract(url, 'prio=([^&#]*)', 1), '%20', ' ')
+             AS prio_decoded,
+           regexp_extract(url, '#(.*)$', 1) AS fragment
+    FROM urls
+    """,
+)
+def fn_url(spark, sf_dir):
+    """The URL scalar-function surface: parse_url(PROTOCOL / HOST /
+    PATH / QUERY / REF), keyed query-parameter extraction, and
+    url_decode — per-row projections every web-log / crawl pipeline
+    leans on (text_url_domain is the ROLLUP use-case; this key proves
+    the component extractors themselves).
+
+    URLs are synthesized deterministically from orders with an
+    encoded space, a port, a query string and a fragment so every
+    component path is non-trivially exercised.  Spark evaluates the
+    JVM parse_url/url_decode built-ins; the oracle states each
+    component as an anchored regex (the port stays out of HOST via
+    the [^/:?#] class — parse_url's HOST excludes the port).  Pure
+    whole-stage-codegen projection: zero shuffles, fused into the
+    scan at any corpus size.
+    """
+    o = t(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://shop.example.com:8443/order/"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("/item%20list?status="),
+        F.col("o_orderstatus"),
+        F.lit("&prio="),
+        F.replace(F.col("o_orderpriority"), F.lit(" "), F.lit("%20")),
+        F.lit("#line-"),
+        (F.col("o_orderkey") % 7).cast("string"),
+    )
+    u = o.select("o_orderkey", url.alias("url"))
+    return u.select(
+        "o_orderkey",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("scheme"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("prio")).alias("prio_raw"),
+        F.url_decode(F.parse_url("url", F.lit("QUERY"), F.lit("prio"))).alias(
+            "prio_decoded"
+        ),
+        F.parse_url("url", F.lit("REF")).alias("fragment"),
+    )
+
+
+@register(
+    "agg_listagg",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+             AS statuses,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_listagg(spark, sf_dir):
+    """SQL:2023 LISTAGG — ordered string aggregation WITHIN GROUP, the
+    standard's spelling of what agg_collect_sorted does with arrays
+    (and the form BI tools emit).  DISTINCT + ORDER BY inside the
+    aggregate makes the output total-ordered and engine-independent
+    with no array-cell hashing hazard (strings cross the wire).
+
+    Scale note: LISTAGG output grows with group cardinality — safe
+    here because the aggregated domain (order statuses) is
+    constant-size; an unbounded listagg over raw values would be the
+    collect_list anti-pattern.  Distinct-within-aggregate plans as the
+    standard two-phase expand/partial-agg; one shuffle keyed by the
+    group column.
+
+    Engine note: pairing DISTINCT listagg with a SECOND distinct
+    aggregate (count(DISTINCT ...)) crashes Spark 4.1's
+    RewriteDistinctAggregates (ClassCastException: AttributeReference
+    → SortOrder on ListAgg.withNewChildrenInternal) — found while
+    building this key; count(*) sidesteps the multi-distinct rewrite.
+    """
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.expr(
+                "listagg(DISTINCT o_orderstatus, ',') "
+                "WITHIN GROUP (ORDER BY o_orderstatus)"
+            ).alias("statuses"),
+            F.count("*").alias("n_orders"),
+        )
+    )

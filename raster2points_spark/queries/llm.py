@@ -3483,3 +3483,164 @@ def agg_hll_partial_merge(spark, sf_dir):
         F.col("n_rows").cast("bigint").alias("n_rows"),
     )
     return per_out.unionAll(merged)
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM documents
+    ),
+    df AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {MAX_SHINGLE_DF}),
+    kept AS (SELECT s.doc_id, s.shingle FROM sh s JOIN df USING (shingle)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_inter * 1.0 / sa.n, 4) AS c_ab,
+           round(n_inter * 1.0 / sb.n, 4) AS c_ba
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE greatest(n_inter * 1.0 / sa.n, n_inter * 1.0 / sb.n) >= 0.8
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """ASYMMETRIC near-dup detection by shingle CONTAINMENT —
+    |A∩B| / |A| — the measure Jaccard misses: a short document pasted
+    verbatim inside a much longer one has tiny Jaccard (union is
+    dominated by the long doc) but containment ≈ 1.0 in the short
+    direction.  CCNet/RefinedWeb-style pipelines gate on containment
+    exactly because quote-amplified and boilerplate-wrapped copies
+    look like this.  Pairs flagged when either direction ≥ 0.8; both
+    directions reported so the caller keeps the superset doc.
+
+    Same scale spine as dedup_jaccard: df-capped inverted-index
+    equi-join (never all-pairs), candidate volume ∝ shared-shingle
+    pairs, sizes joined unhinted (AQE broadcasts when genuinely
+    small).  The shingle index is persisted once and feeds the df-cap,
+    sizes and the self-join — one tokenize pass.
+    """
+    sh = (
+        t_fanout(spark, sf_dir, "documents")
+        .withColumn("toks", F.expr(TOKS_SPARK))
+        .select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("shingle"))
+        .persist()
+    )
+    df_ok = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    kept = sh.join(df_ok, "shingle").persist()
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = kept.alias("a")
+    b = kept.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    c_ab = F.col("n_inter") * F.lit(1.0) / F.col("sa.n")
+    c_ba = F.col("n_inter") * F.lit(1.0) / F.col("sb.n")
+    return (
+        inter.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(F.greatest(c_ab, c_ba) >= 0.8)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(c_ab, 4).alias("c_ab"),
+            F.round(c_ba, 4).alias("c_ba"),
+        )
+    )
+
+
+@register(
+    "text_bigram_ppl",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {TOKS_DUCK} AS tk FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(tk) - 1),
+                                   i -> tk[i] || ' ' || tk[i+1])) AS bigram,
+             unnest(list_transform(generate_series(1, len(tk) - 1),
+                                   i -> tk[i])) AS w1
+      FROM toks WHERE len(tk) >= 2
+    ),
+    c2 AS (SELECT bigram, count(*) AS n2 FROM bg GROUP BY 1),
+    uni AS (SELECT unnest(tk) AS w FROM toks),
+    c1 AS (SELECT w, count(*) AS n1 FROM uni GROUP BY 1),
+    v AS (SELECT count(*) AS vsz FROM c1)
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(pow(2.0, -sum(log2((n2 + 0.5) / (n1 + 0.5 * vsz))) / count(*)), 4)
+             AS ppl
+    FROM bg JOIN c2 USING (bigram) JOIN c1 ON w1 = w CROSS JOIN v
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_ppl(spark, sf_dir):
+    """Per-document BIGRAM language-model perplexity with add-0.5
+    smoothing — the order-2 upgrade of text_unigram_ppl: scores
+    word-ORDER plausibility, so shuffled or template-stitched text
+    that fools a unigram filter scores high here.  The quality gate
+    LLM corpora (CCNet's LM filter) actually use.
+
+    Spark shape: bigrams are built IN-ROW (zip of the token array with
+    its own tail — a pure codegen projection, no token-level shuffle
+    to construct them), then ONE explode feeds both the corpus bigram
+    counts and the per-doc probe.  The model relations (bigram counts,
+    unigram counts, |V|) join back UNHINTED — at 100 TB a bigram
+    vocabulary outgrows any executor, so these must stay shuffle
+    joins; AQE demotes to broadcast while small.  The 1-row vocab size
+    is a crossJoin of a 1-row aggregate (constant-size broadcast).
+
+    Determinism: probabilities are exact rationals evaluated
+    identically; the per-doc log2 sum is order-dependent only at the
+    1e-13 relative level, absorbed by the 4-dp round (ppl ≈ 30).
+    """
+    toks = (
+        t_fanout(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(TOKS_SPARK).alias("tk"))
+        .persist()
+    )
+    bg = (
+        toks.filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(arrays_zip(slice(tk, 1, size(tk) - 1), "
+                    "slice(tk, 2, size(tk) - 1)), "
+                    "z -> struct(concat_ws(' ', z.`0`, z.`1`) AS bigram, z.`0` AS w1))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.bigram", "p.w1")
+        .persist()
+    )
+    c2 = bg.groupBy("bigram").agg(F.count("*").alias("n2"))
+    uni = toks.select(F.explode("tk").alias("w"))
+    c1 = uni.groupBy("w").agg(F.count("*").alias("n1"))
+    v = c1.agg(F.count("*").alias("vsz"))
+    logp = F.log2((F.col("n2") + 0.5) / (F.col("n1") + 0.5 * F.col("vsz")))
+    return (
+        bg.join(c2, "bigram")
+        .join(c1, F.col("w1") == F.col("w"))
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.pow(F.lit(2.0), -F.sum(logp) / F.count("*")), 4
+            ).alias("ppl"),
+        )
+    )
