@@ -843,3 +843,78 @@ def ts_ewma(spark, sf_dir):
     return tail24.select(
         "event_type", "h", F.round(num / den, 4).alias("ewma")
     )
+
+
+@register(
+    "graph_shortest_hops",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT l_orderkey AS src, l_partkey + 10000000 AS dst
+      FROM lineitem GROUP BY 1, 2
+      UNION ALL
+      SELECT l_partkey + 10000000 AS src, l_orderkey AS dst
+      FROM lineitem GROUP BY 1, 2
+    ),
+    seed AS (SELECT min(l_orderkey) AS s FROM lineitem),
+    walk(id, hops) AS (
+      SELECT s, 0 FROM seed
+      UNION
+      SELECT e.dst, w.hops + 1
+      FROM walk w JOIN edges e ON e.src = w.id
+      WHERE w.hops < 4
+    )
+    SELECT id, min(hops) AS hops FROM walk GROUP BY id
+    """,
+)
+def graph_shortest_hops(spark, sf_dir):
+    """Single-source BFS (shortest hop distance, depth ≤ 4) over the
+    undirected order↔part bipartite graph — the reachability twin of
+    graph_pagerank's message passing and the shape behind "within N
+    degrees" graph queries.
+
+    Spark shape: classic frontier BFS as DataFrames — per round ONE
+    frontier⋈edges join, then a LEFT ANTI against the visited set so
+    each node expands exactly once (the oracle's recursive CTE instead
+    dedups (id, hops) pairs per level and takes min(hops) at the end —
+    same answer, but the anti-join form is what scales: work is
+    O(edges touched), never O(paths)).  localCheckpoint truncates the
+    per-round lineage exactly as dedup_components does; the edge list
+    is persisted once and reused all rounds.  The seed is a 1-row
+    aggregate collected driver-side (a scalar, like pagerank's node
+    count).
+
+    At 100 TB: each round shuffles frontier-sized relations keyed by
+    node id; the visited set grows to |reachable| — for deeper
+    traversals you'd switch to the label-propagation form
+    (dedup_components) that keeps everything keyed and never holds a
+    frontier on the driver.  Nothing here does — both frontier and
+    visited stay distributed.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.col("l_orderkey").alias("src"),
+        (F.col("l_partkey") + 10000000).alias("dst"),
+    ).distinct()
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    # 1-row scalar: the BFS source (smallest order node).
+    seed_id = li.agg(F.min("l_orderkey")).collect()[0][0]
+    visited = (
+        spark.range(1)
+        .select(F.lit(seed_id).cast("long").alias("id"), F.lit(0).alias("hops"))
+        .persist()
+    )
+    frontier = visited.select("id")
+    for h in range(1, 5):
+        nxt = (
+            frontier.join(edges, frontier.id == edges.src)
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited, "id", "left_anti")
+            .withColumn("hops", F.lit(h))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("id")
+    return visited

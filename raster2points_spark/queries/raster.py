@@ -936,3 +936,120 @@ def raster_reproject_nn(spark, sf_dir):
         F.round("value", 3).alias("value"),
         F.col("n_src").cast("bigint").alias("n_src"),
     )
+
+
+# Target grid for raster_resample_bilinear: res 0.03° (non-integer
+# ratio to the source's 0.05°), origin nudged inside the source extent
+# so interior cells have a full 2×2 neighborhood.
+_BL_X0, _BL_Y0, _BL_RES, _BL_N = -19.9, 59.9, 0.03, 40
+
+
+@register(
+    "raster_resample_bilinear",
+    oracle=f"""
+    {_PX}
+    , valid AS (
+      SELECT col, row, value FROM pix WHERE band_id = 'b1' AND value IS NOT NULL
+    ),
+    tgt AS (
+      -- every literal cast to DOUBLE: DuckDB types bare decimal
+      -- literals as DECIMAL and would evaluate the affine chain in
+      -- exact decimal arithmetic, flipping floor() at pixel-boundary
+      -- centers vs Spark's binary doubles
+      SELECT tc, tr,
+             (CAST({_BL_X0} AS DOUBLE) + (CAST(tc AS DOUBLE) + CAST(0.5 AS DOUBLE))
+              * CAST({_BL_RES} AS DOUBLE) - CAST(-20.0 AS DOUBLE))
+             / CAST(0.05 AS DOUBLE) - CAST(0.5 AS DOUBLE) AS fx,
+             (CAST(60.0 AS DOUBLE) - (CAST({_BL_Y0} AS DOUBLE)
+              - (CAST(tr AS DOUBLE) + CAST(0.5 AS DOUBLE)) * CAST({_BL_RES} AS DOUBLE)))
+             / CAST(0.05 AS DOUBLE) - CAST(0.5 AS DOUBLE) AS fy
+      FROM (SELECT unnest(generate_series(0, {_BL_N - 1})) AS tc)
+      CROSS JOIN (SELECT unnest(generate_series(0, {_BL_N - 1})) AS tr)
+    ),
+    corners AS (
+      SELECT tc, tr,
+             cast(floor(fx) AS int) + dc AS col,
+             cast(floor(fy) AS int) + dr AS row,
+             (CASE WHEN dc = 0 THEN CAST(1.0 AS DOUBLE) - (fx - floor(fx))
+                   ELSE fx - floor(fx) END)
+           * (CASE WHEN dr = 0 THEN CAST(1.0 AS DOUBLE) - (fy - floor(fy))
+                   ELSE fy - floor(fy) END)
+               AS w
+      FROM tgt
+      CROSS JOIN (SELECT unnest([0, 1]) AS dc)
+      CROSS JOIN (SELECT unnest([0, 1]) AS dr)
+    )
+    SELECT tc, tr, round(sum(c.w * v.value), 6) AS value
+    FROM corners c JOIN valid v ON v.col = c.col AND v.row = c.row
+    GROUP BY tc, tr HAVING count(*) = 4
+    """,
+)
+def raster_resample_bilinear(spark, sf_dir):
+    """Bilinear resampling to a different-resolution grid — the
+    GDAL-warp interpolating counterpart of raster_reproject_nn (NN
+    picks one source pixel; bilinear blends the 2×2 neighborhood with
+    area weights, the default for continuous rasters like elevation).
+
+    Spark-first shape: the inverse mapping (target center → fractional
+    source pixel) is a pure projection over a GENERATED target grid
+    (spark.range — never collected); each target cell then EXPLODES
+    into its 4 corner (col,row,weight) contributions and the sample is
+    one EQUI-join against the pixel relation + a partial-aggregated
+    groupBy(tc,tr) — resampling as hash join on pixel key, never a
+    spatial join or a gather UDF.  Cells missing any of the 4
+    neighbors (nodata hole or grid edge) are dropped by the count=4
+    gate, matching GDAL's all-valid bilinear contract.
+
+    Determinism: the affine and weight expressions are written with
+    identical association in both engines, so the fractional coords
+    and weights are IEEE-bitwise equal; the 4-term weighted sum is
+    rounded at 6 dp.  At 100 TB the pixel side shuffles on (col,row)
+    key — the 4×|target| probe relation is the small side and AQE
+    broadcasts it per partition of the source.
+    """
+    px = nodata_filter(
+        grid_unpivot(_tiles(spark, sf_dir).filter(F.col("band_id") == "b1"))
+    )
+    valid = px.select("col", "row", "value")
+    n2 = _BL_N * _BL_N
+    tgt = (
+        spark.range(n2)
+        .select(
+            (F.col("id") % _BL_N).cast("int").alias("tc"),
+            (F.col("id") / _BL_N).cast("int").alias("tr"),
+        )
+        .withColumn(
+            "fx",
+            (F.lit(_BL_X0) + (F.col("tc") + 0.5) * _BL_RES - (-20.0)) / 0.05 - 0.5,
+        )
+        .withColumn(
+            "fy",
+            (F.lit(60.0) - (F.lit(_BL_Y0) - (F.col("tr") + 0.5) * _BL_RES)) / 0.05
+            - 0.5,
+        )
+    )
+    corners = tgt.select(
+        "tc",
+        "tr",
+        F.explode(
+            F.expr(
+                "flatten(transform(array(0, 1), dc -> transform(array(0, 1), "
+                "dr -> struct("
+                "cast(floor(fx) as int) + dc AS col, "
+                "cast(floor(fy) as int) + dr AS row, "
+                "(CASE WHEN dc = 0 THEN 1.0 - (fx - floor(fx)) ELSE fx - floor(fx) END)"
+                " * (CASE WHEN dr = 0 THEN 1.0 - (fy - floor(fy)) ELSE fy - floor(fy) END)"
+                " AS w))))"
+            )
+        ).alias("k"),
+    ).select("tc", "tr", "k.col", "k.row", "k.w")
+    return (
+        corners.join(valid, ["col", "row"])
+        .groupBy("tc", "tr")
+        .agg(
+            F.round(F.sum(F.col("w") * F.col("value")), 6).alias("value"),
+            F.count("*").alias("n4"),
+        )
+        .filter(F.col("n4") == 4)
+        .select("tc", "tr", "value")
+    )
