@@ -3644,3 +3644,134 @@ def text_bigram_ppl(spark, sf_dir):
             ).alias("ppl"),
         )
     )
+
+
+# k-means (Lloyd) shared constants: k=8 seeded from the first 8
+# vectors, 3 synchronous iterations, D=64.  The oracle SQL is
+# GENERATED per iteration (chained CTEs) so both engines state the
+# exact same fixpoint prefix — the graph_pagerank trick applied to an
+# ML training loop.
+_KM_ITERS = 3
+_KM_DIST_DUCK = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "j -> (e.v[j] - c.c[j]) * (e.v[j] - c.c[j])))"
+)
+
+
+def _kmeans_oracle() -> str:
+    ctes = [
+        "ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings)",
+        "cent0 AS (SELECT vec_id AS cid, v AS c FROM ev WHERE vec_id < 8)",
+    ]
+    for i in range(_KM_ITERS):
+        ctes.append(
+            f"d{i} AS (SELECT e.vec_id, c.cid, {_KM_DIST_DUCK} AS dist"
+            f" FROM ev e CROSS JOIN cent{i} c)"
+        )
+        ctes.append(
+            f"a{i} AS (SELECT vec_id, cid FROM ("
+            f"SELECT vec_id, cid, row_number() OVER ("
+            f"PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d{i}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"u{i} AS (SELECT a.cid, generate_subscripts(e.v, 1) AS pos,"
+            f" unnest(e.v) AS val FROM a{i} a JOIN ev e USING (vec_id))"
+        )
+        ctes.append(f"m{i} AS (SELECT cid, pos, avg(val) AS mv FROM u{i} GROUP BY 1, 2)")
+        ctes.append(
+            f"cent{i + 1} AS (SELECT cid, list(mv ORDER BY pos) AS c FROM m{i}"
+            f" GROUP BY cid)"
+        )
+    last = _KM_ITERS - 1
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT a.cid, count(*) AS n,
+           round(c.c[1], 4) AS c_head,
+           round(list_sum(list_transform(c.c, x -> x * x)), 4) AS c_sq
+    FROM a{last} a JOIN cent{_KM_ITERS} c ON a.cid = c.cid
+    GROUP BY a.cid, c.c[1], list_sum(list_transform(c.c, x -> x * x))
+    """
+    )
+
+
+@register("ml_kmeans_lloyd", oracle=_kmeans_oracle())
+def ml_kmeans_lloyd(spark, sf_dir):
+    """Lloyd's k-means (k=8, 3 synchronous iterations) as a DataFrame
+    loop — the canonical iterative-ML-training shape on Spark, and the
+    real version of what embed_centroids fakes with labels: centroids
+    LEARNED from geometry, deterministically seeded from the first 8
+    vectors.
+
+    Per iteration: (1) ASSIGN — corpus crossJoin the 8-row broadcast
+    centroid relation, squared-L2 via an in-row zip_with/aggregate
+    fold (ascending dim order, matching the oracle's generate_series
+    fold), argmin by a (dist, cid)-ordered row_number; (2) UPDATE —
+    posexplode members, ONE map-side-combined groupBy(cid, pos), and
+    re-assemble each centroid with sort_array(collect_list(struct)).
+    The centroid relation is localCheckpoint'ed each round: it is k×D
+    rows SMALL, but its lineage would otherwise nest three
+    crossJoin+window plans deep (the pagerank/components discipline).
+    Output: final centroids with the member counts of the assignment
+    that produced them.
+
+    At 100 TB: per iteration the corpus is scanned once, the shuffle
+    carries k×D partial sums per task, and the centroids stay a
+    broadcast — Lloyd's is embarrassingly scalable when written this
+    way (MLlib's KMeans does exactly this under the hood; this is the
+    DataFrame-native statement with an engine-independent oracle).
+
+    Determinism: seeded init, (dist, cid) total-ordered argmin, and
+    4-dp rounding only at the output; assignment flips would need two
+    centroids equidistant to ~1e-13 relative — vanishing for
+    continuous embeddings.
+    """
+    from pyspark.sql import Window
+
+    ev = (
+        t_fanout(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .persist()
+    )
+    cent = ev.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+    sqdist = F.expr(
+        "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), "
+        "cast(0.0 AS double), (acc, z) -> acc + z)"
+    )
+    assign = None
+    for _ in range(_KM_ITERS):
+        d = ev.crossJoin(F.broadcast(cent)).withColumn("dist", sqdist)
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        assign = (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid")
+        )
+        members = assign.join(ev, "vec_id").select(
+            "cid", F.posexplode("v").alias("pos0", "val")
+        )
+        cent = (
+            members.groupBy("cid", (F.col("pos0") + 1).alias("pos"))
+            .agg(F.avg("val").alias("mv"))
+            .groupBy("cid")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, mv))), s -> s.mv)"
+                ).alias("c")
+            )
+            .localCheckpoint(eager=True)
+        )
+    sizes = assign.groupBy("cid").agg(F.count("*").alias("n"))
+    return sizes.join(cent, "cid").select(
+        "cid",
+        "n",
+        F.round(F.element_at("c", 1), 4).alias("c_head"),
+        F.round(
+            F.expr("aggregate(transform(c, x -> x * x), cast(0.0 AS double), (a, z) -> a + z)"),
+            4,
+        ).alias("c_sq"),
+    )
