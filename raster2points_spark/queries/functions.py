@@ -638,3 +638,53 @@ def agg_listagg(spark, sf_dir):
             F.count("*").alias("n_orders"),
         )
     )
+
+
+@register(
+    "fn_timestamp_fmt",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m') AS ym,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS full_ts,
+           cast(floor(epoch(o_orderdate)) AS bigint) * 1000 AS epoch_ms,
+           cast(cast(o_orderdate + INTERVAL 2 MONTH AS date) AS varchar) AS plus2m,
+           cast(cast(date_trunc('quarter', o_orderdate) AS date) AS varchar)
+             AS q_start,
+           weekofyear(o_orderdate) AS iso_week,
+           cast(last_day(cast(o_orderdate AS date)) AS varchar) AS month_end,
+           cast(make_date(year(o_orderdate), month(o_orderdate), 1) AS varchar)
+             AS month_first
+    FROM orders
+    """,
+)
+def fn_timestamp_fmt(spark, sf_dir):
+    """Timestamp formatting & calendar arithmetic surface —
+    date_format patterns, epoch millis, month-clamped interval adds,
+    quarter truncation, ISO week, last_day and make_date: the
+    report-bucketing toolkit fn_date's extraction family doesn't
+    cover.
+
+    Engine twins chosen for identical semantics: Spark's add_months
+    and DuckDB's + INTERVAL MONTH both clamp month-end overflow;
+    weekofyear is ISO-8601 in both; numeric-only format patterns keep
+    JVM locale out of the result (EEEE-style day names would be
+    locale-dependent — deliberately excluded).  Date-typed outputs
+    are stringified (datetime.date vs datetime64 hashing hazard).
+    Pure whole-stage-codegen projection: zero shuffles at any scale.
+    """
+    o = t(spark, sf_dir, "orders")
+    ts = F.col("o_orderdate")
+    d = ts.cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_format(ts, "yyyy-MM").alias("ym"),
+        F.date_format(ts, "yyyy-MM-dd HH:mm:ss").alias("full_ts"),
+        (F.unix_timestamp(ts) * 1000).alias("epoch_ms"),
+        F.add_months(d, 2).cast("string").alias("plus2m"),
+        F.date_trunc("quarter", ts).cast("date").cast("string").alias("q_start"),
+        F.weekofyear(ts).alias("iso_week"),
+        F.last_day(d).cast("string").alias("month_end"),
+        F.make_date(F.year(ts), F.month(ts), F.lit(1)).cast("string").alias(
+            "month_first"
+        ),
+    )

@@ -3775,3 +3775,100 @@ def ml_kmeans_lloyd(spark, sf_dir):
             4,
         ).alias("c_sq"),
     )
+
+
+_PI_ITERS = 4
+
+
+def _power_iter_oracle() -> str:
+    ctes = [
+        """ex AS (
+      SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+             cast(unnest(embedding) AS double) AS vi
+      FROM embeddings)""",
+        """g AS (
+      SELECT a.i, b.i AS j, sum(a.vi * b.vi) AS gv
+      FROM ex a JOIN ex b USING (vec_id) GROUP BY 1, 2)""",
+        "v0 AS (SELECT unnest(generate_series(1, 64)) AS j, 0.125 AS val)",
+    ]
+    for k in range(_PI_ITERS):
+        ctes.append(
+            f"w{k} AS (SELECT g.i AS j, sum(g.gv * v{k}.val) AS val"
+            f" FROM g JOIN v{k} ON g.j = v{k}.j GROUP BY 1)"
+        )
+        ctes.append(f"n{k} AS (SELECT sqrt(sum(val * val)) AS nrm FROM w{k})")
+        ctes.append(
+            f"v{k + 1} AS (SELECT j, val / nrm AS val FROM w{k} CROSS JOIN n{k})"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT v.j AS pos, round(v.val, 4) AS comp,
+           round((SELECT nrm FROM n{_PI_ITERS - 1}), 4) AS lambda_est
+    FROM v{_PI_ITERS} v
+    """
+    )
+
+
+@register("embed_power_iteration", oracle=_power_iter_oracle())
+def embed_power_iteration(spark, sf_dir):
+    """Top principal direction of the embedding corpus by POWER
+    ITERATION on the Gram matrix — PCA's first component without MLlib:
+    v ← G·v / ‖G·v‖, 4 rounds from a uniform deterministic start, with
+    the dominant-eigenvalue estimate ‖G·v‖ carried alongside.
+
+    The 100 TB shape this key exists to demonstrate: the corpus is
+    touched EXACTLY ONCE, to build the D×D Gram sufficient statistic
+    (in-row outer products, map-side-combined groupBy — the
+    embed_gram_matrix plan, UNROUNDED here); every subsequent
+    iteration is a join+groupBy over 4096-row relations — free at any
+    corpus size.  Iterating against raw data (the naive X·(Xᵀv)
+    formulation) would rescan 100 TB per round.
+
+    Per round: one G⋈v equi-join on the column index + a partial-agg
+    groupBy(row index) = the matrix-vector product; the norm is a
+    1-row aggregate crossJoined back (broadcast).  localCheckpoint
+    truncates the per-round lineage (pagerank discipline, k×1-sized
+    relation).  Sign and order are deterministic: fixed v0, and both
+    engines state the identical fixpoint prefix; 4-dp round absorbs
+    1e-12 summation-order skew (verified: no component sits near a
+    rounding boundary at any shipped SF).
+    """
+    e = t_fanout(spark, sf_dir, "embeddings")
+    cells = e.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(embedding, (vi, i) -> "
+                "transform(embedding, (vj, j) -> "
+                "struct(i + 1 as i, j + 1 as j, "
+                "cast(vi as double) * cast(vj as double) as p))))"
+            )
+        ).alias("c")
+    )
+    g = (
+        cells.groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
+        .agg(F.sum("c.p").alias("gv"))
+        .persist()
+    )
+    v = spark.range(1, 65).select(
+        F.col("id").cast("int").alias("j"), F.lit(0.125).alias("val")
+    )
+    nrm = None
+    for _ in range(_PI_ITERS):
+        w = (
+            g.join(v, "j")
+            .groupBy(F.col("i").alias("j"))
+            .agg(F.sum(F.col("gv") * F.col("val")).alias("val"))
+        )
+        nrm = w.agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm"))
+        v = (
+            w.crossJoin(F.broadcast(nrm))
+            .select("j", (F.col("val") / F.col("nrm")).alias("val"))
+            .localCheckpoint(eager=True)
+        )
+    return v.crossJoin(F.broadcast(nrm)).select(
+        F.col("j").alias("pos"),
+        F.round("val", 4).alias("comp"),
+        F.round("nrm", 4).alias("lambda_est"),
+    )
