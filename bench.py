@@ -73,6 +73,16 @@ HEADLINE = [
     "source_vocab_overlap",
     "concurrency_peak",
     "attribution_first_touch",
+    # r6 late additions: the iterative loops (k-means, power iteration,
+    # BFS), the widest TPC-H self-join probe, and the two heaviest new
+    # text kernels — exactly the keys where a silent candidate-count or
+    # lineage blowup would show first.
+    "tpch_q21",
+    "ml_kmeans_lloyd",
+    "embed_power_iteration",
+    "graph_shortest_hops",
+    "text_bigram_ppl",
+    "dedup_containment",
 ]
 
 

@@ -918,3 +918,165 @@ def graph_shortest_hops(spark, sf_dir):
         visited = visited.union(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("id")
     return visited
+
+
+@register(
+    "ts_seasonal_decompose",
+    oracle=f"""
+    WITH hr AS (
+      SELECT event_type,
+             cast(floor({ORACLE_TSEC.format(c='ts')} / 3600) AS bigint) AS h,
+             sum(cast(round(value * 1000) AS bigint)) AS vm
+      FROM events GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT event_type, h, vm,
+             CASE WHEN count(vm) OVER w = 25 THEN sum(vm) OVER w END AS s25
+      FROM hr
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    seas AS (
+      SELECT event_type, h % 24 AS hod,
+             sum(25 * vm - s25) AS det_sum, count(*) AS n_m
+      FROM tr WHERE s25 IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT t.event_type, t.h,
+           -- divisors cast to DOUBLE: DuckDB types 1000.0 as DECIMAL and
+           -- would divide exactly, rounding differently from Spark's
+           -- binary doubles at 4-dp midpoints
+           round(t.vm / CAST(1000.0 AS DOUBLE), 4) AS v,
+           round(t.s25 / CAST(25000.0 AS DOUBLE), 4) AS trend,
+           round(s.det_sum / (CAST(25000.0 AS DOUBLE) * s.n_m), 4) AS seasonal,
+           -- resid from the ROUNDED terms: a difference of 4-dp
+           -- decimals is itself a 4-dp decimal, so the outer round can
+           -- never sit on a midpoint (the unrounded rational CAN — it
+           -- flipped engines at e.g. -177.39475)
+           round(round(t.vm / CAST(1000.0 AS DOUBLE), 4)
+                 - round(t.s25 / CAST(25000.0 AS DOUBLE), 4)
+                 - round(s.det_sum / (CAST(25000.0 AS DOUBLE) * s.n_m), 4), 4)
+             AS resid
+    FROM tr t JOIN seas s ON s.event_type = t.event_type AND s.hod = t.h % 24
+    WHERE t.s25 IS NOT NULL
+    """,
+)
+def ts_seasonal_decompose(spark, sf_dir):
+    """Classical additive seasonal decomposition of the hourly series
+    per event type: trend = centered 25-hour moving average (RANGE
+    frame on hour distance, complete-window gate — edges and gappy
+    stretches yield no trend, matching textbook STL edge handling),
+    seasonal = mean detrended value per hour-of-day, residual = the
+    rest.  The anomaly-detection preprocessing step every monitoring
+    pipeline runs before thresholding.
+
+    Scale shape: events collapse map-side to |types|×|hours| bars
+    FIRST; the trend window sorts bars (not events), the seasonal
+    profile is a 24×|types|-row aggregate joined back UNHINTED (AQE
+    broadcasts it while small).  Two key-shuffles total, both over
+    pre-aggregated relations.
+
+    Determinism: every aggregate runs in INTEGER milli-units —
+    hourly bars, the 25-bar trend sum, and the scaled detrended sum
+    25·v−S₂₅ are exact bigints in any summation order, so
+    trend/seasonal/resid are single exact-integer divisions producing
+    BITWISE-identical doubles in both engines before the 4-dp round.
+    (The first cut averaged doubles: a seasonal mean landed within
+    1e-12 of a 0.00005 rounding midpoint and the engines rounded to
+    opposite sides — order-dependent float aggregation can defeat
+    round-both-sides whenever a true value sits on a boundary.)
+    """
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    hr = ev.groupBy(
+        "event_type",
+        F.floor(unix_secs(F.col("ts")) / 3600).cast("bigint").alias("h"),
+    ).agg(F.sum(F.round(F.col("value") * 1000).cast("bigint")).alias("vm"))
+    w = Window.partitionBy("event_type").orderBy("h").rangeBetween(-12, 12)
+    tr = hr.withColumn(
+        "s25",
+        F.when(F.count("vm").over(w) == 25, F.sum("vm").over(w)),
+    ).filter(F.col("s25").isNotNull())
+    seas = tr.groupBy(
+        F.col("event_type").alias("s_type"), (F.col("h") % 24).alias("hod")
+    ).agg(
+        F.sum(25 * F.col("vm") - F.col("s25")).alias("det_sum"),
+        F.count("*").alias("n_m"),
+    )
+    seasonal = F.col("det_sum") / (25000.0 * F.col("n_m"))
+    return (
+        tr.join(
+            seas,
+            (F.col("event_type") == F.col("s_type"))
+            & (F.col("hod") == F.col("h") % 24),
+        )
+        .select(
+            "event_type",
+            "h",
+            F.round(F.col("vm") / 1000.0, 4).alias("v"),
+            F.round(F.col("s25") / 25000.0, 4).alias("trend"),
+            F.round(seasonal, 4).alias("seasonal"),
+            F.round(
+                F.round(F.col("vm") / 1000.0, 4)
+                - F.round(F.col("s25") / 25000.0, 4)
+                - F.round(seasonal, 4),
+                4,
+            ).alias("resid"),
+        )
+    )
+
+
+@register(
+    "agg_benford_profile",
+    oracle="""
+    WITH digits AS (
+      SELECT cast(substr(cast(cast(floor(o_totalprice) AS bigint) AS varchar), 1, 1)
+                  AS int) AS d
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (SELECT d, count(*) AS n FROM digits GROUP BY d),
+    tot AS (SELECT sum(n) AS total FROM obs)
+    SELECT d,
+           n,
+           round(n * 1.0 / total, 6) AS p_obs,
+           round(log10(1.0 + 1.0 / d), 6) AS p_benford,
+           round((n * 1.0 / total - log10(1.0 + 1.0 / d))
+                 * (n * 1.0 / total - log10(1.0 + 1.0 / d)) * total
+                 / log10(1.0 + 1.0 / d), 6) AS chi2_term
+    FROM obs CROSS JOIN tot
+    """,
+)
+def agg_benford_profile(spark, sf_dir):
+    """Benford's-law first-digit profile over order totals — the
+    fraud/data-quality screen: natural multiplicative amounts follow
+    P(d) = log10(1 + 1/d), and a fabricated or truncated column jumps
+    out as an inflated chi-square term on one digit.
+
+    First digit via integer-truncate → string head (no float
+    formatting in the comparison path); the profile is ONE map-side-
+    combined 9-group aggregate plus a 1-row total crossJoined back
+    (constant-size broadcast) — runs in a single pass at any corpus
+    scale.  Expected probabilities and chi-square contributions are
+    computed identically in both engines and rounded at 6 dp.
+    """
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    # floor() before the bigint cast: DuckDB's double→bigint cast ROUNDS
+    # while Spark's truncates (the fn_cast header trap) — floor makes
+    # both engines truncate.
+    obs = o.groupBy(
+        F.substring(F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1)
+        .cast("int")
+        .alias("d")
+    ).agg(F.count("*").alias("n"))
+    tot = obs.agg(F.sum("n").alias("total"))
+    p_obs = F.col("n") * 1.0 / F.col("total")
+    p_ben = F.log10(1.0 + 1.0 / F.col("d"))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "n",
+        F.round(p_obs, 6).alias("p_obs"),
+        F.round(p_ben, 6).alias("p_benford"),
+        F.round((p_obs - p_ben) * (p_obs - p_ben) * F.col("total") / p_ben, 6).alias(
+            "chi2_term"
+        ),
+    )

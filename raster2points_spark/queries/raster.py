@@ -1053,3 +1053,112 @@ def raster_resample_bilinear(spark, sf_dir):
         .filter(F.col("n4") == 4)
         .select("tc", "tr", "value")
     )
+
+
+_RL_ROUNDS = 6
+
+
+def _region_label_oracle() -> str:
+    ctes = [
+        _PX.strip().removeprefix("WITH "),
+        """vp AS (
+      SELECT cast(row AS bigint) * 64 + col AS pid, col, row,
+             cast(floor(value / 10) AS int) AS cls
+      FROM pix WHERE band_id = 'b1' AND value IS NOT NULL
+    )""",
+        """adj AS (
+      SELECT a.pid AS pa, b.pid AS pb
+      FROM vp a JOIN vp b
+        ON a.cls = b.cls AND abs(a.col - b.col) + abs(a.row - b.row) = 1
+    )""",
+        "l0 AS (SELECT pid, col, row, cls, pid AS lbl FROM vp)",
+    ]
+    for k in range(_RL_ROUNDS):
+        ctes.append(
+            f"""l{k + 1} AS (
+      SELECT l.pid, l.col, l.row, l.cls,
+             least(l.lbl, coalesce(min(nl.lbl), l.lbl)) AS lbl
+      FROM l{k} l
+      LEFT JOIN adj ON adj.pa = l.pid
+      LEFT JOIN l{k} nl ON nl.pid = adj.pb
+      GROUP BY l.pid, l.col, l.row, l.cls, l.lbl
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT col, row, cls, lbl FROM l{_RL_ROUNDS}\n    "
+    )
+
+
+@register("raster_region_label", oracle=_region_label_oracle())
+def raster_region_label(spark, sf_dir):
+    """Connected-region labeling of same-class pixels (4-adjacency,
+    class = value decade) by synchronous min-label propagation — the
+    distributed core of GDAL's polygonize / "island detection": after
+    convergence every pixel carries the smallest pixel-id of its
+    component.  Six rounds are unrolled so the DuckDB oracle can state
+    the exact fixpoint prefix (the pagerank/kmeans discipline); a real
+    run iterates to no-change like dedup_components, which this shares
+    its algorithm with — this key is that algorithm on a GRID graph
+    where adjacency is implicit in the coordinates.
+
+    Scale shape: the adjacency is an EQUI-join of the pixel relation
+    against its four shifted selves on (class, col, row) — never the
+    |pixels|² abs-distance comparison the oracle states (fine there:
+    the fixture grid is constant-size).  Each round is one
+    neighbor-min groupBy + one left join, all integer arithmetic
+    (exact), localCheckpoint per round truncates lineage.  At 100 TB
+    pixels shuffle by spatial key; rounds ∝ component diameter —
+    for continental-scale regions you'd switch to the
+    interval/run-compression variant, same propagation spine.
+    """
+    px = nodata_filter(
+        grid_unpivot(_tiles(spark, sf_dir).filter(F.col("band_id") == "b1"))
+    )
+    vp = px.select(
+        (F.col("row").cast("bigint") * 64 + F.col("col")).alias("pid"),
+        "col",
+        "row",
+        F.floor(F.col("value") / 10).cast("int").alias("cls"),
+    ).persist()
+    shifts = F.expr(
+        "explode(array(struct(1 as dc, 0 as dr), struct(-1 as dc, 0 as dr), "
+        "struct(0 as dc, 1 as dr), struct(0 as dc, -1 as dr)))"
+    )
+    shifted = vp.select(
+        "pid", "cls", "col", "row", shifts.alias("s")
+    ).select(
+        F.col("pid").alias("pa"),
+        "cls",
+        (F.col("col") + F.col("s.dc")).alias("col"),
+        (F.col("row") + F.col("s.dr")).alias("row"),
+    )
+    adj = shifted.join(
+        vp.select(F.col("pid").alias("pb"), "cls", "col", "row"),
+        ["cls", "col", "row"],
+    ).select("pa", "pb").persist()
+    lbl = vp.select("pid", "col", "row", "cls", F.col("pid").alias("lbl"))
+    for _ in range(_RL_ROUNDS):
+        nb = (
+            adj.join(
+                lbl.select(F.col("pid").alias("pb"), F.col("lbl").alias("nlbl")),
+                "pb",
+            )
+            .groupBy("pa")
+            .agg(F.min("nlbl").alias("minn"))
+        )
+        lbl = (
+            lbl.join(nb, lbl.pid == nb.pa, "left")
+            .select(
+                "pid",
+                "col",
+                "row",
+                "cls",
+                F.least(F.col("lbl"), F.coalesce(F.col("minn"), F.col("lbl"))).alias(
+                    "lbl"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return lbl.select("col", "row", "cls", "lbl")

@@ -509,3 +509,44 @@ def win_locf(spark, sf_dir):
             "nocb"
         ),
     )
+
+
+@register(
+    "win_dist_rank",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           round(nth_value(c_acctbal, 3) OVER (
+               PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ), 2) AS third_bal
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def win_dist_rank(spark, sf_dir):
+    """Distribution-rank window surface: percent_rank, cume_dist and
+    nth_value — the percentile-position family win_rank's counting
+    ranks don't cover (SQL-standard spellings of "what fraction of the
+    segment is above this balance" and "the segment's 3rd-highest
+    balance on every row").
+
+    nth_value needs the FULL frame (unbounded both directions) to see
+    the 3rd row from every position; percent_rank/cume_dist use the
+    default ordering frame.  All three share ONE (segment, balance)
+    sort — a single exchange in the plan.  Ranks are exact rationals
+    of row positions; rounded at 6 dp only to keep double formatting
+    engine-neutral.
+    """
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), "c_custkey"
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.nth_value("c_acctbal", 3).over(wf), 2).alias("third_bal"),
+    )

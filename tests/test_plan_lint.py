@@ -93,6 +93,24 @@ SUBSET = [
     "text_context_windows",
     "dedup_url_canonical",
     "text_repetition_ratio",
+    # r6 late additions (this session)
+    "tpch_q17",
+    "tpch_q21",
+    "win_locf",
+    "ts_ewma",
+    "dedup_containment",
+    "text_bigram_ppl",
+    "fn_url",
+    "agg_listagg",
+    "graph_shortest_hops",
+    "raster_resample_bilinear",
+    "ml_kmeans_lloyd",
+    "embed_power_iteration",
+    "fn_timestamp_fmt",
+    "win_dist_rank",
+    "ts_seasonal_decompose",
+    "agg_benford_profile",
+    "raster_region_label",
 ]
 
 

@@ -68,6 +68,12 @@ RULES: dict[str, dict[str, str]] = {
         "basket_rules": "1-row distinct-order count broadcast",
         "graph_triangle_count": "three 1-row scalar aggregates crossed "
         "into the single summary row",
+        "text_bigram_ppl": "1-row vocabulary-size aggregate broadcast",
+        "ml_kmeans_lloyd": "k-row (8) centroid relation broadcast per "
+        "assignment round",
+        "embed_power_iteration": "1-row norm scalar broadcast per "
+        "normalization round",
+        "agg_benford_profile": "1-row digit-total aggregate broadcast",
     },
     "BatchEvalPython": {
         "udf_scalar_py": "THE deliberate row-Python surface key",
