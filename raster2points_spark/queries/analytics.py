@@ -1080,3 +1080,85 @@ def agg_benford_profile(spark, sf_dir):
             "chi2_term"
         ),
     )
+
+
+@register(
+    "ts_autocorr",
+    oracle=f"""
+    WITH hr AS (
+      SELECT event_type,
+             cast(floor({ORACLE_TSEC.format(c='ts')} / 3600) AS bigint) AS h,
+             sum(cast(round(value * 1000) AS bigint)) AS vm
+      FROM events GROUP BY 1, 2
+    ),
+    lags AS (SELECT unnest(generate_series(1, 3)) AS k),
+    pairs AS (
+      SELECT a.event_type, l.k, a.vm AS x, b.vm AS y
+      FROM hr a
+      CROSS JOIN lags l
+      JOIN hr b ON b.event_type = a.event_type AND b.h = a.h - l.k
+    ),
+    sums AS (
+      SELECT event_type, k, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT event_type, k, n,
+           round((n * sxy - sx * sy)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 4) AS acf
+    FROM sums
+    """,
+)
+def ts_autocorr(spark, sf_dir):
+    """Lag-1..3 autocorrelation of the hourly series per event type —
+    the seasonality/persistence diagnostic (an ACF spike at lag 24
+    means daily cycle; near-zero ACF means the series is noise and
+    smoothing it is pointless).
+
+    Lag pairs are formed by HOUR DISTANCE (equi self-join on
+    (type, h−k)), not row offset, so gaps never misalign the pairs and
+    the pair SET is engine-exact.  Pearson ACF is computed from the
+    five integer power sums in milli-units — every aggregate is an
+    exact bigint in any summation order, and the final expression is
+    one identical double evaluation both sides (the
+    ts_seasonal_decompose determinism discipline).  Scale: events
+    collapse map-side to bars first; the lag join and the power-sum
+    aggregate both key on (type, hour) — two shuffles over the tiny
+    bar relation, corpus scanned once.
+    """
+    ev = t(spark, sf_dir, "events")
+    hr = ev.groupBy(
+        "event_type",
+        F.floor(unix_secs(F.col("ts")) / 3600).cast("bigint").alias("h"),
+    ).agg(F.sum(F.round(F.col("value") * 1000).cast("bigint")).alias("vm"))
+    lags = spark.range(1, 4).select(F.col("id").cast("int").alias("k"))
+    a = hr.select(
+        "event_type", "h", F.col("vm").alias("x")
+    ).crossJoin(F.broadcast(lags))
+    b = hr.select(
+        F.col("event_type").alias("b_type"),
+        F.col("h").alias("b_h"),
+        F.col("vm").alias("y"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("b_type") == F.col("event_type"))
+        & (F.col("b_h") == F.col("h") - F.col("k")),
+    )
+    sums = pairs.groupBy("event_type", "k").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return sums.select(
+        "event_type", "k", "n", F.round(num / den, 4).alias("acf")
+    )

@@ -688,3 +688,66 @@ def fn_timestamp_fmt(spark, sf_dir):
             "month_first"
         ),
     )
+
+
+@register(
+    "fn_struct",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderkey,
+             struct_pack(k := o_orderkey, st := o_orderstatus,
+                         pr := o_orderpriority) AS os,
+             struct_pack(outer_k := o_orderkey,
+                         inner_s := struct_pack(cust := o_custkey,
+                                                yr := year(o_orderdate))) AS nest
+      FROM orders
+    )
+    SELECT o_orderkey,
+           os.st AS status_field,
+           os.pr AS prio_field,
+           nest.inner_s.cust AS nested_cust,
+           nest.inner_s.yr AS nested_year,
+           to_json(os) AS os_json,
+           CASE WHEN os.k = o_orderkey THEN 'eq' ELSE 'ne' END AS key_roundtrip
+    FROM s
+    """,
+)
+def fn_struct(spark, sf_dir):
+    """STRUCT scalar surface: named_struct construction, dotted field
+    extraction, two-level nesting, JSON serialization and field
+    round-trip — the composite type every semi-structured pipeline
+    flattens in and out of (fn_json parses INTO structs; this key
+    proves building and navigating them).
+
+    JSON twin constraint: Spark's to_json and DuckDB's to_json agree
+    on key order (declaration order) and compact formatting, but NOT
+    on float rendering — so only int/string fields go through the JSON
+    column.  Pure whole-stage-codegen projection, zero shuffles;
+    struct columns never cross to the grader (scalar fields are
+    extracted), avoiding the unhashable-cell trap.
+    """
+    o = t(spark, sf_dir, "orders")
+    os_ = F.struct(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_orderpriority").alias("pr"),
+    )
+    nest = F.struct(
+        F.col("o_orderkey").alias("outer_k"),
+        F.struct(
+            F.col("o_custkey").alias("cust"),
+            F.year("o_orderdate").alias("yr"),
+        ).alias("inner_s"),
+    )
+    s = o.select("o_orderkey", os_.alias("os"), nest.alias("nest"))
+    return s.select(
+        "o_orderkey",
+        F.col("os.st").alias("status_field"),
+        F.col("os.pr").alias("prio_field"),
+        F.col("nest.inner_s.cust").alias("nested_cust"),
+        F.col("nest.inner_s.yr").alias("nested_year"),
+        F.to_json("os").alias("os_json"),
+        F.when(F.col("os.k") == F.col("o_orderkey"), "eq")
+        .otherwise("ne")
+        .alias("key_roundtrip"),
+    )

@@ -3872,3 +3872,60 @@ def embed_power_iteration(spark, sf_dir):
         F.round("val", 4).alias("comp"),
         F.round("nrm", 4).alias("lambda_est"),
     )
+
+
+@register(
+    "text_sentence_split",
+    oracle=r"""
+    WITH sents AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '[.!?]+\s+'),
+                         s -> trim(s) <> '') AS ss
+      FROM documents
+    )
+    SELECT doc_id,
+           len(ss) AS n_sentences,
+           round(list_sum(list_transform(ss,
+                 s -> len(list_filter(string_split(s, ' '), w -> w <> ''))))
+                 * 1.0 / len(ss), 4) AS avg_words,
+           list_max(list_transform(ss,
+                 s -> len(list_filter(string_split(s, ' '), w -> w <> ''))))
+             AS max_words,
+           md5(ss[1]) AS first_sent_md5
+    FROM sents WHERE len(ss) > 0
+    """,
+)
+def text_sentence_split(spark, sf_dir):
+    """Sentence segmentation + per-document sentence statistics — the
+    preprocessing step before sentence-level dedup, quality gating
+    ("average sentence length < 3 words" is a Gopher cut) and
+    sentence-window embedding.
+
+    Split on terminal-punctuation runs followed by whitespace — a
+    pattern WITHOUT lookbehind, because the oracle runs on RE2
+    (DuckDB) which rejects lookbehind while Spark's Java regex accepts
+    it; a cross-engine text pipeline must stay in the common regex
+    subset.  Everything is IN-ROW array work (split, per-sentence word
+    counts, fold, md5 of the first sentence) — zero shuffles, fused
+    into the scan at any corpus size.  avg = exact-int sum / count,
+    single double division (bitwise-equal), 4-dp round.
+    """
+    sents = t_fanout(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            r"filter(split(text, '[.!?]+\\s+'), s -> trim(s) != '')"
+        ).alias("ss"),
+    )
+    wc = "transform(ss, s -> size(filter(split(s, ' '), w -> w != '')))"
+    return sents.filter(F.size("ss") > 0).select(
+        "doc_id",
+        F.size("ss").alias("n_sentences"),
+        F.round(
+            F.expr(f"aggregate({wc}, 0, (a, x) -> a + x)")
+            * F.lit(1.0)
+            / F.size("ss"),
+            4,
+        ).alias("avg_words"),
+        F.expr(f"array_max({wc})").alias("max_words"),
+        F.md5(F.element_at("ss", 1)).alias("first_sent_md5"),
+    )

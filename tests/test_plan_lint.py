@@ -111,6 +111,9 @@ SUBSET = [
     "ts_seasonal_decompose",
     "agg_benford_profile",
     "raster_region_label",
+    "ts_autocorr",
+    "text_sentence_split",
+    "fn_struct",
 ]
 
 

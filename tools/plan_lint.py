@@ -74,6 +74,8 @@ RULES: dict[str, dict[str, str]] = {
         "embed_power_iteration": "1-row norm scalar broadcast per "
         "normalization round",
         "agg_benford_profile": "1-row digit-total aggregate broadcast",
+        "ts_autocorr": "3-row lag-constant relation crossed into the "
+        "bar stream before the equi lag-join",
     },
     "BatchEvalPython": {
         "udf_scalar_py": "THE deliberate row-Python surface key",

@@ -53,6 +53,14 @@ DEFAULT_KEYS = [
     "pack_sequences",
     "reshape_unpivot",
     "anomaly_mad",
+    # r6 late additions — the new iterative loops and candidate-driven
+    # text kernels
+    "tpch_q21",
+    "text_bigram_ppl",
+    "dedup_containment",
+    "ml_kmeans_lloyd",
+    "graph_shortest_hops",
+    "ts_seasonal_decompose",
 ]
 
 
