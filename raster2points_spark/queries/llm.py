@@ -3929,3 +3929,56 @@ def text_sentence_split(spark, sf_dir):
         F.expr(f"array_max({wc})").alias("max_words"),
         F.md5(F.element_at("ss", 1)).alias("first_sent_md5"),
     )
+
+
+@register(
+    "feature_loo_encoding",
+    oracle="""
+    WITH lab AS (
+      SELECT vec_id, label,
+             CASE WHEN vec_id % 3 = 0 THEN 1 ELSE 0 END AS y
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT label, sum(y) AS sy, count(*) AS n FROM lab GROUP BY label
+    )
+    SELECT l.vec_id, l.label, l.y,
+           round(CASE WHEN s.n > 1
+                      THEN (s.sy - l.y) * 1.0 / (s.n - 1)
+                      ELSE 0.5 END, 6) AS loo_mean
+    FROM lab l JOIN stats s ON s.label = l.label
+    """,
+)
+def feature_loo_encoding(spark, sf_dir):
+    """Leave-one-out target encoding — the categorical-feature
+    workhorse of tabular ML: each row's category is replaced by the
+    mean target of OTHER rows in the category, so the encoding never
+    leaks the row's own label (plain mean encoding does, and the model
+    memorizes it).  Singleton categories fall back to the 0.5 prior.
+
+    The LOO identity (Σy − yᵢ)/(n−1) turns "a different mean per row"
+    into ONE map-side-combined aggregate per category joined back —
+    never a per-row window over the fact table, and the category
+    stats relation joins UNHINTED (at 100 TB a high-cardinality
+    categorical outgrows broadcast; AQE demotes while small).  All
+    sums are exact integers; one double division both engines.
+
+    This is also the standard Spark rewrite for SQL's frame EXCLUDE
+    CURRENT ROW, which Spark windows lack.
+    """
+    e = t_fanout(spark, sf_dir, "embeddings")
+    lab = e.select(
+        "vec_id",
+        "label",
+        F.when(F.col("vec_id") % 3 == 0, 1).otherwise(0).alias("y"),
+    )
+    stats = lab.groupBy(F.col("label").alias("s_label")).agg(
+        F.sum("y").alias("sy"), F.count("*").alias("n")
+    )
+    loo = F.when(
+        F.col("n") > 1,
+        (F.col("sy") - F.col("y")) * F.lit(1.0) / (F.col("n") - 1),
+    ).otherwise(0.5)
+    return lab.join(stats, F.col("s_label") == F.col("label")).select(
+        "vec_id", "label", "y", F.round(loo, 6).alias("loo_mean")
+    )

@@ -1162,3 +1162,112 @@ def raster_region_label(spark, sf_dir):
             .localCheckpoint(eager=True)
         )
     return lbl.select("col", "row", "cls", "lbl")
+
+
+@register(
+    "raster_flow_direction",
+    oracle=f"""
+    {_PX}
+    , valid AS (
+      SELECT col, row, value FROM pix WHERE band_id = 'b1' AND value IS NOT NULL
+    ),
+    offs AS (
+      SELECT * FROM (VALUES
+        (0,  1,  0, CAST(1.0 AS DOUBLE)), (1,  1,  1, sqrt(CAST(2.0 AS DOUBLE))),
+        (2,  0,  1, CAST(1.0 AS DOUBLE)), (3, -1,  1, sqrt(CAST(2.0 AS DOUBLE))),
+        (4, -1,  0, CAST(1.0 AS DOUBLE)), (5, -1, -1, sqrt(CAST(2.0 AS DOUBLE))),
+        (6,  0, -1, CAST(1.0 AS DOUBLE)), (7,  1, -1, sqrt(CAST(2.0 AS DOUBLE)))
+      ) AS o(dir, dc, dr, dist)
+    ),
+    grads AS (
+      SELECT c.col, c.row, o.dir,
+             (c.value - n.value) / o.dist AS grad
+      FROM valid c
+      JOIN offs o ON TRUE
+      JOIN valid n ON n.col = c.col + o.dc AND n.row = c.row + o.dr
+    ),
+    best AS (
+      SELECT col, row, dir, grad,
+             row_number() OVER (PARTITION BY col, row
+                                ORDER BY grad DESC, dir) AS rn
+      FROM grads
+    )
+    SELECT c.col, c.row,
+           CASE WHEN b.grad > 0 THEN b.dir ELSE -1 END AS flow_dir,
+           round(CASE WHEN b.grad > 0 THEN b.grad ELSE 0.0 END, 6) AS drop_per_unit
+    FROM valid c
+    LEFT JOIN best b ON b.col = c.col AND b.row = c.row AND b.rn = 1
+    """,
+)
+def raster_flow_direction(spark, sf_dir):
+    """D8 flow direction — hydrology's first derivative raster (the
+    GDAL/ArcGIS flow-accumulation front end): each pixel points at its
+    steepest-DESCENT neighbor of 8, diagonals distance-weighted by
+    √2; pits and flats (no positive drop) get −1.
+
+    Same scatter-gather spine as raster_focal_mean: the 8 candidate
+    directions are an in-row explode of a constant offset table, the
+    neighbor lookup is an EQUI-join on shifted (col,row) — a stencil
+    as hash join, never 8 window passes over a sorted pixel stream.
+    The argmax is one (col,row)-keyed rank with (grad DESC, dir)
+    total-order tiebreak (R2) so near-tie plateaus resolve identically
+    in both engines: the gradient doubles are computed with identical
+    association, and √2 is correctly rounded in both libms.  At
+    100 TB pixels shuffle once by spatial key; edge pixels simply rank
+    over fewer candidates.
+    """
+    px = nodata_filter(
+        grid_unpivot(_tiles(spark, sf_dir).filter(F.col("band_id") == "b1"))
+    )
+    valid = px.select("col", "row", "value").persist()
+    cand = valid.select(
+        "col",
+        "row",
+        F.col("value").alias("cv"),
+        F.explode(
+            F.expr(
+                "array(struct(0 as dir,  1 as dc,  0 as dr, cast(1.0 as double) as dist), "
+                "struct(1 as dir,  1 as dc,  1 as dr, sqrt(cast(2.0 as double)) as dist), "
+                "struct(2 as dir,  0 as dc,  1 as dr, cast(1.0 as double) as dist), "
+                "struct(3 as dir, -1 as dc,  1 as dr, sqrt(cast(2.0 as double)) as dist), "
+                "struct(4 as dir, -1 as dc,  0 as dr, cast(1.0 as double) as dist), "
+                "struct(5 as dir, -1 as dc, -1 as dr, sqrt(cast(2.0 as double)) as dist), "
+                "struct(6 as dir,  0 as dc, -1 as dr, cast(1.0 as double) as dist), "
+                "struct(7 as dir,  1 as dc, -1 as dr, sqrt(cast(2.0 as double)) as dist))"
+            )
+        ).alias("o"),
+    )
+    nbr = valid.select(
+        F.col("col").alias("ncol"),
+        F.col("row").alias("nrow"),
+        F.col("value").alias("nv"),
+    )
+    grads = cand.join(
+        nbr,
+        (F.col("ncol") == F.col("col") + F.col("o.dc"))
+        & (F.col("nrow") == F.col("row") + F.col("o.dr")),
+    ).select(
+        "col",
+        "row",
+        F.col("o.dir").alias("dir"),
+        ((F.col("cv") - F.col("nv")) / F.col("o.dist")).alias("grad"),
+    )
+    w = Window.partitionBy("col", "row").orderBy(F.col("grad").desc(), "dir")
+    best = grads.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return valid.join(
+        best.select(
+            F.col("col").alias("bcol"),
+            F.col("row").alias("brow"),
+            "dir",
+            "grad",
+        ),
+        (F.col("bcol") == F.col("col")) & (F.col("brow") == F.col("row")),
+        "left",
+    ).select(
+        "col",
+        "row",
+        F.when(F.col("grad") > 0, F.col("dir")).otherwise(-1).alias("flow_dir"),
+        F.round(
+            F.when(F.col("grad") > 0, F.col("grad")).otherwise(0.0), 6
+        ).alias("drop_per_unit"),
+    )

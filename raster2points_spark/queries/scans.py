@@ -523,3 +523,63 @@ def scan_binary_files(spark, sf_dir):
         F.min(F.length("content")).cast("bigint").alias("min_bytes"),
         F.max(F.length("content")).cast("bigint").alias("max_bytes"),
     )
+
+
+@register(
+    "scan_schema_evolution",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    unioned AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             NULL AS o_orderstatus FROM v1
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM v2
+    )
+    SELECT coalesce(o_orderstatus, '__missing__') AS status,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM unioned GROUP BY 1
+    """,
+)
+def scan_schema_evolution(spark, sf_dir):
+    """Schema evolution across parquet file generations — the
+    data-lake reality every long-lived table hits: generation 1 was
+    written before the `o_orderstatus` column existed, generation 2
+    carries it.  `mergeSchema=true` unions the footer schemas at scan
+    time and back-fills the missing column with NULLs (exactly
+    DuckDB's union_by_name; the oracle states the same union).
+
+    Scale note: mergeSchema reads EVERY file footer up front — cheap
+    here, a real cost at 100 TB with millions of files, which is why
+    production tables front this with a catalog (Delta/Iceberg) that
+    stores the merged schema once; the scan-side semantics this key
+    pins are identical.  Writes go to the per-process scratch (cached
+    fixture-write pattern), reads are one pass, aggregation is
+    map-side combined.
+    """
+    path = os.path.join(SCRATCH, "schema_evo")
+    o = t(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(path, "gen=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(path, "gen=2"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, "gen=1"), os.path.join(path, "gen=2")
+    )
+    return back.groupBy(
+        F.coalesce("o_orderstatus", F.lit("__missing__")).alias("status")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

@@ -114,6 +114,9 @@ SUBSET = [
     "ts_autocorr",
     "text_sentence_split",
     "fn_struct",
+    "scan_schema_evolution",
+    "feature_loo_encoding",
+    "raster_flow_direction",
 ]
 
 
