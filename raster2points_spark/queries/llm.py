@@ -3982,3 +3982,184 @@ def feature_loo_encoding(spark, sf_dir):
     return lab.join(stats, F.col("s_label") == F.col("label")).select(
         "vec_id", "label", "y", F.round(loo, 6).alias("loo_mean")
     )
+
+
+@register(
+    "sim_mips",
+    oracle=f"""
+    WITH ev AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    probes AS (SELECT vec_id AS probe_id, v AS pv FROM ev WHERE vec_id < 5),
+    pairs AS (
+      SELECT p.probe_id, e.vec_id,
+             list_sum(list_transform(generate_series(1, 64),
+                                     j -> p.pv[j] * e.v[j])) AS ip
+      FROM ev e CROSS JOIN probes p WHERE e.vec_id <> p.probe_id
+    )
+    SELECT probe_id, vec_id, round(ip, 4) AS ip, rn FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY probe_id ORDER BY ip DESC, vec_id) AS rn
+      FROM pairs
+    ) WHERE rn <= 10
+    """,
+)
+def sim_mips(spark, sf_dir):
+    """Top-10 by MAXIMUM INNER PRODUCT via the norm-augmentation
+    reduction (Bachrach et al. / the xbox trick): corpus vectors gain
+    the dimension √(M²−‖x‖²) (M = max corpus norm, a 1-row broadcast),
+    probes gain 0 — augmented vectors all have norm M, so COSINE order
+    in the augmented space equals inner-product order in the original.
+    This is how MIPS (recommendation scoring, un-normalized retrieval)
+    reuses any cosine-ANN index.
+
+    The Spark side RUNS the reduction (augment → rank by augmented
+    cosine); the oracle ranks by the raw inner product directly —
+    hash-matching ranks PROVE the reduction is order-preserving (IEEE
+    division by the positive constant M·‖p‖ is monotonic, ties broken
+    by vec_id both sides).  Reported `ip` is the raw inner product,
+    4-dp.  Scale: same broadcast-probe × linear-scan shape as sim_knn;
+    the augmentation is one in-row concat, M is a 1-row aggregate.
+    """
+    from pyspark.sql import Window
+
+    ev = t_fanout(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sqn = "aggregate(transform(v, x -> x * x), cast(0.0 AS double), (a, z) -> a + z)"
+    with_norm = ev.withColumn("sqnorm", F.expr(sqn))
+    mx = with_norm.agg(F.max("sqnorm").alias("m2"))
+    aug = with_norm.crossJoin(F.broadcast(mx)).select(
+        "vec_id",
+        F.expr("concat(v, array(sqrt(m2 - sqnorm)))").alias("av"),
+    )
+    probes = ev.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"),
+        F.expr("concat(v, array(cast(0.0 AS double)))").alias("pv"),
+    )
+    pairs = (
+        aug.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(av, pv, (x, y) -> x * y), "
+                "cast(0.0 AS double), (a, z) -> a + z)"
+            ).alias("aug_ip"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("aug_ip").desc(), "vec_id")
+    ranked = pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+    # report the RAW inner product (recompute in-row for the 50
+    # surviving pairs via a join back to the original vectors)
+    pv_raw = ev.select(F.col("vec_id").alias("p_id"), F.col("v").alias("pv0"))
+    return (
+        ranked.join(ev, "vec_id")
+        .join(pv_raw, F.col("p_id") == F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(v, pv0, (x, y) -> x * y), "
+                    "cast(0.0 AS double), (a, z) -> a + z)"
+                ),
+                4,
+            ).alias("ip"),
+            "rn",
+        )
+    )
+
+
+@register(
+    "text_kn_smoothing",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {TOKS_DUCK} AS tk FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(tk) - 1),
+                                   i -> tk[i])) AS w1,
+             unnest(list_transform(generate_series(1, len(tk) - 1),
+                                   i -> tk[i+1])) AS w2
+      FROM toks WHERE len(tk) >= 2
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, sum(n2) AS n1, count(*) AS follow_types FROM c2 GROUP BY 1),
+    ctx AS (SELECT w2, count(*) AS left_types FROM c2 GROUP BY 1),
+    tot AS (SELECT count(*) AS n_bigram_types FROM c2)
+    SELECT b.doc_id, count(*) AS n_bigrams,
+           round(pow(2.0, -sum(log2(
+               greatest(n2 - 0.75, 0.0) / n1
+               + (0.75 * follow_types / n1)
+                 * (left_types * 1.0 / n_bigram_types)
+           )) / count(*)), 4) AS ppl_kn
+    FROM bg b
+    JOIN c2 USING (w1, w2)
+    JOIN c1 USING (w1)
+    JOIN ctx USING (w2)
+    CROSS JOIN tot
+    GROUP BY b.doc_id
+    """,
+)
+def text_kn_smoothing(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram perplexity — the production LM
+    smoothing (what KenLM builds for CCNet-style quality filtering),
+    one rung above text_bigram_ppl's add-k: absolute discount D=0.75
+    on observed bigrams, with the stolen mass λ(w₁) = D·N₁₊(w₁·)/c(w₁)
+    backed off to the CONTINUATION unigram P_cont(w₂) =
+    N₁₊(·w₂)/N₁₊(··) — "how many contexts does w₂ complete", the
+    insight that makes 'Francisco' rare as a continuation despite
+    being frequent as a token.
+
+    All model relations are exact-integer count aggregates over the
+    bigram-TYPE relation (c2): follow-type and left-context-type
+    counts are groupBys of c2, not rescans of the corpus.  The probe
+    joins (bigram → c2 → c1 → ctx) stay UNHINTED — a 100 TB bigram
+    vocabulary outgrows broadcast; AQE demotes while small.  The
+    1-row type total is an explicit broadcast.  Probabilities are
+    exact rationals evaluated identically; 4-dp round on ppl.
+    """
+    toks = (
+        t_fanout(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(TOKS_SPARK).alias("tk"))
+        .persist()
+    )
+    bg = (
+        toks.filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(arrays_zip(slice(tk, 1, size(tk) - 1), "
+                    "slice(tk, 2, size(tk) - 1)), "
+                    "z -> struct(z.`0` AS w1, z.`1` AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+        .persist()
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("n2")).persist()
+    c1 = c2.groupBy("w1").agg(
+        F.sum("n2").alias("n1"), F.count("*").alias("follow_types")
+    )
+    ctx = c2.groupBy("w2").agg(F.count("*").alias("left_types"))
+    tot = c2.agg(F.count("*").alias("n_bigram_types"))
+    p_kn = F.greatest(F.col("n2") - 0.75, F.lit(0.0)) / F.col("n1") + (
+        0.75 * F.col("follow_types") / F.col("n1")
+    ) * (F.col("left_types") * F.lit(1.0) / F.col("n_bigram_types"))
+    return (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(ctx, "w2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.pow(F.lit(2.0), -F.sum(F.log2(p_kn)) / F.count("*")), 4
+            ).alias("ppl_kn"),
+        )
+    )

@@ -117,6 +117,8 @@ SUBSET = [
     "scan_schema_evolution",
     "feature_loo_encoding",
     "raster_flow_direction",
+    "sim_mips",
+    "text_kn_smoothing",
 ]
 
 

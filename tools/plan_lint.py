@@ -76,6 +76,9 @@ RULES: dict[str, dict[str, str]] = {
         "agg_benford_profile": "1-row digit-total aggregate broadcast",
         "ts_autocorr": "3-row lag-constant relation crossed into the "
         "bar stream before the equi lag-join",
+        "sim_mips": "1-row max-norm scalar and 5-row probe set "
+        "broadcast against the corpus scan",
+        "text_kn_smoothing": "1-row bigram-type total broadcast",
     },
     "BatchEvalPython": {
         "udf_scalar_py": "THE deliberate row-Python surface key",
