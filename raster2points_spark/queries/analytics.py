@@ -1162,3 +1162,168 @@ def ts_autocorr(spark, sf_dir):
     return sums.select(
         "event_type", "k", "n", F.round(num / den, 4).alias("acf")
     )
+
+
+@register(
+    "ab_test_proportions",
+    oracle=f"""
+    WITH assign AS (
+      SELECT user_id % 2 AS variant,
+             max(CASE WHEN event_type = 'purchase' AND value > 350
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT variant, count(*) AS n,
+             cast(sum(converted) AS bigint) AS conv
+      FROM assign GROUP BY 1
+    )
+    SELECT variant, n, conv,
+           round(conv / CAST(n AS DOUBLE), 6) AS p_hat,
+           round((conv / CAST(n AS DOUBLE) + 1.959964 * 1.959964 / (2 * n)
+                  - 1.959964 * sqrt((conv / CAST(n AS DOUBLE))
+                      * (1 - conv / CAST(n AS DOUBLE)) / n
+                      + 1.959964 * 1.959964 / (4 * CAST(n AS DOUBLE) * n)))
+                 / (1 + 1.959964 * 1.959964 / n), 6) AS wilson_lo,
+           round((conv / CAST(n AS DOUBLE) + 1.959964 * 1.959964 / (2 * n)
+                  + 1.959964 * sqrt((conv / CAST(n AS DOUBLE))
+                      * (1 - conv / CAST(n AS DOUBLE)) / n
+                      + 1.959964 * 1.959964 / (4 * CAST(n AS DOUBLE) * n)))
+                 / (1 + 1.959964 * 1.959964 / n), 6) AS wilson_hi
+    FROM arms
+    """,
+)
+def ab_test_proportions(spark, sf_dir):
+    """A/B test readout: per-variant conversion rate with the 95%
+    WILSON score interval — the experimentation table-stakes (Wilson,
+    not Wald: Wald's ±z√(p̂q̂/n) collapses to zero width at p̂∈{0,1}
+    and undercovers at small n; every serious experiment platform
+    ships Wilson or Jeffreys).
+
+    Users are deterministically assigned by id parity; conversion =
+    any high-value purchase (value > 350 — keeps p̂ interior so the
+    interval math is non-degenerate).  Two map-side-combined aggregates (per-user
+    flag, then per-arm totals — user grain FIRST, so a chatty user
+    can't inflate conversions), then the interval is one codegen
+    expression over exact integer (n, conv) — evaluated with identical
+    association both engines, z = 1.959964 spelled as the same literal.
+    At 100 TB: two key-shuffles, output = |variants| rows.
+    """
+    ev = t(spark, sf_dir, "events")
+    assign = ev.groupBy((F.col("user_id") % 2).alias("variant"), F.col("user_id")).agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 350), 1
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    arms = assign.groupBy("variant").agg(
+        F.count("*").alias("n"), F.sum("converted").alias("conv")
+    )
+    z = F.lit(1.959964)
+    p = F.col("conv") / F.col("n").cast("double")
+    z2n = z * z / F.col("n")
+    center = p + z * z / (2 * F.col("n"))
+    half = z * F.sqrt(
+        p * (1 - p) / F.col("n")
+        + z * z / (4 * F.col("n").cast("double") * F.col("n"))
+    )
+    denom = 1 + z2n
+    return arms.select(
+        "variant",
+        "n",
+        "conv",
+        F.round(p, 6).alias("p_hat"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    )
+
+
+@register(
+    "ts_cusum_changepoint",
+    oracle=f"""
+    WITH hr AS (
+      SELECT event_type,
+             cast(floor({ORACLE_TSEC.format(c='ts')} / 3600) AS bigint) AS h,
+             sum(cast(round(value * 1000) AS bigint)) AS vm
+      FROM events GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT event_type,
+             cast(sum(vm) AS bigint) AS tot,
+             cast(count(*) AS bigint) AS nbars
+      FROM hr GROUP BY 1
+    ),
+    cs AS (
+      SELECT h.event_type, h.h,
+             sum(h.vm * b.nbars - b.tot)
+               OVER (PARTITION BY h.event_type ORDER BY h.h
+                     ROWS UNBOUNDED PRECEDING) AS cusum_scaled,
+             b.nbars, b.tot
+      FROM hr h JOIN base b ON b.event_type = h.event_type
+    ),
+    ranked AS (
+      SELECT event_type, h, cusum_scaled, nbars,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(cusum_scaled) DESC, h) AS rn
+      FROM cs
+    )
+    SELECT event_type, h AS change_hour,
+           round(cusum_scaled / (CAST(1000.0 AS DOUBLE) * nbars), 4)
+             AS peak_cusum
+    FROM ranked WHERE rn = 1
+    """,
+)
+def ts_cusum_changepoint(spark, sf_dir):
+    """CUSUM change-point detection per series: the running cumulative
+    sum of deviations from the series mean peaks (in absolute value)
+    exactly where the level shifts — the classic single-changepoint
+    estimator (Page's CUSUM / binary-segmentation step 1), and the
+    monitoring primitive behind "when did this metric break".
+
+    Determinism: deviations are kept INTEGER by scaling — vm·n − Σvm
+    (milli-units × bar count) — so the running sum and the argmax are
+    exact bigints in any order; the peak is reported back in value
+    units by one double division.  Tiebreak (|cusum| DESC, h) makes
+    the argmax total-ordered (R2).
+
+    Scale: events collapse map-side to bars; the per-series mean is a
+    |types|-row aggregate joined back; one cumulative window + one
+    rank over the bar relation.  At 100 TB this is two shuffles of
+    |types|×|hours| rows.
+    """
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    hr = ev.groupBy(
+        "event_type",
+        F.floor(unix_secs(F.col("ts")) / 3600).cast("bigint").alias("h"),
+    ).agg(F.sum(F.round(F.col("value") * 1000).cast("bigint")).alias("vm"))
+    base = hr.groupBy(F.col("event_type").alias("b_type")).agg(
+        F.sum("vm").cast("bigint").alias("tot"),
+        F.count("*").cast("bigint").alias("nbars"),
+    )
+    cs = hr.join(base, F.col("b_type") == F.col("event_type"))
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cs = cs.withColumn(
+        "cusum_scaled",
+        F.sum(F.col("vm") * F.col("nbars") - F.col("tot")).over(wrun),
+    )
+    wrank = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum_scaled")).desc(), "h"
+    )
+    return (
+        cs.withColumn("rn", F.row_number().over(wrank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("h").alias("change_hour"),
+            F.round(
+                F.col("cusum_scaled") / (F.lit(1000.0) * F.col("nbars")), 4
+            ).alias("peak_cusum"),
+        )
+    )

@@ -756,3 +756,100 @@ def join_null_safe(spark, sf_dir):
         .groupBy("k")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "diff_snapshots",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus,
+             cast(round(o_totalprice * 100) AS bigint) AS cents
+      FROM orders
+    ),
+    v1 AS (
+      SELECT o_orderkey AS k, cents / CAST(100.0 AS DOUBLE) AS price,
+             o_orderstatus AS st
+      FROM base WHERE o_orderkey % 7 <> 0
+    ),
+    v2 AS (
+      SELECT o_orderkey AS k,
+             (CASE WHEN o_orderkey % 5 = 0
+                   THEN cents + cast(floor(cents / 10) AS bigint)
+                   ELSE cents END) / CAST(100.0 AS DOUBLE) AS price,
+             o_orderstatus AS st
+      FROM base WHERE o_orderkey % 11 <> 0
+    )
+    SELECT coalesce(v1.k, v2.k) AS k,
+           CASE WHEN v1.k IS NULL THEN 'added'
+                WHEN v2.k IS NULL THEN 'removed'
+                WHEN v1.price <> v2.price OR v1.st <> v2.st THEN 'changed'
+                ELSE 'unchanged' END AS diff_kind,
+           coalesce(v1.price, -1.0) AS old_price,
+           coalesce(v2.price, -1.0) AS new_price
+    FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+    WHERE NOT (v1.k IS NOT NULL AND v2.k IS NOT NULL
+               AND v1.price = v2.price AND v1.st = v2.st)
+    """,
+)
+def diff_snapshots(spark, sf_dir):
+    """Table-version diff (data reconciliation): two snapshots of the
+    orders table — v2 drops some rows, adds others, and bumps some
+    prices — classified into added / removed / changed by ONE full
+    outer join on the key, unchanged rows filtered out.  The
+    operational primitive behind CDC validation, migration sign-off
+    and "what did last night's load change" (the Datafold/data-diff
+    shape).
+
+    Scale shape: a single key-partitioned FULL OUTER hash join — both
+    snapshots shuffle once on the key, the classification is a codegen
+    projection over the joined row, and the unchanged majority is
+    dropped BEFORE any collection (output ∝ churn, not table size).
+    For petabyte tables you'd pre-filter both sides with partition-
+    level checksums so only dirty partitions join; the row-level core
+    stays exactly this.  Prices travel as integer cents (the +10%%
+    bump is cents + floor(cents/10)) so the change predicate and the
+    emitted doubles are exact in both engines.
+    """
+    # integer-cents arithmetic for the synthetic +10%% bump: a double
+    # x*1.1 lands on exact .005 midpoints (2-dp inputs) and the two
+    # engines round them to opposite sides — cents + floor(cents/10)
+    # is exact in any engine
+    o = t(spark, sf_dir, "orders").withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100).cast("bigint")
+    )
+    v1 = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("k1"),
+        (F.col("cents") / 100.0).alias("price1"),
+        F.col("o_orderstatus").alias("st1"),
+    )
+    v2 = o.filter(F.col("o_orderkey") % 11 != 0).select(
+        F.col("o_orderkey").alias("k2"),
+        (
+            F.when(
+                F.col("o_orderkey") % 5 == 0,
+                F.col("cents") + F.floor(F.col("cents") / 10).cast("bigint"),
+            ).otherwise(F.col("cents"))
+            / 100.0
+        ).alias("price2"),
+        F.col("o_orderstatus").alias("st2"),
+    )
+    j = v1.join(v2, F.col("k1") == F.col("k2"), "full_outer")
+    kind = (
+        F.when(F.col("k1").isNull(), "added")
+        .when(F.col("k2").isNull(), "removed")
+        .when(
+            (F.col("price1") != F.col("price2")) | (F.col("st1") != F.col("st2")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        j.withColumn("diff_kind", kind)
+        .filter(F.col("diff_kind") != "unchanged")
+        .select(
+            F.coalesce("k1", "k2").alias("k"),
+            "diff_kind",
+            F.coalesce("price1", F.lit(-1.0)).alias("old_price"),
+            F.coalesce("price2", F.lit(-1.0)).alias("new_price"),
+        )
+    )

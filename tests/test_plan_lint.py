@@ -119,6 +119,9 @@ SUBSET = [
     "raster_flow_direction",
     "sim_mips",
     "text_kn_smoothing",
+    "diff_snapshots",
+    "ab_test_proportions",
+    "ts_cusum_changepoint",
 ]
 
 
