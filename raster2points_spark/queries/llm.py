@@ -4163,3 +4163,114 @@ def text_kn_smoothing(spark, sf_dir):
             ).alias("ppl_kn"),
         )
     )
+
+
+_KC_K = 6
+_KC_DIST_DUCK = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "j -> ({a}.v[j] - {b}.v[j]) * ({a}.v[j] - {b}.v[j])))"
+)
+
+
+def _kcenter_oracle() -> str:
+    d = _KC_DIST_DUCK.format
+    ctes = [
+        "ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
+        " AS v FROM embeddings)",
+        "c0 AS (SELECT vec_id, v FROM ev WHERE vec_id = 0)",
+        f"m0 AS (SELECT e.vec_id, {d(a='e', b='c')} AS dd"
+        " FROM ev e CROSS JOIN c0 c)",
+    ]
+    for k in range(1, _KC_K):
+        ctes.append(
+            f"p{k} AS (SELECT vec_id FROM (SELECT vec_id, row_number() OVER "
+            f"(ORDER BY dd DESC, vec_id) rn FROM m{k - 1}) WHERE rn = 1)"
+        )
+        ctes.append(f"c{k} AS (SELECT e.vec_id, e.v FROM ev e JOIN p{k} USING (vec_id))")
+        ctes.append(
+            f"m{k} AS (SELECT m.vec_id, least(m.dd, {d(a='e', b='c')}) AS dd"
+            f" FROM m{k - 1} m JOIN ev e USING (vec_id) CROSS JOIN c{k} c)"
+        )
+    sel = " UNION ALL ".join(
+        ["SELECT 0 AS round, vec_id FROM c0"]
+        + [f"SELECT {k} AS round, vec_id FROM p{k}" for k in range(1, _KC_K)]
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    , centers AS ({sel})
+    SELECT c.round, c.vec_id,
+           round((SELECT max(dd) FROM m{_KC_K - 1}), 4) AS final_radius_sq
+    FROM centers c
+    """
+    )
+
+
+@register("sample_kcenter", oracle=_kcenter_oracle())
+def sample_kcenter(spark, sf_dir):
+    """Greedy k-center (farthest-point-first) coreset selection — the
+    DIVERSITY sampler: each round picks the point farthest from every
+    center chosen so far, giving a 2-approximation of the optimal
+    covering radius.  This is the geometric dual of the frequency-
+    driven samplers (mixture/stratified pick what's COMMON; k-center
+    picks what's UNCOVERED) — the data-pruning / active-learning
+    "select diverse exemplars" step.
+
+    Per round: the min-distance-to-centers relation updates with ONE
+    in-row least() against the newest center (a 1-row broadcast — the
+    incremental identity min(d, d_new) avoids re-scanning all chosen
+    centers), and the next center is a 1-ROW max_by AGGREGATE with a
+    packed (dd, −vec_id) tiebreak — never a global sort (at 100 TB
+    row_number over an unpartitioned window funnels the corpus into
+    one task; max_by is the scalable argmax, and the oracle's
+    row_number states the same total order).  localCheckpoint per
+    round (pagerank discipline).  Distances fold in ascending dim
+    order both engines → bitwise-equal doubles; ties broken by id.
+    Output: the 6 chosen centers + the final covering radius (a 1-row
+    aggregate crossJoined back).
+    """
+    from pyspark.sql import Window  # noqa: F401  (parity with siblings)
+
+    ev = (
+        t_fanout(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .persist()
+    )
+    dist = (
+        "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), "
+        "cast(0.0 AS double), (acc, z) -> acc + z)"
+    )
+    c = ev.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
+    )
+    m = (
+        ev.crossJoin(F.broadcast(c))
+        .select("vec_id", "v", F.expr(dist).alias("dd"))
+        .localCheckpoint(eager=True)
+    )
+    picks = [c.select(F.lit(0).alias("round"), F.col("c_id").alias("vec_id"))]
+    for k in range(1, _KC_K):
+        p = m.agg(
+            F.max_by(
+                "vec_id", F.struct(F.col("dd"), -F.col("vec_id"))
+            ).alias("vec_id")
+        )
+        c = ev.join(F.broadcast(p), "vec_id").select(
+            F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
+        )
+        picks.append(c.select(F.lit(k).alias("round"), F.col("c_id").alias("vec_id")))
+        m = (
+            m.crossJoin(F.broadcast(c))
+            .select(
+                "vec_id",
+                "v",
+                F.least(F.col("dd"), F.expr(dist)).alias("dd"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    radius = m.agg(F.round(F.max("dd"), 4).alias("final_radius_sq"))
+    centers = picks[0]
+    for pk in picks[1:]:
+        centers = centers.union(pk)
+    return centers.crossJoin(F.broadcast(radius))

@@ -583,3 +583,75 @@ def scan_schema_evolution(spark, sf_dir):
         F.count("*").alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@register(
+    "scan_csv_permissive",
+    oracle="""
+    SELECT count(CASE WHEN o_orderkey % 13 <> 0 THEN 1 END) AS n_good,
+           count(CASE WHEN o_orderkey % 13 = 0 THEN 1 END) AS n_corrupt,
+           cast(sum(CASE WHEN o_orderkey % 13 <> 0
+                         THEN cast(round(o_totalprice * 100) AS bigint) END)
+                AS bigint) AS good_cents
+    FROM orders
+    """,
+)
+def scan_csv_permissive(spark, sf_dir):
+    """Malformed-input handling: a CSV feed where every 13th record is
+    garbage ("corrupt-upstream-export" reality), read in PERMISSIVE
+    mode with columnNameOfCorruptRecord — bad rows surface as a
+    quarantine column instead of failing the job (FAILFAST) or
+    vanishing silently (DROPMALFORMED loses the evidence).  The
+    operational contract: good rows aggregate, bad rows are COUNTED,
+    and good+bad = input (nothing dropped on the floor).
+
+    The fixture is written as raw text lines (the CSV writer can't
+    produce malformed output); corruption = an unparseable key column.
+    The oracle derives the same partition from the source relation
+    arithmetically — matching proves PERMISSIVE routed every row to
+    exactly one side and parsed the survivors losslessly (prices
+    re-aggregated as exact integer cents).
+
+    Scale: text write + schema-supplied CSV read (inference would be a
+    full extra pass); corrupt-record tracking is per-row codegen, the
+    rollup is one map-side-combined aggregate.
+    """
+    path = os.path.join(SCRATCH, "csv_permissive")
+    o = t(spark, sf_dir, "orders")
+    lines = o.select(
+        F.when(
+            F.col("o_orderkey") % 13 == 0,
+            F.concat(F.lit("GARBAGE_"), F.col("o_orderstatus"), F.lit(",not_a_number")),
+        )
+        .otherwise(
+            F.concat_ws(
+                ",",
+                F.col("o_orderkey").cast("string"),
+                F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+                F.col("o_orderstatus"),
+            )
+        )
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("cents", T.LongType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    return back.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_good"),
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1)).alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("cents"))).alias(
+            "good_cents"
+        ),
+    )

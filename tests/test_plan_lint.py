@@ -122,6 +122,8 @@ SUBSET = [
     "diff_snapshots",
     "ab_test_proportions",
     "ts_cusum_changepoint",
+    "sample_kcenter",
+    "scan_csv_permissive",
 ]
 
 

@@ -78,6 +78,8 @@ RULES: dict[str, dict[str, str]] = {
         "bar stream before the equi lag-join",
         "sim_mips": "1-row max-norm scalar and 5-row probe set "
         "broadcast against the corpus scan",
+        "sample_kcenter": "1-row newest-center and argmax broadcasts "
+        "per greedy round",
         "text_kn_smoothing": "1-row bigram-type total broadcast",
     },
     "BatchEvalPython": {
@@ -101,6 +103,9 @@ RULES: dict[str, dict[str, str]] = {
         "join_bucketed": "any_value(STRING) falls back, but the input "
         "arrives sorted on the grouping key from the bucketed merge "
         "join — the sort-agg pays no extra sort",
+        "sample_kcenter": "the global 1-row max_by argmax carries a "
+        "(double, id) struct comparator (not hash-agg mutable); with "
+        "no grouping keys the fallback sorts nothing",
     },
 }
 
