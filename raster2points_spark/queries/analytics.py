@@ -1327,3 +1327,107 @@ def ts_cusum_changepoint(spark, sf_dir):
             ).alias("peak_cusum"),
         )
     )
+
+
+# Columns for the two-pass correlation matrix, scaled to exact
+# integers (hundredths / cents) so pass-1 sums are exact bigints.
+_CM_COLS = [
+    ("l_quantity", 100),
+    ("l_extendedprice", 100),
+    ("l_discount", 100),
+    ("l_tax", 100),
+]
+
+
+def _corr_matrix_oracle() -> str:
+    k = len(_CM_COLS)
+    ints = ",\n           ".join(
+        f"cast(round({c} * {sc}) AS bigint) AS x{i}"
+        for i, (c, sc) in enumerate(_CM_COLS)
+    )
+    mus = ", ".join(
+        [f"sum(x{i}) / CAST(count(*) AS DOUBLE) AS mu{i}" for i in range(k)]
+    )
+    cents = []
+    for i in range(k):
+        for j in range(i, k):
+            cents.append(f"sum((x{i} - mu{i}) * (x{j} - mu{j})) AS c{i}_{j}")
+    pairs = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            pairs.append(
+                f"SELECT '{_CM_COLS[i][0]}' AS col_a, '{_CM_COLS[j][0]}' AS col_b, "
+                f"round(c{i}_{j} / (sqrt(c{i}_{i}) * sqrt(c{j}_{j})), 6) AS r "
+                f"FROM cents"
+            )
+    return (
+        f"""
+    WITH ints AS (
+      SELECT {ints}
+      FROM lineitem
+    ),
+    mus AS (SELECT {mus} FROM ints),
+    cents AS (
+      SELECT {", ".join(cents)}
+      FROM ints CROSS JOIN mus
+    )
+    """
+        + " UNION ALL ".join(pairs)
+    )
+
+
+@register("agg_corr_matrix", oracle=_corr_matrix_oracle())
+def agg_corr_matrix(spark, sf_dir):
+    """Full pairwise Pearson correlation matrix over the lineitem
+    numeric columns — the feature-selection / multicollinearity
+    screen, in the shape that is BOTH scale- and numerically-correct:
+    two passes, never an unpivot + self-join that shuffles n·k² rows.
+
+    Pass 1: exact integer column sums → means (the raw-moment one-pass
+    identity n·Σxy − Σx·Σy was tried first and OVERFLOWS int64 at
+    cents scale — n·Σx² ≈ 3.6e19 > 2⁶³ — and in doubles it
+    catastrophically cancels for correlated pairs).  Pass 2: centered
+    cross-products in doubles against the 1-row broadcast means —
+    well-conditioned (no cancellation), one map-side-combined
+    aggregate producing all C(4,2)+4 = 10 moments at once; the pair
+    expansion runs over the ONE-row moment relation.  Summation order
+    skews centered sums at ~1e-13 relative; 6-dp round absorbs it.
+    """
+    k = len(_CM_COLS)
+    ints = t(spark, sf_dir, "lineitem").select(
+        *[
+            F.round(F.col(c) * sc).cast("bigint").alias(f"x{i}")
+            for i, (c, sc) in enumerate(_CM_COLS)
+        ]
+    )
+    mus = ints.agg(
+        *[
+            (F.sum(f"x{i}") / F.count("*").cast("double")).alias(f"mu{i}")
+            for i in range(k)
+        ]
+    )
+    centered = ints.crossJoin(F.broadcast(mus))
+    aggs = []
+    for i in range(k):
+        for j in range(i, k):
+            aggs.append(
+                F.sum(
+                    (F.col(f"x{i}") - F.col(f"mu{i}"))
+                    * (F.col(f"x{j}") - F.col(f"mu{j}"))
+                ).alias(f"c{i}_{j}")
+            )
+    cents = centered.agg(*aggs)
+    out = None
+    for i in range(k):
+        for j in range(i + 1, k):
+            row = cents.select(
+                F.lit(_CM_COLS[i][0]).alias("col_a"),
+                F.lit(_CM_COLS[j][0]).alias("col_b"),
+                F.round(
+                    F.col(f"c{i}_{j}")
+                    / (F.sqrt(F.col(f"c{i}_{i}")) * F.sqrt(F.col(f"c{j}_{j}"))),
+                    6,
+                ).alias("r"),
+            )
+            out = row if out is None else out.union(row)
+    return out

@@ -664,3 +664,93 @@ def seq_pattern_detect(spark, sf_dir):
         F.col("tsec2").alias("t_purchase"),
         (F.col("tsec2") - F.col("tsec")).alias("span_s"),
     )
+
+
+@register(
+    "interval_coverage",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             {ORACLE_TSEC.format(c='ts')} AS s,
+             {ORACLE_TSEC.format(c='ts')} + 300 AS e
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (
+                    PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             sum(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, event_id
+               ROWS UNBOUNDED PRECEDING) AS island_id
+      FROM flagged
+    ),
+    merged AS (
+      SELECT user_id, island_id,
+             max(e) - min(s) AS len_s
+      FROM islands GROUP BY 1, 2
+    )
+    SELECT user_id,
+           cast(count(*) AS bigint) AS n_islands,
+           cast(sum(len_s) AS bigint) AS covered_s
+    FROM merged GROUP BY 1
+    """,
+)
+def interval_coverage(spark, sf_dir):
+    """Union length of overlapping intervals per user — each event
+    opens a 5-minute exposure window; overlaps must not double-count
+    (ad-exposure seconds, machine uptime, on-call coverage all reduce
+    to this).  The classic gaps-and-islands sweep: an interval starts
+    a NEW island iff its start exceeds the running max end of all
+    earlier intervals (rle_events' flag-cumsum generalized from
+    adjacency to OVERLAP — max-end tracking handles intervals nested
+    inside earlier, longer ones, which lag(end) would miss).
+
+    One (user, start)-sorted window feeds the flag, the island id is
+    the flag's running sum over the same sort, and the merge is a
+    map-side-combined groupBy — a single exchange keyed by user; all
+    arithmetic in exact epoch-second integers.  At 100 TB: per-user
+    state never leaves its partition (same contract as
+    sessionize_batch).
+    """
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        unix_secs(F.col("ts")).alias("s"),
+        (unix_secs(F.col("ts")) + 300).alias("e"),
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(wprev), F.lit(-1)), 1
+        ).otherwise(0),
+    )
+    # SAME total order (s, event_id) as the flag window: with duplicate
+    # starts, a different tie order would let a non-flagged duplicate be
+    # cumsum'd BEFORE its flagged twin and fall into the prior island
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = flagged.withColumn("island_id", F.sum("new_island").over(wrun))
+    merged = islands.groupBy("user_id", "island_id").agg(
+        (F.max("e") - F.min("s")).alias("len_s")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_islands"),
+        F.sum("len_s").cast("bigint").alias("covered_s"),
+    )

@@ -124,6 +124,8 @@ SUBSET = [
     "ts_cusum_changepoint",
     "sample_kcenter",
     "scan_csv_permissive",
+    "agg_corr_matrix",
+    "interval_coverage",
 ]
 
 

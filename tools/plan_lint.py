@@ -74,6 +74,8 @@ RULES: dict[str, dict[str, str]] = {
         "embed_power_iteration": "1-row norm scalar broadcast per "
         "normalization round",
         "agg_benford_profile": "1-row digit-total aggregate broadcast",
+        "agg_corr_matrix": "1-row column-means relation broadcast into "
+        "the centered pass",
         "ts_autocorr": "3-row lag-constant relation crossed into the "
         "bar stream before the equi lag-join",
         "sim_mips": "1-row max-norm scalar and 5-row probe set "
