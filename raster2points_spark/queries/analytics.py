@@ -900,12 +900,18 @@ def graph_shortest_hops(spark, sf_dir):
     ).persist()
     # 1-row scalar: the BFS source (smallest order node).
     seed_id = li.agg(F.min("l_orderkey")).collect()[0][0]
-    visited = (
+    seed = (
         spark.range(1)
         .select(F.lit(seed_id).cast("long").alias("id"), F.lit(0).alias("hops"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    frontier = visited.select("id")
+    # visited is the UNION of the per-round checkpointed frontiers —
+    # one checkpoint per round (on nxt only), not two: the union of
+    # already-materialized levels needs no re-checkpoint, which halves
+    # the per-round job count (was the probe's worst key at sf0.1).
+    levels = [seed]
+    visited = seed
+    frontier = seed.select("id")
     for h in range(1, 5):
         nxt = (
             frontier.join(edges, frontier.id == edges.src)
@@ -915,9 +921,13 @@ def graph_shortest_hops(spark, sf_dir):
             .withColumn("hops", F.lit(h))
             .localCheckpoint(eager=True)
         )
-        visited = visited.union(nxt).localCheckpoint(eager=True)
+        levels.append(nxt)
+        visited = visited.union(nxt)
         frontier = nxt.select("id")
-    return visited
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
 
 
 @register(
