@@ -751,3 +751,58 @@ def fn_struct(spark, sf_dir):
         .otherwise("ne")
         .alias("key_roundtrip"),
     )
+
+
+@register(
+    "fn_mask",
+    oracle="""
+    WITH src AS (
+      SELECT c_custkey, concat(c_name, '-', c_mktsegment) AS s FROM customer
+    )
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(s,
+               '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+             AS masked_default,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(s,
+               '[A-Z]', 'Q', 'g'), '[a-z]', 'q', 'g'), '[0-9]', '9', 'g'),
+               '[^Qq9]', '*', 'g') AS masked_custom,
+           regexp_replace(s, '[0-9]', 'n', 'g') AS digits_only_masked
+    FROM src
+    """,
+)
+def fn_mask(spark, sf_dir):
+    """Data-masking scalar surface: Spark's `mask()` builtin (the
+    column-level PII redaction GRANT MASKED policies compile to) in
+    its default X/x/n form, a custom-character form that also masks
+    punctuation, and a digits-only variant via mask's keep-arguments.
+    The oracle states the same transforms as regexp_replace chains —
+    the portable spelling, and the proof that mask() is exactly
+    class-wise character substitution (text_pii_scrub is the
+    pattern-level cousin; this is the type-level one).
+
+    Pure whole-stage-codegen projection — masking at 100 TB is free
+    relative to the scan it fuses into.
+    """
+    c = t(spark, sf_dir, "customer")
+    src = c.select(
+        "c_custkey",
+        F.concat(F.col("c_name"), F.lit("-"), F.col("c_mktsegment")).alias("s"),
+    )
+    return src.select(
+        "c_custkey",
+        F.mask("s").alias("masked_default"),
+        F.mask(
+            "s",
+            F.lit("Q"),
+            F.lit("q"),
+            F.lit("9"),
+            F.lit("*"),
+        ).alias("masked_custom"),
+        F.mask(
+            "s",
+            F.lit(None).cast("string"),
+            F.lit(None).cast("string"),
+            F.lit("n"),
+            F.lit(None).cast("string"),
+        ).alias("digits_only_masked"),
+    )

@@ -4274,3 +4274,63 @@ def sample_kcenter(spark, sf_dir):
     for pk in picks[1:]:
         centers = centers.union(pk)
     return centers.crossJoin(F.broadcast(radius))
+
+
+@register(
+    "text_readability",
+    oracle=r"""
+    WITH m AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(text, '[.!?]+\s+'),
+                             x -> trim(x) <> '')) AS n_sent,
+             len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+               AS n_words,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll
+      FROM documents
+    )
+    SELECT doc_id, n_sent, n_words, n_syll,
+           round(0.39 * (n_words / CAST(n_sent AS DOUBLE))
+                 + 11.8 * (n_syll / CAST(n_words AS DOUBLE)) - 15.59, 4)
+             AS fk_grade
+    FROM m WHERE n_sent > 0 AND n_words > 0
+    """,
+)
+def text_readability(spark, sf_dir):
+    """Flesch-Kincaid grade level per document — the readability
+    quality signal (used alongside Gopher rules to drop both
+    word-salad AND legalese): 0.39·(words/sentence) +
+    11.8·(syllables/word) − 15.59, with syllables approximated by
+    VOWEL-GROUP runs ([aeiouy]+ — the standard cheap estimator; runs
+    can't cross spaces, so one whole-text regexp_extract_all equals
+    the per-word sum without exploding anything).
+
+    Sentence counting shares text_sentence_split's RE2-safe
+    terminal-punctuation pattern (the common-regex-subset
+    discipline).  All three counts are exact integers computed
+    IN-ROW; the grade is one identical double expression — zero
+    shuffles, fused into the scan at any corpus size.
+    """
+    m = t_fanout(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(
+            F.expr(r"filter(split(text, '[.!?]+\\s+'), x -> trim(x) != '')")
+        ).alias("n_sent"),
+        F.size(
+            F.expr("filter(split(lower(text), ' '), x -> x != '')")
+        ).alias("n_words"),
+        F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")).alias(
+            "n_syll"
+        ),
+    )
+    grade = (
+        0.39 * (F.col("n_words") / F.col("n_sent").cast("double"))
+        + 11.8 * (F.col("n_syll") / F.col("n_words").cast("double"))
+        - 15.59
+    )
+    return m.filter((F.col("n_sent") > 0) & (F.col("n_words") > 0)).select(
+        "doc_id",
+        "n_sent",
+        "n_words",
+        "n_syll",
+        F.round(grade, 4).alias("fk_grade"),
+    )

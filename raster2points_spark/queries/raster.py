@@ -1271,3 +1271,148 @@ def raster_flow_direction(spark, sf_dir):
             F.when(F.col("grad") > 0, F.col("grad")).otherwise(0.0), 6
         ).alias("drop_per_unit"),
     )
+
+
+_FA_ROUNDS = 5
+
+
+def _flow_accum_oracle() -> str:
+    ctes = [
+        _PX.strip().removeprefix("WITH "),
+        """valid AS (
+      SELECT cast(row AS bigint) * 64 + col AS pid, col, row, value
+      FROM pix WHERE band_id = 'b1' AND value IS NOT NULL
+    )""",
+        """offs AS (
+      SELECT * FROM (VALUES
+        (0,  1,  0, CAST(1.0 AS DOUBLE)), (1,  1,  1, sqrt(CAST(2.0 AS DOUBLE))),
+        (2,  0,  1, CAST(1.0 AS DOUBLE)), (3, -1,  1, sqrt(CAST(2.0 AS DOUBLE))),
+        (4, -1,  0, CAST(1.0 AS DOUBLE)), (5, -1, -1, sqrt(CAST(2.0 AS DOUBLE))),
+        (6,  0, -1, CAST(1.0 AS DOUBLE)), (7,  1, -1, sqrt(CAST(2.0 AS DOUBLE)))
+      ) AS o(dir, dc, dr, dist)
+    )""",
+        """grads AS (
+      SELECT c.pid, n.pid AS down_pid, o.dir,
+             (c.value - n.value) / o.dist AS grad
+      FROM valid c
+      JOIN offs o ON TRUE
+      JOIN valid n ON n.col = c.col + o.dc AND n.row = c.row + o.dr
+    )""",
+        """edges AS (
+      SELECT pid, down_pid FROM (
+        SELECT pid, down_pid, grad,
+               row_number() OVER (PARTITION BY pid
+                                  ORDER BY grad DESC, dir) AS rn
+        FROM grads
+      ) WHERE rn = 1 AND grad > 0
+    )""",
+        "a0 AS (SELECT pid, cast(1 AS bigint) AS acc FROM valid)",
+    ]
+    for k in range(_FA_ROUNDS):
+        ctes.append(
+            f"""a{k + 1} AS (
+      SELECT v.pid,
+             cast(1 + coalesce((SELECT sum(u.acc) FROM a{k} u JOIN edges e
+                           ON e.pid = u.pid AND e.down_pid = v.pid), 0)
+                  AS bigint) AS acc
+      FROM a0 v
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT v.col, v.row, a.acc
+    FROM a{_FA_ROUNDS} a JOIN valid v ON v.pid = a.pid
+    """
+    )
+
+
+@register("raster_flow_accumulation", oracle=_flow_accum_oracle())
+def raster_flow_accumulation(spark, sf_dir):
+    """D8 flow ACCUMULATION — the second half of the hydrology pair
+    (raster_flow_direction builds the drainage graph; this counts, for
+    every cell, how many cells drain through it): acc = 1 + Σ acc of
+    immediate upstream neighbors, iterated 5 synchronous rounds so the
+    oracle can state the exact fixpoint prefix (cells ≤5 steps
+    upstream counted — full convergence iterates to the longest flow
+    path, exactly like dedup_components iterates to the graph
+    diameter).  Stream networks emerge where acc exceeds a threshold.
+
+    Shape: the drainage graph is ONE argmax rank over the shift-join
+    gradients (shared with flow_direction), then each round is one
+    groupBy(down_pid) partial-aggregated sum + a left join back —
+    integer-exact in any order, localCheckpoint per round.  At 100 TB
+    the graph is keyed by spatial cell; rounds shuffle |cells| rows
+    pre-combined map-side.  (The oracle's correlated per-cell subquery
+    states the same sum; the groupBy form is what scales.)
+    """
+    px = nodata_filter(
+        grid_unpivot(_tiles(spark, sf_dir).filter(F.col("band_id") == "b1"))
+    )
+    valid = px.select(
+        (F.col("row").cast("bigint") * 64 + F.col("col")).alias("pid"),
+        "col",
+        "row",
+        "value",
+    ).persist()
+    cand = valid.select(
+        "pid",
+        "col",
+        "row",
+        F.col("value").alias("cv"),
+        F.explode(
+            F.expr(
+                "array(struct(0 as dir,  1 as dc,  0 as dr, cast(1.0 as double) as dist), "
+                "struct(1 as dir,  1 as dc,  1 as dr, sqrt(cast(2.0 as double)) as dist), "
+                "struct(2 as dir,  0 as dc,  1 as dr, cast(1.0 as double) as dist), "
+                "struct(3 as dir, -1 as dc,  1 as dr, sqrt(cast(2.0 as double)) as dist), "
+                "struct(4 as dir, -1 as dc,  0 as dr, cast(1.0 as double) as dist), "
+                "struct(5 as dir, -1 as dc, -1 as dr, sqrt(cast(2.0 as double)) as dist), "
+                "struct(6 as dir,  0 as dc, -1 as dr, cast(1.0 as double) as dist), "
+                "struct(7 as dir,  1 as dc, -1 as dr, sqrt(cast(2.0 as double)) as dist))"
+            )
+        ).alias("o"),
+    )
+    nbr = valid.select(
+        F.col("pid").alias("down_pid"),
+        F.col("col").alias("ncol"),
+        F.col("row").alias("nrow"),
+        F.col("value").alias("nv"),
+    )
+    grads = cand.join(
+        nbr,
+        (F.col("ncol") == F.col("col") + F.col("o.dc"))
+        & (F.col("nrow") == F.col("row") + F.col("o.dr")),
+    ).select(
+        "pid",
+        "down_pid",
+        F.col("o.dir").alias("dir"),
+        ((F.col("cv") - F.col("nv")) / F.col("o.dist")).alias("grad"),
+    )
+    w = Window.partitionBy("pid").orderBy(F.col("grad").desc(), "dir")
+    edges = (
+        grads.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("grad") > 0))
+        .select("pid", "down_pid")
+        .persist()
+    )
+    acc = valid.select("pid", F.lit(1).cast("bigint").alias("acc"))
+    for _ in range(_FA_ROUNDS):
+        inflow = (
+            edges.join(acc, "pid")
+            .groupBy(F.col("down_pid").alias("pid"))
+            .agg(F.sum("acc").alias("in_acc"))
+        )
+        acc = (
+            valid.select("pid")
+            .join(inflow, "pid", "left")
+            .select(
+                "pid",
+                (F.lit(1) + F.coalesce(F.col("in_acc"), F.lit(0)))
+                .cast("bigint")
+                .alias("acc"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return acc.join(valid, "pid").select("col", "row", "acc")

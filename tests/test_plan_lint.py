@@ -126,6 +126,9 @@ SUBSET = [
     "scan_csv_permissive",
     "agg_corr_matrix",
     "interval_coverage",
+    "fn_mask",
+    "text_readability",
+    "raster_flow_accumulation",
 ]
 
 
