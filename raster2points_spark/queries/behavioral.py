@@ -754,3 +754,146 @@ def interval_coverage(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_islands"),
         F.sum("len_s").cast("bigint").alias("covered_s"),
     )
+
+
+@register(
+    "seq_top_paths",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY {_TSEC}, event_id) AS rn
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id,
+             string_agg(event_type, ' > ' ORDER BY rn) AS path
+      FROM ranked WHERE rn <= 4 GROUP BY user_id
+    )
+    SELECT path, count(*) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 20
+    """,
+)
+def seq_top_paths(spark, sf_dir):
+    """Top user journeys: each user's FIRST FOUR events (time +
+    event_id total order) concatenated into a path string, ranked by
+    how many users share it — the "top paths" report every product-
+    analytics tool opens with (where do users actually go after
+    landing?).
+
+    One (user, time)-sorted window takes the prefix, an ORDERED
+    string_agg (listagg semantics — agg_listagg's surface applied)
+    builds the path per user, and a map-side-combined groupBy(path)
+    counts; top-20 with (n DESC, path) tiebreak plans as
+    TakeOrderedAndProject (R2).  Path cardinality is bounded by
+    |event_types|⁴, so the final aggregate is small at any corpus
+    scale; per-user state never leaves its partition.
+    """
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        unix_secs(F.col("ts")), F.col("event_id")
+    )
+    ranked = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 4)
+    paths = ranked.groupBy("user_id").agg(
+        F.concat_ws(
+            " > ", F.expr("transform(array_sort(collect_list(struct(rn, event_type))), s -> s.event_type)")
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(20)
+    )
+
+
+@register(
+    "seq_markov_eval",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type,
+             lead(event_type) OVER w AS next_type,
+             lead(event_id) OVER w AS next_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY {_TSEC}, event_id)
+    ),
+    trans AS (
+      SELECT event_type AS prev, next_type AS nxt, next_id
+      FROM ordered WHERE next_type IS NOT NULL
+    ),
+    train AS (
+      SELECT prev, nxt, count(*) AS c FROM trans
+      WHERE next_id % 5 <> 0 GROUP BY 1, 2
+    ),
+    model AS (
+      SELECT prev, nxt AS predicted FROM (
+        SELECT prev, nxt,
+               row_number() OVER (PARTITION BY prev
+                                  ORDER BY c DESC, nxt) AS rn
+        FROM train
+      ) WHERE rn = 1
+    )
+    SELECT t.prev,
+           count(*) AS n_test,
+           cast(sum(CASE WHEN t.nxt = m.predicted THEN 1 ELSE 0 END)
+                AS bigint) AS n_correct,
+           round(sum(CASE WHEN t.nxt = m.predicted THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS accuracy
+    FROM trans t JOIN model m ON m.prev = t.prev
+    WHERE t.next_id % 5 = 0
+    GROUP BY t.prev
+    """,
+)
+def seq_markov_eval(spark, sf_dir):
+    """Train/test evaluation of the Markov next-event predictor — the
+    missing half of seq_markov (a transition MATRIX is not a
+    product; "how often is argmax-next actually right" is): a
+    deterministic 80/20 arithmetic split of transitions (next-event-id
+    mod 5 — the sample_split discipline, no RNG), most-frequent-next
+    as the model with a (count DESC, type) total-order tiebreak, and
+    held-out per-context accuracy.
+
+    This is the standard leakage-safe eval shape on Spark: the model
+    is an aggregate of the TRAIN slice only, joined back to the TEST
+    slice — train/test never meet except through the |contexts|-row
+    model relation (broadcast-size at any corpus scale).  One
+    user-keyed window builds transitions; counts and accuracy are
+    exact integers.
+    """
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        unix_secs(F.col("ts")), F.col("event_id")
+    )
+    ordered = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("nxt"),
+        F.lead("event_id").over(w).alias("next_id"),
+    ).filter(F.col("nxt").isNotNull())
+    train = (
+        ordered.filter(F.col("next_id") % 5 != 0)
+        .groupBy(F.col("event_type").alias("prev"), "nxt")
+        .agg(F.count("*").alias("c"))
+    )
+    wm = Window.partitionBy("prev").orderBy(F.col("c").desc(), "nxt")
+    model = (
+        train.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select("prev", F.col("nxt").alias("predicted"))
+    )
+    test = ordered.filter(F.col("next_id") % 5 == 0)
+    hit = F.when(F.col("nxt") == F.col("predicted"), 1).otherwise(0)
+    return (
+        test.join(model, F.col("prev") == F.col("event_type"))
+        .groupBy("prev")
+        .agg(
+            F.count("*").alias("n_test"),
+            F.sum(hit).cast("bigint").alias("n_correct"),
+            F.round(F.sum(hit) / F.count("*").cast("double"), 4).alias("accuracy"),
+        )
+    )

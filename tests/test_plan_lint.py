@@ -129,6 +129,8 @@ SUBSET = [
     "fn_mask",
     "text_readability",
     "raster_flow_accumulation",
+    "seq_top_paths",
+    "seq_markov_eval",
 ]
 
 
