@@ -4230,8 +4230,6 @@ def sample_kcenter(spark, sf_dir):
     Output: the 6 chosen centers + the final covering radius (a 1-row
     aggregate crossJoined back).
     """
-    from pyspark.sql import Window  # noqa: F401  (parity with siblings)
-
     ev = (
         t_fanout(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
