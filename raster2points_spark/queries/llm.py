@@ -4332,3 +4332,105 @@ def text_readability(spark, sf_dir):
         "n_syll",
         F.round(grade, 4).alias("fk_grade"),
     )
+
+
+@register(
+    "sim_matryoshka_eval",
+    oracle="""
+    WITH ev AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    probes AS (SELECT vec_id AS probe_id, v AS pv FROM ev WHERE vec_id < 5),
+    pairs AS (
+      SELECT p.probe_id, e.vec_id,
+             list_sum(list_transform(generate_series(1, 64),
+                                     j -> p.pv[j] * e.v[j])) AS ip_full,
+             list_sum(list_transform(generate_series(1, 16),
+                                     j -> p.pv[j] * e.v[j])) AS ip_16
+      FROM ev e CROSS JOIN probes p WHERE e.vec_id <> p.probe_id
+    ),
+    full_top AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT probe_id, vec_id, row_number() OVER (
+          PARTITION BY probe_id ORDER BY ip_full DESC, vec_id) AS rn
+        FROM pairs) WHERE rn <= 10
+    ),
+    pre_top AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT probe_id, vec_id, row_number() OVER (
+          PARTITION BY probe_id ORDER BY ip_16 DESC, vec_id) AS rn
+        FROM pairs) WHERE rn <= 10
+    )
+    SELECT f.probe_id,
+           cast(count(p.vec_id) AS bigint) AS n_overlap,
+           round(count(p.vec_id) / 10.0, 2) AS recall_at_10
+    FROM full_top f
+    LEFT JOIN pre_top p ON p.probe_id = f.probe_id AND p.vec_id = f.vec_id
+    GROUP BY f.probe_id
+    """,
+)
+def sim_matryoshka_eval(spark, sf_dir):
+    """Matryoshka / prefix-dimension retrieval evaluation: how much of
+    the full-64-dim top-10 does a 16-dim PREFIX ranking recover
+    (recall@10)?  This is the measurement behind truncatable-embedding
+    deployment (MRL-style): serve the cheap prefix index, and this
+    number tells you what quality you traded — the eval every
+    dimension-reduction rollout runs before flipping the flag.
+
+    ONE scan computes both scores (the prefix dot product is a
+    sub-fold of the same zip — no second pass over the corpus), two
+    per-probe top-10 ranks share the broadcast-probe × linear-scan
+    spine of sim_knn, and recall is an exact-integer overlap count via
+    a LEFT join of the two 50-row rankings.  At 100 TB the rankings
+    would use the size-gated two-phase prune (sim_knn's _knn_pairs);
+    the eval join stays |probes|·k rows regardless.
+    """
+    from pyspark.sql import Window
+
+    ev = t_fanout(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    probes = ev.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+    pairs = (
+        ev.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(v, pv, (x, y) -> x * y), "
+                "cast(0.0 AS double), (a, z) -> a + z)"
+            ).alias("ip_full"),
+            F.expr(
+                "aggregate(zip_with(slice(v, 1, 16), slice(pv, 1, 16), "
+                "(x, y) -> x * y), cast(0.0 AS double), (a, z) -> a + z)"
+            ).alias("ip_16"),
+        )
+    )
+    wf = Window.partitionBy("probe_id").orderBy(F.col("ip_full").desc(), "vec_id")
+    wp = Window.partitionBy("probe_id").orderBy(F.col("ip_16").desc(), "vec_id")
+    full_top = (
+        pairs.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= 10)
+        .select("probe_id", "vec_id")
+    )
+    pre_top = (
+        pairs.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= 10)
+        .select(F.col("probe_id").alias("pp"), F.col("vec_id").alias("pv_id"))
+    )
+    return (
+        full_top.join(
+            pre_top,
+            (F.col("pp") == F.col("probe_id")) & (F.col("pv_id") == F.col("vec_id")),
+            "left",
+        )
+        .groupBy("probe_id")
+        .agg(
+            F.count("pv_id").cast("bigint").alias("n_overlap"),
+            F.round(F.count("pv_id") / 10.0, 2).alias("recall_at_10"),
+        )
+    )

@@ -131,6 +131,7 @@ SUBSET = [
     "raster_flow_accumulation",
     "seq_top_paths",
     "seq_markov_eval",
+    "sim_matryoshka_eval",
 ]
 
 

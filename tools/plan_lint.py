@@ -82,6 +82,8 @@ RULES: dict[str, dict[str, str]] = {
         "broadcast against the corpus scan",
         "sample_kcenter": "1-row newest-center and argmax broadcasts "
         "per greedy round",
+        "sim_matryoshka_eval": "5-row probe set broadcast against the "
+        "corpus scan (sim_knn spine)",
         "text_kn_smoothing": "1-row bigram-type total broadcast",
     },
     "BatchEvalPython": {
