@@ -1441,3 +1441,99 @@ def agg_corr_matrix(spark, sf_dir):
             )
             out = row if out is None else out.union(row)
     return out
+
+
+@register(
+    "profile_drift_psi",
+    oracle="""
+    WITH src AS (
+      SELECT o_totalprice AS x,
+             CASE WHEN year(o_orderdate) < 1996 THEN 'ref' ELSE 'cur' END AS era,
+             least(cast(floor(o_totalprice / 60000.0) AS int), 9) AS bucket
+      FROM orders
+    ),
+    counts AS (
+      SELECT era, bucket, count(*) AS n FROM src GROUP BY 1, 2
+    ),
+    tot AS (SELECT era, sum(n) AS t FROM counts GROUP BY 1),
+    grid AS (
+      SELECT b.bucket, e.era FROM (SELECT unnest(generate_series(0, 9)) AS bucket) b
+      CROSS JOIN (SELECT unnest(['ref', 'cur']) AS era) e
+    ),
+    dense AS (
+      SELECT g.bucket, g.era,
+             (coalesce(c.n, 0) + 0.5) / (t.t + 5.0) AS p
+      FROM grid g
+      LEFT JOIN counts c ON c.bucket = g.bucket AND c.era = g.era
+      JOIN tot t ON t.era = g.era
+    ),
+    wide AS (
+      SELECT bucket,
+             max(CASE WHEN era = 'ref' THEN p END) AS p_ref,
+             max(CASE WHEN era = 'cur' THEN p END) AS p_cur
+      FROM dense GROUP BY bucket
+    )
+    SELECT bucket,
+           round(p_ref, 6) AS p_ref,
+           round(p_cur, 6) AS p_cur,
+           round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term
+    FROM wide
+    """,
+)
+def profile_drift_psi(spark, sf_dir):
+    """Population Stability Index per bucket — THE feature-drift
+    monitor ML-ops gates retraining on (PSI > 0.2 = significant
+    shift): order totals bucketed on a FIXED grid (never
+    data-dependent quantiles — those drift with the data and make
+    eras incomparable), reference era vs current era, with the
+    additive +0.5 smoothing that keeps empty buckets from exploding
+    the log term.
+
+    Shape: one map-side-combined (era, bucket) count, one 2-row total,
+    and the PSI terms computed over the DENSE constant-size grid (a
+    generated 10×2 relation LEFT-joined to the counts — missing
+    buckets must contribute, not vanish).  Smoothed probabilities are
+    exact rationals of integer counts → identical doubles both
+    engines; at 100 TB one shuffle of ≤ |eras|×|buckets| combined
+    rows.
+    """
+    o = t(spark, sf_dir, "orders")
+    src = o.select(
+        F.when(F.year("o_orderdate") < 1996, "ref").otherwise("cur").alias("era"),
+        F.least(
+            F.floor(F.col("o_totalprice") / 60000.0).cast("int"), F.lit(9)
+        ).alias("bucket"),
+    )
+    counts = src.groupBy("era", "bucket").agg(F.count("*").alias("n"))
+    tot = counts.groupBy(F.col("era").alias("t_era")).agg(F.sum("n").alias("t"))
+    grid = (
+        spark.range(10)
+        .select(F.col("id").cast("int").alias("bucket"))
+        .crossJoin(
+            spark.createDataFrame([("ref",), ("cur",)], ["era"])
+        )
+    )
+    dense = (
+        grid.join(counts, ["bucket", "era"], "left")
+        .join(tot, F.col("t_era") == F.col("era"))
+        .select(
+            "bucket",
+            "era",
+            ((F.coalesce(F.col("n"), F.lit(0)) + 0.5) / (F.col("t") + 5.0)).alias(
+                "p"
+            ),
+        )
+    )
+    wide = dense.groupBy("bucket").agg(
+        F.max(F.when(F.col("era") == "ref", F.col("p"))).alias("p_ref"),
+        F.max(F.when(F.col("era") == "cur", F.col("p"))).alias("p_cur"),
+    )
+    return wide.select(
+        "bucket",
+        F.round("p_ref", 6).alias("p_ref"),
+        F.round("p_cur", 6).alias("p_cur"),
+        F.round(
+            (F.col("p_cur") - F.col("p_ref")) * F.log(F.col("p_cur") / F.col("p_ref")),
+            6,
+        ).alias("psi_term"),
+    )

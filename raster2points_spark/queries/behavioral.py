@@ -897,3 +897,115 @@ def seq_markov_eval(spark, sf_dir):
             F.round(F.sum(hit) / F.count("*").cast("double"), 4).alias("accuracy"),
         )
     )
+
+
+@register(
+    "ml_confusion_matrix",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type,
+             lead(event_type) OVER w AS next_type,
+             lead(event_id) OVER w AS next_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY {_TSEC}, event_id)
+    ),
+    trans AS (
+      SELECT event_type AS prev, next_type AS nxt, next_id
+      FROM ordered WHERE next_type IS NOT NULL
+    ),
+    train AS (
+      SELECT prev, nxt, count(*) AS c FROM trans
+      WHERE next_id % 5 <> 0 GROUP BY 1, 2
+    ),
+    model AS (
+      SELECT prev, nxt AS predicted FROM (
+        SELECT prev, nxt,
+               row_number() OVER (PARTITION BY prev
+                                  ORDER BY c DESC, nxt) AS rn
+        FROM train
+      ) WHERE rn = 1
+    ),
+    cm AS (
+      SELECT t.nxt AS actual, m.predicted, count(*) AS n
+      FROM trans t JOIN model m ON m.prev = t.prev
+      WHERE t.next_id % 5 = 0
+      GROUP BY 1, 2
+    ),
+    actual_tot AS (SELECT actual, sum(n) AS na FROM cm GROUP BY 1),
+    pred_tot AS (SELECT predicted, sum(n) AS np FROM cm GROUP BY 1)
+    SELECT c.actual, c.predicted, cast(c.n AS bigint) AS n,
+           round(c.n / CAST(a.na AS DOUBLE), 4) AS frac_of_actual,
+           round(CASE WHEN c.actual = c.predicted
+                      THEN c.n / CAST(a.na AS DOUBLE) END, 4) AS recall,
+           round(CASE WHEN c.actual = c.predicted
+                      THEN c.n / CAST(p.np AS DOUBLE) END, 4) AS precision
+    FROM cm c
+    JOIN actual_tot a ON a.actual = c.actual
+    JOIN pred_tot p ON p.predicted = c.predicted
+    """,
+)
+def ml_confusion_matrix(spark, sf_dir):
+    """Confusion matrix + per-class precision/recall for the held-out
+    Markov next-event predictor — the evaluation artifact
+    seq_markov_eval's single accuracy number summarizes away (a
+    predictor can score 60% accuracy while never predicting a rare
+    class at all; the off-diagonal cells are where that shows).
+
+    Same leakage-safe spine as seq_markov_eval (mod-5 transition
+    split, |contexts|-row model joined back to the test slice); the
+    matrix is one (actual, predicted) map-side-combined count, and
+    precision/recall come from its row/column marginals — three
+    aggregates over a ≤|types|²-row relation, exact integers into one
+    double division.  NULLs mark off-diagonal cells where
+    precision/recall don't apply (nullable-double is safe: the column
+    is double-typed in both engines).
+    """
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        unix_secs(F.col("ts")), F.col("event_id")
+    )
+    ordered = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("nxt"),
+        F.lead("event_id").over(w).alias("next_id"),
+    ).filter(F.col("nxt").isNotNull())
+    train = (
+        ordered.filter(F.col("next_id") % 5 != 0)
+        .groupBy(F.col("event_type").alias("prev"), "nxt")
+        .agg(F.count("*").alias("c"))
+    )
+    wm = Window.partitionBy("prev").orderBy(F.col("c").desc(), "nxt")
+    model = (
+        train.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select("prev", F.col("nxt").alias("predicted"))
+    )
+    cm = (
+        ordered.filter(F.col("next_id") % 5 == 0)
+        .join(model, F.col("prev") == F.col("event_type"))
+        .groupBy(F.col("nxt").alias("actual"), "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+    atot = cm.groupBy(F.col("actual").alias("a2")).agg(F.sum("n").alias("na"))
+    ptot = cm.groupBy(F.col("predicted").alias("p2")).agg(F.sum("n").alias("np"))
+    diag = F.col("actual") == F.col("predicted")
+    return (
+        cm.join(atot, F.col("a2") == F.col("actual"))
+        .join(ptot, F.col("p2") == F.col("predicted"))
+        .select(
+            "actual",
+            "predicted",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") / F.col("na").cast("double"), 4).alias(
+                "frac_of_actual"
+            ),
+            F.round(
+                F.when(diag, F.col("n") / F.col("na").cast("double")), 4
+            ).alias("recall"),
+            F.round(
+                F.when(diag, F.col("n") / F.col("np").cast("double")), 4
+            ).alias("precision"),
+        )
+    )

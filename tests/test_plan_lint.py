@@ -132,6 +132,8 @@ SUBSET = [
     "seq_top_paths",
     "seq_markov_eval",
     "sim_matryoshka_eval",
+    "profile_drift_psi",
+    "ml_confusion_matrix",
 ]
 
 

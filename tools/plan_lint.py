@@ -76,6 +76,8 @@ RULES: dict[str, dict[str, str]] = {
         "agg_benford_profile": "1-row digit-total aggregate broadcast",
         "agg_corr_matrix": "1-row column-means relation broadcast into "
         "the centered pass",
+        "profile_drift_psi": "generated 10-bucket x 2-era constant "
+        "grid crossed before the counts join",
         "ts_autocorr": "3-row lag-constant relation crossed into the "
         "bar stream before the equi lag-join",
         "sim_mips": "1-row max-norm scalar and 5-row probe set "
