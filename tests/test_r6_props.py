@@ -149,3 +149,113 @@ def test_wilson_interval_sane(spark, registry):
         assert 0.0 <= r["wilson_lo"] <= r["p_hat"] <= r["wilson_hi"] <= 1.0
         # Wilson never collapses to zero width on finite n
         assert r["wilson_hi"] - r["wilson_lo"] > 0
+
+
+def _grid_b1():
+    t = pq.read_table("fixtures/grid/grid64.parquet")
+    grid = np.full((64, 64), np.nan)
+    for b, co, ro, w, data, nod in zip(
+        t.column("band_id").to_pylist(),
+        t.column("col_off").to_pylist(),
+        t.column("row_off").to_pylist(),
+        t.column("width").to_pylist(),
+        t.column("data").to_pylist(),
+        t.column("nodata").to_pylist(),
+    ):
+        if b != "b1":
+            continue
+        arr = np.array(data, dtype=np.float64).reshape(-1, w)
+        arr[arr == nod] = np.nan
+        grid[ro : ro + arr.shape[0], co : co + w] = arr
+    return grid
+
+
+_D8 = [  # (dir, dc, dr, dist) — must match the operator's offset table
+    (0, 1, 0, 1.0),
+    (1, 1, 1, np.sqrt(2.0)),
+    (2, 0, 1, 1.0),
+    (3, -1, 1, np.sqrt(2.0)),
+    (4, -1, 0, 1.0),
+    (5, -1, -1, np.sqrt(2.0)),
+    (6, 0, -1, 1.0),
+    (7, 1, -1, np.sqrt(2.0)),
+]
+
+
+def _numpy_flow_edges(grid):
+    edges = {}
+    for r in range(64):
+        for c in range(64):
+            if np.isnan(grid[r, c]):
+                continue
+            best = None
+            for d, dc, dr, dist in _D8:
+                nc, nr = c + dc, r + dr
+                if not (0 <= nc < 64 and 0 <= nr < 64) or np.isnan(grid[nr, nc]):
+                    continue
+                g = (grid[r, c] - grid[nr, nc]) / dist
+                if best is None or g > best[0] or (g == best[0] and d < best[1]):
+                    best = (g, d, nc, nr)
+            if best and best[0] > 0:
+                edges[(c, r)] = (best[2], best[3])
+    return edges
+
+
+def test_flow_direction_matches_numpy(spark, registry):
+    grid = _grid_b1()
+    edges = _numpy_flow_edges(grid)
+    rows = registry["raster_flow_direction"].fn(spark, SF0001).collect()
+    for row in rows:
+        c, r = row["col"], row["row"]
+        if row["flow_dir"] == -1:
+            assert (c, r) not in edges, (c, r)
+        else:
+            d, dc, dr, _ = _D8[row["flow_dir"]]
+            assert edges[(c, r)] == (c + dc, r + dr), (c, r, row["flow_dir"])
+
+
+def test_flow_accumulation_matches_numpy(spark, registry):
+    grid = _grid_b1()
+    edges = _numpy_flow_edges(grid)
+    acc = {
+        (c, r): 1
+        for r in range(64)
+        for c in range(64)
+        if not np.isnan(grid[r, c])
+    }
+    for _ in range(5):  # the operator's unrolled fixpoint prefix
+        nxt = {k: 1 for k in acc}
+        for src, dst in edges.items():
+            nxt[dst] += acc[src]
+        acc = nxt
+    rows = registry["raster_flow_accumulation"].fn(spark, SF0001).collect()
+    for row in rows:
+        assert acc[(row["col"], row["row"])] == row["acc"], (
+            row["col"],
+            row["row"],
+            row["acc"],
+        )
+
+
+def test_region_label_matches_numpy(spark, registry):
+    grid = _grid_b1()
+    valid = {
+        (c, r): int(np.floor(grid[r, c] / 10))
+        for r in range(64)
+        for c in range(64)
+        if not np.isnan(grid[r, c])
+    }
+    lbl = {(c, r): r * 64 + c for (c, r) in valid}
+    for _ in range(6):  # the operator's unrolled rounds
+        nxt = {}
+        for (c, r), l in lbl.items():
+            best = l
+            for dc, dr in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                nb = (c + dc, r + dr)
+                if nb in valid and valid[nb] == valid[(c, r)]:
+                    best = min(best, lbl[nb])
+            nxt[(c, r)] = best
+        lbl = nxt
+    rows = registry["raster_region_label"].fn(spark, SF0001).collect()
+    for row in rows:
+        assert lbl[(row["col"], row["row"])] == row["lbl"], (row["col"], row["row"])
