@@ -655,3 +655,116 @@ def scan_csv_permissive(spark, sf_dir):
             "good_cents"
         ),
     )
+
+
+@register(
+    "sink_dynamic_overwrite",
+    oracle="""
+    WITH base AS (
+      SELECT year(o_orderdate) AS y, o_orderkey,
+             cast(round(o_totalprice * 100) AS bigint) AS cents
+      FROM orders
+    ),
+    final AS (
+      SELECT y, o_orderkey,
+             CASE WHEN y = 1996 THEN cents * 2 ELSE cents END AS cents
+      FROM base
+    )
+    SELECT y, count(*) AS n, cast(sum(cents) AS bigint) AS total_cents
+    FROM final GROUP BY y
+    """,
+)
+def sink_dynamic_overwrite(spark, sf_dir):
+    """DYNAMIC partition overwrite — the idempotent-backfill contract
+    every partitioned warehouse table depends on: rewriting one
+    partition's data replaces ONLY the partitions present in the new
+    write (static mode would TRUNCATE THE WHOLE TABLE first — the
+    classic "backfill one day, lose five years" incident).  A full
+    year-partitioned table is written, then 1996 is re-written with
+    doubled amounts via `option("partitionOverwriteMode", "dynamic")`
+    (per-write option — no session-conf leak into sibling keys); the
+    read-back proves 1996 changed and every other year survived.
+
+    The oracle states the expected FINAL table arithmetically.  Scale:
+    partition-granular replacement is exactly how 100 TB backfills
+    stay O(partition) instead of O(table); the write shuffles only the
+    re-written year.
+    """
+    path = os.path.join(SCRATCH, "dyn_overwrite")
+    o = t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("y"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    o.write.mode("overwrite").partitionBy("y").parquet(path)
+    patched = o.filter(F.col("y") == 1996).withColumn(
+        "cents", F.col("cents") * 2
+    )
+    (
+        patched.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("y")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("y").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )
+
+
+@register(
+    "scan_glob_recursive",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           cast(sum(cast(round(o_totalprice * 100) AS bigint)) AS bigint)
+             AS total_cents
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'O')
+    GROUP BY o_orderstatus
+    """,
+)
+def scan_glob_recursive(spark, sf_dir):
+    """Directory-tree ingestion surface: a dataset laid out as
+    arbitrary nested folders (feed/2024/batch_F, feed/2024/batch_O,
+    feed/archive/batch_P — NOT hive key=value partitions), read with
+    `recursiveFileLookup` + `pathGlobFilter` so only the batch_F/O
+    leaves are ingested — the "vendor dropped files wherever" reality
+    that partition discovery can't parse.
+
+    The glob filters FILES by name (status-tagged parquet file names),
+    so the archive branch is never opened — at 100 TB listing
+    discipline is the difference between a metadata operation and a
+    day of S3 LIST calls (production fronts this with a manifest; the
+    scan semantics pinned here are identical).  Oracle states the
+    expected F+O aggregate from the source relation.
+    """
+    root = os.path.join(SCRATCH, "glob_tree")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    for st, sub in (("F", "2024"), ("O", "2024"), ("P", "archive")):
+        (
+            o.filter(F.col("o_orderstatus") == st)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(root, sub, f"batch_{st}"))
+        )
+        # tag the data files with the status so pathGlobFilter can
+        # select them by NAME (vendor-feed naming convention)
+        import glob as _glob
+
+        d = os.path.join(root, sub, f"batch_{st}")
+        for i, f_ in enumerate(sorted(_glob.glob(os.path.join(d, "part-*.parquet")))):
+            os.rename(f_, os.path.join(d, f"feed_{st}_{i}.parquet"))
+    back = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "feed_[FO]_*.parquet")
+        .parquet(root)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )

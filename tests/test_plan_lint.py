@@ -134,6 +134,8 @@ SUBSET = [
     "sim_matryoshka_eval",
     "profile_drift_psi",
     "ml_confusion_matrix",
+    "sink_dynamic_overwrite",
+    "scan_glob_recursive",
 ]
 
 
