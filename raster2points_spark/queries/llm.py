@@ -4434,3 +4434,162 @@ def sim_matryoshka_eval(spark, sf_dir):
             F.round(F.count("pv_id") / 10.0, 2).alias("recall_at_10"),
         )
     )
+
+
+@register(
+    "pipeline_quality_ensemble",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk,
+             text
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, text, tk, len(tk) AS n_words,
+             1.0 - len(list_distinct(tk)) / CAST(len(tk) AS DOUBLE) AS dup_frac,
+             len(list_filter(string_split_regex(text, '[.!?]+\s+'),
+                             x -> trim(x) <> '')) AS n_sent,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll
+      FROM toks WHERE len(tk) > 0
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(tk) - 1),
+                                   i -> tk[i] || ' ' || tk[i+1])) AS bigram,
+             unnest(list_transform(generate_series(1, len(tk) - 1),
+                                   i -> tk[i])) AS w1
+      FROM toks WHERE len(tk) >= 2
+    ),
+    c2 AS (SELECT bigram, count(*) AS n2 FROM bg GROUP BY 1),
+    uni AS (SELECT unnest(tk) AS w FROM toks),
+    c1 AS (SELECT w, count(*) AS n1 FROM uni GROUP BY 1),
+    v AS (SELECT count(*) AS vsz FROM c1),
+    ppl AS (
+      SELECT b.doc_id,
+             pow(2.0, -sum(log2((n2 + 0.5) / (n1 + 0.5 * vsz))) / count(*)) AS ppl
+      FROM bg b JOIN c2 USING (bigram) JOIN c1 ON w1 = w CROSS JOIN v
+      GROUP BY b.doc_id
+    ),
+    scored AS (
+      SELECT b.doc_id, b.n_words, b.dup_frac,
+             CASE WHEN b.n_sent > 0
+                  THEN 0.39 * (b.n_words / CAST(b.n_sent AS DOUBLE))
+                       + 11.8 * (b.n_syll / CAST(b.n_words AS DOUBLE)) - 15.59
+             END AS fk_grade,
+             p.ppl
+      FROM base b LEFT JOIN ppl p ON p.doc_id = b.doc_id
+    )
+    SELECT doc_id,
+           (CASE WHEN n_words BETWEEN 10 AND 5000 THEN 0 ELSE 1 END
+            + CASE WHEN dup_frac <= 0.3 THEN 0 ELSE 2 END
+            + CASE WHEN fk_grade IS NOT NULL AND fk_grade BETWEEN 2 AND 16
+                   THEN 0 ELSE 4 END
+            + CASE WHEN ppl IS NOT NULL AND ppl <= 35 THEN 0 ELSE 8 END)
+             AS reject_flags,
+           CASE WHEN n_words BETWEEN 10 AND 5000 AND dup_frac <= 0.3
+                 AND fk_grade IS NOT NULL AND fk_grade BETWEEN 2 AND 16
+                 AND ppl IS NOT NULL AND ppl <= 35
+                THEN 1 ELSE 0 END AS keep,
+           n_words,
+           round(dup_frac, 4) AS dup_frac,
+           round(fk_grade, 4) AS fk_grade,
+           round(ppl, 4) AS ppl
+    FROM scored
+    """,
+)
+def pipeline_quality_ensemble(spark, sf_dir):
+    """The round-6 composition flagship: a FOUR-SIGNAL document
+    quality gate — length band, duplicate-word fraction (Gopher),
+    Flesch-Kincaid readability band, and bigram-LM perplexity ceiling
+    — fused into ONE verdict with a reject-reason BITMASK (flags 1/2/
+    4/8), because a production filter must report WHY it dropped each
+    document (corpus post-mortems die without reason attribution).
+
+    What the composition proves Spark-side: three of the signals are
+    pure in-row projections that Catalyst fuses into the single corpus
+    scan; only the perplexity leg adds relations (the text_bigram_ppl
+    model joins, unhinted), LEFT-joined so sub-2-token docs flow
+    through with the ppl flag raised rather than vanishing — a gate
+    must be TOTAL over its input.  Absolute thresholds (not
+    percentiles) keep the verdict row-local and deterministic; every
+    signal reuses the exact formula of its standalone key
+    (text_repetition_ratio / text_readability / text_bigram_ppl), so
+    the ensemble can't drift from the parts.
+    """
+    toks = (
+        t_fanout(spark, sf_dir, "documents")
+        .select("doc_id", "text", F.expr(TOKS_SPARK).alias("tk"))
+        .persist()
+    )
+    base = toks.filter(F.size("tk") > 0).select(
+        "doc_id",
+        "text",
+        "tk",
+        F.size("tk").alias("n_words"),
+        (
+            1.0
+            - F.size(F.array_distinct("tk")) / F.size("tk").cast("double")
+        ).alias("dup_frac"),
+        F.size(
+            F.expr(r"filter(split(text, '[.!?]+\\s+'), x -> trim(x) != '')")
+        ).alias("n_sent"),
+        F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")).alias(
+            "n_syll"
+        ),
+    )
+    bg = (
+        toks.filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(arrays_zip(slice(tk, 1, size(tk) - 1), "
+                    "slice(tk, 2, size(tk) - 1)), "
+                    "z -> struct(concat_ws(' ', z.`0`, z.`1`) AS bigram, z.`0` AS w1))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.bigram", "p.w1")
+        .persist()
+    )
+    c2 = bg.groupBy("bigram").agg(F.count("*").alias("n2"))
+    c1 = toks.select(F.explode("tk").alias("w")).groupBy("w").agg(
+        F.count("*").alias("n1")
+    )
+    v = c1.agg(F.count("*").alias("vsz"))
+    logp = F.log2((F.col("n2") + 0.5) / (F.col("n1") + 0.5 * F.col("vsz")))
+    ppl = (
+        bg.join(c2, "bigram")
+        .join(c1, F.col("w1") == F.col("w"))
+        .crossJoin(F.broadcast(v))
+        .groupBy(F.col("doc_id").alias("p_doc"))
+        .agg(F.pow(F.lit(2.0), -F.sum(logp) / F.count("*")).alias("ppl"))
+    )
+    fk = F.when(
+        F.col("n_sent") > 0,
+        0.39 * (F.col("n_words") / F.col("n_sent").cast("double"))
+        + 11.8 * (F.col("n_syll") / F.col("n_words").cast("double"))
+        - 15.59,
+    )
+    scored = (
+        base.join(ppl, F.col("p_doc") == F.col("doc_id"), "left")
+        .withColumn("fk_grade", fk)
+    )
+    f_len = F.col("n_words").between(10, 5000)
+    f_dup = F.col("dup_frac") <= 0.3
+    f_fk = F.col("fk_grade").isNotNull() & F.col("fk_grade").between(2, 16)
+    f_ppl = F.col("ppl").isNotNull() & (F.col("ppl") <= 35)
+    return scored.select(
+        "doc_id",
+        (
+            F.when(f_len, 0).otherwise(1)
+            + F.when(f_dup, 0).otherwise(2)
+            + F.when(f_fk, 0).otherwise(4)
+            + F.when(f_ppl, 0).otherwise(8)
+        ).alias("reject_flags"),
+        F.when(f_len & f_dup & f_fk & f_ppl, 1).otherwise(0).alias("keep"),
+        "n_words",
+        F.round("dup_frac", 4).alias("dup_frac"),
+        F.round("fk_grade", 4).alias("fk_grade"),
+        F.round("ppl", 4).alias("ppl"),
+    )

@@ -136,6 +136,7 @@ SUBSET = [
     "ml_confusion_matrix",
     "sink_dynamic_overwrite",
     "scan_glob_recursive",
+    "pipeline_quality_ensemble",
 ]
 
 

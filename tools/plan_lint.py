@@ -87,6 +87,8 @@ RULES: dict[str, dict[str, str]] = {
         "sim_matryoshka_eval": "5-row probe set broadcast against the "
         "corpus scan (sim_knn spine)",
         "text_kn_smoothing": "1-row bigram-type total broadcast",
+        "pipeline_quality_ensemble": "1-row vocabulary-size broadcast "
+        "in the perplexity leg",
     },
     "BatchEvalPython": {
         "udf_scalar_py": "THE deliberate row-Python surface key",
