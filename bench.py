@@ -83,6 +83,7 @@ HEADLINE = [
     "graph_shortest_hops",
     "text_bigram_ppl",
     "dedup_containment",
+    "pipeline_quality_ensemble",
 ]
 
 
