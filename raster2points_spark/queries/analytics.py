@@ -1537,3 +1537,151 @@ def profile_drift_psi(spark, sf_dir):
             6,
         ).alias("psi_term"),
     )
+
+
+@register(
+    "agg_gini",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             cast(sum(cast(round(o_totalprice * 100) AS bigint)) AS bigint)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS i,
+             count(*) OVER () AS n,
+             sum(cents) OVER () AS tot
+      FROM rev
+    )
+    SELECT cast(max(n) AS bigint) AS n_cust,
+           round(2.0 * sum(i * cents) / (CAST(max(n) AS DOUBLE) * max(tot))
+                 - (max(n) + 1.0) / max(n), 6) AS gini
+    FROM ranked
+    """,
+)
+def agg_gini(spark, sf_dir):
+    """Gini coefficient of customer revenue — the standard inequality
+    scalar behind "top-X% of customers drive Y% of revenue" (the
+    integral view of pareto_customers' frontier): G = 2·Σ(i·xᵢ)/(n·Σx)
+    − (n+1)/n over revenue sorted ascending.
+
+    Determinism: revenues are exact integer cents and the rank is
+    total-ordered (cents, custkey), so Σ(i·xᵢ) is an exact bigint
+    (max i·x ≈ 1.5e3·1.5e9 ≈ 2e12, summed ≈ 3e15 < 2⁶³) and the final
+    expression is one identical double evaluation.  Scale note: the
+    global sort here is over the |customers| AGGREGATE (not the fact
+    table); at extreme cardinality you'd swap the exact rank for a
+    fixed-grid Lorenz approximation (the profile_drift_psi bucket
+    discipline) — the fact-table pass is one map-side-combined
+    groupBy either way.
+    """
+    from pyspark.sql import Window
+
+    rev = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    wall = Window.partitionBy()
+    ranked = rev.select(
+        "cents",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(wall).alias("n"),
+        F.sum("cents").over(wall).alias("tot"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_cust"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("cents"))
+            / (F.max("n").cast("double") * F.max("tot"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "ts_backtest_naive",
+    oracle=f"""
+    WITH hr AS (
+      SELECT event_type,
+             cast(floor({ORACLE_TSEC.format(c='ts')} / 3600) AS bigint) AS h,
+             sum(cast(round(value * 1000) AS bigint)) AS vm
+      FROM events GROUP BY 1, 2
+    ),
+    horizon AS (SELECT event_type, max(h) AS hmax FROM hr GROUP BY 1),
+    test AS (
+      SELECT hr.event_type, hr.h, hr.vm
+      FROM hr JOIN horizon x ON x.event_type = hr.event_type
+      WHERE hr.h > x.hmax - 24
+    ),
+    pred AS (
+      SELECT t.event_type, t.h, t.vm AS actual, p.vm AS predicted
+      FROM test t
+      JOIN hr p ON p.event_type = t.event_type AND p.h = t.h - 24
+    )
+    SELECT event_type,
+           cast(count(*) AS bigint) AS n_hours,
+           round(sum(abs(actual - predicted)) / (1000.0 * count(*)), 4)
+             AS mae,
+           round(sum(abs(actual - predicted)) * 1.0
+                 / nullif(sum(abs(actual)), 0), 4) AS wape
+    FROM pred GROUP BY event_type
+    """,
+)
+def ts_backtest_naive(spark, sf_dir):
+    """Seasonal-naive forecast BACKTEST: predict each of the last 24
+    hours by the value 24 hours earlier and score MAE + WAPE per
+    series — the baseline every forecasting effort must beat (and the
+    honest first deliverable: if fancy models can't beat lag-24, ship
+    lag-24).  WAPE (Σ|err|/Σ|actual|) is the scale-free twin that
+    survives intermittent series where MAPE divides by zero.
+
+    Same leakage-free join spine as seq_markov_eval: the "model" is
+    the series itself lagged via an EQUI-join on (type, h−24) — hour
+    DISTANCE, not row offset, so gaps align correctly; the holdout cut
+    comes from a |types|-row max-hour relation joined back.  Errors
+    are exact integer milli-units; two divisions at the end (nullif
+    guards the WAPE denominator symmetrically — the anomaly_mad
+    discipline).
+    """
+    ev = t(spark, sf_dir, "events")
+    hr = ev.groupBy(
+        "event_type",
+        F.floor(unix_secs(F.col("ts")) / 3600).cast("bigint").alias("h"),
+    ).agg(F.sum(F.round(F.col("value") * 1000).cast("bigint")).alias("vm"))
+    horizon = hr.groupBy(F.col("event_type").alias("h_type")).agg(
+        F.max("h").alias("hmax")
+    )
+    test = hr.join(
+        horizon,
+        (F.col("h_type") == F.col("event_type"))
+        & (F.col("h") > F.col("hmax") - 24),
+    ).select("event_type", "h", F.col("vm").alias("actual"))
+    base = hr.select(
+        F.col("event_type").alias("b_type"),
+        F.col("h").alias("b_h"),
+        F.col("vm").alias("predicted"),
+    )
+    pred = test.join(
+        base,
+        (F.col("b_type") == F.col("event_type"))
+        & (F.col("b_h") == F.col("h") - 24),
+    )
+    err = F.abs(F.col("actual") - F.col("predicted"))
+    return pred.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_hours"),
+        F.round(F.sum(err) / (1000.0 * F.count("*")), 4).alias("mae"),
+        F.round(
+            F.sum(err) * F.lit(1.0)
+            / F.nullif(F.sum(F.abs(F.col("actual"))), F.lit(0)),
+            4,
+        ).alias("wape"),
+    )

@@ -4593,3 +4593,56 @@ def pipeline_quality_ensemble(spark, sf_dir):
         F.round("fk_grade", 4).alias("fk_grade"),
         F.round("ppl", 4).alias("ppl"),
     )
+
+
+@register(
+    "text_novelty",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM documents
+    ),
+    df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+    SELECT s.doc_id,
+           cast(count(*) AS bigint) AS n_shingles,
+           cast(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS bigint)
+             AS n_unique,
+           round(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS novelty
+    FROM sh s JOIN df d ON d.shingle = s.shingle
+    GROUP BY s.doc_id
+    """,
+)
+def text_novelty(spark, sf_dir):
+    """Per-document NOVELTY: the fraction of a document's 3-gram
+    shingles that appear NOWHERE else in the corpus (df = 1) — the
+    inverse lens on the dedup family's machinery: dedup asks "how much
+    of this is copied", novelty asks "how much of this exists only
+    here".  Low-novelty documents are boilerplate/templates even when
+    no single pair crosses a dedup threshold; high-novelty slices are
+    what curriculum and data-mixing strategies up-weight.
+
+    Reuses the dedup_jaccard shingle spine: one tokenize+explode pass
+    feeds a map-side-combined document-frequency aggregate, joined
+    back UNHINTED (a 100 TB shingle vocabulary outgrows broadcast;
+    AQE demotes while small).  Counts are exact integers; one double
+    division.
+    """
+    sh = (
+        t_fanout(spark, sf_dir, "documents")
+        .withColumn("toks", F.expr(TOKS_SPARK))
+        .select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("shingle"))
+        .persist()
+    )
+    df = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    uniq = F.when(F.col("df") == 1, 1).otherwise(0)
+    return (
+        sh.join(df, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum(uniq).cast("bigint").alias("n_unique"),
+            F.round(F.sum(uniq) / F.count("*").cast("double"), 4).alias(
+                "novelty"
+            ),
+        )
+    )

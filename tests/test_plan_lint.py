@@ -137,6 +137,9 @@ SUBSET = [
     "sink_dynamic_overwrite",
     "scan_glob_recursive",
     "pipeline_quality_ensemble",
+    "agg_gini",
+    "ts_backtest_naive",
+    "text_novelty",
 ]
 
 
