@@ -84,6 +84,10 @@ HEADLINE = [
     "text_bigram_ppl",
     "dedup_containment",
     "pipeline_quality_ensemble",
+    # r6 TPC-H widening: the scan-kernel query (raw scan throughput —
+    # no plan choice can hide a slow reader) and the pruned-join top-k
+    "tpch_q6",
+    "tpch_q10",
 ]
 
 

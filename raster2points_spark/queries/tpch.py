@@ -298,3 +298,311 @@ def tpch_q21(spark, sf_dir):
         .orderBy(F.col("numwait").desc(), "s_suppkey")
         .limit(20)
     )
+
+
+@register(
+    "tpch_q6",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark, sf_dir):
+    """TPC-H Q6 (forecasting revenue change): the pure scan-kernel
+    query — three conjunctive predicates and one global sum, no join,
+    no group.
+
+    Scale shape: every predicate reaches the parquet scan
+    (PushedFilters on l_shipdate / l_discount / l_quantity), the
+    projection prunes to two columns, and the aggregate is one
+    map-side partial per task + a 1-row final merge — the minimal
+    possible shuffle (a single scalar per task).  This is the query
+    that measures raw scan throughput at 100 TB: no plan choice can
+    hide a slow reader.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "tpch_q7",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q7(spark, sf_dir):
+    """TPC-H Q7 (volume shipping): nation-pair trade flow — the same
+    tiny dim joined TWICE under different roles (supplier's nation vs
+    customer's nation), with a disjunctive cross-pair filter.
+
+    Spark shape: both nation copies broadcast (aliased first so the
+    self-join is unambiguous); the OR-of-pairs predicate lands AFTER
+    both joins as a residual filter — Catalyst cannot split a
+    disjunction across two join inputs, but each branch still prunes
+    via the broadcast hash lookup, never a cartesian.  The big shuffle
+    pairs are lineitem⋈orders (orderkey) and ⋈customer (custkey);
+    supplier is small enough for AQE to broadcast.  Grouping is on two
+    25-value dims × year — dozens of groups, map-side combined.
+    """
+    s = t(spark, sf_dir, "supplier")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        s.join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q10",
+    oracle="""
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(c_acctbal, 2) AS c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate <  TIMESTAMP '1996-10-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, round(c_acctbal, 2), n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10(spark, sf_dir):
+    """TPC-H Q10 (returned-item reporting): revenue lost to returns
+    per customer in one quarter, top-20.
+
+    Scale shape: the quarter filter prunes orders at the scan and the
+    returnflag filter prunes lineitem at the scan BEFORE the big
+    orderkey shuffle; nation broadcasts onto the grouped result side.
+    Grouping carries the customer attributes (standard TPC-H shape) so
+    no second join is needed post-agg; top-20 with (revenue DESC,
+    c_custkey) tiebreak plans as TakeOrderedAndProject — no global
+    sort of the |customers|-row aggregate (R2).
+    """
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = t(spark, sf_dir, "nation")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name",
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q13",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                      AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def tpch_q13(spark, sf_dir):
+    """TPC-H Q13 (customer distribution): how many customers placed
+    exactly k (non-urgent) orders — including k = 0, which is the
+    whole point: the LEFT join preserves order-less customers, and
+    count(o_orderkey) (not count(*)) counts them as zero.
+    (Adapted: the original excludes orders by o_comment pattern; this
+    corpus has no comment column, so priority <> '1-URGENT' plays the
+    exclusion role.)
+
+    Scale shape: the order-side filter sits INSIDE the join condition
+    — pushed to the orders scan, never turning the outer join inner;
+    first aggregate is keyed on c_custkey (same key as the join, so
+    AQE can reuse the partitioning), second collapses |customers| rows
+    to a few dozen (c_count, custdist) pairs via map-side combine.
+    """
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@register(
+    "tpch_q14",
+    oracle="""
+    SELECT round(
+             100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+                   / sum(l_extendedprice * (1 - l_discount)), 4
+           ) AS promo_revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+)
+def tpch_q14(spark, sf_dir):
+    """TPC-H Q14 (promotion effect): promo share of one month's
+    revenue — conditional aggregation over a fact⋈dim join, returning
+    a single ratio.
+
+    Scale shape: the month filter prunes lineitem at the scan (a
+    ~1/70th slice here, ~1/84th of a 7-year corpus generally); part
+    joins broadcast (AQE — the dim is small relative to the fact);
+    both sums come out of ONE aggregate pass (CASE inside sum, not two
+    scans); final result is one row, so the merge shuffles a scalar
+    pair per task.  The ratio divides two same-magnitude sums before
+    rounding at 4 dp — engine-stable.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+    )
+    p = t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0)))
+                / F.sum(disc),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q15",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def tpch_q15(spark, sf_dir):
+    """TPC-H Q15 (top supplier): a reusable revenue "view" probed
+    twice — once for the global max (scalar subquery) and once as the
+    join input that the max filters.
+
+    Spark shape: the revenue aggregate is computed ONCE and cached
+    (Q15's CREATE VIEW is exactly a shared subplan); the scalar max
+    over its |suppliers| rows is a 1-row aggregate that crossJoin-
+    broadcasts back as a filter — the standard decorrelation, never a
+    per-row subquery.  Revenue is rounded to 2 dp BEFORE the max
+    comparison in both engines, so ties and the max itself are
+    bit-identical cross-engine.  supplier joins the few surviving
+    rows via broadcast.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+        .persist()
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = t(spark, sf_dir, "supplier")
+    out = (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(s, F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+    return out

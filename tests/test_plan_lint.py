@@ -140,6 +140,13 @@ SUBSET = [
     "agg_gini",
     "ts_backtest_naive",
     "text_novelty",
+    # r6 TPC-H widening (this session)
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
 ]
 
 

@@ -435,6 +435,36 @@ def test_tpch_q18_semi_join_gate(spark, registry):
     assert "LeftSemi" in plan
 
 
+def test_tpch_q6_pushdown_and_minimal_shuffle(spark, registry):
+    # Q6 is the scan-kernel query: all three predicates must reach the
+    # parquet scan, and the plan must contain NO join and no exchange
+    # other than the 1-row aggregate merge
+    df = registry["tpch_q6"].fn(spark, SF001)
+    plan = _formatted_plan(spark, df)
+    assert "PushedFilters: [" in plan and "IsNotNull(l_shipdate)" in plan
+    assert "Join" not in plan
+    # the only exchange is the 1-row final merge — no key shuffle
+    assert "hashpartitioning" not in plan
+
+
+def test_tpch_q10_topk_no_global_sort(spark, registry):
+    # LIMIT 20 with tiebreak must plan as TakeOrderedAndProject and the
+    # nation dim must broadcast
+    plan = _formatted_plan(spark, registry["tpch_q10"].fn(spark, SF001))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q13_preserves_outer_join(spark, registry):
+    # the priority exclusion sits in the join condition — Catalyst must
+    # NOT convert the LeftOuter to Inner (zero-order customers are the
+    # point of Q13), and the k=0 group must survive to the result
+    plan = _formatted_plan(spark, registry["tpch_q13"].fn(spark, SF001))
+    assert "LeftOuter" in plan
+    rows = {r["c_count"]: r["custdist"] for r in registry["tpch_q13"].fn(spark, SF001).collect()}
+    assert 0 in rows and rows[0] > 0
+
+
 def test_bilinear_resample_is_equi_join(spark, registry):
     # resampling must plan as a hash join on (col, row) — a BNLJ or
     # cartesian between target cells and pixels is the spatial-join
