@@ -1685,3 +1685,209 @@ def ts_backtest_naive(spark, sf_dir):
             4,
         ).alias("wape"),
     )
+
+
+@register(
+    "ts_interpolate_linear",
+    oracle=f"""
+    WITH sparse AS (
+      SELECT user_id, event_id,
+             {ORACLE_TSEC.format(c='ts')} AS tsec,
+             CASE WHEN event_id % 7 = 0 THEN round(value, 4) END AS obs
+      FROM events
+    ),
+    ctx AS (
+      SELECT user_id, event_id, tsec, obs,
+             last_value(obs IGNORE NULLS) OVER w_prev AS pv,
+             last_value(CASE WHEN obs IS NOT NULL THEN tsec END IGNORE NULLS)
+                 OVER w_prev AS pt,
+             first_value(obs IGNORE NULLS) OVER w_next AS nv,
+             first_value(CASE WHEN obs IS NOT NULL THEN tsec END IGNORE NULLS)
+                 OVER w_next AS nt
+      FROM sparse
+      WINDOW
+        w_prev AS (PARTITION BY user_id ORDER BY tsec, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY user_id ORDER BY tsec, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, event_id, obs,
+           round(CASE
+             WHEN obs IS NOT NULL THEN obs
+             WHEN pv IS NULL THEN nv
+             WHEN nv IS NULL THEN pv
+             ELSE pv + (nv - pv) * (tsec - pt) / nullif(nt - pt, 0)
+           END, 4) AS interp
+    FROM ctx
+    """,
+)
+def ts_interpolate_linear(spark, sf_dir):
+    """Linear interpolation of a sparse time series — the third member
+    of the gap-repair family (ts_gapfill inserts missing buckets,
+    win_locf carries the last value flat; this one draws the line
+    between the bracketing observations, the standard repair for
+    sensor/metric series before model features).
+
+    Every 7th event is "observed"; for the rest the value is
+    prev + (next - prev) * (t - t_prev) / (t_next - t_prev) over the
+    per-user (tsec, event_id) order.  Series edges fall back to the
+    one-sided neighbor (NOCB before the first obs, LOCF after the
+    last).
+
+    Spark shape: ONE user_id exchange serves two mirror-frame windows
+    (preceding-last / following-first with IGNORE NULLS) computing the
+    bracketing value AND its timestamp; interpolation itself is a
+    codegen projection.  The t_next = t_prev degenerate case (two
+    observations on one timestamp) is nullif-guarded IDENTICALLY in
+    both engines — Spark division by zero yields NULL while DuckDB
+    IEEE doubles yield Infinity, the anomaly_mad divergence class.
+    Scale: windows partition by user — millions of independent
+    partitions, no global sort, state bounded by the widest single
+    user.
+    """
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        unix_secs(F.col("ts")).alias("tsec"),
+        F.when(F.col("event_id") % 7 == 0, F.round("value", 4)).alias("obs"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("tsec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("tsec", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_t = F.when(F.col("obs").isNotNull(), F.col("tsec"))
+    ctx = ev.select(
+        "user_id",
+        "event_id",
+        "tsec",
+        "obs",
+        F.last("obs", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(obs_t, ignorenulls=True).over(w_prev).alias("pt"),
+        F.first("obs", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(obs_t, ignorenulls=True).over(w_next).alias("nt"),
+    )
+    interp = (
+        F.when(F.col("obs").isNotNull(), F.col("obs"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("tsec") - F.col("pt"))
+            / F.nullif(F.col("nt") - F.col("pt"), F.lit(0))
+        )
+    )
+    return ctx.select(
+        "user_id", "event_id", "obs", F.round(interp, 4).alias("interp")
+    )
+
+
+@register(
+    "dq_expectations",
+    oracle="""
+    WITH checks AS (
+      SELECT
+        count(*) AS n_checked,
+        cast(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS bigint) AS nonpositive_price,
+        cast(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS bigint) AS null_custkey,
+        cast(sum(CASE WHEN o_orderdate <  TIMESTAMP '1995-01-01'
+                   OR o_orderdate >= TIMESTAMP '2002-01-01'
+                 THEN 1 ELSE 0 END) AS bigint) AS date_out_of_range,
+        cast(sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                 THEN 1 ELSE 0 END) AS bigint) AS bad_status
+      FROM orders
+    ),
+    orphan AS (
+      SELECT count(*) AS v FROM orders
+      WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    ),
+    dup AS (
+      SELECT cast(coalesce(sum(n - 1), 0) AS bigint) AS v
+      FROM (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY 1) g
+      WHERE n > 1
+    )
+    SELECT rule, violations, n_checked FROM (
+      SELECT 'nonpositive_price' AS rule, nonpositive_price AS violations, n_checked FROM checks
+      UNION ALL
+      SELECT 'null_custkey', null_custkey, n_checked FROM checks
+      UNION ALL
+      SELECT 'date_out_of_range', date_out_of_range, n_checked FROM checks
+      UNION ALL
+      SELECT 'bad_status', bad_status, n_checked FROM checks
+      UNION ALL
+      SELECT 'orphan_custkey', orphan.v, checks.n_checked FROM orphan, checks
+      UNION ALL
+      SELECT 'duplicate_orderkey', dup.v, checks.n_checked FROM dup, checks
+    )
+    """,
+)
+def dq_expectations(spark, sf_dir):
+    """Data-quality expectation suite — the admission firewall a
+    training pipeline runs before any batch enters the corpus
+    (null/range/domain checks, referential integrity, key uniqueness),
+    one row per rule with its violation count.
+
+    Spark shape, built for a 100 TB nightly batch:
+    - the four ROW-LOCAL rules share ONE aggregate pass (conditional
+      sums — never one scan per rule, the naive DQ-framework trap);
+      the 6-cell result unpivots to rows via stack().
+    - referential integrity is a LeftAnti join against the dim's key
+      projection (AQE broadcasts it when small) — count of orphans,
+      not a per-row IN probe.
+    - key uniqueness is sum(n-1) over a groupBy(key) — map-side
+      combined, and the only shuffle keyed on the fact table.
+    The three branches are tiny 1-row aggregates unioned at the end;
+    total cost ≈ two scans + one key shuffle regardless of rule count.
+    """
+    o = t(spark, sf_dir, "orders")
+    checks = o.agg(
+        F.count("*").alias("n_checked"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "nonpositive_price"
+        ),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+            "null_custkey"
+        ),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp_ntz"))
+                | (F.col("o_orderdate") >= F.lit("2002-01-01").cast("timestamp_ntz")),
+                1,
+            ).otherwise(0)
+        ).alias("date_out_of_range"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0)
+        ).alias("bad_status"),
+    )
+    row_local = checks.selectExpr(
+        """stack(4,
+             'nonpositive_price', nonpositive_price,
+             'null_custkey', null_custkey,
+             'date_out_of_range', date_out_of_range,
+             'bad_status', bad_status) AS (rule, violations)""",
+        "n_checked",
+    )
+    cust_keys = t(spark, sf_dir, "customer").select("c_custkey")
+    orphan = (
+        o.join(cust_keys, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .agg(F.count("*").alias("violations"))
+        .select(F.lit("orphan_custkey").alias("rule"), "violations")
+    )
+    dup = (
+        o.groupBy("o_orderkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias("violations"))
+        .select(F.lit("duplicate_orderkey").alias("rule"), "violations")
+    )
+    n_checked = checks.select("n_checked")
+    extra = orphan.unionByName(dup).join(F.broadcast(n_checked))
+    return row_local.unionByName(extra)

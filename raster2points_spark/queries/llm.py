@@ -4646,3 +4646,53 @@ def text_novelty(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "shuffle_shards",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id,
+             cast(concat('0x', substr(md5(concat('shard#', cast(doc_id AS varchar))), 1, 15)) AS bigint) % 16 AS shard,
+             md5(concat('order#', cast(doc_id AS varchar))) AS okey
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           row_number() OVER (PARTITION BY shard ORDER BY okey, doc_id) AS pos
+    FROM keyed
+    """,
+)
+def shuffle_shards(spark, sf_dir):
+    """Deterministic global training shuffle + shard assignment — the
+    step between curation and the dataloader.  A trainer needs the
+    corpus (a) randomly ordered (no source/time clumping), (b) split
+    into fixed shards for parallel readers, (c) REPRODUCIBLY: the same
+    seed must yield byte-identical shard files on any engine, any
+    partitioning, any day — which `df.orderBy(rand())` can never give.
+
+    Two independent keyed hashes do it: md5('shard#'||id) picks the
+    shard (16 here; thousands at 100 TB), md5('order#'||id) orders
+    WITHIN the shard — independent keys so shard assignment doesn't
+    correlate with intra-shard position.  `pos` is the explicit
+    within-shard index a sequential reader would see.
+
+    Spark shape: one hash-keyed exchange (partition by shard) + a
+    per-shard sort — exactly the write path of
+    `repartition(shard).sortWithinPartitions(okey)`, whose file order
+    IS this row_number; the window form materializes the position so
+    the contract is value-checkable cross-engine.  Scale: shard count
+    is chosen so one shard ≈ one task's worth of rows (e.g. 100 TB /
+    512 MB ≈ 200k shards); the md5 keys are uniform so no shard skews.
+    """
+    d = t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    keyed = d.select(
+        "doc_id",
+        hash_bucket("shard#", mod=16).alias("shard"),
+        F.md5(F.concat(F.lit("order#"), F.col("doc_id").cast("string"))).alias("okey"),
+    )
+    w = Window.partitionBy("shard").orderBy("okey", "doc_id")
+    return keyed.select(
+        "doc_id", "shard", F.row_number().over(w).alias("pos")
+    )

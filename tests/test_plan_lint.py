@@ -147,6 +147,9 @@ SUBSET = [
     "tpch_q13",
     "tpch_q14",
     "tpch_q15",
+    "ts_interpolate_linear",
+    "dq_expectations",
+    "shuffle_shards",
 ]
 
 

@@ -89,6 +89,8 @@ RULES: dict[str, dict[str, str]] = {
         "text_kn_smoothing": "1-row bigram-type total broadcast",
         "pipeline_quality_ensemble": "1-row vocabulary-size broadcast "
         "in the perplexity leg",
+        "dq_expectations": "1-row n_checked scalar broadcast onto the "
+        "two 1-row RI/uniqueness branches",
     },
     "BatchEvalPython": {
         "udf_scalar_py": "THE deliberate row-Python surface key",
