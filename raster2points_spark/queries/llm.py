@@ -4696,3 +4696,82 @@ def shuffle_shards(spark, sf_dir):
     return keyed.select(
         "doc_id", "shard", F.row_number().over(w).alias("pos")
     )
+
+
+@register(
+    "text_boilerplate",
+    oracle="""
+    WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
+    c AS (SELECT doc_id, source, i - 1 AS chunk_no,
+                 array_to_string(words[(i-1)*5+1:i*5], ' ') AS chunk
+          FROM w, unnest(generate_series(1, cast(ceil(len(words)/5.0) AS int))) t(i)),
+    df AS (SELECT source, chunk, count(DISTINCT doc_id) AS ndocs
+           FROM c GROUP BY 1, 2),
+    j AS (SELECT c.doc_id, c.chunk_no, c.chunk, (df.ndocs >= 3) AS boiler
+          FROM c JOIN df ON c.source = df.source AND c.chunk = df.chunk)
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           cast(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS bigint) AS n_boiler,
+           round(sum(CASE WHEN boiler THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+             AS boiler_ratio,
+           md5(coalesce(string_agg(chunk, ' ' ORDER BY chunk_no)
+                          FILTER (WHERE NOT boiler), '')) AS clean_md5
+    FROM j GROUP BY doc_id
+    """,
+)
+def text_boilerplate(spark, sf_dir):
+    """Per-source boilerplate strip (CCNet/RefinedWeb line-dedup pass):
+    a 5-word chunk that appears in >= 3 DISTINCT documents of the same
+    source is boilerplate (nav bars, footers, license headers) and is
+    removed from EVERY document — unlike dedup_chunks, which keeps the
+    first occurrence, boilerplate has no "first": all instances go.
+
+    Scale shape: chunk document-frequency is ONE content-addressed
+    groupBy(source, chunk) with countDistinct(doc_id) — uniform keys,
+    map-side partial.  The df relation joins back on the same
+    (source, chunk) key (AQE broadcasts it when the boilerplate set is
+    small — it always is relative to the corpus), then one doc_id
+    shuffle reassembles survivors in order.  Emitting md5(clean) keeps
+    the verification row narrow; counts + ratio are the curation
+    metrics a pipeline thresholds on.
+    """
+    from pyspark.sql import Window  # noqa: F401  (parallel to dedup_chunks)
+
+    w = t_fanout(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("words")
+    )
+    c = w.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.ceil(F.size("words") / F.lit(5.0)).cast("int") - 1),
+                lambda i: F.array_join(F.slice("words", i * 5 + 1, 5), " "),
+            )
+        ).alias("chunk_no", "chunk"),
+    )
+    df = c.groupBy("source", "chunk").agg(
+        F.countDistinct("doc_id").alias("ndocs")
+    )
+    j = c.join(df, ["source", "chunk"]).withColumn(
+        "boiler", F.col("ndocs") >= 3
+    )
+    kept_struct = F.when(~F.col("boiler"), F.struct("chunk_no", "chunk"))
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("boiler"), 1).otherwise(0)).alias("n_boiler"),
+            F.round(
+                F.sum(F.when(F.col("boiler"), 1).otherwise(0)) / F.count("*"), 4
+            ).alias("boiler_ratio"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)), lambda x: x.chunk
+                    ),
+                    " ",
+                )
+            ).alias("clean_md5"),
+        )
+    )

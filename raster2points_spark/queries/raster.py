@@ -1416,3 +1416,132 @@ def raster_flow_accumulation(spark, sf_dir):
             .localCheckpoint(eager=True)
         )
     return acc.join(valid, "pid").select("col", "row", "acc")
+
+
+@register(
+    "spatial_nearest",
+    oracle=f"""
+    {_PX}
+    , cands AS (
+        SELECT col, row, value,
+               transform[3] + (col + 0.5) * transform[1] AS clon,
+               transform[6] + (row + 0.5) * transform[5] AS clat
+        FROM pix WHERE band_id = 'b1' AND value IS NOT NULL
+    ),
+    sites AS (
+        SELECT tile_id AS site_tile, pos,
+               transform[3] + (col + 0.5) * transform[1] AS lon,
+               transform[6] + (row + 0.5) * transform[5] AS lat,
+               cast(floor((transform[3] + (col + 0.5) * transform[1] - transform[3])
+                          / transform[1]) AS int) AS cell_col,
+               cast(floor((transform[6] + (row + 0.5) * transform[5] - transform[6])
+                          / transform[5]) AS int) AS cell_row,
+               transform[1] AS pw, transform[5] AS ph
+        FROM pix WHERE band_id = 'b2' AND pos % 11 = 0
+    ),
+    nbr AS (
+        SELECT s.*, s.cell_col + dc.d AS ncol, s.cell_row + dr.d AS nrow
+        FROM sites s,
+             (SELECT unnest(generate_series(-1, 1)) AS d) dc,
+             (SELECT unnest(generate_series(-1, 1)) AS d) dr
+    ),
+    scored AS (
+        SELECT n.site_tile, n.pos, c.col, c.row, c.value,
+               ((n.lon - c.clon) / n.pw) * ((n.lon - c.clon) / n.pw)
+             + ((n.lat - c.clat) / n.ph) * ((n.lat - c.clat) / n.ph) AS d2
+        FROM nbr n JOIN cands c ON c.col = n.ncol AND c.row = n.nrow
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY site_tile, pos
+                                     ORDER BY d2, col, row) AS rn,
+               count(*) OVER (PARTITION BY site_tile, pos) AS n_cand
+        FROM scored
+    )
+    SELECT site_tile, pos, col AS near_col, row AS near_row,
+           round(d2, 6) AS d2_px,
+           cast(round(value * 1000, 0) AS bigint) AS near_v_milli,
+           cast(n_cand AS bigint) AS n_cand
+    FROM ranked WHERE rn = 1
+    """,
+)
+def spatial_nearest(spark, sf_dir):
+    """Grid-local nearest-neighbor match (map-matching / nearest-site
+    assignment): for every probe point, the closest valid pixel among
+    the 3×3 grid cells around the probe's own cell — argmin with a
+    total-order tiebreak, the top-1 companion to spatial_join_grid's
+    containment join.
+
+    The neighborhood bound is the SEMANTICS, not an approximation
+    shortcut: grid-local matching ("nearest within one cell radius")
+    is the standard formulation at scale because it turns NN into an
+    EQUI-join — probes explode ×9 to neighbor cell ids, join candidates
+    on (col, row), then one row_number per probe.  Candidates per
+    probe are bounded by cell density, never |corpus|; an unmatched
+    probe (empty neighborhood) drops out in both engines.  Distances
+    are computed in PIXEL units (dx/px_w, dy/px_h) so d2 is O(1) and
+    6-dp rounding is engine-stable; the argmin itself compares raw
+    doubles built from identical parquet values with identical
+    association order, then breaks ties on (col, row).
+
+    At 100 TB this is geohash/S2/H3 k-ring matching: same explode,
+    same equi-join, same per-cell candidate bound.
+    """
+    px = grid_unpivot(_tiles(spark, sf_dir))
+    tcol = lambda i: F.element_at("transform", i)  # noqa: E731
+    cands = (
+        px.filter((F.col("band_id") == "b1") & F.col("value").isNotNull())
+        .select(
+            "col",
+            "row",
+            "value",
+            (tcol(3) + (F.col("col") + 0.5) * tcol(1)).alias("clon"),
+            (tcol(6) + (F.col("row") + 0.5) * tcol(5)).alias("clat"),
+        )
+    )
+    lon = tcol(3) + (F.col("col") + 0.5) * tcol(1)
+    lat = tcol(6) + (F.col("row") + 0.5) * tcol(5)
+    sites = (
+        px.filter((F.col("band_id") == "b2") & (F.col("pos") % 11 == 0))
+        .select(
+            F.col("tile_id").alias("site_tile"),
+            "pos",
+            lon.alias("lon"),
+            lat.alias("lat"),
+            F.floor((lon - tcol(3)) / tcol(1)).cast("int").alias("cell_col"),
+            F.floor((lat - tcol(6)) / tcol(5)).cast("int").alias("cell_row"),
+            tcol(1).alias("pw"),
+            tcol(5).alias("ph"),
+        )
+    )
+    d = F.explode(F.sequence(F.lit(-1), F.lit(1)))
+    nbr = (
+        sites.withColumn("dc", d)
+        .withColumn("dr", d)
+        .select(
+            "*",
+            (F.col("cell_col") + F.col("dc")).alias("ncol"),
+            (F.col("cell_row") + F.col("dr")).alias("nrow"),
+        )
+    )
+    dx = (F.col("lon") - F.col("clon")) / F.col("pw")
+    dy = (F.col("lat") - F.col("clat")) / F.col("ph")
+    scored = nbr.join(
+        cands, (F.col("col") == F.col("ncol")) & (F.col("row") == F.col("nrow"))
+    ).select(
+        "site_tile", "pos", "col", "row", "value", (dx * dx + dy * dy).alias("d2")
+    )
+    w = Window.partitionBy("site_tile", "pos")
+    ranked = scored.select(
+        "*",
+        F.row_number().over(w.orderBy("d2", "col", "row")).alias("rn"),
+        F.count("*").over(w).alias("n_cand"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "site_tile",
+        "pos",
+        F.col("col").alias("near_col"),
+        F.col("row").alias("near_row"),
+        F.round("d2", 6).alias("d2_px"),
+        F.round(F.col("value") * 1000, 0).cast("bigint").alias("near_v_milli"),
+        F.col("n_cand").cast("bigint").alias("n_cand"),
+    )

@@ -550,3 +550,58 @@ def win_dist_rank(spark, sf_dir):
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.round(F.nth_value("c_acctbal", 3).over(wf), 2).alias("third_bal"),
     )
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id,
+             cast(floor(epoch(ts)) AS bigint) AS tsec,
+             round(value, 4) AS v
+      FROM events
+    )
+    SELECT user_id, event_id, tsec,
+           cast(count(*) OVER w AS bigint) AS n_1h,
+           round(sum(v) OVER w, 4) AS sum_1h
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY tsec
+                 RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_range_frame(spark, sf_dir):
+    """Time-interval (RANGE) window frame — trailing 1-hour per-user
+    event count and value sum.  win_moving's ROWS frame counts a fixed
+    NUMBER of rows; real monitoring/rate-limit logic needs a fixed
+    TIME span, which only a RANGE frame on the epoch axis expresses:
+    the frame holds every peer row within [t-3599, t] regardless of
+    how many there are.
+
+    Peer semantics make this deterministic where ROWS is not: rows
+    sharing a timestamp get the IDENTICAL frame (all peers included),
+    so no tiebreak is needed on the ORDER BY at all — the frame is a
+    function of tsec alone.  One user_id exchange + one sort serves
+    both aggregates.  Scale: state per row is the in-range suffix of
+    one user's events — bounded by per-user event rate × 1 h, not by
+    history length.
+    """
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        unix_secs(F.col("ts")).alias("tsec"),
+        F.round("value", 4).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tsec")
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "tsec",
+        F.count("*").over(w).alias("n_1h"),
+        F.round(F.sum("v").over(w), 4).alias("sum_1h"),
+    )

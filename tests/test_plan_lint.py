@@ -150,6 +150,9 @@ SUBSET = [
     "ts_interpolate_linear",
     "dq_expectations",
     "shuffle_shards",
+    "text_boilerplate",
+    "win_range_frame",
+    "spatial_nearest",
 ]
 
 
