@@ -606,3 +606,171 @@ def tpch_q15(spark, sf_dir):
         .select("s_suppkey", "s_name", "total_revenue")
     )
     return out
+
+
+@register(
+    "tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4(spark, sf_dir):
+    """TPC-H Q4 (order priority checking), adapted to the corpus: the
+    original's l_commitdate < l_receiptdate lateness test becomes
+    "some line shipped more than 60 days after the order date" — the
+    same correlated EXISTS over the fact table, which is the point of
+    Q4: semi-join decorrelation.
+
+    Spark shape: the EXISTS plans as ONE LeftSemi hash join on
+    orderkey with the date comparison as a residual inside the join —
+    never a per-order subquery, and no row duplication for
+    multi-line orders (semi joins emit each order at most once, so
+    the count needs no distinct).  The quarter filter prunes orders
+    at the scan before the shuffle; output is |priorities| rows via
+    map-side combine.
+    """
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@register(
+    "tpch_q8",
+    oracle="""
+    SELECT year(o_orderdate) AS o_year,
+           round(sum(CASE WHEN sn.n_name = 'NATION_3'
+                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    JOIN region   ON r_regionkey = cn.n_regionkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    WHERE r_name = 'EUROPE'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def tpch_q8(spark, sf_dir):
+    """TPC-H Q8 (national market share), adapted (no p_type market
+    segment on the part side in the original's sense — the market is
+    defined by the customer's REGION alone): NATION_3's share of
+    EUROPE-customer revenue per year.
+
+    The share-of-total inside one grouped aggregate (CASE in the
+    numerator, unconditional denominator) avoids Q8's classic
+    two-query formulation.  nation appears TWICE (customer's, then
+    supplier's) — both broadcast; region gates the customer's copy
+    first so the fact rows that survive to the supplier join are
+    already region-pruned.  Big shuffles: lineitem⋈orders (orderkey)
+    and ⋈customer (custkey); supplier is AQE-broadcastable.  Ratio of
+    same-magnitude sums rounded at 6 dp — engine-stable.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    cn = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_regionkey").alias("crk")
+    )
+    sn = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(cn), F.col("cnk") == F.col("c_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("crk"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("snk") == F.col("s_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "tpch_q19",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 40)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def tpch_q19(spark, sf_dir):
+    """TPC-H Q19 (discounted revenue), adapted to the corpus columns
+    (brand/size/quantity play the brand/container/quantity roles):
+    an OR of three conjunctive branches spanning BOTH join sides —
+    the query that tests disjunctive predicate handling.
+
+    What Catalyst can and can't do here, stated explicitly: the
+    disjunction can't be pushed below the join as-is (each branch
+    mixes part and lineitem columns), but the per-side IMPLIED
+    prefilters CAN: p_brand IN (b1,b2,b3) prunes part and
+    l_quantity BETWEEN 1 AND 50 prunes lineitem before the join;
+    the full OR evaluates as a codegen residual inside the hash join.
+    We state the implied filters explicitly (cheap, engine-neutral
+    insurance — Spark's OR-factoring does not extract cross-column
+    ranges).  One join, one 1-row aggregate; part side broadcast by
+    AQE.
+    """
+    branches = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 40))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(20, 50))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity").between(1, 50))
+    p = t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    )
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(branches)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )

@@ -153,6 +153,9 @@ SUBSET = [
     "text_boilerplate",
     "win_range_frame",
     "spatial_nearest",
+    "tpch_q4",
+    "tpch_q8",
+    "tpch_q19",
 ]
 
 
