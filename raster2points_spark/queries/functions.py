@@ -806,3 +806,49 @@ def fn_mask(spark, sf_dir):
             F.lit(None).cast("string"),
         ).alias("digits_only_masked"),
     )
+
+
+@register(
+    "fn_explode_outer",
+    oracle="""
+    WITH arr AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> len(w) > 8) AS longw
+      FROM documents
+    ),
+    pad AS (
+      SELECT doc_id,
+             CASE WHEN len(longw) = 0 THEN [NULL] ELSE longw END AS p
+      FROM arr
+    ),
+    ex AS (
+      SELECT doc_id, unnest(p) AS word,
+             unnest(generate_series(1, len(p))) - 1 AS pos
+      FROM pad
+    )
+    SELECT doc_id, word,
+           cast(CASE WHEN word IS NULL THEN NULL ELSE pos END AS bigint) AS pos
+    FROM ex
+    """,
+)
+def fn_explode_outer(spark, sf_dir):
+    """posexplode_outer — the OUTER explode semantic corner: a row
+    whose array is EMPTY survives as one row with NULL element and
+    NULL position, where plain explode silently deletes it.  That
+    distinction is load-bearing in pipelines (a doc with no long
+    words must not vanish from a per-doc rollup downstream).
+
+    DuckDB has no outer unnest, so the oracle states the semantics
+    explicitly: empty arrays are replaced by a one-NULL sentinel
+    before unnesting.  Spark plans Generate(posexplode_outer) inline
+    in the scan stage — a pure flatMap, zero shuffles, output bounded
+    by total array length + empty-array count.
+    """
+    arr = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda w: F.length(w) > 8).alias("longw"),
+    )
+    return arr.select(
+        "doc_id",
+        F.posexplode_outer("longw").alias("pos", "word"),
+    ).select("doc_id", "word", F.col("pos").cast("bigint").alias("pos"))

@@ -90,3 +90,75 @@ def set_except(spark, sf_dir):
     a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
     b = o.filter(F.col("o_orderstatus") == "P").select(F.col("o_custkey").alias("k"))
     return a.exceptAll(b)
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_intersect_all(spark, sf_dir):
+    """INTERSECT ALL — multiset intersection: a key appearing m times
+    on one side and n on the other yields min(m, n) rows, the bag
+    semantics INTERSECT's dedup destroys.  Spark plans intersectAll as
+    one hash aggregation counting per-side multiplicities then a
+    generate of min(m, n) replicas — one shuffle on the key, no join
+    blowup (replication is capped by the smaller multiplicity).
+    """
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
+    b = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k"))
+    return a.intersectAll(b)
+
+
+@register(
+    "set_except_distinct",
+    oracle="""
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def set_except_distinct(spark, sf_dir):
+    """EXCEPT (DISTINCT) — set difference: keys with ANY occurrence on
+    the right vanish entirely, and the left side dedups.  The twin of
+    set_except's EXCEPT ALL; together they pin the multiset-vs-set
+    semantic split.  Plans as a LeftAnti join after a distinct — both
+    keyed on the same column, one partitioning reused.
+    """
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
+    b = o.filter(F.col("o_orderstatus") == "P").select(F.col("o_custkey").alias("k"))
+    return a.subtract(b)
+
+
+@register(
+    "sort_nulls_order",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE round(o_totalprice, 2) END AS p
+    FROM orders
+    ORDER BY p DESC NULLS LAST, o_orderkey
+    LIMIT 40
+    """,
+)
+def sort_nulls_order(spark, sf_dir):
+    """NULL-ordering surface: DESC NULLS LAST — the ordering every
+    leaderboard wants (missing metrics sink to the bottom), and a
+    cross-engine trap: Spark's default for DESC is NULLS LAST while
+    ANSI/DuckDB's is NULLS FIRST, so the intent must be SPELLED, not
+    defaulted, on both sides.  Still plans as TakeOrderedAndProject
+    (the null-aware comparator changes the heap order, not the
+    algorithm); full (p, o_orderkey) tiebreak (R2).
+    """
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.round("o_totalprice", 2))
+        .alias("p"),
+    )
+    return o.orderBy(F.col("p").desc_nulls_last(), "o_orderkey").limit(40)

@@ -156,6 +156,10 @@ SUBSET = [
     "tpch_q4",
     "tpch_q8",
     "tpch_q19",
+    "set_intersect_all",
+    "set_except_distinct",
+    "sort_nulls_order",
+    "fn_explode_outer",
 ]
 
 
