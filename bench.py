@@ -88,6 +88,9 @@ HEADLINE = [
     # no plan choice can hide a slow reader) and the pruned-join top-k
     "tpch_q6",
     "tpch_q10",
+    "tpch_q19",
+    "text_boilerplate",
+    "dq_expectations",
 ]
 
 

@@ -4775,3 +4775,98 @@ def text_boilerplate(spark, sf_dir):
             ).alias("clean_md5"),
         )
     )
+
+
+@register(
+    "feature_onehot",
+    oracle="""
+    SELECT o_custkey,
+           cast(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS bigint) AS pri_urgent,
+           cast(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS bigint) AS pri_high,
+           cast(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS bigint) AS pri_medium,
+           cast(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS bigint) AS pri_notspec,
+           cast(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS bigint) AS pri_low,
+           cast(sum(CASE WHEN o_orderpriority NOT IN
+                 ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+                 THEN 1 ELSE 0 END) AS bigint) AS pri_other
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def feature_onehot(spark, sf_dir):
+    """One-hot / count encoding of a categorical over an entity — the
+    feature-store staple (per-customer order-priority profile).  The
+    vocabulary is FIXED in the query (plus an explicit OTHER bucket):
+    deriving columns from a runtime distinct is the dynamic-pivot
+    anti-pattern (driver-side scan; schema depends on data — see
+    agg_pivot), and the OTHER bucket is what makes the fixed list safe
+    under drift.
+
+    Spark shape: one groupBy(entity) with 6 conditional sums — a
+    single map-side-combined aggregate pass, identical cost to ONE
+    count, however many categories.  At 100 TB the encoded table is
+    |entities| rows — the downstream join input for model features.
+    """
+    o = t(spark, sf_dir, "orders")
+    cats = [
+        ("pri_urgent", "1-URGENT"),
+        ("pri_high", "2-HIGH"),
+        ("pri_medium", "3-MEDIUM"),
+        ("pri_notspec", "4-NOT SPECIFIED"),
+        ("pri_low", "5-LOW"),
+    ]
+    known = [v for _, v in cats]
+    aggs = [
+        F.sum(F.when(F.col("o_orderpriority") == v, 1).otherwise(0)).alias(n)
+        for n, v in cats
+    ] + [
+        F.sum(F.when(~F.col("o_orderpriority").isin(known), 1).otherwise(0)).alias(
+            "pri_other"
+        )
+    ]
+    return o.groupBy("o_custkey").agg(*aggs)
+
+
+@register(
+    "feature_hashing",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             cast(cast(concat('0x', substr(md5(word), 1, 15)) AS bigint) % 64 AS int)
+               AS feat
+      FROM w WHERE word <> ''
+    )
+    SELECT doc_id, feat, count(*) AS n
+    FROM h GROUP BY 1, 2
+    """,
+)
+def feature_hashing(spark, sf_dir):
+    """Hashing-trick vectorizer (feature hashing): tokens hash into a
+    FIXED 64-bucket feature space — the unbounded-vocabulary answer
+    when a fitted vocabulary (text_tfidf's join) is impossible or
+    unwanted: no training pass, no vocab table to ship, new words land
+    deterministically.
+
+    md5-keyed bucketing (not Spark's murmur hashCode) keeps the
+    feature ids engine-independent — the same property that makes
+    sample_split reproducible makes this feature space portable
+    across the training stack.  Spark shape: explode → ONE
+    groupBy(doc, feat) with map-side combine; output bounded by
+    |docs| × 64, independent of vocabulary size.  Sparse (doc, feat,
+    n) triples ARE the storage format at scale — a dense 64-wide
+    pivot is a trivial downstream projection.
+    """
+    d = t_fanout(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    feat = (
+        F.conv(F.substring(F.md5("word"), 1, 15), 16, 10).cast("bigint") % 64
+    ).cast("int")
+    return (
+        w.select("doc_id", feat.alias("feat"))
+        .groupBy("doc_id", "feat")
+        .agg(F.count("*").alias("n"))
+    )

@@ -160,6 +160,8 @@ SUBSET = [
     "set_except_distinct",
     "sort_nulls_order",
     "fn_explode_outer",
+    "feature_onehot",
+    "feature_hashing",
 ]
 
 

@@ -61,6 +61,18 @@ DEFAULT_KEYS = [
     "ml_kmeans_lloyd",
     "graph_shortest_hops",
     "ts_seasonal_decompose",
+    # r6 continuation — chunk-df boilerplate (candidate-count-driven),
+    # the widest new TPC-H joins, the k-ring NN and the DQ firewall
+    "text_boilerplate",
+    "spatial_nearest",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q10",
+    "tpch_q19",
+    "shuffle_shards",
+    "dq_expectations",
+    "ts_interpolate_linear",
+    "win_range_frame",
 ]
 
 
