@@ -1891,3 +1891,123 @@ def dq_expectations(spark, sf_dir):
     n_checked = checks.select("n_checked")
     extra = orphan.unionByName(dup).join(F.broadcast(n_checked))
     return row_local.unionByName(extra)
+
+
+@register(
+    "agg_moments",
+    oracle="""
+    WITH p AS (
+      SELECT l_returnflag AS grp, count(*) AS n,
+             sum(l_quantity) AS s1,
+             sum(l_quantity * l_quantity) AS s2,
+             sum(l_quantity * l_quantity * l_quantity) AS s3,
+             sum(l_quantity * l_quantity * l_quantity * l_quantity) AS s4
+      FROM lineitem GROUP BY 1
+    )
+    SELECT grp, n,
+           round(s1 / n, 6) AS mean,
+           round(s2 / n - (s1 / n) * (s1 / n), 6) AS m2,
+           round((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                 / pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 6) AS skew,
+           round((s4 / n - 4 * (s1 / n) * (s3 / n)
+                  + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                  - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                 / pow(s2 / n - (s1 / n) * (s1 / n), 2) - 3, 6) AS ex_kurtosis
+    FROM p
+    """,
+)
+def agg_moments(spark, sf_dir):
+    """Distribution moments (mean/variance/skewness/excess kurtosis)
+    from RAW POWER SUMS — the distributed-moments shape: each task
+    emits (n, Σx, Σx², Σx³, Σx⁴), partials merge by plain addition,
+    and the moments are a driver-side projection of the merged sums.
+
+    Why not the skewness()/kurtosis() builtins: their internal update
+    algorithms (and bias conventions) differ between engines, so the
+    twin could only match approximately.  Power sums of the
+    integer-valued quantity column are EXACT in doubles (< 2^53) and
+    order-independent — bit-identical cross-engine before the single
+    rounded projection (R1).  One map-side-combined aggregate, 3-row
+    output; at 100 TB this is the profile pass that costs one scan.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    p = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    mean = s1 / n
+    m2 = s2 / n - mean * mean
+    skew = (s3 / n - 3 * mean * (s2 / n) + 2 * mean * mean * mean) / F.pow(m2, 1.5)
+    kurt = (
+        s4 / n
+        - 4 * mean * (s3 / n)
+        + 6 * mean * mean * (s2 / n)
+        - 3 * mean * mean * mean * mean
+    ) / F.pow(m2, 2) - 3
+    return p.select(
+        "grp",
+        "n",
+        F.round(mean, 6).alias("mean"),
+        F.round(m2, 6).alias("m2"),
+        F.round(skew, 6).alias("skew"),
+        F.round(kurt, 6).alias("ex_kurtosis"),
+    )
+
+
+@register(
+    "corr_spearman",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag AS grp,
+             rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+               + (count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1) / 2.0
+               AS r_qty,
+             rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+               + (count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1) / 2.0
+               AS r_price
+      FROM lineitem
+    )
+    SELECT grp, round(corr(r_qty, r_price), 6) AS spearman_rho, count(*) AS n
+    FROM ranked GROUP BY grp
+    """,
+)
+def corr_spearman(spark, sf_dir):
+    """Spearman rank correlation per group — the monotonic-association
+    measure agg_stats' Pearson corr can't give (robust to outliers and
+    nonlinearity; the standard for metric-vs-metric screens).
+
+    Average-rank tie handling made explicit and engine-neutral:
+    fractional rank = rank() + (|ties| - 1)/2 — rank() gives the
+    first position of the tie group, the tie-count window centers it.
+    Ranks are exact integers/half-integers, so the only float work is
+    the final Pearson over ranks (rounded at 6 dp).  Scale shape: two
+    sort-windows per variable SHARE the group partition; corr is one
+    map-side-combinable aggregate.  Ranking within groups keeps the
+    sort partition-local — a GLOBAL Spearman would need a global rank
+    (range partitioning), which is why screens rank within cohorts.
+    """
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    g = Window.partitionBy("l_returnflag")
+
+    def frank(col):
+        return (
+            F.rank().over(g.orderBy(col))
+            + (F.count("*").over(Window.partitionBy("l_returnflag", col)) - 1) / 2.0
+        )
+
+    ranked = li.select(
+        F.col("l_returnflag").alias("grp"),
+        frank("l_quantity").alias("r_qty"),
+        frank("l_extendedprice").alias("r_price"),
+    )
+    return ranked.groupBy("grp").agg(
+        F.round(F.corr("r_qty", "r_price"), 6).alias("spearman_rho"),
+        F.count("*").alias("n"),
+    )

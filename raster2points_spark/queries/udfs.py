@@ -31,7 +31,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
 from raster2points_spark.registry import register
-from raster2points_spark.queries._util import t
+from raster2points_spark.queries._util import t, t_fanout
 from raster2points_spark.queries.raster import _PX  # DuckDB tile-melt CTE twin
 from raster2points_spark.sources.tiles import read_tiles
 from raster2points_spark.queries.raster import GRID64
@@ -236,4 +236,57 @@ def udtf_py(spark, sf_dir):
         FROM udtf_tiles t,
         LATERAL explode_tile(t.tile_id, t.nodata, t.data) p
         """
+    )
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT lang,
+           cast(sum(octet_length(encode(text))) AS bigint) AS total_bytes,
+           cast(sum(len(string_split(text, ' '))) AS bigint) AS total_words,
+           count(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def udf_map_in_arrow(spark, sf_dir):
+    """Arrow-NATIVE batch pipeline (mapInArrow): the zero-copy sibling
+    of mapInPandas — kernels receive pyarrow RecordBatches directly,
+    skipping the Arrow→pandas conversion entirely.  That matters when
+    the kernel is itself Arrow-compute (or hands batches to a C++/Rust
+    library): no object boxing, no pandas dtype coercion, strings stay
+    in Arrow's contiguous buffers.
+
+    The kernel computes per-doc byte and word counts with
+    pyarrow.compute (vectorized C++), emitting integer partials whose
+    downstream sum is order-independent (R1).  At 100 TB this is the
+    decode/featurize shape for opaque binary columns — per-batch
+    compute, constant memory, no Python-object hot path.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    d = t_fanout(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+
+    def count_batches(batches):
+        for b in batches:
+            text = b.column(b.schema.get_field_index("text"))
+            nbytes = pc.binary_length(pc.cast(text, pa.binary()))
+            nwords = pc.list_value_length(pc.split_pattern(text, " "))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(b.schema.get_field_index("lang")),
+                    pc.cast(nbytes, pa.int64()),
+                    pc.cast(nwords, pa.int64()),
+                ],
+                names=["lang", "nbytes", "nwords"],
+            )
+
+    counted = d.mapInArrow(
+        count_batches, schema="lang string, nbytes long, nwords long"
+    )
+    return counted.groupBy("lang").agg(
+        F.sum("nbytes").alias("total_bytes"),
+        F.sum("nwords").alias("total_words"),
+        F.count("*").alias("n_docs"),
     )

@@ -162,6 +162,9 @@ SUBSET = [
     "fn_explode_outer",
     "feature_onehot",
     "feature_hashing",
+    "udf_map_in_arrow",
+    "agg_moments",
+    "corr_spearman",
 ]
 
 
