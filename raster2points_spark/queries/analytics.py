@@ -2011,3 +2011,108 @@ def corr_spearman(spark, sf_dir):
         F.round(F.corr("r_qty", "r_price"), 6).alias("spearman_rho"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "win_rolling_median",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_id,
+             {ORACLE_TSEC.format(c='ts')} AS tsec,
+             round(value, 4) AS v
+      FROM events
+    )
+    SELECT user_id, event_id,
+           round(quantile_cont(v, 0.5) OVER (
+             PARTITION BY user_id ORDER BY tsec, event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 4) AS med10
+    FROM ev
+    """,
+)
+def win_rolling_median(spark, sf_dir):
+    """Rolling EXACT median (trailing 10 rows per user) — the robust
+    smoother for spiky series that win_moving's mean cannot give (one
+    outlier drags a mean for 10 rows; the median shrugs).
+
+    Exactness is the cross-engine contract: Spark's `percentile`
+    aggregate and DuckDB's `quantile_cont` both linearly interpolate
+    the sorted frame, so on identically 4-dp-rounded inputs the
+    results agree to the final rounding.  (approx_percentile would NOT
+    — its GK sketch is engine-specific; that's why the approximate
+    variant is rows-only by design.)  Scale: the frame holds ≤10
+    values — per-row cost is O(10 log 10) inside one user-partitioned
+    sort window, same single exchange as every §2.6 key.
+    """
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        unix_secs(F.col("ts")).alias("tsec"),
+        F.round("value", 4).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tsec", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.expr("percentile(v, 0.5)").over(w), 4).alias("med10"),
+    )
+
+
+@register(
+    "ts_ohlc",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type,
+             cast(floor({ORACLE_TSEC.format(c='ts')} / 3600) AS bigint) AS hour_bkt,
+             {ORACLE_TSEC.format(c='ts')} AS tsec,
+             event_id, round(value, 4) AS v
+      FROM events
+    )
+    SELECT event_type, hour_bkt,
+           round(arg_min(v, tsec * 4294967296 + event_id), 4) AS open,
+           round(max(v), 4) AS high,
+           round(min(v), 4) AS low,
+           round(arg_max(v, tsec * 4294967296 + event_id), 4) AS close,
+           count(*) AS n_ticks
+    FROM ev GROUP BY 1, 2
+    """,
+)
+def ts_ohlc(spark, sf_dir):
+    """OHLC resampling (open/high/low/close bars per type × hour) —
+    the financial/metrics downsampling shape ts_resample's avg can't
+    express: open and close are ORDER-dependent picks, not commutative
+    aggregates.
+
+    min_by/max_by (arg_min/arg_max) with the composite tiebreak
+    PACKED into one bigint (tsec·2³² + event_id — epoch seconds and
+    ids both < 2³², so the product tops out near 7.4e18 < int64 max):
+    a numeric ordering key keeps the aggregate HASH-based (a string
+    key buffers strings and falls back to SortAggregate — measured),
+    and bigint compare is engine-neutral where list keys are not
+    (DuckDB 1.0's arg_min accepts no lists).
+    Everything is ONE map-side-combinable aggregate: each partial
+    carries its own (argmin, argmax, max, min, n) and partials merge
+    associatively — the same one-pass property that makes OHLC cheap
+    over 100 TB of ticks (no sort, no window, one shuffle of
+    |types × hours| groups).
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(unix_secs(F.col("ts")) / 3600).cast("bigint").alias("hour_bkt"),
+        unix_secs(F.col("ts")).alias("tsec"),
+        "event_id",
+        F.round("value", 4).alias("v"),
+    )
+    key = F.col("tsec") * F.lit(4294967296) + F.col("event_id")
+    return ev.groupBy("event_type", "hour_bkt").agg(
+        F.round(F.min_by("v", key), 4).alias("open"),
+        F.round(F.max("v"), 4).alias("high"),
+        F.round(F.min("v"), 4).alias("low"),
+        F.round(F.max_by("v", key), 4).alias("close"),
+        F.count("*").alias("n_ticks"),
+    )

@@ -768,3 +768,50 @@ def scan_glob_recursive(spark, sf_dir):
         F.count("*").alias("n"),
         F.sum("cents").cast("bigint").alias("total_cents"),
     )
+
+
+@register(
+    "scan_observe",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    WHERE l_discount > 0.02
+    GROUP BY l_returnflag
+    """,
+)
+def scan_observe(spark, sf_dir):
+    """Inline pipeline observability (df.observe): named accumulator
+    metrics — rows scanned, quantity mass — collected DURING the main
+    query's single pass, not by a second audit scan.  At 100 TB the
+    difference between observe() and a separate "SELECT count(*)"
+    validation query is literally doubling the job's I/O; observe
+    rides the same tasks for free (it compiles to
+    CollectMetrics, a streaming-safe accumulator node).
+
+    The observed metrics surface on the Observation handle after the
+    first action (the driver's collect); the RESULT relation is the
+    query itself — observe is semantically transparent, which is
+    exactly what the oracle twin checks.  Pre-filter placement is the
+    useful pattern: metrics see the RAW scan while the result is
+    filtered, giving admission-rate monitoring (dq_expectations'
+    cheap sibling) in zero extra passes.
+    """
+    from pyspark.sql import Observation
+
+    li = t(spark, sf_dir, "lineitem")
+    obs = Observation("scan_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.round(F.sum("l_quantity"), 2).alias("qty_scanned"),
+    )
+    return (
+        observed.filter(F.col("l_discount") > 0.02)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )

@@ -165,6 +165,9 @@ SUBSET = [
     "udf_map_in_arrow",
     "agg_moments",
     "corr_spearman",
+    "win_rolling_median",
+    "ts_ohlc",
+    "scan_observe",
 ]
 
 
