@@ -2116,3 +2116,198 @@ def ts_ohlc(spark, sf_dir):
         F.round(F.max_by("v", key), 4).alias("close"),
         F.count("*").alias("n_ticks"),
     )
+
+
+_SCORE_DUCK = """
+      SELECT round(embedding[1], 6) AS s,
+             CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+      FROM embeddings
+"""
+
+
+def _scored(spark, sf_dir):
+    # shared eval relation: score = first embedding dim (raw parquet
+    # doubles, rounded 6 dp so the tie structure is engine-identical),
+    # binary task y = label < 5
+    e = t(spark, sf_dir, "embeddings")
+    return e.select(
+        F.round(F.element_at("embedding", 1), 6).alias("s"),
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
+    )
+
+
+@register(
+    "ml_auc_roc",
+    oracle=f"""
+    WITH scored AS ({_SCORE_DUCK}),
+    per_score AS (
+      SELECT s,
+             cast(sum(y) AS bigint) AS n_pos,
+             cast(sum(1 - y) AS bigint) AS n_neg
+      FROM scored GROUP BY s
+    ),
+    cum AS (
+      SELECT s, n_pos, n_neg,
+             coalesce(sum(n_neg) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS neg_below
+      FROM per_score
+    )
+    SELECT round(sum(n_pos * (neg_below + 0.5 * n_neg))
+                 / (sum(n_pos) * sum(n_neg)), 6) AS auc,
+           cast(sum(n_pos) AS bigint) AS n_pos,
+           cast(sum(n_neg) AS bigint) AS n_neg
+    FROM cum
+    """,
+)
+def ml_auc_roc(spark, sf_dir):
+    """Exact ROC-AUC (Mann-Whitney U) — the model-eval metric, computed
+    the DISTRIBUTED way: AUC = P(s_pos > s_neg) + ½P(s_pos = s_neg),
+    evaluated WITHOUT ranking individual rows.  Per-score (n_pos,
+    n_neg) counts collapse the corpus in one map-side-combined
+    aggregate; the cumulative-negatives window then runs over the
+    |distinct scores| relation — thousands of rows where the corpus
+    has billions — so the "global sort" everyone fears in AUC touches
+    only the collapsed score axis (the text_zipf_slope pattern).
+    Counting pairs through cumulative sums is exact integer
+    arithmetic; the single division is rounded at 6 dp.
+    """
+    from pyspark.sql import Window
+
+    per_score = _scored(spark, sf_dir).groupBy("s").agg(
+        F.sum("y").alias("n_pos"),
+        F.sum(1 - F.col("y")).alias("n_neg"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per_score.select(
+        "n_pos", "n_neg", F.coalesce(F.sum("n_neg").over(w), F.lit(0)).alias("neg_below")
+    )
+    return cum.agg(
+        F.round(
+            F.sum(F.col("n_pos") * (F.col("neg_below") + 0.5 * F.col("n_neg")))
+            / (F.sum("n_pos") * F.sum("n_neg")),
+            6,
+        ).alias("auc"),
+        F.sum("n_pos").alias("n_pos"),
+        F.sum("n_neg").alias("n_neg"),
+    )
+
+
+@register(
+    "ml_decision_stump",
+    oracle=f"""
+    WITH scored AS ({_SCORE_DUCK}),
+    per_score AS (
+      SELECT s, cast(count(*) AS bigint) AS n,
+             cast(sum(y) AS bigint) AS pos
+      FROM scored GROUP BY s
+    ),
+    tot AS (SELECT sum(n) AS nt, sum(pos) AS post FROM per_score),
+    splits AS (
+      SELECT s AS thr,
+             sum(n)   OVER (ORDER BY s) AS n_l,
+             sum(pos) OVER (ORDER BY s) AS pos_l
+      FROM per_score
+    ),
+    gini AS (
+      SELECT thr, n_l, nt - n_l AS n_r,
+             round(
+               (n_l * 1.0 / nt) * (1 - pow(pos_l * 1.0 / n_l, 2)
+                                     - pow(1 - pos_l * 1.0 / n_l, 2))
+             + ((nt - n_l) * 1.0 / nt)
+               * (CASE WHEN nt - n_l = 0 THEN 0 ELSE
+                   1 - pow((post - pos_l) * 1.0 / (nt - n_l), 2)
+                     - pow(1 - (post - pos_l) * 1.0 / (nt - n_l), 2) END), 6)
+               AS wgini
+      FROM splits, tot
+    )
+    SELECT thr, wgini, cast(n_l AS bigint) AS n_left,
+           cast(n_r AS bigint) AS n_right
+    FROM gini
+    ORDER BY wgini, thr LIMIT 1
+    """,
+)
+def ml_decision_stump(spark, sf_dir):
+    """Depth-1 decision tree (best threshold split by weighted Gini) —
+    exact, SQL-expressible model TRAINING: every distinct score is a
+    candidate threshold, left/right class counts come from ONE
+    cumulative window over the per-score relation (never a
+    threshold × rows join — that quadratic is the naive stump), and
+    the argmin is a top-1 with (gini, thr) total order.
+
+    The same collapsed-axis pattern as ml_auc_roc: corpus → per-score
+    integer counts (one aggregate), candidate evaluation over
+    |distinct scores| rows.  Gini terms are ratios of exact integers
+    rounded at 6 dp before the argmin, so the winning split is
+    engine-identical; the empty-right-branch edge (thr = max score) is
+    CASE-guarded identically in both engines.
+    """
+    from pyspark.sql import Window
+
+    per_score = _scored(spark, sf_dir).groupBy("s").agg(
+        F.count("*").alias("n"), F.sum("y").alias("pos")
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    splits = per_score.select(
+        F.col("s").alias("thr"),
+        F.sum("n").over(w).alias("n_l"),
+        F.sum("pos").over(w).alias("pos_l"),
+    )
+    tot = per_score.agg(F.sum("n").alias("nt"), F.sum("pos").alias("post"))
+    j = splits.join(F.broadcast(tot))
+    n_l, pos_l = F.col("n_l"), F.col("pos_l")
+    nt, post = F.col("nt"), F.col("post")
+    p_l = pos_l / n_l
+    n_r = nt - n_l
+    p_r = (post - pos_l) / n_r
+    wgini = F.round(
+        (n_l / nt) * (1 - F.pow(p_l, 2) - F.pow(1 - p_l, 2))
+        + (n_r / nt)
+        * F.when(n_r == 0, F.lit(0.0)).otherwise(
+            1 - F.pow(p_r, 2) - F.pow(1 - p_r, 2)
+        ),
+        6,
+    )
+    return (
+        j.select(
+            "thr",
+            wgini.alias("wgini"),
+            n_l.cast("bigint").alias("n_left"),
+            n_r.cast("bigint").alias("n_right"),
+        )
+        .orderBy("wgini", "thr")
+        .limit(1)
+    )
+
+
+@register(
+    "ml_calibration_bins",
+    oracle=f"""
+    WITH scored AS ({_SCORE_DUCK})
+    SELECT cast(least(9, greatest(0, floor((s + 0.5) * 10))) AS int) AS bin,
+           count(*) AS n,
+           round(avg(s), 6) AS mean_score,
+           round(avg(y * 1.0), 6) AS pos_rate
+    FROM scored GROUP BY 1
+    """,
+)
+def ml_calibration_bins(spark, sf_dir):
+    """Calibration / reliability bins (mean score vs observed positive
+    rate per FIXED score bucket) — the eval that catches a model whose
+    ranking is fine (AUC high) but whose probabilities lie.
+
+    Fixed-grid binning (10 buckets over [-0.5, 0.5), clamped) rather
+    than quantile bins: data-dependent quantile edges drift with the
+    data and need a global sort — the profile_drift_psi lesson applied
+    to model eval.  One map-side-combined aggregate, 10-row output;
+    floor on identical doubles bins identically cross-engine.
+    """
+    sc = _scored(spark, sf_dir)
+    bin_ = F.least(F.lit(9), F.greatest(F.lit(0), F.floor((F.col("s") + 0.5) * 10))).cast(
+        "int"
+    )
+    return sc.groupBy(bin_.alias("bin")).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("s"), 6).alias("mean_score"),
+        F.round(F.avg(F.col("y") * 1.0), 6).alias("pos_rate"),
+    )

@@ -168,6 +168,9 @@ SUBSET = [
     "win_rolling_median",
     "ts_ohlc",
     "scan_observe",
+    "ml_auc_roc",
+    "ml_decision_stump",
+    "ml_calibration_bins",
 ]
 
 

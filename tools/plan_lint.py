@@ -91,6 +91,8 @@ RULES: dict[str, dict[str, str]] = {
         "in the perplexity leg",
         "dq_expectations": "1-row n_checked scalar broadcast onto the "
         "two 1-row RI/uniqueness branches",
+        "ml_decision_stump": "1-row class-totals aggregate broadcast "
+        "into the per-threshold Gini projection",
     },
     "BatchEvalPython": {
         "udf_scalar_py": "THE deliberate row-Python surface key",
