@@ -1,0 +1,178 @@
+"""Property tests for the late round-6 additions (ML eval trio,
+moments, Spearman, OHLC, feature hashing): numpy/python brute force
+independent of both engines."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from tests.conftest import SF0001
+
+
+def _scored():
+    t = pq.read_table(f"{SF0001}/embeddings.parquet")
+    emb = t.column("embedding").to_pylist()
+    lab = t.column("label").to_numpy()
+    # embedding is array<float>: Spark's round(float, 6) STAYS float32
+    # (and DuckDB's round on REAL matches), so the engine-visible score
+    # is the float32 nearest to the 6-dp decimal — mirror that here
+    s = np.round([e[0] for e in emb], 6).astype(np.float32).astype(np.float64)
+    y = (lab < 5).astype(int)
+    return s, y
+
+
+def test_auc_matches_bruteforce_pairs(spark, registry):
+    s, y = _scored()
+    r = registry["ml_auc_roc"].fn(spark, SF0001).collect()[0]
+    pos, neg = s[y == 1], s[y == 0]
+    # O(P*N) pair count — the definition the collapsed-axis formula
+    # must reproduce exactly
+    wins = (pos[:, None] > neg[None, :]).sum()
+    ties = (pos[:, None] == neg[None, :]).sum()
+    auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert r["n_pos"] == len(pos) and r["n_neg"] == len(neg)
+    assert abs(r["auc"] - round(auc, 6)) <= 1e-6
+
+
+def test_stump_is_argmin_over_all_thresholds(spark, registry):
+    s, y = _scored()
+    r = registry["ml_decision_stump"].fn(spark, SF0001).collect()[0]
+    nt, post = len(s), int(y.sum())
+
+    def wgini(thr):
+        left = s <= thr
+        n_l, pos_l = int(left.sum()), int(y[left].sum())
+        n_r, pos_r = nt - n_l, post - pos_l
+
+        def g(n, p):
+            if n == 0:
+                return 0.0
+            q = p / n
+            return 1 - q * q - (1 - q) * (1 - q)
+
+        return round(n_l / nt * g(n_l, pos_l) + n_r / nt * g(n_r, pos_r), 6)
+
+    best = min((wgini(t), t) for t in np.unique(s))
+    assert (r["wgini"], r["thr"]) == best
+    left = s <= r["thr"]
+    assert r["n_left"] == int(left.sum()) and r["n_right"] == int((~left).sum())
+
+
+def test_calibration_bins_partition_and_rates(spark, registry):
+    s, y = _scored()
+    rows = registry["ml_calibration_bins"].fn(spark, SF0001).collect()
+    assert sum(r["n"] for r in rows) == len(s)
+    for r in rows:
+        b = r["bin"]
+        m = np.minimum(9, np.maximum(0, np.floor((s + 0.5) * 10))).astype(int) == b
+        assert r["n"] == int(m.sum())
+        assert abs(r["pos_rate"] - round(float(y[m].mean()), 6)) <= 1e-6
+        assert abs(r["mean_score"] - round(float(s[m].mean()), 6)) <= 1e-6
+
+
+def test_moments_match_numpy(spark, registry):
+    li = pq.read_table(f"{SF0001}/lineitem.parquet")
+    q = li.column("l_quantity").to_numpy()
+    flag = np.array(li.column("l_returnflag").to_pylist())
+    for r in registry["agg_moments"].fn(spark, SF0001).collect():
+        x = q[flag == r["grp"]]
+        m2 = x.var()  # population variance, matching the s2/n - mean² form
+        skew = ((x - x.mean()) ** 3).mean() / m2**1.5
+        kurt = ((x - x.mean()) ** 4).mean() / m2**2 - 3
+        assert r["n"] == len(x)
+        assert abs(r["mean"] - x.mean()) <= 1e-5
+        assert abs(r["m2"] - m2) <= 1e-4
+        assert abs(r["skew"] - skew) <= 1e-4
+        assert abs(r["ex_kurtosis"] - kurt) <= 1e-4
+
+
+def test_spearman_matches_numpy(spark, registry):
+    li = pq.read_table(f"{SF0001}/lineitem.parquet")
+    qty = li.column("l_quantity").to_numpy()
+    price = li.column("l_extendedprice").to_numpy()
+    flag = np.array(li.column("l_returnflag").to_pylist())
+
+    def frank(x):
+        # average ranks with ties (1-based)
+        order = np.argsort(x, kind="stable")
+        ranks = np.empty(len(x))
+        sx = x[order]
+        i = 0
+        while i < len(sx):
+            j = i
+            while j < len(sx) and sx[j] == sx[i]:
+                j += 1
+            ranks[order[i:j]] = (i + 1 + j) / 2.0
+            i = j
+        return ranks
+
+    for r in registry["corr_spearman"].fn(spark, SF0001).collect():
+        m = flag == r["grp"]
+        r1, r2 = frank(qty[m]), frank(price[m])
+        rho = np.corrcoef(r1, r2)[0, 1]
+        assert r["n"] == int(m.sum())
+        assert abs(r["spearman_rho"] - rho) <= 1e-5
+
+
+def test_ohlc_matches_python(spark, registry):
+    ev = pq.read_table(f"{SF0001}/events.parquet")
+    tsec = ev.column("ts").to_numpy().astype("datetime64[s]").astype(np.int64)
+    eid = ev.column("event_id").to_numpy()
+    etype = np.array(ev.column("event_type").to_pylist())
+    val = np.round(ev.column("value").to_numpy(), 4)
+    got = {
+        (r["event_type"], r["hour_bkt"]): r
+        for r in registry["ts_ohlc"].fn(spark, SF0001).collect()
+    }
+    groups: dict[tuple, list[int]] = {}
+    for i in range(len(eid)):
+        groups.setdefault((etype[i], tsec[i] // 3600), []).append(i)
+    assert set(got) == set(groups)
+    for key, idxs in groups.items():
+        idxs = sorted(idxs, key=lambda i: (tsec[i], eid[i]))
+        r = got[key]
+        assert r["n_ticks"] == len(idxs)
+        assert abs(r["open"] - val[idxs[0]]) <= 1e-9
+        assert abs(r["close"] - val[idxs[-1]]) <= 1e-9
+        assert abs(r["high"] - max(val[i] for i in idxs)) <= 1e-9
+        assert abs(r["low"] - min(val[i] for i in idxs)) <= 1e-9
+
+
+def test_feature_hashing_matches_python(spark, registry):
+    docs = pq.read_table(f"{SF0001}/documents.parquet")
+    texts = dict(zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()))
+    got: dict[tuple, int] = {}
+    for r in registry["feature_hashing"].fn(spark, SF0001).collect():
+        got[(r["doc_id"], r["feat"])] = r["n"]
+    expect: dict[tuple, int] = {}
+    for d, txt in texts.items():
+        for w in txt.split(" "):
+            if not w:
+                continue
+            f = int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % 64
+            expect[(d, f)] = expect.get((d, f), 0) + 1
+    assert got == expect
+
+
+def test_rolling_median_is_true_median(spark, registry):
+    ev = pq.read_table(f"{SF0001}/events.parquet")
+    tsec = ev.column("ts").to_numpy().astype("datetime64[s]").astype(np.int64)
+    eid = ev.column("event_id").to_numpy()
+    uid = ev.column("user_id").to_numpy()
+    val = np.round(ev.column("value").to_numpy(), 4)
+    got = {
+        r["event_id"]: r["med10"]
+        for r in registry["win_rolling_median"].fn(spark, SF0001).collect()
+    }
+    for u in np.unique(uid):
+        m = uid == u
+        order = np.lexsort((eid[m], tsec[m]))
+        vs, ids = val[m][order], eid[m][order]
+        for i in range(len(vs)):
+            frame = vs[max(0, i - 9) : i + 1]
+            med = float(np.median(frame))  # numpy = linear interpolation
+            assert abs(got[int(ids[i])] - round(med, 4)) <= 1e-4, int(ids[i])
