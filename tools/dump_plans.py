@@ -53,6 +53,13 @@ SHOWCASE = [
     ("reshape_unpivot", "wide-to-long melt as a pipelined Expand over ONE parquet scan, zero Exchange - the UNION-ALL formulation would read the fact table once per measure"),
     ("anomaly_mad", "per-type median/MAD stats broadcast back onto the stream (BroadcastHashJoin x2) - the event table itself is never shuffled or sorted"),
     ("dedup_chunks", "chunk-level first-occurrence dedup shuffles on the CHUNK TEXT (content-addressed, uniform) then reassembles with one doc_id shuffle - no global sort"),
+    ("tpch_q6", "the scan-kernel query: all three predicates in PushedFilters, 2-column ReadSchema, no Join, no hashpartitioning - one map-side partial sum + 1-row merge"),
+    ("tpch_q10", "quarter filter pushed to the orders scan and returnflag to lineitem BEFORE the orderkey shuffle; nation broadcast; top-20 as TakeOrderedAndProject"),
+    ("text_boilerplate", "chunk document-frequency via one content-addressed groupBy(source, chunk); the df relation joins back on the same key (unhinted - AQE decides); one doc_id reassembly shuffle"),
+    ("spatial_nearest", "k-ring NN as probe-side x9 Generate + EQUI join on (col,row) + per-probe row_number - no CartesianProduct/BNLJ anywhere"),
+    ("shuffle_shards", "deterministic training shuffle: one hashpartitioning(shard) Exchange + per-shard sort window - exactly the repartition(shard).sortWithinPartitions write path"),
+    ("ts_ohlc", "OHLC as ONE hash aggregate: min_by/max_by on a bigint-packed (tsec,id) key keep the aggregate hash-based (string keys fall back to SortAggregate - measured); no window, no sort"),
+    ("ml_auc_roc", "exact AUC over the COLLAPSED score axis: per-score counts partial-aggregate map-side; the single-partition cumulative window touches |distinct scores| rows, never the corpus"),
 ]
 
 
