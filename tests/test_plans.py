@@ -511,3 +511,40 @@ def test_sentence_split_is_shuffle_free(spark, registry):
     # so ONE physical Exchange node == 2 string hits
     assert plan.count("Exchange") <= 2
     assert "Window" not in plan and "SortMergeJoin" not in plan
+
+
+def test_shuffle_shards_single_exchange(spark, registry):
+    # shard assignment + within-shard position = ONE
+    # hashpartitioning(shard) exchange feeding the sort window —
+    # the repartition(shard).sortWithinPartitions write path
+    plan = _formatted_plan(spark, registry["shuffle_shards"].fn(spark, SF001))
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "rangepartitioning" not in plan
+
+
+def test_boilerplate_joinback_unhinted(spark, registry):
+    # the chunk-df relation joins back on (source, chunk) with NO
+    # broadcast hint in the analyzed plan — at 100 TB the boilerplate
+    # set must be allowed to shuffle; AQE broadcasts when small
+    df = registry["text_boilerplate"].fn(spark, SF001)
+    assert "ResolvedHint" not in df._jdf.queryExecution().analyzed().toString()
+
+
+def test_ohlc_is_single_hash_aggregate(spark, registry):
+    # the bigint-packed argmin/argmax key must keep the aggregate
+    # HASH-based: no SortAggregate, no window, one key exchange
+    plan = _formatted_plan(spark, registry["ts_ohlc"].fn(spark, SF001))
+    assert "SortAggregate" not in plan
+    assert "Window" not in plan
+    assert plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_auc_window_is_over_collapsed_axis(spark, registry):
+    # the cumulative window must consume the per-score AGGREGATE (its
+    # child chain contains the HashAggregate), so the single-partition
+    # exchange carries |distinct scores| rows, never the corpus
+    plan = _formatted_plan(spark, registry["ml_auc_roc"].fn(spark, SF001))
+    assert "Window" in plan and "HashAggregate" in plan
+    w = plan.index("Window")
+    assert "HashAggregate" in plan[w:], "window must sit above the per-score aggregate"
+    assert "SinglePartition" in plan
