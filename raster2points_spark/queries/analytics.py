@@ -2311,3 +2311,215 @@ def ml_calibration_bins(spark, sf_dir):
         F.round(F.avg("s"), 6).alias("mean_score"),
         F.round(F.avg(F.col("y") * 1.0), 6).alias("pos_rate"),
     )
+
+
+@register(
+    "ml_linreg_normal",
+    oracle="""
+    WITH f AS (
+      SELECT round(cast(embedding[1] AS double), 6) AS x1,
+             round(cast(embedding[2] AS double), 6) AS x2,
+             round(cast(embedding[4] AS double), 6) AS y
+      FROM embeddings
+    ),
+    m AS (
+      SELECT count(*) * 1.0 AS n,
+             sum(x1) AS sx1, sum(x2) AS sx2, sum(y) AS sy,
+             sum(x1 * x1) AS s11, sum(x1 * x2) AS s12,
+             sum(x2 * x2) AS s22,
+             sum(x1 * y) AS s1y, sum(x2 * y) AS s2y,
+             sum(y * y) AS syy
+      FROM f
+    )
+    SELECT round(det, 6) AS det,
+           round(b0, 6) AS beta0, round(b1, 6) AS beta1,
+           round(b2, 6) AS beta2,
+           round(1 - (syy - b0 * sy - b1 * s1y - b2 * s2y)
+                     / (syy - sy * sy / n), 6) AS r2
+    FROM (
+      SELECT *,
+             n * (s11 * s22 - s12 * s12)
+               - sx1 * (sx1 * s22 - s12 * sx2)
+               + sx2 * (sx1 * s12 - s11 * sx2) AS det,
+             (sy  * (s11 * s22 - s12 * s12)
+               - sx1 * (s1y * s22 - s12 * s2y)
+               + sx2 * (s1y * s12 - s11 * s2y))
+             / (n * (s11 * s22 - s12 * s12)
+               - sx1 * (sx1 * s22 - s12 * sx2)
+               + sx2 * (sx1 * s12 - s11 * sx2)) AS b0,
+             (n * (s1y * s22 - s12 * s2y)
+               - sy * (sx1 * s22 - s12 * sx2)
+               + sx2 * (sx1 * s2y - s1y * sx2))
+             / (n * (s11 * s22 - s12 * s12)
+               - sx1 * (sx1 * s22 - s12 * sx2)
+               + sx2 * (sx1 * s12 - s11 * sx2)) AS b1,
+             (n * (s11 * s2y - s1y * s12)
+               - sx1 * (sx1 * s2y - s1y * sx2)
+               + sy * (sx1 * s12 - s11 * sx2))
+             / (n * (s11 * s22 - s12 * s12)
+               - sx1 * (sx1 * s22 - s12 * sx2)
+               + sx2 * (sx1 * s12 - s11 * sx2)) AS b2
+      FROM m
+    )
+    """,
+)
+def ml_linreg_normal(spark, sf_dir):
+    """Multivariate linear regression (2 features + intercept) by
+    NORMAL EQUATIONS — the closed-form training that actually
+    distributes: ONE aggregate pass emits the 10 sufficient statistics
+    (n, Σx, Σx², Σxy, ...), and the 3×3 solve is a Cramer's-rule
+    PROJECTION over that single row — no gradient loop, no per-row
+    weight updates, no driver-side matrix library (the determinant
+    expansions are spelled identically in both engines).
+
+    agg_regression's single-var slope generalized: sufficient
+    statistics merge by addition (map-side combine), so 100 TB costs
+    one scan + a 10-double shuffle per task.  Inputs are rounded
+    6 dp as DOUBLES (the float32 embedding column is cast first —
+    Spark's round(float) stays float32, the ml_decision_stump lesson);
+    the well-conditioned solve is rounded at 6 dp.  R² falls out of
+    the same sums (SSE = Σy² − βᵀXᵀy).
+    """
+    e = t(spark, sf_dir, "embeddings")
+
+    def dim(i):
+        return F.round(F.element_at("embedding", i).cast("double"), 6)
+
+    f = e.select(dim(1).alias("x1"), dim(2).alias("x2"), dim(4).alias("y"))
+    x1, x2, y = F.col("x1"), F.col("x2"), F.col("y")
+    m = f.agg(
+        (F.count("*") * 1.0).alias("n"),
+        F.sum(x1).alias("sx1"),
+        F.sum(x2).alias("sx2"),
+        F.sum(y).alias("sy"),
+        F.sum(x1 * x1).alias("s11"),
+        F.sum(x1 * x2).alias("s12"),
+        F.sum(x2 * x2).alias("s22"),
+        F.sum(x1 * y).alias("s1y"),
+        F.sum(x2 * y).alias("s2y"),
+        F.sum(y * y).alias("syy"),
+    )
+    n, sx1, sx2, sy = (F.col(c) for c in ("n", "sx1", "sx2", "sy"))
+    s11, s12, s22, s1y, s2y, syy = (
+        F.col(c) for c in ("s11", "s12", "s22", "s1y", "s2y", "syy")
+    )
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - sx1 * (sx1 * s22 - s12 * sx2)
+        + sx2 * (sx1 * s12 - s11 * sx2)
+    )
+    b0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - sx1 * (s1y * s22 - s12 * s2y)
+        + sx2 * (s1y * s12 - s11 * s2y)
+    ) / det
+    b1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (sx1 * s22 - s12 * sx2)
+        + sx2 * (sx1 * s2y - s1y * sx2)
+    ) / det
+    b2 = (
+        n * (s11 * s2y - s1y * s12)
+        - sx1 * (sx1 * s2y - s1y * sx2)
+        + sy * (sx1 * s12 - s11 * sx2)
+    ) / det
+    sse = syy - b0 * sy - b1 * s1y - b2 * s2y
+    sst = syy - sy * sy / n
+    return m.select(
+        F.round(det, 6).alias("det"),
+        F.round(b0, 6).alias("beta0"),
+        F.round(b1, 6).alias("beta1"),
+        F.round(b2, 6).alias("beta2"),
+        F.round(1 - sse / sst, 6).alias("r2"),
+    )
+
+
+@register(
+    "ts_cross_correlation",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type,
+             cast(floor({ORACLE_TSEC.format(c='ts')} / 3600) AS bigint) AS h
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    b AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+    spine AS (SELECT unnest(generate_series(b.h0, b.h1)) AS h FROM b),
+    counts AS (
+      SELECT h,
+             cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS bigint) AS a,
+             cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS bigint) AS pb
+      FROM ev GROUP BY h
+    ),
+    dense AS (
+      SELECT s.h, coalesce(c.a, 0) AS a, coalesce(c.pb, 0) AS pb
+      FROM spine s LEFT JOIN counts c ON c.h = s.h
+    ),
+    led AS (
+      SELECT h, a, pb,
+             lead(pb, 1) OVER (ORDER BY h) AS pb1,
+             lead(pb, 2) OVER (ORDER BY h) AS pb2
+      FROM dense
+    )
+    SELECT lag, round(corr(a, bl), 6) AS xcorr, count(*) AS n_hours
+    FROM (
+      SELECT 0 AS lag, a * 1.0 AS a, pb * 1.0 AS bl FROM led
+      UNION ALL
+      SELECT 1, a * 1.0, pb1 * 1.0 FROM led WHERE pb1 IS NOT NULL
+      UNION ALL
+      SELECT 2, a * 1.0, pb2 * 1.0 FROM led WHERE pb2 IS NOT NULL
+    ) GROUP BY lag
+    """,
+)
+def ts_cross_correlation(spark, sf_dir):
+    """Lagged cross-correlation between two event streams (does click
+    volume now predict purchase volume k hours later?) — the
+    lead-indicator screen, computed over the COLLAPSED hourly axis:
+    the corpus collapses to |hours| (count_a, count_b) rows in one
+    conditional aggregate, the DENSE hour spine (generate_series +
+    left join, the ts_gapfill shape) restores silent hours as zeros —
+    skipping them would silently bias every lag — and the lead()
+    windows + per-lag Pearson all run over that tiny relation.
+
+    Spark shape: one map-side-combined aggregate over the fact table;
+    everything after (spine join, leads, 3-way lag stack, corr) is
+    |hours|-row work, the text_zipf_slope collapsed-axis pattern.
+    """
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "event_type",
+        F.floor(unix_secs(F.col("ts")) / 3600).cast("bigint").alias("h"),
+    )
+    counts = ev.groupBy("h").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("pb"),
+    )
+    bounds = ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+    )
+    dense = spine.join(counts, "h", "left").select(
+        "h",
+        F.coalesce("a", F.lit(0)).alias("a"),
+        F.coalesce("pb", F.lit(0)).alias("pb"),
+    )
+    w = Window.orderBy("h")
+    led = dense.select(
+        "h",
+        "a",
+        "pb",
+        F.lead("pb", 1).over(w).alias("pb1"),
+        F.lead("pb", 2).over(w).alias("pb2"),
+    )
+    stacked = led.selectExpr(
+        """stack(3,
+             0L, a * 1.0, pb * 1.0,
+             1L, a * 1.0, pb1 * 1.0,
+             2L, a * 1.0, pb2 * 1.0) AS (lag, a, bl)"""
+    ).filter(F.col("bl").isNotNull())
+    return stacked.groupBy("lag").agg(
+        F.round(F.corr("a", "bl"), 6).alias("xcorr"),
+        F.count("*").alias("n_hours"),
+    )

@@ -171,6 +171,8 @@ SUBSET = [
     "ml_auc_roc",
     "ml_decision_stump",
     "ml_calibration_bins",
+    "ml_linreg_normal",
+    "ts_cross_correlation",
 ]
 
 
