@@ -176,3 +176,40 @@ def test_rolling_median_is_true_median(spark, registry):
             frame = vs[max(0, i - 9) : i + 1]
             med = float(np.median(frame))  # numpy = linear interpolation
             assert abs(got[int(ids[i])] - round(med, 4)) <= 1e-4, int(ids[i])
+
+
+def test_linreg_matches_numpy_lstsq(spark, registry):
+    t = pq.read_table(f"{SF0001}/embeddings.parquet")
+    emb = t.column("embedding").to_pylist()
+    x1 = np.round(np.array([e[0] for e in emb], dtype=np.float64), 6)
+    x2 = np.round(np.array([e[1] for e in emb], dtype=np.float64), 6)
+    y = np.round(np.array([e[3] for e in emb], dtype=np.float64), 6)
+    X = np.column_stack([np.ones_like(x1), x1, x2])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    pred = X @ beta
+    r2 = 1 - ((y - pred) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+    r = registry["ml_linreg_normal"].fn(spark, SF0001).collect()[0]
+    assert abs(r["beta0"] - beta[0]) <= 1e-5
+    assert abs(r["beta1"] - beta[1]) <= 1e-5
+    assert abs(r["beta2"] - beta[2]) <= 1e-5
+    assert abs(r["r2"] - r2) <= 1e-5
+
+
+def test_xcorr_matches_numpy(spark, registry):
+    ev = pq.read_table(f"{SF0001}/events.parquet")
+    tsec = ev.column("ts").to_numpy().astype("datetime64[s]").astype(np.int64)
+    etype = np.array(ev.column("event_type").to_pylist())
+    m = np.isin(etype, ["click", "purchase"])
+    h = tsec[m] // 3600
+    et = etype[m]
+    h0, h1 = h.min(), h.max()
+    spine = np.arange(h0, h1 + 1)
+    a = np.array([(h[et == "click"] == hh).sum() for hh in spine], dtype=float)
+    b = np.array([(h[et == "purchase"] == hh).sum() for hh in spine], dtype=float)
+    rows = {r["lag"]: r for r in registry["ts_cross_correlation"].fn(spark, SF0001).collect()}
+    for lag in (0, 1, 2):
+        aa = a[: len(a) - lag] if lag else a
+        bb = b[lag:]
+        rho = np.corrcoef(aa, bb)[0, 1]
+        assert rows[lag]["n_hours"] == len(aa)
+        assert abs(rows[lag]["xcorr"] - rho) <= 1e-5, lag
