@@ -4870,3 +4870,127 @@ def feature_hashing(spark, sf_dir):
         .groupBy("doc_id", "feat")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "ml_ndcg",
+    oracle=_KNN_ORACLE_CTE
+    + """
+    , topk AS (SELECT probe_id, vec_id, label, rn FROM ranked WHERE rn <= 10),
+    pl AS (SELECT vec_id AS probe_id, label AS probe_label
+           FROM embeddings WHERE vec_id < 5),
+    rel AS (
+      SELECT t.probe_id, t.rn,
+             CASE WHEN t.label = pl.probe_label THEN 1 ELSE 0 END AS rel
+      FROM topk t JOIN pl ON pl.probe_id = t.probe_id
+    ),
+    dcg AS (
+      SELECT probe_id, sum(rel / log2(rn + 1)) AS dcg,
+             cast(sum(rel) AS bigint) AS n_rel
+      FROM rel GROUP BY 1
+    ),
+    ideal AS (
+      SELECT probe_id, rel,
+             row_number() OVER (PARTITION BY probe_id ORDER BY rel DESC, rn) AS irn
+      FROM rel
+    ),
+    idcg AS (SELECT probe_id, sum(rel / log2(irn + 1)) AS idcg FROM ideal GROUP BY 1)
+    SELECT d.probe_id,
+           round(CASE WHEN i.idcg = 0 THEN 0 ELSE d.dcg / i.idcg END, 6) AS ndcg10,
+           d.n_rel
+    FROM dcg d JOIN idcg i ON d.probe_id = i.probe_id
+    """,
+)
+def ml_ndcg(spark, sf_dir):
+    """NDCG@10 retrieval eval over the sim_knn spine — the
+    POSITION-AWARE quality metric sim_matryoshka_eval's flat recall
+    can't give: a relevant hit at rank 1 is worth log-factor more than
+    at rank 10 (DCG = Σ rel/log₂(rank+1)), normalized by the ideal
+    reordering of the SAME retrieved relevances (the standard local
+    IDCG, zero-guarded identically in both engines when a probe
+    retrieves nothing relevant).
+
+    Relevance = label match against the probe's own label — binary
+    graded, exact-integer, so the only float work is the log₂ weights
+    (bit-stable libm inputs 2..11) and one rounded division.  Scale:
+    rides _knn_pairs' size-gated two-phase top-k; the eval itself
+    touches |probes|·k rows.
+    """
+    from pyspark.sql import Window
+
+    pairs = _knn_pairs(spark, sf_dir)
+    probe_labels = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("pl_id"), F.col("label").alias("probe_label"))
+    )
+    rel = pairs.join(
+        F.broadcast(probe_labels), F.col("probe_id") == F.col("pl_id")
+    ).select(
+        "probe_id",
+        "rn",
+        F.when(F.col("label") == F.col("probe_label"), 1).otherwise(0).alias("rel"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("rel").desc(), "rn")
+    ideal = rel.withColumn("irn", F.row_number().over(w))
+    dcg = ideal.groupBy("probe_id").agg(
+        F.sum(F.col("rel") / F.log2(F.col("rn") + 1)).alias("dcg"),
+        F.sum(F.col("rel") / F.log2(F.col("irn") + 1)).alias("idcg"),
+        F.sum("rel").alias("n_rel"),
+    )
+    return dcg.select(
+        "probe_id",
+        F.round(
+            F.when(F.col("idcg") == 0, F.lit(0.0)).otherwise(
+                F.col("dcg") / F.col("idcg")
+            ),
+            6,
+        ).alias("ndcg10"),
+        "n_rel",
+    )
+
+
+@register(
+    "privacy_k_anonymity",
+    oracle="""
+    WITH qi AS (
+      SELECT doc_id, lang, source,
+             cast(floor(n_chars / 100) AS bigint) AS len_blk
+      FROM documents
+    ),
+    classes AS (
+      SELECT lang, source, len_blk, count(*) AS n
+      FROM qi GROUP BY 1, 2, 3
+    )
+    SELECT lang, source, len_blk, n,
+           (n < 5) AS at_risk
+    FROM classes
+    """,
+)
+def privacy_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over quasi-identifiers — the privacy gate a
+    training corpus runs before release: every (lang, source,
+    length-bucket) equivalence class with fewer than k=5 members is a
+    re-identification risk (those documents are distinguishable by
+    their quasi-identifiers alone) and must be suppressed or
+    generalized before the data ships.
+
+    The audit is ONE map-side-combined groupBy over the generalized
+    QI tuple — the generalization (bucketing n_chars to centuries) is
+    part of the operator, because k-anonymity is only meaningful over
+    GENERALIZED attributes (raw lengths would make every doc its own
+    class).  Output is the full class table with the at-risk flag:
+    |classes| rows, the input to a suppression join (LeftAnti on
+    at_risk classes — the dedup_incremental shape).  At 100 TB: one
+    scan, one shuffle of |classes| partial counts.
+    """
+    qi = t(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / 100).cast("bigint").alias("len_blk"),
+    )
+    return (
+        qi.groupBy("lang", "source", "len_blk")
+        .agg(F.count("*").alias("n"))
+        .withColumn("at_risk", F.col("n") < 5)
+    )

@@ -173,6 +173,8 @@ SUBSET = [
     "ml_calibration_bins",
     "ml_linreg_normal",
     "ts_cross_correlation",
+    "ml_ndcg",
+    "privacy_k_anonymity",
 ]
 
 

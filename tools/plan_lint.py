@@ -93,6 +93,8 @@ RULES: dict[str, dict[str, str]] = {
         "two 1-row RI/uniqueness branches",
         "ml_decision_stump": "1-row class-totals aggregate broadcast "
         "into the per-threshold Gini projection",
+        "ml_ndcg": "probe set (5 rows) broadcast against the corpus "
+        "scan (sim_knn spine)",
     },
     "BatchEvalPython": {
         "udf_scalar_py": "THE deliberate row-Python surface key",
