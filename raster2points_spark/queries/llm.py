@@ -4994,3 +4994,161 @@ def privacy_k_anonymity(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .withColumn("at_risk", F.col("n") < 5)
     )
+
+
+@register(
+    "profile_key_skew",
+    oracle="""
+    WITH per_key AS (
+      SELECT o_custkey AS key, count(*) AS n FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT sum(n) AS nt, count(*) AS nkeys,
+                   max(n) AS nmax FROM per_key)
+    SELECT key, n,
+           round(n * 1.0 / nt, 6) AS share,
+           round(n * nkeys * 1.0 / nt, 4) AS skew_factor
+    FROM per_key, tot
+    ORDER BY n DESC, key LIMIT 20
+    """,
+)
+def profile_key_skew(spark, sf_dir):
+    """Join-key skew diagnosis — the report you run BEFORE choosing a
+    shuffle strategy at 100 TB: the top-20 heaviest keys with their
+    row share and skew factor (count ÷ mean-per-key).  A skew factor
+    of ~1 everywhere → plain shuffle join; a handful of keys at 100×
+    → salt exactly those (join_salted) or lean on AQE's skew split;
+    one key holding half the table → rethink the key.
+
+    Shape: per-key counts in one map-side-combined aggregate, the
+    1-row totals crossed back (broadcast), top-20 as
+    TakeOrderedAndProject with a (n, key) total order — the
+    diagnostic costs one scan regardless of key cardinality, and the
+    heavy-hitter list is exactly what a salting config consumes.
+    """
+    per_key = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = per_key.agg(
+        F.sum("n").alias("nt"), F.count("*").alias("nkeys"), F.max("n").alias("nmax")
+    )
+    return (
+        per_key.join(F.broadcast(tot))
+        .select(
+            "key",
+            "n",
+            F.round(F.col("n") * 1.0 / F.col("nt"), 6).alias("share"),
+            F.round(F.col("n") * F.col("nkeys") * 1.0 / F.col("nt"), 4).alias(
+                "skew_factor"
+            ),
+        )
+        .orderBy(F.col("n").desc(), "key")
+        .limit(20)
+    )
+
+
+@register(
+    "sample_balanced",
+    oracle="""
+    WITH sized AS (
+      SELECT label, count(*) AS n FROM embeddings GROUP BY 1
+    ),
+    target AS (SELECT min(n) AS n_min FROM sized),
+    ranked AS (
+      SELECT vec_id, label,
+             row_number() OVER (
+               PARTITION BY label
+               ORDER BY md5(concat('bal#', cast(vec_id AS varchar))), vec_id
+             ) AS rn
+      FROM embeddings
+    )
+    SELECT label, count(*) AS n_kept,
+           cast(min(vec_id) AS bigint) AS min_id,
+           cast(max(vec_id) AS bigint) AS max_id
+    FROM ranked, target WHERE rn <= n_min
+    GROUP BY label
+    """,
+)
+def sample_balanced(spark, sf_dir):
+    """Class-balanced downsampling — equalize every class to the
+    minority class size, the classification-training counterpart of
+    sample_stratified's fixed quotas: the quota here is DERIVED from
+    the data (min class count), not configured.
+
+    Determinism via the keyed-md5 order (hash_bucket's salt idiom):
+    within each class, rows rank by md5('bal#'||id) — the same rows
+    survive on any engine/partitioning, unlike sample()'s
+    partition-dependent draw.  Shape: per-class counts (one agg) →
+    1-row min broadcast → per-class rank window (partitioned by
+    label, NOT global) → filter; verification rolls up per class.
+    At 100 TB the window partitions by class — parallel across
+    classes, and the md5 sort is the price of reproducibility.
+    """
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "embeddings")
+    sized = e.groupBy("label").agg(F.count("*").alias("n"))
+    target = sized.agg(F.min("n").alias("n_min"))
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.concat(F.lit("bal#"), F.col("vec_id").cast("string"))), "vec_id"
+    )
+    ranked = e.select("vec_id", "label", F.row_number().over(w).alias("rn"))
+    return (
+        ranked.join(F.broadcast(target))
+        .filter(F.col("rn") <= F.col("n_min"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.min("vec_id").cast("bigint").alias("min_id"),
+            F.max("vec_id").cast("bigint").alias("max_id"),
+        )
+    )
+
+
+@register(
+    "privacy_l_diversity",
+    oracle="""
+    WITH qi AS (
+      SELECT lang, cast(floor(n_chars / 200) AS bigint) AS len_blk,
+             source
+      FROM documents
+    ),
+    classes AS (
+      SELECT lang, len_blk,
+             count(*) AS n,
+             cast(count(DISTINCT source) AS bigint) AS l_div
+      FROM qi GROUP BY 1, 2
+    )
+    SELECT lang, len_blk, n, l_div, (l_div < 3) AS at_risk
+    FROM classes
+    """,
+)
+def privacy_l_diversity(spark, sf_dir):
+    """l-diversity audit — k-anonymity's stronger sibling: a class can
+    be large (k-anonymous) yet still leak if every member shares the
+    SAME sensitive value (homogeneity attack).  Here the
+    quasi-identifiers are (lang, length-bucket) and the sensitive
+    attribute is the document's source: a class whose members all come
+    from fewer than l=3 distinct sources reveals its members' origin.
+
+    One groupBy over the generalized QI with count + countDistinct —
+    Spark plans the distinct as a two-phase expand/aggregate, still
+    map-side combined on the (QI, source) pair first, so the shuffle
+    carries distinct pairs, not rows.  Pairs with privacy_k_anonymity
+    to form the release gate; both outputs feed the same suppression
+    anti-join.
+    """
+    qi = t(spark, sf_dir, "documents").select(
+        "lang",
+        F.floor(F.col("n_chars") / 200).cast("bigint").alias("len_blk"),
+        "source",
+    )
+    return (
+        qi.groupBy("lang", "len_blk")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("source").alias("l_div"),
+        )
+        .withColumn("at_risk", F.col("l_div") < 3)
+    )

@@ -175,6 +175,9 @@ SUBSET = [
     "ts_cross_correlation",
     "ml_ndcg",
     "privacy_k_anonymity",
+    "profile_key_skew",
+    "sample_balanced",
+    "privacy_l_diversity",
 ]
 
 

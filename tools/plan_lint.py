@@ -95,6 +95,10 @@ RULES: dict[str, dict[str, str]] = {
         "into the per-threshold Gini projection",
         "ml_ndcg": "probe set (5 rows) broadcast against the corpus "
         "scan (sim_knn spine)",
+        "profile_key_skew": "1-row totals (nt, nkeys, nmax) broadcast "
+        "back onto the per-key counts",
+        "sample_balanced": "1-row min-class-count quota broadcast onto "
+        "the ranked classes",
     },
     "BatchEvalPython": {
         "udf_scalar_py": "THE deliberate row-Python surface key",
