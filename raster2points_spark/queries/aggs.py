@@ -805,3 +805,37 @@ def agg_approx_percentile(spark, sf_dir):
         pcts[2].alias("p99"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "agg_multi_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS n_cust,
+           count(DISTINCT o_orderpriority) AS n_pri,
+           count(*) AS n_rows,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_multi_distinct(spark, sf_dir):
+    """MULTIPLE count-distincts in one query — the shape that
+    separates engines: each DISTINCT needs its own dedup space, so
+    Catalyst rewrites via Expand (one replicated row per distinct
+    group, tagged by gid) into a single two-level aggregation instead
+    of N self-joined subqueries.
+
+    The cost model to know at 100 TB: Expand multiplies the mapper
+    output by (|distincts| + 1) BEFORE the shuffle — fine for 2-3
+    distincts, a blowup for 10 (then pre-aggregate each separately
+    and join, or switch to approx_count_distinct).  Mixing in plain
+    aggregates (count(*), sum) is free — they ride the gid=null
+    replica.  This key pins the 2-distinct-plus-plain shape.
+    """
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.countDistinct("o_orderpriority").alias("n_pri"),
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )

@@ -853,3 +853,40 @@ def diff_snapshots(spark, sf_dir):
             F.coalesce("price2", F.lit(-1.0)).alias("new_price"),
         )
     )
+
+
+@register(
+    "join_strategy_hints",
+    oracle="""
+    SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_strategy_hints(spark, sf_dir):
+    """Join-strategy HINT surface (MERGE / SHUFFLE_HASH): the manual
+    override for when the planner's size estimates are wrong — e.g. a
+    "small" dim that explodes after a filter-pushdown misestimate, or
+    a sort-merge forced over hash to exploit pre-sorted bucketed
+    inputs.  Semantics are hint-INDEPENDENT (what the oracle twin
+    checks: the hinted plan must return exactly the unhinted answer);
+    only the physical strategy moves.
+
+    This key pins the mechanism: customer⋈nation under a MERGE hint
+    plans as SortMergeJoin even though nation is broadcastable —
+    proving the hint reached the planner (plan-asserted in
+    tests/test_plans.py).  The discipline from SCALE.md §2 still
+    holds: hints are a LAST resort after measuring; AQE's runtime
+    sizes beat static hints almost always — which is why every other
+    join in this registry is unhinted or broadcast-by-proof.
+    """
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation").hint("merge")
+    return (
+        c.join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+    )

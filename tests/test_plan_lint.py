@@ -178,6 +178,8 @@ SUBSET = [
     "profile_key_skew",
     "sample_balanced",
     "privacy_l_diversity",
+    "agg_multi_distinct",
+    "join_strategy_hints",
 ]
 
 

@@ -548,3 +548,19 @@ def test_auc_window_is_over_collapsed_axis(spark, registry):
     w = plan.index("Window")
     assert "HashAggregate" in plan[w:], "window must sit above the per-score aggregate"
     assert "SinglePartition" in plan
+
+
+def test_multi_distinct_plans_as_expand(spark, registry):
+    # two DISTINCTs + plain aggs must rewrite via Expand into one
+    # two-level aggregation — never N self-joined subqueries
+    plan = _formatted_plan(spark, registry["agg_multi_distinct"].fn(spark, SF001))
+    assert "Expand" in plan
+    assert "Join" not in plan
+
+
+def test_merge_hint_reaches_planner(spark, registry):
+    # nation is broadcastable; the MERGE hint must still force a
+    # SortMergeJoin — proving hints survive analysis into planning
+    plan = _formatted_plan(spark, registry["join_strategy_hints"].fn(spark, SF001))
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
