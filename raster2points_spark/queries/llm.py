@@ -5152,3 +5152,81 @@ def privacy_l_diversity(spark, sf_dir):
         )
         .withColumn("at_risk", F.col("l_div") < 3)
     )
+
+
+@register(
+    "pipeline_release_gate",
+    oracle="""
+    WITH ka AS (
+      SELECT lang, source, cast(floor(n_chars / 100) AS bigint) AS lb100,
+             count(*) AS kn
+      FROM documents GROUP BY 1, 2, 3
+    ),
+    ld AS (
+      SELECT lang, cast(floor(n_chars / 200) AS bigint) AS lb200,
+             cast(count(DISTINCT source) AS bigint) AS ldiv
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT d.doc_id,
+           (CASE WHEN ka.kn < 5 THEN 1 ELSE 0 END
+            + CASE WHEN ld.ldiv < 3 THEN 2 ELSE 0 END
+            + CASE WHEN d.text LIKE '%customer%' THEN 4 ELSE 0 END)
+             AS reject_flags,
+           CASE WHEN ka.kn >= 5 AND ld.ldiv >= 3
+                 AND d.text NOT LIKE '%customer%'
+                THEN 1 ELSE 0 END AS keep,
+           ka.kn AS k_class_size, ld.ldiv AS l_diversity
+    FROM documents d
+    JOIN ka ON ka.lang = d.lang AND ka.source = d.source
+           AND ka.lb100 = cast(floor(d.n_chars / 100) AS bigint)
+    JOIN ld ON ld.lang = d.lang
+           AND ld.lb200 = cast(floor(d.n_chars / 200) AS bigint)
+    """,
+)
+def pipeline_release_gate(spark, sf_dir):
+    """Privacy release gate — the composition the privacy audits
+    exist FOR: every document carries a reject-reason bitmask
+    (1 = its k-anonymity class is under-populated, 2 = its
+    l-diversity class is source-homogeneous, 4 = blocklisted term
+    present) and a keep verdict; the at-risk rows are exactly what a
+    suppression pass drops before the corpus ships.
+
+    Shape (the pipeline_quality_ensemble pattern applied to
+    governance): the two class tables are aggregates over the SAME
+    scan — |classes|-row relations that join back on their
+    generalized QI keys (AQE broadcasts them; the corpus shuffles at
+    most once per audit key), the blocklist test is a codegen LIKE.
+    All signals computed in one pass over the fact table + two
+    class-table joins — rule count doesn't multiply scans.
+    """
+    d = t(spark, sf_dir, "documents")
+    lb100 = F.floor(F.col("n_chars") / 100).cast("bigint")
+    lb200 = F.floor(F.col("n_chars") / 200).cast("bigint")
+    ka = (
+        d.groupBy("lang", "source", lb100.alias("lb100"))
+        .agg(F.count("*").alias("kn"))
+    )
+    ld = (
+        d.groupBy("lang", lb200.alias("lb200"))
+        .agg(F.countDistinct("source").alias("ldiv"))
+    )
+    base = d.select(
+        "doc_id", "lang", "source", "text",
+        lb100.alias("lb100"), lb200.alias("lb200"),
+    )
+    j = base.join(ka, ["lang", "source", "lb100"]).join(ld, ["lang", "lb200"])
+    blocked = F.col("text").contains("customer")
+    flags = (
+        F.when(F.col("kn") < 5, 1).otherwise(0)
+        + F.when(F.col("ldiv") < 3, 2).otherwise(0)
+        + F.when(blocked, 4).otherwise(0)
+    )
+    return j.select(
+        "doc_id",
+        flags.alias("reject_flags"),
+        F.when((F.col("kn") >= 5) & (F.col("ldiv") >= 3) & ~blocked, 1)
+        .otherwise(0)
+        .alias("keep"),
+        F.col("kn").alias("k_class_size"),
+        F.col("ldiv").alias("l_diversity"),
+    )

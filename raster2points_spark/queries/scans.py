@@ -815,3 +815,42 @@ def scan_observe(spark, sf_dir):
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         )
     )
+
+
+@register(
+    "sink_manifest",
+    oracle="""
+    SELECT o_orderstatus, 1 AS n_files, count(*) AS n_rows,
+           cast(count(DISTINCT o_orderkey) AS bigint) AS n_keys
+    FROM orders GROUP BY 1
+    """,
+)
+def sink_manifest(spark, sf_dir):
+    """Write manifest via the _metadata column: after a partitioned
+    write, re-read with the hidden file-metadata struct and produce
+    the (partition, file count, row count) manifest a table format's
+    commit log records — the audit that catches partial writes,
+    orphan files and small-files explosions at the storage layer.
+
+    The write repartitions by the partition column first, so each
+    Hive partition is exactly ONE file — that determinism is part of
+    the contract under test (n_files = 1 per status), and it is also
+    the layout you WANT: files-per-partition = writing tasks, and an
+    unrepartitioned write sprays |tasks| small files into every
+    partition (the small-files problem sink_compact exists to fix).
+    `_metadata.file_path` is evaluated scan-side (no Python, no extra
+    pass); distinct-key count proves the roundtrip lossless.
+    """
+    path = os.path.join(SCRATCH, "sink_manifest")
+    o = t(spark, sf_dir, "orders")
+    o.repartition("o_orderstatus").write.mode("overwrite").partitionBy(
+        "o_orderstatus"
+    ).parquet(path)
+    back = spark.read.parquet(path).select(
+        "o_orderstatus", "o_orderkey", F.col("_metadata.file_path").alias("fp")
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.countDistinct("fp").cast("int").alias("n_files"),
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+    )

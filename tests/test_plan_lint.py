@@ -180,6 +180,8 @@ SUBSET = [
     "privacy_l_diversity",
     "agg_multi_distinct",
     "join_strategy_hints",
+    "pipeline_release_gate",
+    "sink_manifest",
 ]
 
 
