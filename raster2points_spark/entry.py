@@ -93,9 +93,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 )
 # ROUND-7 ROTATION NOTE: after this window every key registered at
 # freeze time has at least one driver row and none of the reds remain.
-# Lead r7 with (a) the 87 operators added AFTER the r6 window froze
+# Lead r7 with (a) the 89 operators added AFTER the r6 window froze
 # (newly registered keys always get first driver evidence in the next
-# round; all 87 oracle-green in the committed r6 local gate):
+# round; all 89 oracle-green in the committed r6 local gate):
 # tpch_q17, tpch_q21, win_locf, ts_ewma, dedup_containment,
 # text_bigram_ppl, fn_url, agg_listagg, graph_shortest_hops,
 # raster_resample_bilinear, ml_kmeans_lloyd, embed_power_iteration,
@@ -121,7 +121,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # ts_cross_correlation, ml_ndcg, privacy_k_anonymity,
 # profile_key_skew, sample_balanced, privacy_l_diversity,
 # agg_multi_distinct, join_strategy_hints, pipeline_release_gate,
-# sink_manifest;
+# sink_manifest, udf_cogrouped_map, fn_sql_udf;
 # then (b) the two implementation-changed keys that
 # did not fit the r6 window, both oracle re-verified green locally:
 # sim_knn_label (shares _knn_pairs, whose prune phase was size-gated

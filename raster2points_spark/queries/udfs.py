@@ -31,7 +31,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
 from raster2points_spark.registry import register
-from raster2points_spark.queries._util import t, t_fanout
+from raster2points_spark.queries._util import t, t_fanout, unix_secs
 from raster2points_spark.queries.raster import _PX  # DuckDB tile-melt CTE twin
 from raster2points_spark.sources.tiles import read_tiles
 from raster2points_spark.queries.raster import GRID64
@@ -289,4 +289,127 @@ def udf_map_in_arrow(spark, sf_dir):
         F.sum("nbytes").alias("total_bytes"),
         F.sum("nwords").alias("total_words"),
         F.count("*").alias("n_docs"),
+    )
+
+
+@register(
+    "udf_cogrouped_map",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT user_id, {{ts}} AS tsec FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, event_id, {{ts}} AS tsec
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id,
+           count(*) AS n_purchases,
+           cast(sum(CASE WHEN EXISTS (
+             SELECT 1 FROM clicks c
+             WHERE c.user_id = p.user_id
+               AND c.tsec <= p.tsec AND c.tsec > p.tsec - 3600
+           ) THEN 1 ELSE 0 END) AS bigint) AS n_click_assisted
+    FROM purchases p GROUP BY 1
+    """.format(ts="cast(floor(epoch(ts)) AS bigint)"),
+)
+def udf_cogrouped_map(spark, sf_dir):
+    """Cogrouped Arrow apply (groupBy().cogroup().applyInPandas) — the
+    two-sided sibling of udf_grouped_map: BOTH relations shuffle on
+    the same key and each kernel invocation receives the user's
+    clicks AND purchases as two aligned pandas frames.  That is the
+    shape for custom two-stream merges a SQL join states awkwardly —
+    as-of attribution, trajectory alignment, per-entity
+    reconciliation.
+
+    Kernel: click-assisted purchase attribution (purchase preceded by
+    a click within 1 h) via a vectorized searchsorted — O(n log n)
+    per user, no pairwise blowup.  The SQL oracle states the same
+    semantics as a correlated EXISTS.  Scale: one shuffle per side on
+    user_id, kernel state bounded by one user's events; Arrow batches
+    both directions (no row-at-a-time Python).
+    """
+    import numpy as np
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", unix_secs(F.col("ts")).alias("tsec")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "tsec")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "tsec"
+    )
+
+    def attribute(cl, pu):
+        if len(pu) == 0:
+            return pd.DataFrame(
+                {"user_id": [], "n_purchases": [], "n_click_assisted": []}
+            ).astype({"user_id": "int64", "n_purchases": "int64", "n_click_assisted": "int64"})
+        ct = np.sort(cl["tsec"].to_numpy()) if len(cl) else np.array([], dtype="int64")
+        pt = pu["tsec"].to_numpy()
+        # a click in (pt-3600, pt] exists iff the count of clicks <= pt
+        # exceeds the count of clicks <= pt-3600
+        assisted = np.searchsorted(ct, pt, side="right") > np.searchsorted(
+            ct, pt - 3600, side="right"
+        )
+        return pd.DataFrame(
+            {
+                "user_id": [int(pu["user_id"].iloc[0])],
+                "n_purchases": [len(pu)],
+                "n_click_assisted": [int(assisted.sum())],
+            }
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            attribute, schema="user_id long, n_purchases long, n_click_assisted long"
+        )
+    )
+
+
+@register(
+    "fn_sql_udf",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2)
+             AS total_charged,
+           count(*) AS n_bulk
+    FROM lineitem
+    WHERE l_quantity >= 30
+    GROUP BY l_returnflag
+    """,
+)
+def fn_sql_udf(spark, sf_dir):
+    """SQL scalar UDF (CREATE FUNCTION ... RETURNS ... RETURN expr) —
+    the Spark-4 reusable-expression surface, and the one UDF kind
+    with ZERO runtime cost: the body is macro-expanded by the
+    analyzer into the calling plan, so `charged()` and `is_bulk()`
+    below compile into whole-stage codegen exactly as if inlined —
+    no Python worker, no serialization boundary, predicate pushdown
+    still works THROUGH the function call (plan-pinned: no
+    BatchEvalPython, the quantity filter reaches the scan).
+
+    This is how a 100 TB shop shares business logic (revenue
+    definitions, fiscal calendars) without the Python-UDF tax — the
+    library-function twin of queries/functions.py's inline exprs.
+    """
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION charged(p DOUBLE, d DOUBLE, tx DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1.0 - d) * (1.0 + tx)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION is_bulk(q DOUBLE) "
+        "RETURNS BOOLEAN RETURN q >= 30"
+    )
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_sqludf")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               round(sum(charged(l_extendedprice, l_discount, l_tax)), 2)
+                 AS total_charged,
+               count(*) AS n_bulk
+        FROM li_sqludf
+        WHERE is_bulk(l_quantity)
+        GROUP BY l_returnflag
+        """
     )

@@ -182,6 +182,8 @@ SUBSET = [
     "join_strategy_hints",
     "pipeline_release_gate",
     "sink_manifest",
+    "udf_cogrouped_map",
+    "fn_sql_udf",
 ]
 
 

@@ -564,3 +564,11 @@ def test_merge_hint_reaches_planner(spark, registry):
     plan = _formatted_plan(spark, registry["join_strategy_hints"].fn(spark, SF001))
     assert "SortMergeJoin" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_sql_udf_inlines_into_codegen(spark, registry):
+    # SQL UDFs are macro-expanded by the analyzer: no Python worker in
+    # the plan, and the is_bulk() predicate must still reach the scan
+    plan = _formatted_plan(spark, registry["fn_sql_udf"].fn(spark, SF001))
+    assert "BatchEvalPython" not in plan
+    assert "GreaterThanOrEqual(l_quantity,30.0)" in plan or "l_quantity" in plan.split("PushedFilters", 1)[1][:200]
