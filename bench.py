@@ -91,6 +91,15 @@ HEADLINE = [
     "tpch_q19",
     "text_boilerplate",
     "dq_expectations",
+    # r6 continuation: training-shuffle, vectorizer, eval metrics and
+    # the two-sided Arrow cogroup — the new Python-boundary and
+    # collapsed-axis shapes
+    "shuffle_shards",
+    "feature_hashing",
+    "ml_auc_roc",
+    "udf_cogrouped_map",
+    "spatial_nearest",
+    "win_range_frame",
 ]
 
 

@@ -213,3 +213,47 @@ def test_xcorr_matches_numpy(spark, registry):
         rho = np.corrcoef(aa, bb)[0, 1]
         assert rows[lag]["n_hours"] == len(aa)
         assert abs(rows[lag]["xcorr"] - rho) <= 1e-5, lag
+
+
+def test_release_gate_matches_python(spark, registry):
+    docs = pq.read_table(f"{SF0001}/documents.parquet")
+    ids = docs.column("doc_id").to_pylist()
+    lang = docs.column("lang").to_pylist()
+    src = docs.column("source").to_pylist()
+    nch = docs.column("n_chars").to_pylist()
+    txt = docs.column("text").to_pylist()
+    ka: dict[tuple, int] = {}
+    ld: dict[tuple, set] = {}
+    for i in range(len(ids)):
+        ka[(lang[i], src[i], nch[i] // 100)] = ka.get((lang[i], src[i], nch[i] // 100), 0) + 1
+        ld.setdefault((lang[i], nch[i] // 200), set()).add(src[i])
+    got = {r["doc_id"]: r for r in registry["pipeline_release_gate"].fn(spark, SF0001).collect()}
+    assert set(got) == set(ids)
+    for i, d in enumerate(ids):
+        kn = ka[(lang[i], src[i], nch[i] // 100)]
+        ldiv = len(ld[(lang[i], nch[i] // 200)])
+        flags = (1 if kn < 5 else 0) + (2 if ldiv < 3 else 0) + (4 if "customer" in txt[i] else 0)
+        r = got[d]
+        assert (r["reject_flags"], r["keep"], r["k_class_size"], r["l_diversity"]) == (
+            flags, 1 if flags == 0 else 0, kn, ldiv), d
+
+
+def test_cogrouped_attribution_matches_python(spark, registry):
+    ev = pq.read_table(f"{SF0001}/events.parquet")
+    tsec = ev.column("ts").to_numpy().astype("datetime64[s]").astype(np.int64)
+    uid = ev.column("user_id").to_numpy()
+    et = np.array(ev.column("event_type").to_pylist())
+    got = {r["user_id"]: r for r in registry["udf_cogrouped_map"].fn(spark, SF0001).collect()}
+    users = set()
+    for u in np.unique(uid):
+        pu = tsec[(uid == u) & (et == "purchase")]
+        if len(pu) == 0:
+            continue
+        users.add(int(u))
+        cl = np.sort(tsec[(uid == u) & (et == "click")])
+        assisted = sum(
+            bool(((cl <= p) & (cl > p - 3600)).any()) for p in pu
+        )
+        r = got[int(u)]
+        assert r["n_purchases"] == len(pu) and r["n_click_assisted"] == assisted, u
+    assert set(got) == users
