@@ -91,6 +91,10 @@ X10_KEYS = [
     "funnel_latency",
     "audience_overlap",
     "dedup_chunks",
+    # r6 continuation: chunk-df boilerplate over the 10x doc corpus,
+    # the two-sided Arrow cogroup over the 10x event decade
+    "text_boilerplate",
+    "udf_cogrouped_map",
 ]
 
 
