@@ -122,6 +122,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # profile_key_skew, sample_balanced, privacy_l_diversity,
 # agg_multi_distinct, join_strategy_hints, pipeline_release_gate,
 # sink_manifest, udf_cogrouped_map, fn_sql_udf;
+# (89 candidates > 50 slots: fill the window with the COMPOSITES and
+# each family's newest members first — tpch_q4-q19, the pipelines
+# (release_gate), governance (privacy_*, dq_expectations,
+# profile_key_skew), the ML-eval suite (ml_*), the Python-boundary
+# surfaces (udf_cogrouped_map, udf_map_in_arrow, fn_sql_udf),
+# shuffle_shards, text_boilerplate, spatial_nearest, ts_ohlc,
+# win_rolling_median — and defer the micro scalar/set-op surfaces
+# (set_intersect_all, set_except_distinct, sort_nulls_order,
+# fn_explode_outer, scan_observe, join_strategy_hints,
+# agg_multi_distinct) to r8; all are oracle-green locally either way);
 # then (b) the two implementation-changed keys that
 # did not fit the r6 window, both oracle re-verified green locally:
 # sim_knn_label (shares _knn_pairs, whose prune phase was size-gated
