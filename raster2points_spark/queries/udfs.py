@@ -330,12 +330,21 @@ def udf_cogrouped_map(spark, sf_dir):
     """
     import numpy as np
 
-    ev = t(spark, sf_dir, "events").select(
-        "user_id", "event_id", "event_type", unix_secs(F.col("ts")).alias("tsec")
+    # The two cogroup children deliberately come from SEPARATE t()
+    # calls with side-unique column names (c_tsec / p_tsec): children
+    # sharing one subtree can hit Spark's relation-dedup attribute
+    # re-aliasing in a way that drops the right frame's same-named
+    # column from the Arrow batch (observed intermittently) — distinct
+    # plans + distinct names make the kernel schema unambiguous.
+    clicks = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("user_id", unix_secs(F.col("ts")).alias("c_tsec"))
     )
-    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "tsec")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "event_id", "tsec"
+    purchases = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", unix_secs(F.col("ts")).alias("p_tsec"))
     )
 
     def attribute(cl, pu):
@@ -343,8 +352,8 @@ def udf_cogrouped_map(spark, sf_dir):
             return pd.DataFrame(
                 {"user_id": [], "n_purchases": [], "n_click_assisted": []}
             ).astype({"user_id": "int64", "n_purchases": "int64", "n_click_assisted": "int64"})
-        ct = np.sort(cl["tsec"].to_numpy()) if len(cl) else np.array([], dtype="int64")
-        pt = pu["tsec"].to_numpy()
+        ct = np.sort(cl["c_tsec"].to_numpy()) if len(cl) else np.array([], dtype="int64")
+        pt = pu["p_tsec"].to_numpy()
         # a click in (pt-3600, pt] exists iff the count of clicks <= pt
         # exceeds the count of clicks <= pt-3600
         assisted = np.searchsorted(ct, pt, side="right") > np.searchsorted(
