@@ -105,3 +105,27 @@ def test_every_registry_key_has_a_survey_row():
     ]
     assert not missing, f"keys without a SURVEY §2 mention: {missing}"
     assert "`join_left/right/full`" in survey
+
+
+def test_committed_determinism_report_covers_oracle_keys():
+    """reports/determinism_r6.txt: every oracle key ran twice in one
+    session under different shuffle.partitions with identical canonical
+    rows.  Pin the report to the current oracle-key count so growing
+    the registry without re-running tools/determinism_check.py fails."""
+    import re
+    from pathlib import Path
+
+    from raster2points_spark.registry import load_all
+
+    reports = sorted(
+        (Path(__file__).resolve().parent.parent / "reports").glob("determinism_r*.txt")
+    )
+    assert reports, "no committed determinism report"
+    text = reports[-1].read_text()
+    m = re.search(r"(\d+) deterministic, (\d+) diverged/failed", text)
+    assert m and m.group(2) == "0", f"divergences in {reports[-1].name}"
+    n_oracle = sum(1 for s in load_all().values() if s.check == "oracle")
+    assert int(m.group(1)) == n_oracle, (
+        f"{reports[-1].name} checked {m.group(1)} keys but registry has "
+        f"{n_oracle} oracle keys — re-run tools/determinism_check.py"
+    )
