@@ -774,3 +774,464 @@ def tpch_q19(spark, sf_dir):
             F.count("*").alias("n_lines"),
         )
     )
+
+
+@register(
+    "tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 2)                                   AS avg_qty,
+           round(avg(l_extendedprice), 2)                              AS avg_price,
+           round(avg(l_discount), 4)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= timestamp '2001-06-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark, sf_dir):
+    """TPC-H Q1 (pricing summary report): the canonical full-scan
+    wide aggregate.
+
+    One pass over lineitem, 4 sums + 3 avgs + a count over ~6 groups:
+    plans as a single partial HashAggregate (map-side combine collapses
+    each partition to ≤|groups| rows) + one tiny exchange + final
+    HashAggregate — the shape whose shuffle volume is O(groups ×
+    partitions), independent of row count, so it scales to 100 TB
+    unchanged.  All measures rounded identically both engines (R1);
+    ORDER BY the full group key is already a total order (R2).
+    """
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2001-06-01")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q2",
+    oracle="""
+    WITH supply AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ),
+    cand AS (
+      SELECT p_partkey, p_type, round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+             max(s_acctbal) OVER (PARTITION BY p_partkey) AS max_bal,
+             s_acctbal AS raw_bal
+      FROM part
+      JOIN supply   ON l_partkey = p_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      JOIN region   ON r_regionkey = n_regionkey
+      WHERE p_size = 15 AND p_type = 'MEDIUM' AND r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type
+    FROM cand
+    WHERE raw_bal = max_bal
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 20
+    """,
+)
+def tpch_q2(spark, sf_dir):
+    """TPC-H Q2 (minimum-cost supplier), adapted: no partsupp table in
+    the corpus, so the part↔supplier relation is derived as the
+    DISTINCT (l_partkey, l_suppkey) pairs of lineitem, and the
+    per-part "best supplier" criterion is max s_acctbal (standing in
+    for min ps_supplycost — same correlated-extremum shape).
+
+    Scale: the distinct supply projection is one content-keyed shuffle
+    over two int columns (tiny payload); part is pruned by (size,
+    type) BEFORE any join so AQE broadcasts it, as it does the
+    nation→region dim chain.  The correlated scalar subquery of the
+    original is expressed as a per-part window max — one extra
+    exchange on p_partkey, already the join key, so AQE reuses the
+    partitioning.  Top-20 plans as TakeOrderedAndProject with a full
+    tiebreak chain (R2).
+    """
+    from pyspark.sql import Window
+
+    supply = (
+        t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "MEDIUM")
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cand = (
+        p.join(supply, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n, F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(r, F.col("r_regionkey") == F.col("n_regionkey"))
+        .withColumn(
+            "max_bal", F.max("s_acctbal").over(Window.partitionBy("p_partkey"))
+        )
+    )
+    return (
+        cand.filter(F.col("s_acctbal") == F.col("max_bal"))
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q9",
+    oracle="""
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def tpch_q9(spark, sf_dir):
+    """TPC-H Q9 (product-type profit), adapted: profit is revenue
+    (extendedprice net of discount) — the corpus has no
+    ps_supplycost to subtract — grouped by supplier nation × order
+    year for parts whose name contains 'red'.
+
+    Scale: the LIKE filter prunes part before the join (pushed to the
+    scan as a residual; partkey pruning via AQE-broadcast of the ~⅙
+    surviving dim).  lineitem⋈orders is the one big pair — both sides
+    hash on orderkey.  supplier/nation broadcast.  Final agg is ~25
+    nations × 7 years: map-side combine collapses it.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    o = t(spark, sf_dir, "orders")
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n, F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("profit")
+        )
+    )
+
+
+@register(
+    "tpch_q11",
+    oracle="""
+    WITH value_by_part AS (
+      SELECT l_partkey,
+             sum(l_extendedprice * l_quantity) AS raw_value
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      WHERE n_name IN ('NATION_3', 'NATION_7')
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey AS partkey, round(raw_value, 2) AS part_value
+    FROM value_by_part
+    WHERE raw_value > (SELECT sum(raw_value) * 0.002 FROM value_by_part)
+    """,
+)
+def tpch_q11(spark, sf_dir):
+    """TPC-H Q11 (important stock identification), adapted: "stock
+    value" per part is sum(l_extendedprice * l_quantity) shipped by
+    suppliers of two nations — the corpus has no partsupp availqty —
+    kept when the part's value exceeds 0.2% of the group total (the
+    original's global-scalar HAVING shape).
+
+    Scale: the nation filter broadcasts into the supplier dim and
+    prunes lineitem via the suppkey hash join BEFORE the groupBy.
+    The global threshold is a 1-row aggregate of the (already small)
+    per-part relation, broadcast back as a literal-free cross join —
+    never a second scan of lineitem.  The per-part relation is
+    computed once and reused for both sides (Spark reuses the
+    exchange; the oracle's CTE is evaluated twice by DuckDB but over
+    the same tiny intermediate).
+    """
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    by_part = (
+        li.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n, F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("raw_value"))
+    )
+    total = by_part.agg((F.sum("raw_value") * F.lit(0.002)).alias("threshold"))
+    return (
+        by_part.crossJoin(F.broadcast(total))
+        .filter(F.col("raw_value") > F.col("threshold"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round("raw_value", 2).alias("part_value"),
+        )
+    )
+
+
+@register(
+    "tpch_q12",
+    oracle="""
+    SELECT CASE WHEN l_shipdate >= o_orderdate + INTERVAL 60 DAY
+                THEN 'LATE' ELSE 'ONTIME' END AS ship_bucket,
+           cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           cast(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= timestamp '1996-01-01'
+      AND l_shipdate <  timestamp '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def tpch_q12(spark, sf_dir):
+    """TPC-H Q12 (shipping modes / priority), adapted: the corpus has
+    no l_shipmode or commit/receipt dates, so lines are bucketed by
+    shipping DELAY (>=60 days after order date = LATE) and counted by
+    order priority class — the same conditional-sum-over-join shape.
+
+    Scale: the shipdate range filter is pushed to the lineitem scan
+    (parquet min/max row-group pruning); one orderkey hash join; the
+    2-group conditional aggregate collapses map-side.  The CASE on
+    priority evaluates inside whole-stage codegen — no UDF.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn(
+            "ship_bucket",
+            F.when(
+                F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                F.lit("LATE"),
+            ).otherwise(F.lit("ONTIME")),
+        )
+        .groupBy("ship_bucket")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q16",
+    oracle="""
+    WITH supply AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    )
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part
+    JOIN supply ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#4'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_name LIKE '%007%'
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    LIMIT 30
+    """,
+)
+def tpch_q16(spark, sf_dir):
+    """TPC-H Q16 (parts/supplier relationship), adapted: the supply
+    relation is the DISTINCT (l_partkey, l_suppkey) of lineitem;
+    "customer complaint" suppliers are those whose name contains
+    '007'.  Same shape: anti-membership subquery + multi-filter dim +
+    COUNT(DISTINCT) per group.
+
+    Scale: part filters prune before the join; the complaint list is
+    a ~1-row broadcast anti-join (NOT IN over a non-null key →
+    left_anti, no null-trap here because s_suppkey is non-null by
+    construction).  count(DISTINCT suppkey) plans as the two-phase
+    Expand/partial-agg, shuffling only distinct (group, suppkey)
+    pairs.  Top-30 is TakeOrderedAndProject (R2 tiebreaks).
+    """
+    supply = (
+        t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#4")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+    )
+    complaints = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_name").like("%007%"))
+        .select("s_suppkey")
+    )
+    return (
+        p.join(supply, F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(complaints),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+        .limit(30)
+    )
+
+
+@register(
+    "tpch_q20",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey, sum(l_quantity) AS supp_qty
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%blue%'
+        AND l_shipdate >= timestamp '1998-01-01'
+        AND l_shipdate <  timestamp '1999-01-01'
+      GROUP BY l_suppkey, l_partkey
+    ),
+    part_total AS (
+      SELECT l_partkey AS pt_partkey, sum(supp_qty) AS total_qty
+      FROM shipped GROUP BY l_partkey
+    )
+    SELECT s_name, n_name
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM shipped
+      JOIN part_total ON pt_partkey = l_partkey
+      WHERE supp_qty > 0.5 * total_qty
+    )
+    """,
+)
+def tpch_q20(spark, sf_dir):
+    """TPC-H Q20 (potential part promotion), adapted: a supplier
+    qualifies when, for some 'blue' part, it shipped more than half of
+    that part's total 1998 volume (standing in for the
+    availqty > half-yearly-moved test — same nested-aggregate +
+    semi-join shape; no partsupp in the corpus).
+
+    Scale: part name filter broadcasts into lineitem; per
+    (suppkey, partkey) partial agg collapses map-side; the per-part
+    total is a second agg over the ALREADY-AGGREGATED tiny relation
+    (never a lineitem re-scan), joined back on partkey.  Qualifying
+    suppkeys semi-join supplier (left_semi — gating, no duplication).
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1999-01-01")
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%blue%"))
+    shipped = (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    part_total = shipped.groupBy(F.col("l_partkey").alias("pt_partkey")).agg(
+        F.sum("supp_qty").alias("total_qty")
+    )
+    qualifying = (
+        shipped.join(part_total, F.col("pt_partkey") == F.col("l_partkey"))
+        .filter(F.col("supp_qty") > 0.5 * F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    return (
+        s.join(qualifying, s.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .join(n, F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_name", "n_name")
+    )
+
+
+@register(
+    "tpch_q22",
+    oracle="""
+    WITH eligible AS (
+      SELECT c_custkey, c_acctbal, c_nationkey % 10 AS cntrycode
+      FROM customer
+      WHERE c_nationkey % 10 IN (1, 3, 5, 7)
+    )
+    SELECT cntrycode,
+           count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM eligible
+    WHERE c_acctbal > (
+        SELECT avg(c_acctbal) FROM eligible WHERE c_acctbal > 0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= timestamp '2000-01-01'
+      )
+    GROUP BY cntrycode
+    """,
+)
+def tpch_q22(spark, sf_dir):
+    """TPC-H Q22 (global sales opportunity), adapted: the corpus has
+    no c_phone, so the "country code" is c_nationkey % 10, and the
+    "never ordered" test becomes "no order since 2000-01-01" (at the
+    corpus's order:customer ratio literally-no-orders is empty) —
+    same shape: scalar-subquery average threshold + NOT EXISTS
+    anti-join against a date-pruned orders + per-code aggregate.
+
+    Scale: the positive-balance average is a 1-row broadcast; the
+    NOT EXISTS plans as a left_anti hash join on custkey (orders side
+    projected to the single join column before shuffling — column
+    pruning keeps the exchange narrow); the final agg is ≤10 groups,
+    map-side combined.
+    """
+    eligible = (
+        t(spark, sf_dir, "customer")
+        .withColumn("cntrycode", F.col("c_nationkey") % 10)
+        .filter(F.col("cntrycode").isin(1, 3, 5, 7))
+    )
+    avg_bal = eligible.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("threshold")
+    )
+    orders_keys = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    return (
+        eligible.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("threshold"))
+        .join(orders_keys, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

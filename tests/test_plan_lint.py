@@ -184,6 +184,15 @@ SUBSET = [
     "sink_manifest",
     "udf_cogrouped_map",
     "fn_sql_udf",
+    # full TPC-H sweep completion (this session): all 22 shapes
+    "tpch_q1",
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q16",
+    "tpch_q20",
+    "tpch_q22",
 ]
 
 

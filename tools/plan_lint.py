@@ -99,6 +99,10 @@ RULES: dict[str, dict[str, str]] = {
         "back onto the per-key counts",
         "sample_balanced": "1-row min-class-count quota broadcast onto "
         "the ranked classes",
+        "tpch_q11": "1-row global value-threshold scalar broadcast "
+        "onto the per-part aggregate",
+        "tpch_q22": "1-row positive-balance average broadcast onto "
+        "the eligible-customer scan",
     },
     "BatchEvalPython": {
         "udf_scalar_py": "THE deliberate row-Python surface key",
