@@ -839,3 +839,113 @@ def agg_multi_distinct(spark, sf_dir):
         F.count("*").alias("n_rows"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
     )
+
+
+@register(
+    "agg_kmv_set_ops",
+    oracle="""
+    WITH elems AS (
+        SELECT DISTINCT
+               concat(cast(user_id AS varchar), '|',
+                      cast(cast(ts AS date) AS varchar)) AS k,
+               event_type
+        FROM events
+        WHERE event_type IN ('purchase', 'error')
+    ),
+    hashed AS (
+        SELECT cast(concat('0x', substr(md5(k), 1, 15)) AS bigint) AS h,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS in_a,
+               max(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS in_b
+        FROM elems
+        GROUP BY 1
+    ),
+    ranked AS (
+        SELECT h, in_a, in_b, row_number() OVER (ORDER BY h) AS rk
+        FROM hashed
+    )
+    SELECT cast(sum(in_a) AS bigint)                                    AS exact_a,
+           cast(sum(in_b) AS bigint)                                    AS exact_b,
+           cast(sum(in_a * in_b) AS bigint)                             AS exact_intersection,
+           cast(count(*) AS bigint)                                     AS exact_union,
+           cast(floor(63.0 * 1152921504606846976
+                      / max(CASE WHEN rk = 64 THEN h END)) AS bigint)   AS est_union,
+           round(sum(CASE WHEN rk <= 64 THEN in_a * in_b ELSE 0 END) / 64.0, 4)
+                                                                        AS jaccard_est,
+           cast(floor(sum(CASE WHEN rk <= 64 THEN in_a * in_b ELSE 0 END) / 64.0
+                      * floor(63.0 * 1152921504606846976
+                              / max(CASE WHEN rk = 64 THEN h END))) AS bigint)
+                                                                        AS est_intersection
+    FROM ranked
+    """,
+)
+def agg_kmv_set_ops(spark, sf_dir):
+    """KMV sketch SET OPERATIONS (k=64): estimate |A∪B|, Jaccard and
+    |A∩B| between two sets — active purchase-days vs error-days per
+    user — from one pass of deterministic md5 min-hashes, the
+    mergeable-sketch algebra (union sketch = min-k of the unioned
+    sketches; intersection via the Jaccard of the union sketch's
+    members) that powers cross-segment audience overlap at 100 TB
+    without ever co-shuffling the raw sets.
+
+    Scale shape: per-element membership flags collapse in ONE
+    hash-keyed aggregate; the min-k selection is TWO-PHASE — a window
+    per pmod(h, 32) bucket keeps 64 candidates each (parallel,
+    partition-local top-k, never a global sort), then the ≤2048
+    survivors merge into the final sketch inside a single-row
+    higher-order-function pass.  Exact counts carried alongside so
+    the estimate's error is inspectable in the result.  All
+    arithmetic is integer-or-rounded on deterministic hashes —
+    bit-identical cross-engine (same contract as agg_kmv_sketch).
+    """
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    elems = ev.select(
+        F.concat_ws(
+            "|", F.col("user_id").cast("string"), F.to_date("ts").cast("string")
+        ).alias("k"),
+        "event_type",
+    ).distinct()
+    hashed = elems.groupBy(
+        F.expr("cast(conv(substring(md5(k), 1, 15), 16, 10) AS bigint)").alias("h")
+    ).agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("in_b"),
+    )
+    # two-phase min-k: 64 smallest per pmod-bucket, then merge
+    wb = Window.partitionBy(F.pmod("h", F.lit(32))).orderBy("h")
+    cand = hashed.withColumn("rk_b", F.row_number().over(wb)).filter(
+        F.col("rk_b") <= 64
+    )
+    merged = cand.agg(
+        F.slice(
+            F.sort_array(F.collect_list(F.struct("h", "in_a", "in_b"))), 1, 64
+        ).alias("sk"),
+    )
+    exact = hashed.agg(
+        F.sum("in_a").cast("bigint").alias("exact_a"),
+        F.sum("in_b").cast("bigint").alias("exact_b"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("exact_intersection"),
+        F.count("*").cast("bigint").alias("exact_union"),
+    )
+    kth = F.element_at("sk", 64).getField("h")
+    matches = F.size(
+        F.filter("sk", lambda x: (x.getField("in_a") == 1) & (x.getField("in_b") == 1))
+    )
+    est_union = F.floor(F.lit(63.0) * F.lit(1152921504606846976) / kth)
+    return (
+        exact.crossJoin(F.broadcast(merged))
+        .select(
+            "exact_a",
+            "exact_b",
+            "exact_intersection",
+            "exact_union",
+            est_union.cast("bigint").alias("est_union"),
+            F.round(matches / F.lit(64.0), 4).alias("jaccard_est"),
+            F.floor(matches / F.lit(64.0) * est_union)
+            .cast("bigint")
+            .alias("est_intersection"),
+        )
+    )

@@ -890,3 +890,143 @@ def join_strategy_hints(spark, sf_dir):
             F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
         )
     )
+
+
+@register(
+    "cdc_net_changes",
+    oracle="""
+    WITH changes AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             value,
+             cast(floor(epoch(ts)) AS bigint) * 10000000 + event_id AS ver
+      FROM events
+      WHERE event_type IN ('purchase', 'signup', 'error')
+    )
+    SELECT user_id,
+           CASE WHEN arg_max(op, ver) = 'D' THEN 'DELETE' ELSE 'UPSERT' END AS net_op,
+           CASE WHEN arg_max(op, ver) = 'D' THEN NULL
+                ELSE round(arg_max(value, ver), 2) END AS final_value,
+           cast(count(*) AS bigint) AS n_collapsed
+    FROM changes
+    GROUP BY user_id
+    """,
+)
+def cdc_net_changes(spark, sf_dir):
+    """CDC net-effect collapse: reduce a change stream (upserts +
+    deletes per key) to ONE net operation per key — what a lakehouse
+    compactor emits before applying a day of Debezium traffic, so the
+    expensive MERGE touches each key once instead of once per change.
+
+    Events map to a change feed (errors = deletes, purchases/signups
+    = upserts) versioned by the packed (epoch-second, event_id) bigint
+    — the same total-order trick as merge_upsert/stream_cdc_apply, so
+    recency resolution is exact integer arithmetic, never a float-ts
+    comparison.  Last-writer-wins per key via max_by in ONE map-side-
+    combined aggregate (never a full-ranking window: partial max_by
+    state is a single struct per key per partition); a key whose
+    latest change is a delete nets to DELETE with NULL value.
+
+    Scale: one shuffle keyed on user_id, output |keys| rows.  The
+    n_collapsed column quantifies the write amplification saved
+    (changes per key collapsed into one MERGE row).
+    """
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "signup", "error")
+    )
+    # op encoded as INT (1 = delete) so max_by stays hash-agg mutable
+    # (a string-valued max_by falls back to SortAggregate)
+    changes = ev.select(
+        "user_id",
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("op_del"),
+        "value",
+        (unix_secs(F.col("ts")) * 10000000 + F.col("event_id")).alias("ver"),
+    )
+    last_del = F.max_by("op_del", "ver")
+    return changes.groupBy("user_id").agg(
+        F.when(last_del == 1, "DELETE").otherwise("UPSERT").alias("net_op"),
+        F.when(last_del == 1, F.lit(None).cast("double"))
+        .otherwise(F.round(F.max_by("value", "ver"), 2))
+        .alias("final_value"),
+        F.count("*").cast("bigint").alias("n_collapsed"),
+    )
+
+
+@register(
+    "join_phonetic",
+    oracle="""
+    WITH probes AS (
+      SELECT * FROM (VALUES
+        ('smal ring'), ('red widgit'), ('blu bolt'),
+        ('hot geer'), ('small gizmmo'), ('grean cable')
+      ) AS v(probe)
+    ),
+    pk AS (
+      SELECT probe,
+             array_to_string(list_sort(list_distinct(string_split(
+               regexp_replace(lower(probe), '[aeiou ]', '', 'g'), ''))), '') AS pkey
+      FROM probes
+    ),
+    nk AS (
+      SELECT DISTINCT p_name,
+             array_to_string(list_sort(list_distinct(string_split(
+               regexp_replace(lower(p_name), '[aeiou ]', '', 'g'), ''))), '') AS nkey
+      FROM part
+    )
+    SELECT probe, p_name,
+           cast(levenshtein(probe, p_name) AS bigint) AS edit_dist
+    FROM pk JOIN nk ON pkey = nkey
+    WHERE levenshtein(probe, p_name) <= 3
+    """,
+)
+def join_phonetic(spark, sf_dir):
+    """Fuzzy name resolution via PHONETIC-SKELETON blocking: match
+    misspelled probe names ('red widgit') to catalog part names by
+    equi-joining on a consonant-set signature (lowercase → drop vowels
+    and spaces → sorted DISTINCT consonants; backreference-free, so
+    the same expression runs on RE2 and PCRE engines), then verifying
+    candidates with levenshtein ≤ 3 — the entity-resolution pattern
+    where an O(n·m) fuzzy match becomes an equi-join plus per-BUCKET
+    verification.
+
+    'small ring' and 'smal ring' both sign to 'glmnrs', so the typo
+    class (dropped/doubled letters, vowel swaps, transpositions)
+    lands in the same block by construction; levenshtein runs ONLY
+    inside blocks
+    (never all-pairs — the same blocking discipline as
+    dedup_edit_distance).  At 100 TB the catalog side's skeleton
+    key is uniformly distributed (names), the probe side broadcast.
+    """
+    probes = spark.createDataFrame(
+        [
+            ("smal ring",),
+            ("red widgit",),
+            ("blu bolt",),
+            ("hot geer",),
+            ("small gizmmo",),
+            ("grean cable",),
+        ],
+        "probe string",
+    )
+
+    def skeleton(col):
+        no_vowels = F.regexp_replace(F.lower(col), "[aeiou ]", "")
+        return F.array_join(
+            F.array_sort(F.array_distinct(F.array_remove(F.split(no_vowels, ""), ""))),
+            "",
+        )
+
+    pk = probes.select("probe", skeleton(F.col("probe")).alias("pkey"))
+    nk = (
+        t(spark, sf_dir, "part")
+        .select("p_name")
+        .distinct()
+        .withColumn("nkey", skeleton(F.col("p_name")))
+    )
+    return (
+        F.broadcast(pk)
+        .join(nk, F.col("pkey") == F.col("nkey"))
+        .withColumn("edit_dist", F.levenshtein("probe", "p_name").cast("bigint"))
+        .filter(F.col("edit_dist") <= 3)
+        .select("probe", "p_name", "edit_dist")
+    )

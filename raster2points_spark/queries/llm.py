@@ -5230,3 +5230,66 @@ def pipeline_release_gate(spark, sf_dir):
         F.col("kn").alias("k_class_size"),
         F.col("ldiv").alias("l_diversity"),
     )
+
+
+@register(
+    "privacy_dp_counts",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, source, count(*) AS n
+      FROM documents
+      GROUP BY 1, 2
+    ),
+    noised AS (
+      SELECT lang, source, n,
+             (cast(concat('0x', substr(md5(concat(lang, '|', source, '|dp-v1')), 1, 15))
+                   AS bigint) / 1152921504606846976.0) - 0.5 AS u
+      FROM counts
+    )
+    SELECT lang, source,
+           greatest(0, n + cast(round(
+             -2.0 * sign(u) * ln(1.0 - 2.0 * abs(u))
+           ) AS bigint)) AS released_n
+    FROM noised
+    """,
+)
+def privacy_dp_counts(spark, sf_dir):
+    """Differentially-private released counts (Laplace mechanism,
+    ε=0.5, sensitivity 1): per-(lang, source) document counts with
+    calibrated Laplace noise added BEFORE release, clamped at 0 —
+    the aggregate-publication gate for corpus statistics.
+
+    The noise is SEEDED: uniform u ∈ (-0.5, 0.5) derives from
+    md5(group key + release version), pushed through the Laplace
+    inverse CDF  -b·sign(u)·ln(1-2|u|)  with b = 1/ε = 2.  Seeding
+    makes the release REPRODUCIBLE per version (republishing the same
+    release never spends extra privacy budget and diffs empty), while
+    a new version string draws fresh noise — exactly how production
+    DP release pipelines manage determinism.  Noise is integer-rounded
+    then clamped (post-processing, DP-safe).
+
+    Scale: one map-side-combined count per group; the noise is a pure
+    per-GROUP projection over the tiny counts relation — zero extra
+    shuffles, no RNG state to coordinate across 1000 executors (the
+    hash IS the shared randomness).
+    """
+    counts = (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("n"))
+    )
+    u = (
+        F.expr(
+            "cast(conv(substring(md5(concat(lang, '|', source, '|dp-v1')), 1, 15), 16, 10) AS bigint)"
+        )
+        / F.lit(1152921504606846976.0)
+        - F.lit(0.5)
+    )
+    noise = F.round(
+        F.lit(-2.0) * F.signum(u) * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u))
+    ).cast("bigint")
+    return counts.select(
+        "lang",
+        "source",
+        F.greatest(F.lit(0), F.col("n") + noise).alias("released_n"),
+    )

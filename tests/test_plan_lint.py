@@ -193,6 +193,10 @@ SUBSET = [
     "tpch_q16",
     "tpch_q20",
     "tpch_q22",
+    "agg_kmv_set_ops",
+    "privacy_dp_counts",
+    "cdc_net_changes",
+    "join_phonetic",
 ]
 
 

@@ -103,6 +103,8 @@ RULES: dict[str, dict[str, str]] = {
         "onto the per-part aggregate",
         "tpch_q22": "1-row positive-balance average broadcast onto "
         "the eligible-customer scan",
+        "agg_kmv_set_ops": "1-row merged min-k sketch broadcast onto "
+        "the 1-row exact-counts aggregate",
     },
     "BatchEvalPython": {
         "udf_scalar_py": "THE deliberate row-Python surface key",
