@@ -2523,3 +2523,57 @@ def ts_cross_correlation(spark, sf_dir):
         F.round(F.corr("a", "bl"), 6).alias("xcorr"),
         F.count("*").alias("n_hours"),
     )
+
+
+@register(
+    "skyline_pareto_front",
+    oracle="""
+    SELECT p_partkey, p_size, round(p_retailprice, 2) AS price
+    FROM part a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part b
+      WHERE b.p_retailprice <= a.p_retailprice
+        AND b.p_size >= a.p_size
+        AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+    )
+    """,
+)
+def skyline_pareto_front(spark, sf_dir):
+    """2-D SKYLINE (Pareto front): the parts no other part dominates
+    (bigger-or-equal size AND cheaper-or-equal price, strict in one) —
+    the multi-criteria shortlist query (Börzsönyi et al.'s SKYLINE OF
+    operator).
+
+    The textbook formulation is a quadratic NOT EXISTS self-join (the
+    oracle runs exactly that); the Spark plan is the DECOMPOSED form
+    that scales: (1) per-size price minima — one map-side-combined
+    groupBy collapsing the fact to ≤|sizes| rows; (2) the strict
+    suffix-minimum M(s) = min price over sizes > s — a window over
+    the TINY minima relation only (never the fact); (3) one broadcast
+    join back: a part is on the front iff its price equals its size's
+    minimum and beats M(s).  The fact is scanned once, shuffled only
+    as |sizes| partial minima; dominance never materializes a pair.
+    """
+    from pyspark.sql import Window
+
+    parts = t(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", F.col("p_retailprice").alias("price")
+    )
+    minima = parts.groupBy("p_size").agg(F.min("price").alias("min_p"))
+    w_suffix = (
+        Window.orderBy(F.col("p_size").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bounds = minima.select(
+        F.col("p_size").alias("bs"),
+        "min_p",
+        F.min("min_p").over(w_suffix).alias("m_strict"),
+    )
+    return (
+        parts.join(F.broadcast(bounds), F.col("p_size") == F.col("bs"))
+        .filter(
+            (F.col("price") == F.col("min_p"))
+            & (F.col("m_strict").isNull() | (F.col("price") < F.col("m_strict")))
+        )
+        .select("p_partkey", "p_size", F.round("price", 2).alias("price"))
+    )

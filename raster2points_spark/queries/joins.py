@@ -1030,3 +1030,56 @@ def join_phonetic(spark, sf_dir):
         .filter(F.col("edit_dist") <= 3)
         .select("probe", "p_name", "edit_dist")
     )
+
+
+@register(
+    "join_bloom_runtime",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           cast(count(*) AS bigint) AS n_lines
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE o_orderdate >= timestamp '2001-06-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bloom_runtime(spark, sf_dir):
+    """Runtime BLOOM-FILTER semi-join reduction: Catalyst's
+    InjectRuntimeFilter builds a bloom filter over the SELECTIVE side's
+    join keys (date-pruned orders) and pushes a
+    ``bloom_filter_might_contain`` probe into the fact scan, so
+    lineitem rows for non-qualifying orders are dropped BEFORE the
+    shuffle — at 100 TB this is the difference between shuffling the
+    full fact table and shuffling the ~2% that survives.
+
+    The injection thresholds are sized for real clusters (creation
+    side < 100 MB, application side > 10 GB), so at test scale the
+    knobs are scoped to a ``spark.newSession()`` — SAME SparkContext,
+    ISOLATED SQLConf: the parent session's planner is untouched (the
+    conf-scoping pattern for per-pipeline tuning).  Broadcast is
+    disabled in the scope to force the shuffle join the filter
+    exists to protect; on a cluster the same plan arises naturally
+    when both sides exceed the broadcast threshold.
+    """
+    scoped = spark.newSession()
+    scoped.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    scoped.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+    )
+    scoped.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    scoped.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    o = t(scoped, sf_dir, "orders").filter(F.col("o_orderdate") >= "2001-06-01")
+    li = t(scoped, sf_dir, "lineitem")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").cast("bigint").alias("n_lines"),
+        )
+    )

@@ -5293,3 +5293,128 @@ def privacy_dp_counts(spark, sf_dir):
         "source",
         F.greatest(F.lit(0), F.col("n") + noise).alias("released_n"),
     )
+
+
+@register(
+    "embed_pq",
+    oracle=_EMB_UNNEST_CTE
+    + """
+    , sub AS (
+        SELECT vec_id, cast(floor((pos - 1) / 16) AS int) AS m, pos, v FROM e
+    ),
+    anch AS (
+        SELECT vec_id AS code, m, pos, v FROM sub WHERE vec_id < 8
+    ),
+    d2 AS (
+        SELECT s.vec_id, s.m, a.code,
+               round(sum((s.v - a.v) * (s.v - a.v)), 6) AS d2
+        FROM sub s JOIN anch a ON a.m = s.m AND a.pos = s.pos
+        GROUP BY 1, 2, 3
+    ),
+    codes AS (
+        SELECT vec_id, m, code FROM (
+            SELECT vec_id, m, code,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d2, code) AS rn
+            FROM d2
+        ) WHERE rn = 1
+    ),
+    pd AS (
+        SELECT a.m, a.code,
+               round(sum((p.v - a.v) * (p.v - a.v)), 6) AS pd2
+        FROM anch a
+        JOIN sub p ON p.vec_id = 42 AND p.m = a.m AND p.pos = a.pos
+        GROUP BY 1, 2
+    ),
+    adc AS (
+        SELECT c.vec_id, round(sum(pd.pd2), 4) AS adc_dist
+        FROM codes c JOIN pd ON pd.m = c.m AND pd.code = c.code
+        WHERE c.vec_id <> 42
+        GROUP BY 1
+    )
+    SELECT vec_id, adc_dist
+    FROM adc
+    ORDER BY adc_dist, vec_id
+    LIMIT 10
+    """,
+)
+def embed_pq(spark, sf_dir):
+    """Product Quantization ANN (M=4 subspaces × 16 dims, K=8 codes)
+    with Asymmetric Distance Computation — the memory-side of
+    billion-scale vector search: each 64-float vector compresses to 4
+    byte-codes, and a query scans CODES (plus a 32-entry distance
+    table) instead of floats.
+
+    Codebook = the 8 lowest-id vectors' sub-vectors per subspace
+    (deterministic anchor quantization; production would Lloyd-refine
+    per subspace — ml_kmeans_lloyd is that loop).  ENCODE: per
+    (vector, subspace) argmin squared-L2 over the broadcast 32-row
+    codebook, map-side-combined partial sums, ties broken by code id
+    on 6-dp-rounded distances so the argmin is engine-exact.  QUERY:
+    the probe's distance TABLE (M×K=32 rows) is broadcast; approx
+    distance = sum of 4 lookups per vector — one tiny-key join + one
+    groupBy(vec_id), then top-10 as TakeOrderedAndProject.
+
+    Scale: the corpus is touched twice (encode once — amortized
+    across all queries; ADC scan per query over the 4-int code
+    relation, ~64× smaller than the float corpus).  No all-pairs
+    stage anywhere; both joins are broadcast-small.
+    """
+    from pyspark.sql import Window
+
+    emb = t_fanout(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    long = emb.select(
+        "vec_id", F.posexplode("e").alias("pos0", "v")
+    ).withColumn("m", (F.col("pos0") / 16).cast("int"))
+    anch = long.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("code"),
+        F.col("m").alias("am"),
+        F.col("pos0").alias("apos"),
+        F.col("v").alias("av"),
+    )
+    d2 = (
+        long.join(
+            F.broadcast(anch),
+            (F.col("am") == F.col("m")) & (F.col("apos") == F.col("pos0")),
+        )
+        .groupBy("vec_id", "m", "code")
+        .agg(
+            F.round(
+                F.sum((F.col("v") - F.col("av")) * (F.col("v") - F.col("av"))), 6
+            ).alias("d2")
+        )
+    )
+    w_enc = Window.partitionBy("vec_id", "m").orderBy("d2", "code")
+    codes = (
+        d2.withColumn("rn", F.row_number().over(w_enc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "code")
+    )
+    probe = long.filter(F.col("vec_id") == 42).select(
+        F.col("m").alias("pm"), F.col("pos0").alias("ppos"), F.col("v").alias("pv")
+    )
+    pd_tbl = (
+        anch.join(
+            F.broadcast(probe),
+            (F.col("pm") == F.col("am")) & (F.col("ppos") == F.col("apos")),
+        )
+        .groupBy(F.col("am").alias("tm"), F.col("code").alias("tcode"))
+        .agg(
+            F.round(
+                F.sum((F.col("pv") - F.col("av")) * (F.col("pv") - F.col("av"))), 6
+            ).alias("pd2")
+        )
+    )
+    return (
+        codes.join(
+            F.broadcast(pd_tbl),
+            (F.col("tm") == F.col("m")) & (F.col("tcode") == F.col("code")),
+        )
+        .filter(F.col("vec_id") != 42)
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("pd2"), 4).alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+    )

@@ -197,6 +197,10 @@ SUBSET = [
     "privacy_dp_counts",
     "cdc_net_changes",
     "join_phonetic",
+    "embed_pq",
+    "udf_pandas_iter",
+    "skyline_pareto_front",
+    "join_bloom_runtime",
 ]
 
 

@@ -572,3 +572,32 @@ def test_sql_udf_inlines_into_codegen(spark, registry):
     plan = _formatted_plan(spark, registry["fn_sql_udf"].fn(spark, SF001))
     assert "BatchEvalPython" not in plan
     assert "GreaterThanOrEqual(l_quantity,30.0)" in plan or "l_quantity" in plan.split("PushedFilters", 1)[1][:200]
+
+
+def test_bloom_runtime_filter_injected(spark, registry):
+    # the scoped newSession must actually trigger InjectRuntimeFilter:
+    # the fact-side scan carries a bloom probe, and the parent
+    # session's thresholds stay at their cluster-sane defaults
+    plan = _formatted_plan(spark, registry["join_bloom_runtime"].fn(spark, SF001))
+    assert "bloom_filter" in plan or "mightContain" in plan, plan[:500]
+    assert (
+        spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
+        != "0"
+    )
+
+
+def test_skyline_never_materializes_pairs(spark, registry):
+    # the scalable decomposition: no CartesianProduct / BNLJ — the
+    # dominance test must be the broadcast join-back, not all-pairs
+    plan = _formatted_plan(spark, registry["skyline_pareto_front"].fn(spark, SF001))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pandas_iter_udf_is_arrow_not_row_python(spark, registry):
+    plan = _formatted_plan(spark, registry["udf_pandas_iter"].fn(spark, SF001))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
