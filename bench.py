@@ -100,6 +100,18 @@ HEADLINE = [
     "udf_cogrouped_map",
     "spatial_nearest",
     "win_range_frame",
+    # this-session additions: full-scan wide agg (Q1 — the scan+agg
+    # throughput ceiling), derived-dim extremum (Q2), the bloom-probed
+    # shuffle join, PQ encode+ADC, KMV set algebra and the restart
+    # exactly-once drain (two real streaming runs)
+    "tpch_q1",
+    "tpch_q2",
+    "tpch_q9",
+    "join_bloom_runtime",
+    "embed_pq",
+    "agg_kmv_set_ops",
+    "cdc_net_changes",
+    "stream_restart_recovery",
 ]
 
 
