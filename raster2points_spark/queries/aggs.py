@@ -949,3 +949,142 @@ def agg_kmv_set_ops(spark, sf_dir):
             .alias("est_intersection"),
         )
     )
+
+
+@register(
+    "mv_join_incremental",
+    oracle="""
+    SELECT o_orderkey, c_name, c_mktsegment,
+           round(o_totalprice, 2) AS o_totalprice
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    WHERE o_orderdate >= timestamp '2001-01-01'
+    """,
+)
+def mv_join_incremental(spark, sf_dir):
+    """Incremental maintenance of a JOIN view (delta-join algebra):
+    the standing view V = orders ⋈ customer is refreshed for a batch
+    of NEW orders as ΔV = Δorders ⋈ customer — the dimension is
+    probed only for the delta, history is never re-joined.
+
+    This is the join half of IVM (mv_incremental is the aggregate
+    half): for an insert-only fact, ΔV = ΔA ⋈ B exactly; with
+    dimension updates the full algebra adds A ⋈ ΔB ∪ ΔA ⋈ ΔB — the
+    same plan shape, noted here for parity.  The stored view is a
+    parquet target appended transactionally; the oracle recomputes
+    the WHOLE view over the 2001+ window from scratch, so the hash
+    match proves base-view ⊎ delta-join == full join — the IVM
+    invariant itself.
+
+    Scale: refresh cost is O(|Δ|) + one broadcast of the dim (or a
+    key-partitioned probe when the dim is large); a nightly 100 TB
+    pipeline re-joins gigabytes, not the accumulated petabytes.
+    """
+    import os as _os
+
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2001-01-01"
+    )
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+    def joined(o):
+        return o.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey")).select(
+            "o_orderkey",
+            "c_name",
+            "c_mktsegment",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+
+    split = "2001-06-01"
+    path = _os.path.join(SCRATCH, "mv_join_base")
+    # the standing view: history already joined and stored
+    joined(orders.filter(F.col("o_orderdate") < split)).write.mode(
+        "overwrite"
+    ).parquet(path)
+    base = spark.read.parquet(path)
+    # refresh: ONLY the delta touches the join
+    delta = joined(orders.filter(F.col("o_orderdate") >= split))
+    return base.unionByName(delta)
+
+
+@register(
+    "agg_count_min_sketch",
+    oracle="""
+    WITH rows_d AS (SELECT unnest(generate_series(0, 3)) AS i),
+    hashed AS (
+        SELECT e.user_id, d.i,
+               cast(concat('0x', substr(md5(concat(cast(d.i AS varchar), ':',
+                      cast(e.user_id AS varchar))), 1, 15)) AS bigint) % 32 AS b
+        FROM events e CROSS JOIN rows_d d
+    ),
+    counters AS (
+        SELECT i, b, count(*) AS n FROM hashed GROUP BY 1, 2
+    ),
+    top_users AS (
+        SELECT user_id, count(*) AS exact_n
+        FROM events GROUP BY 1
+        ORDER BY exact_n DESC, user_id LIMIT 10
+    ),
+    probes AS (
+        SELECT t.user_id, t.exact_n, d.i,
+               cast(concat('0x', substr(md5(concat(cast(d.i AS varchar), ':',
+                      cast(t.user_id AS varchar))), 1, 15)) AS bigint) % 32 AS b
+        FROM top_users t CROSS JOIN rows_d d
+    )
+    SELECT p.user_id, cast(p.exact_n AS bigint) AS exact_n,
+           cast(min(c.n) AS bigint) AS cms_est
+    FROM probes p JOIN counters c ON c.i = p.i AND c.b = p.b
+    GROUP BY 1, 2
+    """,
+)
+def agg_count_min_sketch(spark, sf_dir):
+    """Count-Min Sketch (d=4 hash rows × w=32 buckets): point
+    frequency estimates for the 10 heaviest users from a FIXED
+    128-counter summary — the mergeable sketch that answers "how
+    often did key X occur" over a 100 TB stream without a per-key
+    counter table.
+
+    Counter build: each row increments one bucket per hash row —
+    expressed as a 4-way explode + ONE map-side-combined groupBy, so
+    the shuffle carries at most d×w=128 partial counters per
+    partition regardless of row count (the CMS merge property:
+    sketches of partitions add element-wise).  Estimate: min over
+    the d counters each probe key hashes into — ≥ exact always
+    (one-sided error), which the result exposes by carrying exact_n
+    alongside.  All hashes are the md5→bigint trick: deterministic,
+    engine-identical, no seeded RNG to coordinate.
+    """
+    ev = t(spark, sf_dir, "events").select("user_id")
+    d4 = F.array(*[F.lit(i) for i in range(4)])
+
+    def bucket(i_col, key_col):
+        return (
+            F.expr(
+                "cast(conv(substring(md5(concat(cast(i AS string), ':', "
+                "cast(user_id AS string))), 1, 15), 16, 10) AS bigint)"
+            )
+            % 32
+        )
+
+    long = ev.select("user_id", F.explode(d4).alias("i"))
+    counters = (
+        long.withColumn("b", bucket("i", "user_id"))
+        .groupBy("i", "b")
+        .agg(F.count("*").alias("n"))
+    )
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "user_id")
+        .limit(10)
+    )
+    probes = top.select("user_id", "exact_n", F.explode(d4).alias("i")).withColumn(
+        "b", bucket("i", "user_id")
+    )
+    return (
+        probes.join(F.broadcast(counters), ["i", "b"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("n").cast("bigint").alias("cms_est"))
+        .select("user_id", F.col("exact_n").cast("bigint").alias("exact_n"), "cms_est")
+    )

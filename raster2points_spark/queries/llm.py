@@ -5418,3 +5418,102 @@ def embed_pq(spark, sf_dir):
         .orderBy("adc_dist", "vec_id")
         .limit(10)
     )
+
+
+@register(
+    "dedup_semantic_cluster",
+    oracle=_EMB_UNNEST_CTE
+    + """
+    , cent AS (SELECT vec_id AS cid, pos, v FROM e WHERE vec_id < 8),
+    adots AS (
+        SELECT e.vec_id, c.cid, round(sum(e.v * c.v), 4) AS d
+        FROM e JOIN cent c ON c.pos = e.pos
+        GROUP BY 1, 2
+    ),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+            FROM adots
+        ) WHERE rn = 1
+    ),
+    clustered AS (
+        SELECT a.vec_id, a.cid, e.pos, e.v
+        FROM e JOIN assign a ON a.vec_id = e.vec_id
+    ),
+    pair_sims AS (
+        SELECT x.vec_id AS keep_id, y.vec_id AS drop_id,
+               round(sum(x.v * y.v), 4) AS cos_sim
+        FROM clustered x
+        JOIN clustered y ON y.cid = x.cid AND y.pos = x.pos
+                         AND x.vec_id < y.vec_id
+        GROUP BY 1, 2
+    ),
+    dropped AS (
+        SELECT DISTINCT drop_id FROM pair_sims WHERE cos_sim >= 0.3
+    )
+    SELECT a.vec_id, a.cid
+    FROM assign a
+    WHERE a.vec_id NOT IN (SELECT drop_id FROM dropped)
+    """,
+)
+def dedup_semantic_cluster(spark, sf_dir):
+    """SemDeDup-style semantic deduplication (Abbas et al.):
+    cluster the embedding space first, then drop any vector with a
+    LOWER-id neighbor at cosine ≥ τ=0.3 *within its own cluster* —
+    near-duplicate semantics pruned without any cross-cluster pair
+    ever materializing.
+
+    Two stages, both bucketed: (1) ASSIGN — broadcast 8-row anchor
+    codebook, one linear scan (the sim_ivf spine; production uses
+    trained k-means centroids from ml_kmeans_lloyd); (2) PRUNE —
+    self-join ON CLUSTER ID ONLY, so the pair space is Σ|cluster|²,
+    not n² — the SemDeDup trade: clusters are capacity-bounded (k
+    scales with n so |cluster| stays ~constant), giving O(n·c) total
+    work at 100 TB.  Keep-lowest-id is a deterministic tiebreak (no
+    iteration-order dependence), and the dropped set derives from
+    4-dp-rounded cosines so the cut is engine-exact.
+    """
+    from pyspark.sql import Window
+
+    emb = t_fanout(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    adot = F.expr(
+        "aggregate(zip_with(e, ce, (x, y) -> x * y), cast(0.0 AS double), (acc, v) -> acc + v)"
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("d").desc(), F.col("cid"))
+    assign = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "e", "cid", F.round(adot, 4).alias("d"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "e")
+        .persist()
+    )
+    x = assign.alias("x")
+    y = assign.alias("y")
+    pair_cos = F.expr(
+        "aggregate(zip_with(x.e, y.e, (p, q) -> p * q), cast(0.0 AS double), (acc, v) -> acc + v)"
+    )
+    dropped = (
+        x.join(
+            y,
+            (F.col("x.cid") == F.col("y.cid"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("y.vec_id").alias("drop_id"), F.round(pair_cos, 4).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= 0.3)
+        .select("drop_id")
+        .distinct()
+    )
+    return (
+        assign.join(
+            dropped, assign.vec_id == dropped.drop_id, "left_anti"
+        ).select("vec_id", "cid")
+    )

@@ -201,6 +201,9 @@ SUBSET = [
     "udf_pandas_iter",
     "skyline_pareto_front",
     "join_bloom_runtime",
+    "mv_join_incremental",
+    "agg_count_min_sketch",
+    "dedup_semantic_cluster",
 ]
 
 

@@ -105,6 +105,8 @@ RULES: dict[str, dict[str, str]] = {
         "the eligible-customer scan",
         "agg_kmv_set_ops": "1-row merged min-k sketch broadcast onto "
         "the 1-row exact-counts aggregate",
+        "dedup_semantic_cluster": "8-row anchor codebook broadcast "
+        "for cluster assignment (sim_ivf spine)",
     },
     "BatchEvalPython": {
         "udf_scalar_py": "THE deliberate row-Python surface key",
