@@ -1088,3 +1088,82 @@ def agg_count_min_sketch(spark, sf_dir):
         .agg(F.min("n").cast("bigint").alias("cms_est"))
         .select("user_id", F.col("exact_n").cast("bigint").alias("exact_n"), "cms_est")
     )
+
+
+@register(
+    "agg_exact_median_twopass",
+    oracle="""
+    WITH v AS (SELECT l_extendedprice AS x FROM lineitem),
+    stats AS (SELECT count(*) AS n_rows FROM v),
+    kk AS (SELECT cast((n_rows + 1) // 2 AS bigint) AS k FROM stats),
+    med AS (
+        SELECT x AS median FROM (
+            SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v
+        ), kk WHERE rn = k
+    )
+    SELECT round(m.median, 2) AS median,
+           cast(s.n_rows AS bigint) AS n_rows,
+           (SELECT cast(count(*) AS bigint) FROM v
+            WHERE floor(x / 1000) = floor(m.median / 1000)) AS pass2_rows
+    FROM med m, stats s
+    """,
+)
+def agg_exact_median_twopass(spark, sf_dir):
+    """EXACT median without a global sort — the two-pass rank-search
+    that makes exact order statistics feasible at 100 TB: a full sort
+    of the fact is O(n log n) ACROSS the cluster (rangepartition +
+    per-task sort); this plan is two scans and two tiny shuffles.
+
+    Pass 1: value-domain histogram (floor(x/1000) buckets) — ONE
+    map-side-combined groupBy whose shuffle is |buckets| partial
+    counts; a running-total window over the tiny histogram locates
+    the bucket holding global rank k = ⌈n/2⌉ (lower median).  Pass 2:
+    re-scan FILTERED to that one bucket (predicate pushed to the
+    scan) and take the remaining offset as a partition-local
+    TakeOrderedAndProject top-k — never a full sort, never more than
+    one bucket's rows in flight.  pass2_rows is carried in the result
+    so the reduction (n → one bucket) is visible.  The k-th smallest
+    VALUE is tie-insensitive, so row_number nondeterminism inside
+    equal values cannot change the answer (R2 satisfied vacuously).
+    """
+    from pyspark.sql import Window
+
+    v = t(spark, sf_dir, "lineitem").select(F.col("l_extendedprice").alias("x"))
+    stats = v.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+    ).withColumn("k", ((F.col("n_rows") + 1) / 2).cast("bigint"))
+    hist = v.groupBy(F.floor(F.col("x") / 1000).alias("bkt")).agg(
+        F.count("*").alias("bn")
+    )
+    w_cum = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bkt", "bn", F.sum("bn").over(w_cum).alias("cum")
+    )
+    target = (
+        cum.crossJoin(F.broadcast(stats))
+        .filter(F.col("cum") >= F.col("k"))
+        .orderBy("bkt")
+        .limit(1)
+        .select(
+            "bkt",
+            (F.col("bn") - (F.col("cum") - F.col("k"))).alias("offset"),
+            "n_rows",
+        )
+    )
+    in_bucket = v.crossJoin(F.broadcast(target)).filter(
+        F.floor(F.col("x") / 1000) == F.col("bkt")
+    )
+    # offset-th smallest within the ONE surviving bucket: the window
+    # sorts |bucket| rows (n/|buckets| of the fact), never the fact —
+    # the single-partition WindowExec here is over pass-2 rows only
+    w_in = Window.orderBy("x")
+    return (
+        in_bucket.withColumn("rn", F.row_number().over(w_in))
+        .withColumn("p2", F.count("*").over(Window.partitionBy(F.lit(1))))
+        .filter(F.col("rn") == F.col("offset"))
+        .select(
+            F.round("x", 2).alias("median"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("p2").cast("bigint").alias("pass2_rows"),
+        )
+    )

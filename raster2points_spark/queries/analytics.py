@@ -2577,3 +2577,162 @@ def skyline_pareto_front(spark, sf_dir):
         )
         .select("p_partkey", "p_size", F.round("price", 2).alias("price"))
     )
+
+
+@register(
+    "hierarchy_rollup",
+    oracle="""
+    WITH spend AS (
+      SELECT user_id, sum(value) AS s, count(*) AS c
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ),
+    links AS (
+      SELECT user_id,
+             unnest(list_distinct(list_transform(
+               range(0, 9), i -> user_id >> i))) AS anc
+      FROM spend
+    )
+    SELECT l.anc AS node,
+           round(sum(s.s), 2) AS subtree_spend,
+           cast(sum(s.c) AS bigint) AS n_events,
+           cast(count(*) AS bigint) AS n_members
+    FROM links l JOIN spend s ON s.user_id = l.user_id
+    GROUP BY l.anc
+    """,
+)
+def hierarchy_rollup(spark, sf_dir):
+    """Hierarchy SUBTREE rollup (org-chart / BOM aggregation): total
+    purchase spend of every node's subtree, where the hierarchy is
+    the binary tree parent(u) = u >> 1 — an ADDRESSABLE hierarchy, so
+    the transitive closure GENERATES IN-ROW (each user's ancestor
+    chain is `transform(sequence(0,8), i -> shiftright(u, i))`,
+    zero joins, zero iteration) instead of the recursive-join closure
+    cte_recursive needs for arbitrary edges.
+
+    Shape: per-user spend collapses first (map-side combine), the
+    closure explode multiplies the TINY per-user relation by depth
+    (≤9), and one groupBy(ancestor) sums subtrees — O(n·depth) rows
+    total, one shuffle each side.  At 100 TB this is how
+    materialized-path / encoded hierarchies (Dewey IDs, HOR-keys)
+    roll up without recursion; n_members makes each subtree's fan-in
+    inspectable.
+    """
+    spend = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("s"), F.count("*").alias("c"))
+    )
+    links = spend.select(
+        "user_id",
+        "s",
+        "c",
+        F.explode(
+            F.array_distinct(
+                F.expr("transform(sequence(0, 8), i -> shiftright(user_id, i))")
+            )
+        ).alias("node"),
+    )
+    return links.groupBy("node").agg(
+        F.round(F.sum("s"), 2).alias("subtree_spend"),
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.count("*").cast("bigint").alias("n_members"),
+    )
+
+
+@register(
+    "ml_logreg_irls",
+    oracle="""
+    WITH d AS (
+      SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             n_chars / 1000.0 AS x
+      FROM documents
+    ),
+    s1 AS (
+      SELECT 0.25 * count(*) AS a, 0.25 * sum(x) AS b, 0.25 * sum(x * x) AS dd,
+             sum(y - 0.5) AS u, sum((y - 0.5) * x) AS v
+      FROM d
+    ),
+    b1 AS (
+      SELECT (dd * u - b * v) / (a * dd - b * b) AS b0,
+             (a * v - b * u) / (a * dd - b * b) AS b1
+      FROM s1
+    ),
+    s2 AS (
+      SELECT sum(p * (1 - p)) AS a, sum(p * (1 - p) * x) AS b,
+             sum(p * (1 - p) * x * x) AS dd,
+             sum(y - p) AS u, sum((y - p) * x) AS v
+      FROM (
+        SELECT y, x, 1.0 / (1.0 + exp(-(b1.b0 + b1.b1 * x))) AS p
+        FROM d, b1
+      )
+    ),
+    b2 AS (
+      SELECT b1.b0 + (s2.dd * s2.u - s2.b * s2.v) / (s2.a * s2.dd - s2.b * s2.b) AS b0,
+             b1.b1 + (s2.a * s2.v - s2.b * s2.u) / (s2.a * s2.dd - s2.b * s2.b) AS b1
+      FROM b1, s2
+    )
+    SELECT round(b0, 4) AS beta0, round(b1, 4) AS beta1,
+           (SELECT cast(count(*) AS bigint) FROM d) AS n_obs
+    FROM b2
+    """,
+)
+def ml_logreg_irls(spark, sf_dir):
+    """Logistic regression by IRLS / Newton (2 synchronous steps):
+    P(lang = en | n_chars) — the iterative GLM-training shape on
+    DataFrames, completing the in-engine ML trio (ml_kmeans_lloyd =
+    clustering, ml_linreg_normal = least squares, this = maximum
+    likelihood with a re-weighted design each round).
+
+    Per step the 2×2 weighted normal equations collapse to FIVE
+    map-side-combined sums (Σw, Σwx, Σwx², Σ(y−p), Σ(y−p)x) — one
+    scan, a 1-row aggregate — and the update solves in closed form
+    inside that single row (no matrix library, no driver math).  The
+    new β broadcasts back as a 1-row cross join for the next
+    re-weighting — exactly the scalar-feedback loop of
+    embed_power_iteration.  Step 1 from β=0 has p=½ exactly, so both
+    engines start from identical state; coefficients rounded 4 dp at
+    the END only (the agg_regression float-sum class).
+
+    At 100 TB: each step is one scan + O(1) shuffle bytes; steps are
+    few (Newton is quadratically convergent near the optimum).
+    """
+    d = t(spark, sf_dir, "documents").select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        (F.col("n_chars") / 1000.0).alias("x"),
+    )
+
+    def newton_step(df_with_p):
+        w = F.col("p") * (1 - F.col("p"))
+        s = df_with_p.agg(
+            F.sum(w).alias("a"),
+            F.sum(w * F.col("x")).alias("b"),
+            F.sum(w * F.col("x") * F.col("x")).alias("dd"),
+            F.sum(F.col("y") - F.col("p")).alias("u"),
+            F.sum((F.col("y") - F.col("p")) * F.col("x")).alias("v"),
+        )
+        det = F.col("a") * F.col("dd") - F.col("b") * F.col("b")
+        return s.select(
+            ((F.col("dd") * F.col("u") - F.col("b") * F.col("v")) / det).alias("db0"),
+            ((F.col("a") * F.col("v") - F.col("b") * F.col("u")) / det).alias("db1"),
+        )
+
+    # step 1: beta = (0,0) => p = 0.5 exactly
+    step1 = newton_step(d.withColumn("p", F.lit(0.5)))
+    beta1 = step1.select(F.col("db0").alias("b0"), F.col("db1").alias("b1"))
+    # step 2: re-weight with the broadcast beta
+    p2 = d.crossJoin(F.broadcast(beta1)).withColumn(
+        "p", 1.0 / (1.0 + F.exp(-(F.col("b0") + F.col("b1") * F.col("x"))))
+    )
+    step2 = newton_step(p2)
+    n = d.agg(F.count("*").cast("bigint").alias("n_obs"))
+    return (
+        beta1.crossJoin(F.broadcast(step2))
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.round(F.col("b0") + F.col("db0"), 4).alias("beta0"),
+            F.round(F.col("b1") + F.col("db1"), 4).alias("beta1"),
+            "n_obs",
+        )
+    )

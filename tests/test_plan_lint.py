@@ -204,6 +204,9 @@ SUBSET = [
     "mv_join_incremental",
     "agg_count_min_sketch",
     "dedup_semantic_cluster",
+    "agg_exact_median_twopass",
+    "hierarchy_rollup",
+    "ml_logreg_irls",
 ]
 
 

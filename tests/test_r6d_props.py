@@ -155,3 +155,46 @@ def test_semantic_dedup_keeps_cluster_representatives(spark, registry):
         sims = np.round(v @ v.T, 4)
         np.fill_diagonal(sims, 0.0)
         assert (sims < 0.3).all(), f"cluster {c} kept a near-dup pair"
+
+
+def test_twopass_median_equals_numpy_lower_median(spark, registry):
+    x = pq.read_table(f"{SF0001}/lineitem.parquet").column(
+        "l_extendedprice"
+    ).to_numpy()
+    r = registry["agg_exact_median_twopass"].fn(spark, SF0001).collect()[0]
+    k = (len(x) + 1) // 2
+    lower_median = np.sort(x)[k - 1]
+    assert r["n_rows"] == len(x)
+    assert abs(r["median"] - round(float(lower_median), 2)) < 1e-9
+    assert 0 < r["pass2_rows"] < len(x)  # the reduction actually happened
+
+
+def test_hierarchy_rollup_root_holds_everything(spark, registry):
+    t = pq.read_table(f"{SF0001}/events.parquet").to_pandas()
+    t = t[t.event_type == "purchase"]
+    rows = {r["node"]: r for r in registry["hierarchy_rollup"].fn(spark, SF0001).collect()}
+    assert rows[0]["n_events"] == len(t)  # root subsumes all purchases
+    # spot-check an inner node: subtree of node 2 = users whose
+    # ancestor chain (u >> i) passes through 2
+    members = {u for u in t.user_id.unique() if any((u >> i) == 2 for i in range(9))}
+    sub = t[t.user_id.isin(members)]
+    assert rows[2]["n_events"] == len(sub)
+    assert abs(rows[2]["subtree_spend"] - round(sub.value.sum(), 2)) < 1e-6
+
+
+def test_irls_matches_numpy_newton(spark, registry):
+    t = pq.read_table(f"{SF0001}/documents.parquet").to_pandas()
+    y = (t.lang == "en").to_numpy(dtype=float)
+    x = (t.n_chars / 1000.0).to_numpy(dtype=float)
+    beta = np.zeros(2)
+    X = np.stack([np.ones_like(x), x], axis=1)
+    for _ in range(2):
+        p = 1.0 / (1.0 + np.exp(-(X @ beta)))
+        W = p * (1 - p)
+        H = X.T @ (X * W[:, None])
+        g = X.T @ (y - p)
+        beta = beta + np.linalg.solve(H, g)
+    r = registry["ml_logreg_irls"].fn(spark, SF0001).collect()[0]
+    assert r["n_obs"] == len(y)
+    assert abs(r["beta0"] - beta[0]) < 1e-3
+    assert abs(r["beta1"] - beta[1]) < 1e-3

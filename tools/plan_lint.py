@@ -107,6 +107,10 @@ RULES: dict[str, dict[str, str]] = {
         "the 1-row exact-counts aggregate",
         "dedup_semantic_cluster": "8-row anchor codebook broadcast "
         "for cluster assignment (sim_ivf spine)",
+        "agg_exact_median_twopass": "1-row rank/bucket target and "
+        "1-row n/k stats broadcast between the two passes",
+        "ml_logreg_irls": "1-row beta and step relations broadcast "
+        "between Newton steps (scalar-feedback loop)",
     },
     "BatchEvalPython": {
         "udf_scalar_py": "THE deliberate row-Python surface key",
