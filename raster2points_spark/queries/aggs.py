@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from raster2points_spark.io import register_views
 from raster2points_spark.registry import register
-from raster2points_spark.queries._util import ORACLE_TSEC, SCRATCH, t, unix_secs
+from raster2points_spark.queries._util import ORACLE_TSEC, SCRATCH, t, t_fanout, unix_secs
 
 
 @register(
@@ -1055,7 +1055,10 @@ def agg_count_min_sketch(spark, sf_dir):
     alongside.  All hashes are the md5→bigint trick: deterministic,
     engine-identical, no seeded RNG to coordinate.
     """
-    ev = t(spark, sf_dir, "events").select("user_id")
+    # t_fanout: the 4-way explode + md5 chain is CPU-bound, and a
+    # small parquet is one scan task — fan out so the counter build
+    # parallelizes (no-op at real scale, same gate as the llm keys)
+    ev = t_fanout(spark, sf_dir, "events").select("user_id")
     d4 = F.array(*[F.lit(i) for i in range(4)])
 
     def bucket(i_col, key_col):
