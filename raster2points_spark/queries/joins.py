@@ -1083,3 +1083,63 @@ def join_bloom_runtime(spark, sf_dir):
             F.count("*").cast("bigint").alias("n_lines"),
         )
     )
+
+
+@register(
+    "join_not_in_nullaware",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_custkey END AS xb
+      FROM orders
+    ),
+    vip AS (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+    )
+    SELECT o_orderstatus,
+           cast(count(*) AS bigint) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM o
+    WHERE xb NOT IN (SELECT c_custkey FROM vip)
+    GROUP BY o_orderstatus
+    """,
+)
+def join_not_in_nullaware(spark, sf_dir):
+    """NOT IN with a NULLABLE probe key — the three-valued-logic trap
+    and the NULL-AWARE ANTI JOIN Spark plans for it: ``x NOT IN (S)``
+    is UNKNOWN (not TRUE) when x is NULL, so every pending order
+    (whose bucket key is NULLed here) drops out even though it
+    matches nothing — semantics an ordinary left_anti would get
+    WRONG (left_anti keeps null-keyed rows; NAAJ must not).
+
+    Catalyst rewrites the predicate to LeftAnti with the
+    null-aware condition (key match OR isnull(key)) — on the
+    broadcast build side this is the single-pass NAAJ; the oracle
+    runs the identical standard SQL, so the hash match pins the
+    three-valued semantics cross-engine, P-status rows excluded on
+    both sides.  At scale: the VIP set broadcasts; the fact is
+    scanned once; no extra shuffle beyond the final 3-group agg.
+    """
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.when(F.col("o_orderstatus") == "P", F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("xb"),
+    )
+    vip = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000).select(
+        "c_custkey"
+    )
+    o.createOrReplaceTempView("naaj_orders")
+    vip.createOrReplaceTempView("naaj_vip")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               cast(count(*) AS bigint) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM naaj_orders
+        WHERE xb NOT IN (SELECT c_custkey FROM naaj_vip)
+        GROUP BY o_orderstatus
+        """
+    )

@@ -5517,3 +5517,79 @@ def dedup_semantic_cluster(spark, sf_dir):
             dropped, assign.vec_id == dropped.drop_id, "left_anti"
         ).select("vec_id", "cid")
     )
+
+
+@register(
+    "privacy_erasure_cascade",
+    oracle="""
+    WITH keep AS (
+      SELECT * FROM events WHERE user_id % 17 <> 3
+    )
+    SELECT event_type,
+           cast(floor(epoch(ts) / 86400) AS bigint) AS day,
+           cast(count(*) AS bigint) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM keep
+    GROUP BY 1, 2
+    HAVING count(*) > 0
+    """,
+)
+def privacy_erasure_cascade(spark, sf_dir):
+    """GDPR erasure CASCADE into derived aggregates: when users
+    request deletion (tombstones: user_id % 17 == 3 stands in for the
+    request table), the standing daily MV is corrected by SUBTRACTING
+    only the tombstoned users' partial aggregates — never recomputing
+    from history.
+
+    This is IVM's decrement half (mv_incremental adds deltas, this
+    retracts them): count/sum are decomposable under subtraction, so
+    MV_new = MV_old ⊖ rollup(deleted rows), with groups whose count
+    hits 0 dropped (a fully-erased day must disappear, not linger as
+    a 0-row).  The oracle recomputes the rollup from scratch WITHOUT
+    the tombstoned users, so the hash match proves retraction ==
+    recompute — the erasure-correctness invariant an auditor asks
+    for.  At 100 TB: the deleted slice is scanned once (tombstone
+    semi-join prunes it), the MV is |groups| rows; history stays
+    cold.
+    """
+    import os as _os
+
+    from raster2points_spark.queries._util import SCRATCH, unix_secs
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.floor(unix_secs(F.col("ts")) / 86400).cast("bigint").alias("day"),
+        "value",
+    )
+
+    def rollup(df):
+        return df.groupBy("event_type", "day").agg(
+            F.count("*").alias("n"), F.sum("value").alias("sv")
+        )
+
+    path = _os.path.join(SCRATCH, "erasure_mv")
+    rollup(ev).write.mode("overwrite").parquet(path)
+    mv = spark.read.parquet(path)  # the standing aggregate (full corpus)
+    deleted = rollup(ev.filter(F.col("user_id") % 17 == 3)).select(
+        F.col("event_type").alias("d_type"),
+        F.col("day").alias("d_day"),
+        F.col("n").alias("dn"),
+        F.col("sv").alias("dsv"),
+    )
+    return (
+        mv.join(
+            deleted,
+            (F.col("event_type") == F.col("d_type")) & (F.col("day") == F.col("d_day")),
+            "left",
+        )
+        .select(
+            "event_type",
+            "day",
+            (F.col("n") - F.coalesce(F.col("dn"), F.lit(0))).cast("bigint").alias("n"),
+            F.round(
+                F.col("sv") - F.coalesce(F.col("dsv"), F.lit(0.0)), 2
+            ).alias("sum_value"),
+        )
+        .filter(F.col("n") > 0)
+    )

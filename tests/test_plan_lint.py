@@ -207,6 +207,8 @@ SUBSET = [
     "agg_exact_median_twopass",
     "hierarchy_rollup",
     "ml_logreg_irls",
+    "privacy_erasure_cascade",
+    "join_not_in_nullaware",
 ]
 
 
