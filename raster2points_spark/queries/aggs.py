@@ -1170,3 +1170,118 @@ def agg_exact_median_twopass(spark, sf_dir):
             F.col("p2").cast("bigint").alias("pass2_rows"),
         )
     )
+
+
+@register(
+    "agg_hll_oracle",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ),
+    hashed AS (
+        SELECT event_type,
+               cast(concat('0x', substr(md5(cast(user_id AS varchar)), 1, 15))
+                    AS bigint) AS h
+        FROM du
+    ),
+    regs AS (
+        SELECT event_type, h % 64 AS bucket,
+               max(CASE WHEN h // 64 = 0 THEN 55
+                        ELSE 55 - length(bin(h // 64)) END) AS rho
+        FROM hashed GROUP BY 1, 2
+    ),
+    spine AS (
+        SELECT t.event_type, s.bucket
+        FROM (SELECT DISTINCT event_type FROM events) t,
+             (SELECT unnest(generate_series(0, 63)) AS bucket) s
+    ),
+    full_regs AS (
+        SELECT sp.event_type, coalesce(r.rho, 0) AS rho
+        FROM spine sp
+        LEFT JOIN regs r ON r.event_type = sp.event_type AND r.bucket = sp.bucket
+    ),
+    summed AS (
+        SELECT event_type,
+               sum(cast(1 AS bigint) << (55 - rho)) AS int_sum,
+               sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS v_empty
+        FROM full_regs GROUP BY 1
+    ),
+    est AS (
+        SELECT event_type, v_empty,
+               0.709 * 4096.0 * 1152921504606846976.0 / 32.0 / int_sum AS e_raw
+        FROM summed
+    )
+    SELECT e.event_type,
+           (SELECT cast(count(*) AS bigint) FROM du d
+            WHERE d.event_type = e.event_type) AS n_exact,
+           cast(round(CASE WHEN e_raw <= 160 AND v_empty > 0
+                           THEN 64.0 * ln(64.0 / v_empty)
+                           ELSE e_raw END) AS bigint) AS hll_est
+    FROM est e
+    """,
+)
+def agg_hll_oracle(spark, sf_dir):
+    """HyperLogLog with BIT-EXACT cross-engine arithmetic — the
+    register harmonic mean Σ2^{-ρ} is computed as the INTEGER
+    Σ2^{55-ρ} (a bigint shift — exact, order-independent, unlike a
+    float sum whose rounding depends on partition order), divided out
+    in double only at the very end.  This makes the classic
+    "approximate" sketch fully oracle-checkable: same registers, same
+    estimate, to the last bit, in Spark and DuckDB.
+
+    Construction: 60-bit md5 hash → bucket = h mod 64, ρ = leading
+    zeros of the remaining 54 bits + 1 via `55 - length(bin(w))` (bin
+    is the msb-position primitive both engines share); per-bucket max
+    ρ is ONE map-side-combined aggregate whose shuffle carries ≤64
+    registers per partition per group — the mergeable-HLL property
+    that lets 1000 executors sketch 100 TB and union by element-wise
+    max.  Linear-counting correction (E ≤ 5m/2, V empty registers)
+    applies per the original paper; n_exact is carried alongside so
+    the error is inspectable (agg_kmv_sketch's contract, different
+    sketch).
+    """
+    du = t(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    hashed = du.select(
+        "event_type",
+        F.expr(
+            "cast(conv(substring(md5(cast(user_id AS string)), 1, 15), 16, 10) AS bigint)"
+        ).alias("h"),
+    )
+    w = (F.col("h") / 64).cast("bigint")  # h // 64: h >= 0 so trunc == floor
+    regs = hashed.select(
+        "event_type",
+        (F.col("h") % 64).alias("bucket"),
+        F.when(w == 0, 55).otherwise(55 - F.length(F.bin(w))).alias("rho"),
+    ).groupBy("event_type", "bucket").agg(F.max("rho").alias("rho"))
+    spine = (
+        t(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .select("event_type", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bucket"))
+    )
+    full_regs = spine.join(regs, ["event_type", "bucket"], "left").select(
+        "event_type", F.coalesce(F.col("rho"), F.lit(0)).alias("rho")
+    )
+    summed = full_regs.groupBy("event_type").agg(
+        F.sum(F.expr("shiftleft(cast(1 AS bigint), 55 - rho)")).alias("int_sum"),
+        F.sum(F.when(F.col("rho") == 0, 1).otherwise(0)).alias("v_empty"),
+    )
+    e_raw = (
+        F.lit(0.709) * 4096.0 * F.lit(1152921504606846976.0) / 32.0 / F.col("int_sum")
+    )
+    exact = du.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n_exact"))
+    return (
+        summed.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            F.round(
+                F.when(
+                    (e_raw <= 160) & (F.col("v_empty") > 0),
+                    F.lit(64.0) * F.log(64.0 / F.col("v_empty")),
+                ).otherwise(e_raw)
+            )
+            .cast("bigint")
+            .alias("hll_est"),
+        )
+    )

@@ -2736,3 +2736,89 @@ def ml_logreg_irls(spark, sf_dir):
             "n_obs",
         )
     )
+
+
+_POIS_CASE_SQL = """CASE
+  WHEN u < 0.36787944117144233 THEN 0
+  WHEN u < 0.7357588823428847  THEN 1
+  WHEN u < 0.9196986029286058  THEN 2
+  WHEN u < 0.9810118431238462  THEN 3
+  WHEN u < 0.9963401531726563  THEN 4
+  WHEN u < 0.9994058151824183  THEN 5
+  WHEN u < 0.9999167588507119  THEN 6
+  WHEN u < 0.9999897508033253  THEN 7
+  ELSE 8 END"""
+
+
+@register(
+    "stat_bootstrap_se",
+    oracle=f"""
+    WITH x AS (
+      SELECT event_id, value FROM events WHERE event_type = 'purchase'
+    ),
+    rep AS (
+      SELECT event_id, value, unnest(generate_series(0, 7)) AS b FROM x
+    ),
+    weighted AS (
+      SELECT b, value,
+             {_POIS_CASE_SQL.replace('u', '''(cast(concat('0x', substr(md5(concat(cast(event_id AS varchar), '|', cast(b AS varchar))), 1, 15)) AS bigint) / 1152921504606846976.0)''')} AS k
+      FROM rep
+    ),
+    means AS (
+      SELECT b, round(sum(k * value) / sum(k), 6) AS m
+      FROM weighted GROUP BY b
+    )
+    SELECT (SELECT round(avg(value), 4) FROM x) AS mean_full,
+           round(stddev_samp(m), 6) AS boot_se,
+           cast(count(*) AS bigint) AS n_replicates
+    FROM means
+    """,
+)
+def stat_bootstrap_se(spark, sf_dir):
+    """POISSONIZED bootstrap standard error (B=8 replicates) for the
+    mean purchase value — the resampling scheme that works on a
+    cluster: instead of drawing n samples per replicate (a per-row
+    random ACCESS pattern no shuffle can express cheaply), each row
+    gets an independent Poisson(1) weight per replicate, which
+    approximates multinomial resampling and needs only ONE pass —
+    the same trick behind large-scale bagging and streaming
+    bootstraps.
+
+    Weights are seeded (md5(event_id | replicate) → uniform → exact
+    literal inverse-CDF thresholds, identical doubles both engines),
+    so the "random" resample is reproducible and engine-exact.  The
+    plan: an 8-way explode, then ONE map-side-combined groupBy(b)
+    carrying (Σkx, Σk) partials — shuffle is 8 rows of state per
+    partition; the stddev over 8 replicate means is a single tiny
+    aggregate.  Replicate means rounded 6 dp before the stddev (R1)
+    so the float-sum class cannot leak into the comparison.
+    """
+    x = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase").select(
+        "event_id", "value"
+    )
+    rep = x.select(
+        "event_id", "value", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("b")
+    )
+    u = (
+        F.expr(
+            "cast(conv(substring(md5(concat(cast(event_id AS string), '|', "
+            "cast(b AS string))), 1, 15), 16, 10) AS bigint)"
+        )
+        / F.lit(1152921504606846976.0)
+    )
+    k = F.expr(_POIS_CASE_SQL.replace("u", "u_col")).alias("k")
+    weighted = rep.withColumn("u_col", u).select(
+        "b", "value", F.expr(_POIS_CASE_SQL.replace("u", "u_col")).alias("k")
+    )
+    means = weighted.groupBy("b").agg(
+        F.round(F.sum(F.col("k") * F.col("value")) / F.sum("k"), 6).alias("m")
+    )
+    full = x.agg(F.round(F.avg("value"), 4).alias("mean_full"))
+    return (
+        means.agg(
+            F.round(F.stddev_samp("m"), 6).alias("boot_se"),
+            F.count("*").cast("bigint").alias("n_replicates"),
+        )
+        .crossJoin(F.broadcast(full))
+        .select("mean_full", "boot_se", "n_replicates")
+    )

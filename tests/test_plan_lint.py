@@ -209,6 +209,8 @@ SUBSET = [
     "ml_logreg_irls",
     "privacy_erasure_cascade",
     "join_not_in_nullaware",
+    "agg_hll_oracle",
+    "stat_bootstrap_se",
 ]
 
 

@@ -198,3 +198,59 @@ def test_irls_matches_numpy_newton(spark, registry):
     assert r["n_obs"] == len(y)
     assert abs(r["beta0"] - beta[0]) < 1e-3
     assert abs(r["beta1"] - beta[1]) < 1e-3
+
+
+def test_hll_matches_python_reference_registers(spark, registry):
+    import math
+
+    t = pq.read_table(f"{SF0001}/events.parquet").to_pandas()
+    rows = {r["event_type"]: r for r in registry["agg_hll_oracle"].fn(spark, SF0001).collect()}
+    for etype, grp in t.groupby("event_type"):
+        users = set(grp.user_id)
+        regs = [0] * 64
+        for u in users:
+            h = _h60(str(u))
+            w = h // 64
+            rho = 55 if w == 0 else 55 - w.bit_length()
+            b = h % 64
+            regs[b] = max(regs[b], rho)
+        int_sum = sum(1 << (55 - r) for r in regs)
+        v = sum(1 for r in regs if r == 0)
+        e_raw = 0.709 * 4096.0 * (1 << 60) / 32.0 / int_sum
+        est = 64.0 * math.log(64.0 / v) if (e_raw <= 160 and v > 0) else e_raw
+        r = rows[etype]
+        assert r["n_exact"] == len(users)
+        assert r["hll_est"] == int(np.floor(est + 0.5))
+        # HLL relative error at m=64 is ~13%; allow 3 sigma
+        assert abs(r["hll_est"] - len(users)) / len(users) < 0.4
+
+
+def test_bootstrap_se_replicates_python(spark, registry):
+    t = pq.read_table(f"{SF0001}/events.parquet").to_pandas()
+    x = t[t.event_type == "purchase"][["event_id", "value"]]
+    thresholds = [
+        0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+        0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+        0.9999167588507119, 0.9999897508033253,
+    ]
+
+    def pois(u):
+        for k, th in enumerate(thresholds):
+            if u < th:
+                return k
+        return 8
+
+    means = []
+    for b in range(8):
+        num = den = 0.0
+        for eid, val in zip(x.event_id, x.value):
+            u = _h60(f"{eid}|{b}") / float(1 << 60)
+            k = pois(u)
+            num += k * val
+            den += k
+        means.append(round(num / den, 6))
+    se = float(np.std(means, ddof=1))
+    r = registry["stat_bootstrap_se"].fn(spark, SF0001).collect()[0]
+    assert r["n_replicates"] == 8
+    assert abs(r["boot_se"] - se) < 1e-5
+    assert abs(r["mean_full"] - round(x.value.mean(), 4)) < 1e-6

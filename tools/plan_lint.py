@@ -111,6 +111,8 @@ RULES: dict[str, dict[str, str]] = {
         "1-row n/k stats broadcast between the two passes",
         "ml_logreg_irls": "1-row beta and step relations broadcast "
         "between Newton steps (scalar-feedback loop)",
+        "stat_bootstrap_se": "1-row full-corpus mean broadcast onto "
+        "the 1-row replicate-stddev aggregate",
     },
     "BatchEvalPython": {
         "udf_scalar_py": "THE deliberate row-Python surface key",
