@@ -60,6 +60,12 @@ SHOWCASE = [
     ("shuffle_shards", "deterministic training shuffle: one hashpartitioning(shard) Exchange + per-shard sort window - exactly the repartition(shard).sortWithinPartitions write path"),
     ("ts_ohlc", "OHLC as ONE hash aggregate: min_by/max_by on a bigint-packed (tsec,id) key keep the aggregate hash-based (string keys fall back to SortAggregate - measured); no window, no sort"),
     ("ml_auc_roc", "exact AUC over the COLLAPSED score axis: per-score counts partial-aggregate map-side; the single-partition cumulative window touches |distinct scores| rows, never the corpus"),
+    ("tpch_q1", "the full-scan wide aggregate: 8 measures over ~6 groups in ONE partial+final HashAggregate pair - shuffle volume O(groups x partitions), row-count-independent"),
+    ("join_bloom_runtime", "InjectRuntimeFilter in action: ObjectHashAggregate builds bloom_filter_agg over the pruned orders keys and bloom_filter_might_contain probes the lineitem scan BEFORE the shuffle"),
+    ("embed_pq", "PQ encode/query: both joins are BroadcastExchange of the 32-row codebook/distance table; argmin via per-(vec,subspace) window; top-10 as TakeOrderedAndProject"),
+    ("agg_exact_median_twopass", "exact median with NO global sort: histogram groupBy + tiny cumulative window locate the rank bucket; pass 2's filter re-reaches the scan; the only WindowExec sorts one bucket's rows"),
+    ("agg_hll_oracle", "mergeable HLL: per-bucket max-rho partial-aggregates map-side (<=64 registers per partition); the register spine joins LEFT so empty buckets survive; estimate arithmetic is a 5-row projection"),
+    ("skyline_pareto_front", "dominance decomposed: per-size minima partial-agg, suffix-min window over the tiny minima relation, ONE BroadcastHashJoin back - no CartesianProduct for the quadratic definition"),
 ]
 
 
