@@ -5593,3 +5593,126 @@ def privacy_erasure_cascade(spark, sf_dir):
         )
         .filter(F.col("n") > 0)
     )
+
+
+@register(
+    "ml_naive_bayes",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest({TOKS_DUCK}) AS w FROM documents
+    ),
+    model AS (
+      SELECT lang, w, count(*) AS c FROM tok GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT lang, sum(c) AS tot FROM model GROUP BY 1
+    ),
+    vocab AS (SELECT count(DISTINCT w) AS v FROM tok),
+    priors AS (
+      SELECT lang, ln(count(*) * 1.0 /
+             (SELECT count(*) FROM documents)) AS prior
+      FROM documents GROUP BY lang
+    ),
+    doc_tf AS (
+      SELECT doc_id, lang AS true_lang, w, count(*) AS tf
+      FROM tok GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT d.doc_id, d.true_lang, t.lang AS cand,
+             p.prior + sum(d.tf * round(ln((coalesce(m.c, 0) + 1.0)
+                                           / (t.tot + vb.v)), 6)) AS score
+      FROM doc_tf d
+      CROSS JOIN totals t
+      CROSS JOIN vocab vb
+      JOIN priors p ON p.lang = t.lang
+      LEFT JOIN model m ON m.lang = t.lang AND m.w = d.w
+      GROUP BY 1, 2, 3, p.prior
+    ),
+    pred AS (
+      SELECT doc_id, true_lang, cand AS pred_lang FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY round(score, 4) DESC, cand) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT true_lang, pred_lang, cast(count(*) AS bigint) AS n
+    FROM pred GROUP BY 1, 2
+    """,
+)
+def ml_naive_bayes(spark, sf_dir):
+    """Multinomial Naive Bayes language classifier — TRAINED and
+    APPLIED in-engine: Laplace-smoothed log P(w|lang) from per-(lang,
+    token) counts, per-doc argmax over Σ tf·logp + log prior; the
+    output is the CONFUSION MATRIX (true × predicted counts), i.e.
+    the model card's central table, computed where the data lives.
+
+    Scale: training is one map-side-combined (lang, token) count —
+    the model relation is |langs|×|vocab|, joined back UNHINTED (AQE
+    broadcasts a small model; a 100 TB-corpus vocabulary stays a
+    shuffle join, the text_tfidf discipline).  Scoring fans each
+    doc-term row out over |langs| (5×) candidates, never over vocab;
+    unseen terms fall back to the smoothing floor via LEFT join +
+    coalesce.  Determinism: logp rounded 6 dp at MODEL time and
+    scores 4 dp before the argmax, ties broken by lang asc — the
+    argmax is engine-exact (R1/R2).
+    """
+    from pyspark.sql import Window
+
+    docs = t_fanout(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.expr(TOKS_SPARK)).alias("w")
+    )
+    model = tok.groupBy(F.col("lang").alias("m_lang"), F.col("w").alias("m_w")).agg(
+        F.count("*").alias("c")
+    )
+    totals = model.groupBy(F.col("m_lang").alias("t_lang")).agg(
+        F.sum("c").alias("tot")
+    )
+    vocab = tok.agg(F.countDistinct("w").alias("v"))
+    n_docs = docs.count()  # metadata-only: a literal for the prior expr
+    priors = docs.groupBy(F.col("lang").alias("p_lang")).agg(
+        F.log(F.count("*") / F.lit(float(n_docs))).alias("prior")
+    )
+    doc_tf = tok.groupBy("doc_id", F.col("lang").alias("true_lang"), "w").agg(
+        F.count("*").alias("tf")
+    )
+    cand = (
+        doc_tf.crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(vocab))
+        .join(F.broadcast(priors), F.col("p_lang") == F.col("t_lang"))
+        .join(
+            model,
+            (F.col("m_lang") == F.col("t_lang")) & (F.col("m_w") == F.col("w")),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "true_lang",
+            F.col("t_lang").alias("cand"),
+            "prior",
+            (
+                F.col("tf")
+                * F.round(
+                    F.log(
+                        (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                        / (F.col("tot") + F.col("v"))
+                    ),
+                    6,
+                )
+            ).alias("term"),
+        )
+    )
+    scored = cand.groupBy("doc_id", "true_lang", "cand", "prior").agg(
+        (F.first("prior") + F.sum("term")).alias("score")
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.round(F.col("score"), 4).desc(), "cand"
+    )
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select("true_lang", F.col("cand").alias("pred_lang"))
+    )
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count("*").cast("bigint").alias("n")
+    )

@@ -211,6 +211,7 @@ SUBSET = [
     "join_not_in_nullaware",
     "agg_hll_oracle",
     "stat_bootstrap_se",
+    "ml_naive_bayes",
 ]
 
 

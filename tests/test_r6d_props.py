@@ -254,3 +254,45 @@ def test_bootstrap_se_replicates_python(spark, registry):
     assert r["n_replicates"] == 8
     assert abs(r["boot_se"] - se) < 1e-5
     assert abs(r["mean_full"] - round(x.value.mean(), 4)) < 1e-6
+
+
+def test_naive_bayes_matches_sklearn_free_reference(spark, registry):
+    # pure-python multinomial NB with the same smoothing/rounding —
+    # the confusion matrix must match exactly
+    import collections
+    import math
+
+    t = pq.read_table(f"{SF0001}/documents.parquet").to_pandas()
+    toks = {
+        r.doc_id: [w for w in r.text.lower().split(" ") if w]
+        for r in t.itertuples()
+    }
+    langs = sorted(t.lang.unique())
+    model = collections.Counter()
+    totals = collections.Counter()
+    vocab = set()
+    by_doc_lang = dict(zip(t.doc_id, t.lang))
+    for d, ws in toks.items():
+        for w in ws:
+            model[(by_doc_lang[d], w)] += 1
+            totals[by_doc_lang[d]] += 1
+            vocab.add(w)
+    v = len(vocab)
+    n_docs = len(t)
+    prior = {l: math.log((t.lang == l).sum() / n_docs) for l in langs}
+    confusion = collections.Counter()
+    for d, ws in toks.items():
+        tf = collections.Counter(ws)
+        best = None
+        for l in langs:
+            s = prior[l] + sum(
+                c * round(math.log((model[(l, w)] + 1.0) / (totals[l] + v)), 6)
+                for w, c in tf.items()
+            )
+            key = (-round(s, 4), l)
+            if best is None or key < best[0]:
+                best = (key, l)
+        confusion[(by_doc_lang[d], best[1])] += 1
+    rows = registry["ml_naive_bayes"].fn(spark, SF0001).collect()
+    got = {(r["true_lang"], r["pred_lang"]): r["n"] for r in rows}
+    assert got == dict(confusion)

@@ -113,6 +113,8 @@ RULES: dict[str, dict[str, str]] = {
         "between Newton steps (scalar-feedback loop)",
         "stat_bootstrap_se": "1-row full-corpus mean broadcast onto "
         "the 1-row replicate-stddev aggregate",
+        "ml_naive_bayes": "|langs|-row totals and 1-row vocabulary "
+        "size crossed into the scoring fan-out",
     },
     "BatchEvalPython": {
         "udf_scalar_py": "THE deliberate row-Python surface key",
