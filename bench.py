@@ -112,6 +112,17 @@ HEADLINE = [
     "agg_kmv_set_ops",
     "cdc_net_changes",
     "stream_restart_recovery",
+    # late-session additions: in-engine NB training, SemDeDup prune,
+    # bit-exact HLL, erasure retraction, bootstrap, rank-search median,
+    # hierarchy closure and the join-view refresh
+    "ml_naive_bayes",
+    "dedup_semantic_cluster",
+    "agg_hll_oracle",
+    "privacy_erasure_cascade",
+    "stat_bootstrap_se",
+    "agg_exact_median_twopass",
+    "hierarchy_rollup",
+    "mv_join_incremental",
 ]
 
 
