@@ -854,3 +854,120 @@ def sink_manifest(spark, sf_dir):
         F.count("*").alias("n_rows"),
         F.countDistinct("o_orderkey").alias("n_keys"),
     )
+
+
+@register(
+    "scan_pysource_stream",
+    oracle="""
+    WITH ticks AS (
+      SELECT unnest(generate_series(0, 79)) AS tick
+    )
+    SELECT tick % 8 AS shard,
+           cast(count(*) AS bigint) AS n,
+           cast(sum(tick) AS bigint) AS sum_tick,
+           round(sum(sin(tick * 0.7) * 100), 4) AS sum_signal
+    FROM ticks
+    GROUP BY 1
+    """,
+)
+def scan_pysource_stream(spark, sf_dir):
+    """STREAMING Python data source (Spark 4
+    ``SimpleDataSourceStreamReader``) — the seam a Kafka-less custom
+    feed (device telemetry, a REST poll, a queue without a JVM
+    connector) plugs into: the reader tracks its own OFFSET (here a
+    monotone tick counter), each micro-batch reads [start, end), and
+    the engine checkpoints those offsets exactly like any built-in
+    source — so the at-least-once/exactly-once machinery
+    (stream_restart_recovery) applies to Python sources too.
+
+    The feed is a pure deterministic function of the tick, capped at
+    80 ticks (10 batches of 8); Python micro-batch sources don't
+    support Trigger.AvailableNow (Spark would fall back to ONE
+    batch), so the drain uses a processing-time trigger and stops
+    when the bounded feed is fully consumed.  The DuckDB twin
+    regenerates the same ticks via generate_series, proving every
+    offset range was delivered EXACTLY once across the ~10
+    micro-batches.  The aggregate runs in the streaming plan
+    (complete mode, shard-keyed) — at scale this is the
+    offset-partitioned ingest shape: each batch's work is bounded by
+    the offset range, never by history.
+    """
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    class TickStreamReader(SimpleDataSourceStreamReader):
+        CAP = 80
+        STEP = 8
+
+        def initialOffset(self):
+            return {"tick": 0}
+
+        def read(self, start):
+            import math
+
+            s = start["tick"]
+            if s >= self.CAP:
+                return iter([]), {"tick": s}
+            e = min(s + self.STEP, self.CAP)
+            rows = [
+                (t, t % 8, round(math.sin(t * 0.7) * 100, 6)) for t in range(s, e)
+            ]
+            return iter(rows), {"tick": e}
+
+        def readBetweenOffsets(self, start, end):
+            import math
+
+            return iter(
+                (t, t % 8, round(math.sin(t * 0.7) * 100, 6))
+                for t in range(start["tick"], end["tick"])
+            )
+
+    class TickSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "tick_stream"
+
+        def schema(self):
+            return "tick long, shard long, signal double"
+
+        def simpleStreamReader(self, schema):
+            return TickStreamReader()
+
+    spark.dataSource.register(TickSource)
+    import tempfile
+    import time as _time
+
+    from raster2points_spark.streaming import scoped_shuffle_partitions
+
+    stream = spark.readStream.format("tick_stream").load()
+    agg = stream.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("tick").cast("bigint").alias("sum_tick"),
+        F.round(F.sum("signal"), 4).alias("sum_signal"),
+    )
+    # Python micro-batch sources don't support Trigger.AvailableNow
+    # (single-batch fallback would read ONE offset range) — drain with
+    # a processing-time trigger and stop once the bounded feed is
+    # consumed (total n == CAP in the complete-mode memory table).
+    name = "pysource_stream"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    with scoped_shuffle_partitions(spark):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            got = spark.table(name).agg(F.sum("n")).collect()[0][0]
+            if got == TickStreamReader.CAP:
+                break
+            _time.sleep(0.3)
+        query.stop()
+        query.awaitTermination()
+    return spark.table(name)
