@@ -5716,3 +5716,142 @@ def ml_naive_bayes(spark, sf_dir):
     return pred.groupBy("true_lang", "pred_lang").agg(
         F.count("*").cast("bigint").alias("n")
     )
+
+
+@register(
+    "text_bm25",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({TOKS_DUCK}) AS w FROM documents
+    ),
+    dlen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    stats AS (SELECT count(*) AS nd, avg(dl) AS avgdl FROM dlen),
+    q AS (SELECT unnest(['stream', 'window', 'merge']) AS qw),
+    df AS (
+      SELECT w, count(DISTINCT doc_id) AS df
+      FROM tok JOIN q ON qw = w GROUP BY 1
+    ),
+    tf AS (
+      SELECT doc_id, w, count(*) AS tf
+      FROM tok JOIN q ON qw = w GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             round(sum(
+               ln((s.nd - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))
+             ), 4) AS bm25
+      FROM tf
+      JOIN df ON df.w = tf.w
+      JOIN dlen d ON d.doc_id = tf.doc_id
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, bm25 FROM scored
+    ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+)
+def text_bm25(spark, sf_dir):
+    """BM25 ranked retrieval (k1=1.2, b=0.75) for a 3-term query —
+    the lexical-search baseline every RAG/retrieval stack starts
+    from, as one declarative plan: idf from per-term document
+    frequencies, tf saturation, document-length normalization against
+    the corpus average, top-10 as TakeOrderedAndProject.
+
+    Scale shape: the corpus is tokenized ONCE; the query-term
+    semi-join (3 terms, broadcast) prunes the token stream BEFORE the
+    (doc, term) count shuffle, so the heavy aggregates touch only
+    rows containing query terms — exactly how a search engine's
+    postings traversal behaves.  doc lengths and the (nd, avgdl)
+    scalar pair are the only corpus-wide aggregates (map-side
+    combined, 1-row broadcast).  idf uses the +1 variant (always
+    positive, the Lucene choice), rounded 4 dp after the final sum
+    (R1).
+    """
+    from pyspark.sql import Window  # noqa: F401  (symmetry with siblings)
+
+    tok = t_fanout(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.expr(TOKS_SPARK)).alias("w")
+    )
+    dlen = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dlen.agg(F.count("*").alias("nd"), F.avg("dl").alias("avgdl"))
+    q = spark.createDataFrame([("stream",), ("window",), ("merge",)], "qw string")
+    hits = tok.join(F.broadcast(q), F.col("qw") == F.col("w"))
+    df_rel = hits.groupBy(F.col("w").alias("dw")).agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    tf = hits.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    idf = F.log(
+        (F.col("nd") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    norm = F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+    return (
+        tf.join(F.broadcast(df_rel), F.col("dw") == F.col("w"))
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * F.col("tf") * 2.2 / norm), 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+@register(
+    "text_phrase_near",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             generate_subscripts({TOKS_DUCK}, 1) AS pos,
+             unnest({TOKS_DUCK}) AS w
+      FROM documents
+    ),
+    a AS (SELECT doc_id, pos FROM tok WHERE w = 'hash'),
+    b AS (SELECT doc_id, pos FROM tok WHERE w = 'join')
+    SELECT a.doc_id,
+           cast(count(*) AS bigint) AS n_pairs,
+           cast(min(abs(a.pos - b.pos)) AS bigint) AS min_dist
+    FROM a JOIN b ON b.doc_id = a.doc_id
+                 AND abs(a.pos - b.pos) <= 3
+    GROUP BY a.doc_id
+    """,
+)
+def text_phrase_near(spark, sf_dir):
+    """Proximity search ("hash NEAR/3 join") over a POSITIONAL index —
+    the phrase/near operator of full-text search: a document matches
+    when the two terms occur within 3 token positions, ranked by
+    occurrence count with the closest distance carried along.
+
+    The positional index is posexplode(tokens) — (doc, term, pos)
+    rows, the postings-with-positions layout.  Each term's postings
+    are FILTERED before the join (term predicates prune the exploded
+    stream at the source), then joined per-DOCUMENT with the position
+    band as an in-join residual — the doc_id equi-key keeps it a hash
+    join; the band |p1−p2| ≤ 3 never degenerates into a cross join
+    because term postings within one doc are short (the classic
+    positional-merge bound).  At 100 TB the index would be
+    content-partitioned by term (dedup_jaccard's inverted-index
+    shuffle); here both sides come from one scan and meet on doc_id.
+    """
+    tok = t_fanout(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(F.expr(TOKS_SPARK)).alias("pos0", "w")
+    )
+    # DuckDB's generate_subscripts is 1-based; keep positions identical
+    a = tok.filter(F.col("w") == "hash").select(
+        "doc_id", (F.col("pos0") + 1).alias("pa")
+    )
+    b = tok.filter(F.col("w") == "join").select(
+        F.col("doc_id").alias("doc_b"), (F.col("pos0") + 1).alias("pb")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("doc_b") == F.col("doc_id"))
+            & (F.abs(F.col("pa") - F.col("pb")) <= 3),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.min(F.abs(F.col("pa") - F.col("pb"))).cast("bigint").alias("min_dist"),
+        )
+    )

@@ -212,6 +212,8 @@ SUBSET = [
     "agg_hll_oracle",
     "stat_bootstrap_se",
     "ml_naive_bayes",
+    "text_bm25",
+    "text_phrase_near",
 ]
 
 

@@ -115,6 +115,8 @@ RULES: dict[str, dict[str, str]] = {
         "the 1-row replicate-stddev aggregate",
         "ml_naive_bayes": "|langs|-row totals and 1-row vocabulary "
         "size crossed into the scoring fan-out",
+        "text_bm25": "1-row (nd, avgdl) corpus-stats broadcast into "
+        "the per-doc scoring projection",
     },
     "BatchEvalPython": {
         "udf_scalar_py": "THE deliberate row-Python surface key",
