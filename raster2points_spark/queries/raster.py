@@ -1545,3 +1545,156 @@ def spatial_nearest(spark, sf_dir):
         F.round(F.col("value") * 1000, 0).cast("bigint").alias("near_v_milli"),
         F.col("n_cand").cast("bigint").alias("n_cand"),
     )
+
+
+@register(
+    "raster_contour_cells",
+    oracle=_PX
+    + """
+    , corners AS (
+      SELECT p.col - o.dc AS cc, p.row - o.dr AS cr,
+             o.dc, o.dr,
+             CASE WHEN p.value >= 50.0 THEN 1 ELSE 0 END AS b
+      FROM pix p
+      CROSS JOIN (VALUES (0, 0), (1, 0), (0, 1), (1, 1)) AS o(dc, dr)
+      WHERE p.band_id = 'b1' AND p.value IS NOT NULL
+    ),
+    cells AS (
+      SELECT cc, cr,
+             count(*) AS n_corners,
+             sum(b << (dc + 2 * dr)) AS case_idx
+      FROM corners GROUP BY 1, 2
+    )
+    SELECT cast(case_idx AS bigint) AS case_idx,
+           cast(count(*) AS bigint) AS n_cells
+    FROM cells
+    WHERE n_corners = 4
+    GROUP BY 1
+    """,
+)
+def raster_contour_cells(spark, sf_dir):
+    """Marching-squares CASE CLASSIFICATION at iso-level 50 — the
+    first (and the only data-parallel) stage of contour extraction:
+    every 2×2 pixel cell gets its 4-bit corner-threshold index
+    (0 = all below … 15 = all above; the index determines which
+    contour segments cross the cell), histogrammed over the raster.
+
+    Scale-first stencil, same discipline as raster_focal_mean: each
+    pixel SCATTERS to the ≤4 cells it corners (a 4-row explode
+    carrying its threshold bit pre-shifted into place), ONE
+    groupBy(cell) sums the bits into the case index — never a 4-way
+    self-join of the pixel stream; cells missing a corner (raster
+    edge, nodata hole) are dropped by the n_corners == 4 guard
+    exactly as the semi-join mask drops the focal halo.  The
+    16-row histogram collapses map-side.
+    """
+    px = nodata_filter(
+        grid_unpivot(_tiles(spark, sf_dir).filter(F.col("band_id") == "b1"))
+    )
+    offsets = F.expr(
+        "explode(array(struct(0 as dc, 0 as dr), struct(1 as dc, 0 as dr), "
+        "struct(0 as dc, 1 as dr), struct(1 as dc, 1 as dr)))"
+    )
+    corners = px.select(
+        "col",
+        "row",
+        F.when(F.col("value") >= 50.0, 1).otherwise(0).alias("b"),
+        offsets.alias("o"),
+    ).select(
+        (F.col("col") - F.col("o.dc")).alias("cc"),
+        (F.col("row") - F.col("o.dr")).alias("cr"),
+        F.expr("shiftleft(b, o.dc + 2 * o.dr)").alias("bit"),
+    )
+    cells = corners.groupBy("cc", "cr").agg(
+        F.count("*").alias("n_corners"), F.sum("bit").alias("case_idx")
+    )
+    return (
+        cells.filter(F.col("n_corners") == 4)
+        .groupBy(F.col("case_idx").cast("bigint").alias("case_idx"))
+        .agg(F.count("*").cast("bigint").alias("n_cells"))
+    )
+
+
+@register(
+    "spatial_point_in_polygon",
+    oracle=_PX
+    + """
+    , pts AS (
+      SELECT col + 0.5 AS x, row + 0.5 AS y, value
+      FROM pix WHERE band_id = 'b1' AND value IS NOT NULL
+    ),
+    edges AS (
+      SELECT * FROM (VALUES
+        (32.0, 4.0, 56.0, 24.0), (56.0, 24.0, 48.0, 56.0),
+        (48.0, 56.0, 16.0, 56.0), (16.0, 56.0, 8.0, 24.0),
+        (8.0, 24.0, 32.0, 4.0)
+      ) AS e(x1, y1, x2, y2)
+    ),
+    crossings AS (
+      SELECT p.x, p.y, p.value, count(*) AS k
+      FROM pts p JOIN edges e
+        ON ((e.y1 > p.y) <> (e.y2 > p.y))
+       AND p.x < e.x1 + (p.y - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1)
+      GROUP BY 1, 2, 3
+    )
+    SELECT cast(count(*) AS bigint) AS n_inside,
+           round(sum(cast(round(value * 1000) AS bigint)) / 1000.0, 2) AS sum_inside
+    FROM crossings WHERE k % 2 = 1
+    """,
+)
+def spatial_point_in_polygon(spark, sf_dir):
+    """Point-in-polygon by RAY CASTING against a broadcast edge table
+    — the vector-overlay primitive (zonal masks, geofences, admin
+    boundaries): a point is inside the pentagon iff a +x ray crosses
+    an odd number of edges.
+
+    The polygon is |edges| rows (constant, broadcast); each point
+    evaluates the crossing predicate against all edges INSIDE the
+    hash-join residual — O(|points|·|edges|) work but never a
+    point-point join, which is how PIP scales: polygons are small,
+    point sets are the 100 TB side and stream through unshuffled
+    until the final 1-row aggregate.  Points sit at half-integer
+    coordinates so no ray passes through a vertex (the classic
+    degeneracy), making the odd/even parity exact in both engines —
+    the crossing test is the same float expression twinned.
+    """
+    px = nodata_filter(
+        grid_unpivot(_tiles(spark, sf_dir).filter(F.col("band_id") == "b1"))
+    )
+    pts = px.select(
+        (F.col("col") + 0.5).alias("x"), (F.col("row") + 0.5).alias("y"), "value"
+    )
+    edges = spark.createDataFrame(
+        [
+            (32.0, 4.0, 56.0, 24.0),
+            (56.0, 24.0, 48.0, 56.0),
+            (48.0, 56.0, 16.0, 56.0),
+            (16.0, 56.0, 8.0, 24.0),
+            (8.0, 24.0, 32.0, 4.0),
+        ],
+        "x1 double, y1 double, x2 double, y2 double",
+    )
+    crossing = (
+        ((F.col("y1") > F.col("y")) != (F.col("y2") > F.col("y")))
+        & (
+            F.col("x")
+            < F.col("x1")
+            + (F.col("y") - F.col("y1"))
+            * (F.col("x2") - F.col("x1"))
+            / (F.col("y2") - F.col("y1"))
+        )
+    )
+    k = (
+        pts.join(F.broadcast(edges), crossing)
+        .groupBy("x", "y", "value")
+        .agg(F.count("*").alias("k"))
+    )
+    # value is 3-dp data: accumulate EXACT integer milli-units so the
+    # sum is partition-order-independent, divide once at the end (the
+    # float-sum .005-boundary class caught by the differ)
+    return k.filter(F.col("k") % 2 == 1).agg(
+        F.count("*").cast("bigint").alias("n_inside"),
+        F.round(
+            F.sum(F.round(F.col("value") * 1000).cast("bigint")) / 1000.0, 2
+        ).alias("sum_inside"),
+    )

@@ -214,6 +214,8 @@ SUBSET = [
     "ml_naive_bayes",
     "text_bm25",
     "text_phrase_near",
+    "raster_contour_cells",
+    "spatial_point_in_polygon",
 ]
 
 

@@ -117,6 +117,9 @@ RULES: dict[str, dict[str, str]] = {
         "size crossed into the scoring fan-out",
         "text_bm25": "1-row (nd, avgdl) corpus-stats broadcast into "
         "the per-doc scoring projection",
+        "spatial_point_in_polygon": "5-row polygon edge table "
+        "broadcast; the crossing predicate has no equi component by "
+        "nature — points stream against the constant edge set",
     },
     "BatchEvalPython": {
         "udf_scalar_py": "THE deliberate row-Python surface key",
