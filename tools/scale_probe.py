@@ -95,6 +95,16 @@ X10_KEYS = [
     # the two-sided Arrow cogroup over the 10x event decade
     "text_boilerplate",
     "udf_cogrouped_map",
+    # this-session additions over the 10x event/doc decades
+    "cdc_net_changes",
+    "hierarchy_rollup",
+    "agg_kmv_set_ops",
+    "agg_count_min_sketch",
+    "stat_bootstrap_se",
+    "ml_naive_bayes",
+    "text_bm25",
+    "text_phrase_near",
+    "privacy_erasure_cascade",
 ]
 
 
