@@ -123,6 +123,28 @@ HEADLINE = [
     "agg_exact_median_twopass",
     "hierarchy_rollup",
     "mv_join_incremental",
+    # complete the TPC-H suite in bench (all 22 shapes measured) and
+    # the final-session retrieval/raster keys
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q20",
+    "tpch_q22",
+    "text_bm25",
+    "text_phrase_near",
+    "raster_contour_cells",
+    "spatial_point_in_polygon",
+    "ml_logreg_irls",
+    "join_phonetic",
 ]
 
 
