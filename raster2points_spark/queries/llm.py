@@ -5855,3 +5855,139 @@ def text_phrase_near(spark, sf_dir):
             F.min(F.abs(F.col("pa") - F.col("pb"))).cast("bigint").alias("min_dist"),
         )
     )
+
+
+@register(
+    "fn_uuid_name",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, md5(concat('r2p:doc:', cast(doc_id AS varchar), ':', text)) AS hx
+      FROM documents
+    )
+    SELECT doc_id,
+           concat(
+             substr(hx, 1, 8), '-', substr(hx, 9, 4), '-',
+             '5', substr(hx, 14, 3), '-',
+             lower(to_hex((cast(concat('0x', substr(hx, 17, 2)) AS bigint) & 63) | 128)),
+             substr(hx, 19, 2), '-', substr(hx, 21, 12)
+           ) AS doc_uuid
+    FROM h
+    """,
+)
+def fn_uuid_name(spark, sf_dir):
+    """Deterministic NAME-BASED UUIDs (RFC-4122 v5 layout over md5):
+    stable entity IDs minted from content — the identity primitive of
+    every cross-pipeline join (the same doc always gets the same id,
+    on any cluster, any partitioning, any day), unlike uuid()/
+    monotonically_increasing_id() whose values are run-dependent and
+    therefore banned from declared queries.
+
+    Pure codegen projection: namespace-prefixed md5, version nibble
+    forced to 5, variant bits forced to 10xx via `(byte & 63) | 128`
+    — bit-level formatting both engines compute identically.  Zero
+    shuffles at any scale.
+    """
+    h = t_fanout(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(
+            F.concat(F.lit("r2p:doc:"), F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))
+        ).alias("hx"),
+    )
+    variant_byte = F.lower(
+        F.hex(
+            F.expr("cast(conv(substring(hx, 17, 2), 16, 10) AS bigint)").bitwiseAND(63)
+            .bitwiseOR(128)
+        )
+    )
+    return h.select(
+        "doc_id",
+        F.concat(
+            F.substring("hx", 1, 8), F.lit("-"),
+            F.substring("hx", 9, 4), F.lit("-"),
+            F.lit("5"), F.substring("hx", 14, 3), F.lit("-"),
+            variant_byte,
+            F.substring("hx", 19, 2), F.lit("-"),
+            F.substring("hx", 21, 12),
+        ).alias("doc_uuid"),
+    )
+
+
+@register(
+    "pipeline_rag_index",
+    oracle=f"""
+    WITH gated AS (
+      SELECT doc_id, text, lang, source, n_chars,
+             len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens
+      FROM documents
+      WHERE n_chars BETWEEN 50 AND 2000
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM gated
+      ) WHERE rn = 1
+    ),
+    joined AS (
+      SELECT d.doc_id, d.lang, d.source, d.n_tokens,
+             (e.vec_id IS NOT NULL) AS has_embedding
+      FROM deduped d
+      LEFT JOIN embeddings e ON e.vec_id = d.doc_id
+    )
+    SELECT source, lang,
+           cast(count(*) AS bigint) AS n_docs,
+           cast(sum(n_tokens) AS bigint) AS n_tokens,
+           cast(sum(CASE WHEN has_embedding THEN 1 ELSE 0 END) AS bigint)
+             AS n_with_embedding
+    FROM joined
+    GROUP BY source, lang
+    """,
+)
+def pipeline_rag_index(spark, sf_dir):
+    """RAG corpus-build capstone: length gate → exact dedup (keep
+    lowest doc_id per content hash) → embedding-coverage join →
+    per-(source, lang) index manifest — the end-to-end shape of
+    preparing a retrieval corpus, composed from the same spines the
+    single-operator keys prove (gate = pushed filter, dedup =
+    content-hash window, coverage = key-partitioned LEFT join against
+    the vector table).
+
+    Shuffle budget 3 at any scale: the md5 dedup shuffle
+    (content-addressed, uniform), the doc_id⋈vec_id coverage join
+    (both sides key-partitioned; at 100 TB this is the lakehouse
+    join between the text table and its vector index), and the final
+    manifest aggregate (map-side combined, |sources×langs| rows).
+    The manifest is what a serving layer actually loads: per-slice
+    doc/token/vector counts, the freshness+coverage contract of the
+    index.
+    """
+    from pyspark.sql import Window
+
+    docs = t_fanout(spark, sf_dir, "documents").filter(
+        F.col("n_chars").between(50, 2000)
+    )
+    gated = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(F.expr(TOKS_SPARK)).alias("n_tokens"),
+        F.md5("text").alias("content_key"),
+    )
+    w_dd = Window.partitionBy("content_key").orderBy("doc_id")
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(w_dd))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "content_key")
+    )
+    vecs = t(spark, sf_dir, "embeddings").select("vec_id")
+    return (
+        deduped.join(vecs, deduped.doc_id == vecs.vec_id, "left")
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("vec_id").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_with_embedding"),
+        )
+    )

