@@ -145,6 +145,7 @@ HEADLINE = [
     "spatial_point_in_polygon",
     "ml_logreg_irls",
     "join_phonetic",
+    "pipeline_rag_index",
 ]
 
 
