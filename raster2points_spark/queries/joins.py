@@ -1143,3 +1143,81 @@ def join_not_in_nullaware(spark, sf_dir):
         GROUP BY o_orderstatus
         """
     )
+
+
+_ALLEN_CASE = """CASE
+  WHEN sa = sb AND ea = eb THEN 'equals'
+  WHEN ea < sb THEN 'before'
+  WHEN eb < sa THEN 'after'
+  WHEN ea = sb THEN 'meets'
+  WHEN eb = sa THEN 'met_by'
+  WHEN sa = sb AND ea < eb THEN 'starts'
+  WHEN sa = sb AND ea > eb THEN 'started_by'
+  WHEN ea = eb AND sa > sb THEN 'finishes'
+  WHEN ea = eb AND sa < sb THEN 'finished_by'
+  WHEN sa > sb AND ea < eb THEN 'during'
+  WHEN sa < sb AND ea > eb THEN 'contains'
+  WHEN sa < sb THEN 'overlaps'
+  ELSE 'overlapped_by' END"""
+
+
+@register(
+    "join_allen_relations",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, event_type,
+             cast(floor(epoch(min(ts))) AS bigint) AS s,
+             cast(floor(epoch(max(ts))) AS bigint) AS e
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.user_id, a.event_type AS type_a, b.event_type AS type_b,
+             a.s AS sa, a.e AS ea, b.s AS sb, b.e AS eb
+      FROM iv a JOIN iv b
+        ON b.user_id = a.user_id AND a.event_type < b.event_type
+    )
+    SELECT {_ALLEN_CASE} AS relation,
+           cast(count(*) AS bigint) AS n_pairs
+    FROM pairs
+    GROUP BY 1
+    """,
+)
+def join_allen_relations(spark, sf_dir):
+    """Allen's interval algebra — classify every pair of per-(user,
+    event-type) activity intervals into the 13 temporal relations
+    (equals/before/meets/overlaps/starts/during/finishes + inverses):
+    the vocabulary temporal reasoning engines, process mining and
+    conflict detection are built on, as one declarative plan.
+
+    Intervals collapse from the fact in ONE map-side-combined min/max
+    aggregate (|users|×|types| rows); the pair space is an equi-join
+    on user_id with the type ordering as residual — bounded at
+    C(|types|, 2) per user, never a cross join.  The 13-way CASE is
+    a codegen projection evaluated once per pair, with the mutually-
+    exclusive guards ordered so equality cases win before the open
+    ones (the same literal CASE text runs in both engines, at
+    second granularity per R3).
+    """
+    iv = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(
+            unix_secs(F.min("ts")).alias("s"),
+            unix_secs(F.max("ts")).alias("e"),
+        )
+    )
+    a = iv.alias("a")
+    b = iv.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.user_id") == F.col("a.user_id"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    ).select(
+        F.col("a.s").alias("sa"),
+        F.col("a.e").alias("ea"),
+        F.col("b.s").alias("sb"),
+        F.col("b.e").alias("eb"),
+    )
+    return pairs.select(F.expr(_ALLEN_CASE).alias("relation")).groupBy(
+        "relation"
+    ).agg(F.count("*").cast("bigint").alias("n_pairs"))

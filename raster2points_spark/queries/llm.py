@@ -5991,3 +5991,64 @@ def pipeline_rag_index(spark, sf_dir):
             .alias("n_with_embedding"),
         )
     )
+
+
+from raster2points_spark.registry import REGISTRY as _REG
+
+
+@register(
+    "dedup_near_recall",
+    oracle=None,  # set below — composes the two member oracles verbatim
+)
+def dedup_near_recall(spark, sf_dir):
+    """LSH QUALITY made a first-class query: recall of the banded
+    MinHash candidate pipeline (dedup_near) against the exhaustive
+    inverted-index truth (dedup_jaccard) at the same τ — the
+    accuracy/cost trade of the sub-quadratic path measured IN-ENGINE,
+    where a data engineer can re-run it on their own corpus slice
+    before trusting LSH for a 100 TB dedup.
+
+    Composes the two REGISTERED queries verbatim (same plans the
+    individual keys prove) and joins their pair sets: n_true,
+    n_found, recall.  The oracle composes the same two oracle SQLs
+    as CTEs, so the metric itself is hash-checked cross-engine.
+    Scale: both members are already bucketed/blocked; the final join
+    is pair-key equi over two tiny pair relations.
+    """
+    truth = _REG["dedup_jaccard"].fn(spark, sf_dir).select("doc_a", "doc_b")
+    lsh = _REG["dedup_near"].fn(spark, sf_dir).select(
+        F.col("doc_a").alias("la"), F.col("doc_b").alias("lb")
+    )
+    found = truth.join(
+        lsh, (F.col("la") == F.col("doc_a")) & (F.col("lb") == F.col("doc_b")), "left_semi"
+    )
+    n_true = truth.agg(F.count("*").cast("bigint").alias("n_true"))
+    return (
+        found.agg(F.count("*").cast("bigint").alias("n_found"))
+        .crossJoin(F.broadcast(n_true))
+        .select(
+            "n_true",
+            "n_found",
+            F.round(F.col("n_found") / F.col("n_true"), 4).alias("recall"),
+        )
+    )
+
+
+# compose the member oracles verbatim so the recall metric is itself
+# oracle-checked (any drift in either member's SQL twin shows here too)
+_REG["dedup_near_recall"].oracle = f"""
+    WITH truth AS (
+      SELECT doc_a, doc_b FROM ({_REG["dedup_jaccard"].oracle})
+    ),
+    lsh AS (
+      SELECT doc_a, doc_b FROM ({_REG["dedup_near"].oracle})
+    )
+    SELECT (SELECT cast(count(*) AS bigint) FROM truth) AS n_true,
+           cast(count(*) AS bigint) AS n_found,
+           round(count(*) * 1.0 / (SELECT count(*) FROM truth), 4) AS recall
+    FROM truth t
+    WHERE EXISTS (
+      SELECT 1 FROM lsh l WHERE l.doc_a = t.doc_a AND l.doc_b = t.doc_b
+    )
+"""
+_REG["dedup_near_recall"].check = "oracle"

@@ -218,6 +218,8 @@ SUBSET = [
     "spatial_point_in_polygon",
     "fn_uuid_name",
     "pipeline_rag_index",
+    "dedup_near_recall",
+    "join_allen_relations",
 ]
 
 

@@ -120,6 +120,8 @@ RULES: dict[str, dict[str, str]] = {
         "spatial_point_in_polygon": "5-row polygon edge table "
         "broadcast; the crossing predicate has no equi component by "
         "nature — points stream against the constant edge set",
+        "dedup_near_recall": "1-row n_true aggregate broadcast onto "
+        "the 1-row n_found aggregate",
     },
     "BatchEvalPython": {
         "udf_scalar_py": "THE deliberate row-Python surface key",
