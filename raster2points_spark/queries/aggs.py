@@ -1061,18 +1061,18 @@ def agg_count_min_sketch(spark, sf_dir):
     ev = t_fanout(spark, sf_dir, "events").select("user_id")
     d4 = F.array(*[F.lit(i) for i in range(4)])
 
-    def bucket(i_col, key_col):
-        return (
-            F.expr(
-                "cast(conv(substring(md5(concat(cast(i AS string), ':', "
-                "cast(user_id AS string))), 1, 15), 16, 10) AS bigint)"
-            )
-            % 32
+    # bucket expression over the (i, user_id) columns in scope
+    bucket = (
+        F.expr(
+            "cast(conv(substring(md5(concat(cast(i AS string), ':', "
+            "cast(user_id AS string))), 1, 15), 16, 10) AS bigint)"
         )
+        % 32
+    )
 
     long = ev.select("user_id", F.explode(d4).alias("i"))
     counters = (
-        long.withColumn("b", bucket("i", "user_id"))
+        long.withColumn("b", bucket)
         .groupBy("i", "b")
         .agg(F.count("*").alias("n"))
     )
@@ -1083,7 +1083,7 @@ def agg_count_min_sketch(spark, sf_dir):
         .limit(10)
     )
     probes = top.select("user_id", "exact_n", F.explode(d4).alias("i")).withColumn(
-        "b", bucket("i", "user_id")
+        "b", bucket
     )
     return (
         probes.join(F.broadcast(counters), ["i", "b"])

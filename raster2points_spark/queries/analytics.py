@@ -2806,7 +2806,6 @@ def stat_bootstrap_se(spark, sf_dir):
         )
         / F.lit(1152921504606846976.0)
     )
-    k = F.expr(_POIS_CASE_SQL.replace("u", "u_col")).alias("k")
     weighted = rep.withColumn("u_col", u).select(
         "b", "value", F.expr(_POIS_CASE_SQL.replace("u", "u_col")).alias("k")
     )
