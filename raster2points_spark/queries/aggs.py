@@ -1285,3 +1285,90 @@ def agg_hll_oracle(spark, sf_dir):
             .alias("hll_est"),
         )
     )
+
+
+@register(
+    "agg_exact_p99_grouped",
+    oracle="""
+    WITH v AS (SELECT event_type, value AS x FROM events),
+    stats AS (
+      SELECT event_type, count(*) AS n_rows,
+             cast(ceil(0.99 * count(*)) AS bigint) AS k
+      FROM v GROUP BY 1
+    ),
+    ranked AS (
+      SELECT event_type, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY x) AS rn
+      FROM v
+    )
+    SELECT r.event_type, round(r.x, 2) AS p99,
+           cast(s.n_rows AS bigint) AS n_rows,
+           (SELECT cast(count(*) AS bigint) FROM v
+            WHERE v.event_type = r.event_type
+              AND floor(v.x) = floor(r.x)) AS pass2_rows
+    FROM ranked r JOIN stats s ON s.event_type = r.event_type
+    WHERE r.rn = s.k
+    """,
+)
+def agg_exact_p99_grouped(spark, sf_dir):
+    """GROUPED exact p99 by per-group rank search — the tail-latency
+    SLO query (exact, not approx_percentile) done without sorting any
+    group: per-(group, unit-bucket) histogram counts collapse
+    map-side; a cumulative window over the TINY histogram locates
+    each group's rank-⌈0.99n⌉ bucket; pass 2 re-scans only the
+    (group, target-bucket) slices — every shuffle carries histogram
+    rows or one bucket's values, never the fact sorted.
+
+    This is agg_exact_median_twopass generalized to per-group targets
+    (one target row per group, joined back on the group key — all
+    relational, no per-group driver loop), and it parallelizes ACROSS
+    groups where a naive per-group sort serializes within them.  The
+    k-th smallest VALUE is tie-insensitive (R2 vacuous); pass2_rows
+    carried per group so the reduction is inspectable.
+    """
+    from pyspark.sql import Window
+
+    v = t(spark, sf_dir, "events").select("event_type", F.col("value").alias("x"))
+    stats = v.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.ceil(0.99 * F.count("*")).cast("bigint").alias("k"),
+    )
+    hist = v.groupBy("event_type", F.floor("x").alias("bkt")).agg(
+        F.count("*").alias("bn")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select("event_type", "bkt", "bn", F.sum("bn").over(w_cum).alias("cum"))
+    w_first = Window.partitionBy("event_type").orderBy("bkt")
+    target = (
+        cum.join(stats, "event_type")
+        .filter(F.col("cum") >= F.col("k"))
+        .withColumn("rn", F.row_number().over(w_first))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("event_type").alias("t_type"),
+            "bkt",
+            (F.col("bn") - (F.col("cum") - F.col("k"))).alias("offset"),
+            "n_rows",
+        )
+    )
+    in_bucket = v.join(
+        F.broadcast(target),
+        (F.col("t_type") == F.col("event_type")) & (F.floor("x") == F.col("bkt")),
+    )
+    w_in = Window.partitionBy("event_type").orderBy("x")
+    w_cnt = Window.partitionBy("event_type")
+    return (
+        in_bucket.withColumn("rn", F.row_number().over(w_in))
+        .withColumn("p2", F.count("*").over(w_cnt))
+        .filter(F.col("rn") == F.col("offset"))
+        .select(
+            "event_type",
+            F.round("x", 2).alias("p99"),
+            "n_rows",
+            F.col("p2").cast("bigint").alias("pass2_rows"),
+        )
+    )

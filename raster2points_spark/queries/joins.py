@@ -1221,3 +1221,78 @@ def join_allen_relations(spark, sf_dir):
     return pairs.select(F.expr(_ALLEN_CASE).alias("relation")).groupBy(
         "relation"
     ).agg(F.count("*").cast("bigint").alias("n_pairs"))
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type,
+             cast(floor(epoch(ts)) AS bigint) AS tsec,
+             CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS kind
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    carried AS (
+      SELECT event_id, user_id, tsec, kind,
+             max(CASE WHEN kind = 0 THEN tsec END) OVER (
+               PARTITION BY user_id ORDER BY tsec, kind, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS last_view_tsec
+      FROM ev
+    )
+    SELECT event_id, user_id, tsec AS purchase_tsec,
+           CASE WHEN last_view_tsec IS NOT NULL
+                 AND tsec - last_view_tsec <= 3600
+                THEN last_view_tsec END AS matched_view_tsec,
+           (last_view_tsec IS NOT NULL AND tsec - last_view_tsec <= 3600)
+             AS within_tolerance
+    FROM carried WHERE kind = 1
+    """,
+)
+def join_asof_tolerance(spark, sf_dir):
+    """As-of join with a STALENESS TOLERANCE (match only if the prior
+    view is ≤ 1 hour old) — the feature-store point-in-time lookup
+    rule: a feature older than the freshness SLA must surface as
+    MISSING (NULL), not silently joined — stale features are the
+    classic training/serving skew bug.
+
+    Same single-shuffle spine as join_asof (union → one user_id
+    window carrying the latest view forward; a simultaneous view is
+    visible to the purchase), plus the tolerance predicate applied
+    AFTER the carry — the match is nulled, not the row dropped, so
+    downstream sees the gap explicitly (within_tolerance flag
+    alongside).  NOTE the carry must be max-over-views (not
+    last-non-null) for the oracle twin: both engines compute the
+    same running max.  O(n log n) per user, no correlated probe.
+    """
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "event_id",
+            "user_id",
+            unix_secs(F.col("ts")).alias("tsec"),
+            F.when(F.col("event_type") == "view", 0).otherwise(1).alias("kind"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tsec", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_view = F.max(F.when(F.col("kind") == 0, F.col("tsec"))).over(w)
+    fresh = last_view.isNotNull() & (
+        (F.col("tsec") - last_view) <= 3600
+    )
+    return (
+        ev.withColumn("matched_view_tsec", F.when(fresh, last_view))
+        .withColumn("within_tolerance", fresh)
+        .filter(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("tsec").alias("purchase_tsec"),
+            "matched_view_tsec",
+            "within_tolerance",
+        )
+    )

@@ -220,6 +220,8 @@ SUBSET = [
     "pipeline_rag_index",
     "dedup_near_recall",
     "join_allen_relations",
+    "join_asof_tolerance",
+    "agg_exact_p99_grouped",
 ]
 
 
