@@ -605,3 +605,87 @@ def win_range_frame(spark, sf_dir):
         F.count("*").over(w).alias("n_1h"),
         F.round(F.sum("v").over(w), 4).alias("sum_1h"),
     )
+
+
+@register(
+    "win_groups_frame",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             cast(floor(epoch(ts) / 86400) AS bigint) AS day,
+             cast(count(*) AS bigint) AS n,
+             sum(value) AS sv
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, dense_rank() OVER (PARTITION BY event_type ORDER BY n) AS dr
+      FROM daily
+    ),
+    peer AS (
+      SELECT event_type, dr, sum(sv) AS peer_sv
+      FROM ranked GROUP BY 1, 2
+    ),
+    rolled AS (
+      SELECT event_type, dr,
+             sum(peer_sv) OVER (
+               PARTITION BY event_type ORDER BY dr
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+             ) AS groups_sum
+      FROM peer
+    )
+    SELECT r.event_type, r.day, r.n,
+           round(d.groups_sum, 2) AS groups_frame_sum
+    FROM ranked r JOIN rolled d
+      ON d.event_type = r.event_type AND d.dr = r.dr
+    """,
+)
+def win_groups_frame(spark, sf_dir):
+    """SQL:2016 GROUPS window frame — `GROUPS BETWEEN 2 PRECEDING AND
+    CURRENT ROW` (this peer group and the two preceding DISTINCT
+    order values) — which NEITHER Spark nor DuckDB implements, so the
+    engine delivers it by construction: dense_rank assigns peer-group
+    ids, the frame aggregate collapses to the PEER-GROUP relation
+    (|distinct order values| rows — a ROWS frame over groups IS the
+    GROUPS frame), and one equi-join fans the result back to rows.
+
+    Unlike a RANGE frame (which needs a numeric offset) or a ROWS
+    frame (whose result depends on arbitrary tie order — banned by
+    R2), the GROUPS result is a pure function of the peer partition —
+    deterministic under ties by construction.  Scale: the windowed
+    relation is the COLLAPSED peer table, not the fact; both
+    window and join share the event_type hash partitioning.
+    """
+    from raster2points_spark.queries._util import unix_secs
+
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.floor(unix_secs(F.col("ts")) / 86400).cast("bigint").alias("day"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n"), F.sum("value").alias("sv"))
+    )
+    ranked = daily.withColumn(
+        "dr", F.dense_rank().over(Window.partitionBy("event_type").orderBy("n"))
+    )
+    peer = ranked.groupBy("event_type", "dr").agg(F.sum("sv").alias("peer_sv"))
+    w_roll = (
+        Window.partitionBy("event_type").orderBy("dr").rowsBetween(-2, 0)
+    )
+    rolled = peer.select(
+        F.col("event_type").alias("r_type"),
+        F.col("dr").alias("r_dr"),
+        F.sum("peer_sv").over(w_roll).alias("groups_sum"),
+    )
+    return (
+        ranked.join(
+            rolled,
+            (F.col("r_type") == F.col("event_type")) & (F.col("r_dr") == F.col("dr")),
+        )
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.round("groups_sum", 2).alias("groups_frame_sum"),
+        )
+    )

@@ -222,6 +222,7 @@ SUBSET = [
     "join_allen_relations",
     "join_asof_tolerance",
     "agg_exact_p99_grouped",
+    "win_groups_frame",
 ]
 
 
