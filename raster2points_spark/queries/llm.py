@@ -6052,3 +6052,97 @@ _REG["dedup_near_recall"].oracle = f"""
     )
 """
 _REG["dedup_near_recall"].check = "oracle"
+
+
+@register(
+    "pipeline_entity_resolution",
+    oracle="""
+    WITH RECURSIVE names AS (
+      SELECT p_name, cast(min(p_partkey) AS bigint) AS nid
+      FROM part GROUP BY p_name
+    ),
+    sigs AS (
+      SELECT p_name, nid,
+             array_to_string(list_sort(list_distinct(string_split(
+               regexp_replace(lower(p_name), '[aeiou ]', '', 'g'), ''))), '') AS sig
+      FROM names
+    ),
+    pairs AS (
+      SELECT a.nid AS s, b.nid AS d
+      FROM sigs a JOIN sigs b
+        ON b.sig = a.sig AND a.nid < b.nid
+       AND levenshtein(a.p_name, b.p_name) <= 2
+    ),
+    edges AS (
+      SELECT s, d FROM pairs UNION ALL SELECT d, s FROM pairs
+    ),
+    walk AS (
+      SELECT nid AS doc, nid AS lab FROM names
+      UNION
+      SELECT e.d AS doc, w.lab FROM walk w JOIN edges e ON e.s = w.doc
+    ),
+    resolved AS (
+      SELECT doc AS nid, min(lab) AS entity_id FROM walk GROUP BY doc
+    )
+    SELECT n.p_name, r.entity_id,
+           (SELECT cast(count(*) AS bigint) FROM resolved r2
+            WHERE r2.entity_id = r.entity_id) AS cluster_size
+    FROM names n JOIN resolved r ON r.nid = n.nid
+    """,
+)
+def pipeline_entity_resolution(spark, sf_dir):
+    """Entity resolution END-TO-END: catalog names → phonetic-
+    signature blocking → in-block levenshtein verify → transitive
+    CLOSURE → canonical entity id per name — the full MDM/dedup
+    chain (pairwise similarity is not transitive: without the
+    closure, 'smal ring' ~ 'small ring' ~ 'smalll ring' elects two
+    masters).
+
+    Composes the proven spines: join_phonetic's consonant-set
+    blocking (equi-join, never all-pairs), dedup_edit_distance's
+    in-block verify, and dedup_components' pointer-jumping min-label
+    propagation (O(log diameter) rounds, localCheckpoint lineage
+    truncation) — against a recursive-CTE declarative ground truth.
+    Names collapse to ≤|distinct names| ids first (min partkey), so
+    the graph stage runs on the entity universe, not the row count;
+    cluster_size rides along for the reviewer queue (big clusters =
+    likely over-merge, the MDM triage signal).
+    """
+    names = (
+        t(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").cast("bigint").alias("nid"))
+    )
+    no_vowels = F.regexp_replace(F.lower(F.col("p_name")), "[aeiou ]", "")
+    sigs = names.withColumn(
+        "sig",
+        F.array_join(
+            F.array_sort(F.array_distinct(F.array_remove(F.split(no_vowels, ""), ""))),
+            "",
+        ),
+    )
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.sig") == F.col("a.sig")) & (F.col("a.nid") < F.col("b.nid")),
+        )
+        .filter(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 2)
+        .select(F.col("a.nid").alias("doc_a"), F.col("b.nid").alias("doc_b"))
+    )
+    comp = connected_components(pairs).select(
+        F.col("doc").alias("c_nid"), F.col("lab").alias("entity_id")
+    )
+    # singletons (no edges) resolve to themselves
+    resolved = names.join(comp, names.nid == comp.c_nid, "left").select(
+        "p_name",
+        "nid",
+        F.coalesce(F.col("entity_id"), F.col("nid")).alias("entity_id"),
+    )
+    sizes = resolved.groupBy(F.col("entity_id").alias("s_ent")).agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    return resolved.join(sizes, resolved.entity_id == sizes.s_ent).select(
+        "p_name", "entity_id", "cluster_size"
+    )

@@ -223,6 +223,7 @@ SUBSET = [
     "join_asof_tolerance",
     "agg_exact_p99_grouped",
     "win_groups_frame",
+    "pipeline_entity_resolution",
 ]
 
 
