@@ -146,6 +146,10 @@ HEADLINE = [
     "ml_logreg_irls",
     "join_phonetic",
     "pipeline_rag_index",
+    "pipeline_entity_resolution",
+    "win_groups_frame",
+    "agg_exact_p99_grouped",
+    "join_asof_tolerance",
 ]
 
 
