@@ -133,3 +133,67 @@ def test_lsh_recall_consistent_with_members(spark, registry):
     assert r["n_true"] == len(truth)
     assert r["n_found"] == len(truth & lsh)
     assert 0.0 <= r["recall"] <= 1.0
+
+
+def test_grouped_p99_equals_numpy(spark, registry):
+    import numpy as np
+
+    t = pq.read_table(f"{SF0001}/events.parquet").to_pandas()
+    rows = {r["event_type"]: r for r in registry["agg_exact_p99_grouped"].fn(spark, SF0001).collect()}
+    for etype, grp in t.groupby("event_type"):
+        x = np.sort(grp.value.to_numpy())
+        k = math.ceil(0.99 * len(x))
+        r = rows[etype]
+        assert r["n_rows"] == len(x)
+        assert abs(r["p99"] - round(float(x[k - 1]), 2)) < 1e-9
+        assert 0 < r["pass2_rows"] < len(x)
+
+
+def test_asof_tolerance_nulls_stale_matches(spark, registry):
+    rows = registry["join_asof_tolerance"].fn(spark, SF0001).collect()
+    base = {
+        r["event_id"]: r["last_view_tsec"]
+        for r in registry["join_asof"].fn(spark, SF0001).collect()
+    }
+    assert rows
+    for r in rows:
+        last = base[r["event_id"]]
+        fresh = last != -1 and r["purchase_tsec"] - last <= 3600
+        assert r["within_tolerance"] == fresh
+        assert (r["matched_view_tsec"] is None) == (not fresh)
+        if fresh:
+            assert r["matched_view_tsec"] == last
+
+
+def test_groups_frame_is_tie_invariant_and_complete(spark, registry):
+    import collections
+
+    rows = registry["win_groups_frame"].fn(spark, SF0001).collect()
+    # every (type, day) present; ties (same n) share identical frame sums
+    t = pq.read_table(f"{SF0001}/events.parquet").to_pandas()
+    n_days = t.assign(day=t.ts.values.astype("datetime64[D]")).groupby(
+        ["event_type", "day"]
+    ).ngroups
+    assert len(rows) == n_days
+    by_key = collections.defaultdict(set)
+    for r in rows:
+        by_key[(r["event_type"], r["n"])].add(r["groups_frame_sum"])
+    for k, sums in by_key.items():
+        assert len(sums) == 1, f"peers {k} disagree: {sums}"
+
+
+def test_entity_resolution_closure_properties(spark, registry):
+    rows = registry["pipeline_entity_resolution"].fn(spark, SF0001).collect()
+    t = pq.read_table(f"{SF0001}/part.parquet").to_pandas()
+    names = t.groupby("p_name").p_partkey.min()
+    assert len(rows) == len(names)
+    # canonical id is a member's min id; cluster sizes account for all rows
+    import collections
+
+    by_ent = collections.defaultdict(list)
+    for r in rows:
+        by_ent[r["entity_id"]].append(r)
+    for ent, members in by_ent.items():
+        assert min(int(names[m["p_name"]]) for m in members) == ent
+        for m in members:
+            assert m["cluster_size"] == len(members)
