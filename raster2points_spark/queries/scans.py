@@ -971,3 +971,81 @@ def scan_pysource_stream(spark, sf_dir):
         query.stop()
         query.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "sink_timetravel",
+    oracle="""
+    WITH v1 AS (
+      SELECT * FROM orders WHERE o_orderdate < timestamp '2000-01-01'
+    ),
+    v2_delta AS (
+      SELECT * FROM orders WHERE o_orderdate >= timestamp '2000-01-01'
+    )
+    SELECT 1 AS version, o_orderstatus,
+           cast(count(*) AS bigint) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM v1 GROUP BY 2
+    UNION ALL
+    SELECT 2, o_orderstatus, cast(count(*) AS bigint),
+           round(sum(o_totalprice), 2)
+    FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2_delta) GROUP BY 2
+    """,
+)
+def sink_timetravel(spark, sf_dir):
+    """TIME TRAVEL over a manifest commit log — the lakehouse
+    snapshot-isolation read, built from first principles: each commit
+    appends new data FILES plus a version manifest listing EVERY file
+    visible at that version; reading "AS OF v" loads exactly the
+    manifest's file list, so an old snapshot stays readable and
+    BYTE-STABLE after later commits (and a reader never sees a
+    half-committed version — the manifest write is the atomic commit
+    point, exactly Delta/Iceberg's contract).
+
+    Two commits are staged (pre-2000 orders, then the 2000+ delta);
+    the result is both versions' aggregates read BACK through their
+    manifests — the oracle recomputes each snapshot from the base
+    table, so the hash match proves snapshot isolation held: v1 read
+    after commit 2 equals v1 as written.  Commit cost is O(delta
+    files + manifest); old versions are never rewritten (contrast
+    diff_snapshots, which DIFFS two versions; this key serves them).
+    """
+    import json
+
+    path = os.path.join(SCRATCH, "timetravel")
+    data_dir = os.path.join(path, "data")
+    log_dir = os.path.join(path, "log")
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(log_dir, exist_ok=True)
+    o = t(spark, sf_dir, "orders")
+
+    def commit(df, version, prev_files):
+        vdir = os.path.join(data_dir, f"v{version}")
+        df.write.mode("overwrite").parquet(vdir)
+        files = sorted(
+            os.path.join(vdir, f)
+            for f in os.listdir(vdir)
+            if f.endswith(".parquet")
+        )
+        manifest = prev_files + files
+        with open(os.path.join(log_dir, f"{version:06d}.json"), "w") as fh:
+            json.dump({"version": version, "files": manifest}, fh)
+        return manifest
+
+    f1 = commit(o.filter(F.col("o_orderdate") < "2000-01-01"), 1, [])
+    commit(o.filter(F.col("o_orderdate") >= "2000-01-01"), 2, f1)
+
+    def read_as_of(version):
+        with open(os.path.join(log_dir, f"{version:06d}.json")) as fh:
+            files = json.load(fh)["files"]
+        return spark.read.parquet(*files)
+
+    def snap_agg(df, version):
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        ).select(F.lit(version).alias("version"), "o_orderstatus", "n", "total")
+
+    return snap_agg(read_as_of(1), 1).unionByName(snap_agg(read_as_of(2), 2))

@@ -224,6 +224,7 @@ SUBSET = [
     "agg_exact_p99_grouped",
     "win_groups_frame",
     "pipeline_entity_resolution",
+    "sink_timetravel",
 ]
 
 
