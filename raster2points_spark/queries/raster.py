@@ -1698,3 +1698,74 @@ def spatial_point_in_polygon(spark, sf_dir):
             F.sum(F.round(F.col("value") * 1000).cast("bigint")) / 1000.0, 2
         ).alias("sum_inside"),
     )
+
+
+@register(
+    "raster_mosaic_priority",
+    oracle=_PX
+    + """
+    , acq1 AS (
+      SELECT col, row, value, 1 AS src
+      FROM pix WHERE band_id = 'b1' AND value IS NOT NULL
+    ),
+    acq2 AS (
+      SELECT col + 8 AS col, row + 8 AS row, value + 1000.0 AS value, 2 AS src
+      FROM pix WHERE band_id = 'b1' AND value IS NOT NULL
+    ),
+    stacked AS (
+      SELECT * FROM acq1 UNION ALL SELECT * FROM acq2
+    ),
+    mosaic AS (
+      SELECT col, row, arg_max(value, src) AS value, max(src) AS chosen
+      FROM stacked GROUP BY col, row
+    )
+    SELECT chosen AS src,
+           cast(count(*) AS bigint) AS n_pixels,
+           round(sum(cast(round(value * 1000) AS bigint)) / 1000.0, 2) AS sum_value
+    FROM mosaic
+    GROUP BY chosen
+    """,
+)
+def raster_mosaic_priority(spark, sf_dir):
+    """Priority MOSAIC of overlapping acquisitions — the compositing
+    op every raster pipeline runs when flight lines / satellite
+    passes overlap: per OUTPUT pixel, take the value from the
+    highest-priority source that covers it (here: a synthetic second
+    acquisition shifted by 8 px with priority 2 over the base grid).
+
+    Scale shape: acquisitions stack as a UNION (no join — coverage
+    resolution is a GROUP BY (col, row) with max_by(value, priority),
+    one content-keyed shuffle whose payload is the overlap region's
+    pixels; map-side combine collapses per-partition duplicates
+    first).  Priorities are ints so max_by stays hash-agg mutable
+    (the cdc_net_changes lesson); nodata pixels drop BEFORE the
+    stack, so a hole in the high-priority scene correctly falls
+    through to the lower one — the semantics that make mosaics
+    different from plain overwrite.  Sums in exact milli-units
+    (R1b).  Output: per-source pixel accounting — how much of the
+    mosaic each acquisition won.
+    """
+    px = nodata_filter(
+        grid_unpivot(_tiles(spark, sf_dir).filter(F.col("band_id") == "b1"))
+    ).select("col", "row", "value")
+    acq1 = px.select("col", "row", "value", F.lit(1).alias("src"))
+    acq2 = px.select(
+        (F.col("col") + 8).alias("col"),
+        (F.col("row") + 8).alias("row"),
+        (F.col("value") + 1000.0).alias("value"),
+        F.lit(2).alias("src"),
+    )
+    mosaic = (
+        acq1.unionByName(acq2)
+        .groupBy("col", "row")
+        .agg(
+            F.max_by("value", "src").alias("value"),
+            F.max("src").alias("chosen"),
+        )
+    )
+    return mosaic.groupBy(F.col("chosen").alias("src")).agg(
+        F.count("*").cast("bigint").alias("n_pixels"),
+        F.round(
+            F.sum(F.round(F.col("value") * 1000).cast("bigint")) / 1000.0, 2
+        ).alias("sum_value"),
+    )

@@ -225,6 +225,7 @@ SUBSET = [
     "win_groups_frame",
     "pipeline_entity_resolution",
     "sink_timetravel",
+    "raster_mosaic_priority",
 ]
 
 
