@@ -6146,3 +6146,76 @@ def pipeline_entity_resolution(spark, sf_dir):
     return resolved.join(sizes, resolved.entity_id == sizes.s_ent).select(
         "p_name", "entity_id", "cluster_size"
     )
+
+
+@register(
+    "mm_training_manifest",
+    oracle="""
+    WITH rec AS (
+      SELECT d.doc_id, d.lang, d.source,
+             encode(d.text) AS payload,
+             e.label,
+             len(e.embedding) AS emb_dim,
+             (e.vec_id IS NOT NULL) AS has_vec
+      FROM documents d
+      LEFT JOIN embeddings e ON e.vec_id = d.doc_id
+    ),
+    typed AS (
+      SELECT *,
+             CASE WHEN octet_length(payload) >= 400 THEN 'large'
+                  WHEN octet_length(payload) >= 200 THEN 'medium'
+                  ELSE 'small' END AS size_class
+      FROM rec
+    )
+    SELECT source, size_class,
+           cast(count(*) AS bigint) AS n_records,
+           cast(sum(octet_length(payload)) AS bigint) AS total_bytes,
+           cast(sum(CASE WHEN has_vec THEN 1 ELSE 0 END) AS bigint) AS n_with_vec,
+           cast(min(octet_length(payload)) AS bigint) AS min_bytes,
+           cast(max(octet_length(payload)) AS bigint) AS max_bytes
+    FROM typed
+    GROUP BY 1, 2
+    """,
+)
+def mm_training_manifest(spark, sf_dir):
+    """Multimodal TRAINING-BATCH manifest: every record carries an
+    opaque BINARY payload (text bytes stand in for image/audio blobs
+    — the container has no decoders, and the manifest deliberately
+    never decodes) plus typed metadata and an optional embedding;
+    the output is the per-(source, size-class) loading plan a data-
+    loader needs BEFORE it touches a single payload: record counts,
+    byte budgets, vector coverage, min/max payload sizes for batch
+    shaping.
+
+    This is the multimodal twin of pipeline_rag_index: byte-level
+    accounting over `binary` columns (octet_length — payloads are
+    never parsed, so the same plan runs on real JPEG/FLAC bytes
+    unchanged), one LEFT join to the vector table, one map-side-
+    combined rollup.  Size classes bucket the payload-length skew
+    that drives loader batch shaping (mixing a 4 MB image with 4 KB
+    thumbnails in one Arrow batch is the classic OOM).
+    """
+    docs = t_fanout(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    rec = docs.join(emb, docs.doc_id == emb.vec_id, "left").withColumn(
+        "n_bytes", F.octet_length("payload")
+    )
+    typed = rec.withColumn(
+        "size_class",
+        F.when(F.col("n_bytes") >= 400, "large")
+        .when(F.col("n_bytes") >= 200, "medium")
+        .otherwise("small"),
+    )
+    return typed.groupBy("source", "size_class").agg(
+        F.count("*").cast("bigint").alias("n_records"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.sum(F.when(F.col("vec_id").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_with_vec"),
+        F.min("n_bytes").cast("bigint").alias("min_bytes"),
+        F.max("n_bytes").cast("bigint").alias("max_bytes"),
+    )

@@ -226,6 +226,7 @@ SUBSET = [
     "pipeline_entity_resolution",
     "sink_timetravel",
     "raster_mosaic_priority",
+    "mm_training_manifest",
 ]
 
 
