@@ -93,9 +93,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 )
 # ROUND-7 ROTATION NOTE: after this window every key registered at
 # freeze time has at least one driver row and none of the reds remain.
-# Lead r7 with (a) the 133 operators added AFTER the r6 window froze
+# Lead r7 with (a) the 134 operators added AFTER the r6 window froze
 # (newly registered keys always get first driver evidence in the next
-# round; all 133 oracle-green in the committed r6 local gate):
+# round; all 134 oracle-green in the committed r6 local gate):
 # tpch_q17, tpch_q21, win_locf, ts_ewma, dedup_containment,
 # text_bigram_ppl, fn_url, agg_listagg, graph_shortest_hops,
 # raster_resample_bilinear, ml_kmeans_lloyd, embed_power_iteration,
@@ -134,8 +134,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # fn_uuid_name, pipeline_rag_index, dedup_near_recall,
 # join_allen_relations, join_asof_tolerance, agg_exact_p99_grouped,
 # win_groups_frame, pipeline_entity_resolution, sink_timetravel,
-# raster_mosaic_priority, mm_training_manifest;
-# (133 candidates > 50 slots: fill the window with the COMPOSITES and
+# raster_mosaic_priority, mm_training_manifest, agg_compound_product;
+# (134 candidates > 50 slots: fill the window with the COMPOSITES and
 # each family's newest members first — the tpch_q* composites, the pipelines
 # (release_gate), governance (privacy_*, dq_expectations,
 # profile_key_skew), the ML-eval suite (ml_*), the Python-boundary

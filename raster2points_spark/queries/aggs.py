@@ -1372,3 +1372,58 @@ def agg_exact_p99_grouped(spark, sf_dir):
             F.col("p2").cast("bigint").alias("pass2_rows"),
         )
     )
+
+
+@register(
+    "agg_compound_product",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             cast(floor(epoch(ts) / 86400) AS bigint) AS day,
+             sum(value) AS sv
+      FROM events GROUP BY 1, 2
+    ),
+    rates AS (
+      SELECT event_type, day,
+             round(ln(1.0 + sv / 100000.0), 10) AS lr
+      FROM daily
+    )
+    SELECT event_type,
+           cast(count(*) AS bigint) AS n_days,
+           round(exp(sum(lr)), 4) AS compounded
+    FROM rates
+    GROUP BY event_type
+    """,
+)
+def agg_compound_product(spark, sf_dir):
+    """Multiplicative (PRODUCT) aggregation — compounded growth
+    Π(1+rᵢ) per series, the finance/epidemiology primitive SQL
+    engines lack a portable aggregate for: expressed as
+    exp(Σ ln(1+r)), which turns the order-sensitive float PRODUCT
+    into a SUM the partial-aggregation machinery handles (map-side
+    combine, any grouping) — and makes it decomposable, so the same
+    expression works in incremental refresh.
+
+    Determinism: each ln term is rounded to 10 dp BEFORE the sum
+    (the per-element round kills cross-engine libm last-ulp drift at
+    its source — R1 applied to transcendentals, the
+    raster_band_math discipline), the compounded result to 4 dp
+    after the exp.  Daily partial sums bound the term count and
+    magnitude; one shuffle, |types|×|days| rows.
+    """
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.floor(unix_secs(F.col("ts")) / 86400).cast("bigint").alias("day"),
+        )
+        .agg(F.sum("value").alias("sv"))
+    )
+    rates = daily.select(
+        "event_type",
+        F.round(F.log(1.0 + F.col("sv") / 100000.0), 10).alias("lr"),
+    )
+    return rates.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.round(F.exp(F.sum("lr")), 4).alias("compounded"),
+    )

@@ -227,6 +227,7 @@ SUBSET = [
     "sink_timetravel",
     "raster_mosaic_priority",
     "mm_training_manifest",
+    "agg_compound_product",
 ]
 
 
