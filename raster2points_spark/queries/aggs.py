@@ -930,7 +930,11 @@ def agg_kmv_set_ops(spark, sf_dir):
         F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("exact_intersection"),
         F.count("*").cast("bigint").alias("exact_union"),
     )
-    kth = F.element_at("sk", 64).getField("h")
+    # try_element_at: under ANSI mode (Spark 4 default) element_at
+    # throws INVALID_ARRAY_INDEX when the corpus yields < 64 distinct
+    # hashes; the oracle's CASE WHEN rk = 64 returns NULL there, so
+    # match that NULL semantic instead of crashing on tiny inputs.
+    kth = F.try_element_at("sk", F.lit(64)).getField("h")
     matches = F.size(
         F.filter("sk", lambda x: (x.getField("in_a") == 1) & (x.getField("in_b") == 1))
     )
@@ -1247,7 +1251,11 @@ def agg_hll_oracle(spark, sf_dir):
             "cast(conv(substring(md5(cast(user_id AS string)), 1, 15), 16, 10) AS bigint)"
         ).alias("h"),
     )
-    w = (F.col("h") / 64).cast("bigint")  # h // 64: h >= 0 so trunc == floor
+    # h // 64 in exact integer arithmetic (h >= 0).  Double division
+    # loses bits beyond the 53-bit mantissa on a 60-bit hash and can
+    # round w across a power-of-two boundary, flipping rho by 1 vs the
+    # oracle's integer h // 64 — shiftright keeps it bit-exact.
+    w = F.shiftright(F.col("h"), 6)
     regs = hashed.select(
         "event_type",
         (F.col("h") % 64).alias("bucket"),

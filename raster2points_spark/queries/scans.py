@@ -963,6 +963,7 @@ def scan_pysource_stream(spark, sf_dir):
             .start()
         )
         deadline = _time.time() + 120
+        got = None
         while _time.time() < deadline:
             got = spark.table(name).agg(F.sum("n")).collect()[0][0]
             if got == TickStreamReader.CAP:
@@ -970,6 +971,13 @@ def scan_pysource_stream(spark, sf_dir):
             _time.sleep(0.3)
         query.stop()
         query.awaitTermination()
+        if got != TickStreamReader.CAP:
+            # A partial complete-mode table would surface downstream as
+            # a confusing oracle hash mismatch — fail loudly instead.
+            raise RuntimeError(
+                f"pysource stream drained {got}/{TickStreamReader.CAP} "
+                "ticks before the 120s deadline"
+            )
     return spark.table(name)
 
 

@@ -829,7 +829,12 @@ def tpch_q1(spark, sf_dir):
       SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
     ),
     cand AS (
-      SELECT p_partkey, p_type, round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+      -- round() gets a DISTINCT name (s_acctbal_r) so no expression in
+      -- this SELECT shadows the base column: lateral-alias-vs-column
+      -- precedence is engine-version-fragile, and if an engine ever
+      -- bound the rounded alias the raw_bal = max_bal extremum filter
+      -- would change at rounding-boundary ties.
+      SELECT p_partkey, p_type, round(s_acctbal, 2) AS s_acctbal_r, s_name, n_name,
              max(s_acctbal) OVER (PARTITION BY p_partkey) AS max_bal,
              s_acctbal AS raw_bal
       FROM part
@@ -839,10 +844,10 @@ def tpch_q1(spark, sf_dir):
       JOIN region   ON r_regionkey = n_regionkey
       WHERE p_size = 15 AND p_type = 'MEDIUM' AND r_name = 'EUROPE'
     )
-    SELECT s_acctbal, s_name, n_name, p_partkey, p_type
+    SELECT s_acctbal_r AS s_acctbal, s_name, n_name, p_partkey, p_type
     FROM cand
     WHERE raw_bal = max_bal
-    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    ORDER BY s_acctbal_r DESC, n_name, s_name, p_partkey
     LIMIT 20
     """,
 )
