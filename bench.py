@@ -260,22 +260,59 @@ def main() -> int:
         sf_num = float(sf)
     except ValueError:
         sf_num = sf
-    print(
-        json.dumps(
+
+    # Full per-key timings + the DuckDB comparator go to a detail file;
+    # stdout gets ONE COMPACT line (<256 bytes).  Round 6 lesson: the
+    # driver truncates long stdout (BENCH_r06 captured only the tail of
+    # a ~4 KB line → "parsed": null, zero driver-side perf evidence).
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "reports",
+        f"bench_{os.environ.get('SPARK_GRAFT_ROUND', 'r7')}_detail.json",
+    )
+    os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+    with open(detail_path, "w") as fh:
+        json.dump(
             {
                 "metric": "headline_total_wall",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf_num,
+                "n_keys": len(timings),
+                "queries": timings,
                 "comparator": {
                     "engine": "duckdb",
                     "total_sec": round(sum(duck_timings.values()), 3),
                     "queries": duck_timings,
                 },
-            }
+            },
+            fh,
+            indent=1,
         )
+    print(f"bench: detail written to {detail_path}", file=sys.stderr)
+
+    # Compact headline: three flagship per-key numbers (scan+agg
+    # ceiling, LSH dedup, composed pipeline) keep the contract's
+    # "queries" field populated while staying well under 256 bytes.
+    flagship = {
+        k: timings[k]
+        for k in ("tpch_q1", "dedup_near", "pipeline_train_ready")
+        if k in timings
+    }
+    line = json.dumps(
+        {
+            "metric": "headline_total_wall",
+            "value": round(total, 3),
+            "unit": "sec",
+            "sf": sf_num,
+            "n_keys": len(timings),
+            "queries": flagship,
+            "detail": "reports/" + os.path.basename(detail_path),
+        },
+        separators=(",", ":"),
     )
+    assert len(line) < 256, f"headline line {len(line)} bytes (cap 256)"
+    print(line)
     return 0
 
 
