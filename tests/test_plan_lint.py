@@ -236,6 +236,38 @@ def test_plan_lint_subset(spark):
     assert not violations, violations
 
 
+def test_global_window_rule_detects_single_partition(spark):
+    """The r7 structural rule: a Window whose child chain reaches an
+    Exchange SinglePartition (global window — one-task funnel at
+    100 TB) is flagged; a key-partitioned window is not."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from plan_lint import global_window_hits
+    from raster2points_spark.plans import explain_formatted
+
+    base = spark.range(100).withColumn("k", F.pmod("id", F.lit(4)))
+    global_w = base.withColumn("r", F.row_number().over(W.orderBy("id")))
+    assert global_window_hits(explain_formatted(global_w))
+
+    part_w = base.withColumn(
+        "r", F.row_number().over(W.partitionBy("k").orderBy("id"))
+    )
+    assert not global_window_hits(explain_formatted(part_w))
+
+
+def test_global_window_allowlist_is_justified():
+    """Every GLOBAL_WINDOW_ALLOW entry must carry a collapsed-
+    cardinality argument (reviewed text, not a bare key)."""
+    from plan_lint import GLOBAL_WINDOW_ALLOW
+    from raster2points_spark.registry import load_all
+
+    reg = load_all()
+    for key, reason in GLOBAL_WINDOW_ALLOW.items():
+        assert key in reg, f"allowlisted unknown key {key}"
+        assert len(reason) > 30, f"{key}: reason too thin to review"
+
+
 def test_committed_sweep_covers_current_registry():
     """The r5 gap: the committed full-sweep report said '176 registered
     keys' while the registry had grown to 210 — the newest keys had no

@@ -131,6 +131,8 @@ RULES: dict[str, dict[str, str]] = {
         "sink_zorder": "repartitionByRange on zkey IS the clustering layout",
         "sink_sorted": "range layout for row-group min/max stats",
     },
+    # "Window over SinglePartition" is a STRUCTURAL rule (tree walk,
+    # not substring) — see global_window_hits() + GLOBAL_WINDOW_ALLOW.
     "SortAggregate (": {
         # Spark falls back from hash agg when a grouping or aggregate
         # expression is not hash-supported — usually a smell (missing
@@ -151,6 +153,92 @@ RULES: dict[str, dict[str, str]] = {
 }
 
 
+# A Window whose required child distribution is SinglePartition is a
+# global sort bottleneck: at 100 TB every row funnels through ONE task.
+# It is acceptable ONLY over a provably collapsed relation (a handful
+# of groups/rows produced by an upstream aggregate) — allowlist those
+# here with the collapsed-cardinality argument.
+GLOBAL_WINDOW_ALLOW: dict[str, str] = {
+    "agg_exact_median_twopass": "running-total window over the "
+    "|value-buckets| histogram (pass 1 of the rank search), never "
+    "the fact — the bucket count is fixed by the value domain",
+    "agg_gini": "exact-rank window over the |customers| revenue "
+    "aggregate; docstring documents the KMV/percentile swap at "
+    "extreme entity cardinality",
+    "ml_auc_roc": "cumulative-negatives window over the |distinct "
+    "scores| relation (Mann-Whitney pair counting) — thousands of "
+    "rows where the corpus has billions",
+    "ml_decision_stump": "candidate-threshold window over the same "
+    "collapsed |distinct scores| axis as ml_auc_roc",
+    "skyline_pareto_front": "strict suffix-minimum window over the "
+    "<=|sizes| per-size minima relation, never the part fact",
+    "concurrency_peak": "ordered cumsum over the |2*sessions| "
+    "boundary relation, pre-summed per timestamp map-side",
+    "text_zipf_slope": "log-log rank window over the |vocab| token "
+    "counts (one map-side-combined aggregate of the corpus)",
+    "sample_temperature": "largest-remainder allocation windows over "
+    "the |sources| count relation — constant size at any corpus scale",
+    "rfm_segments": "ntile quartiles over the |customers| RFM rollup; "
+    "docstring documents the percentile-threshold bucketing swap at "
+    "billions of entities",
+    "pareto_customers": "cumulative-share frontier over the "
+    "|customers| spend rollup; same documented caveat as rfm_segments",
+}
+
+_TREE_NODE = __import__("re").compile(r"^([: +-]*)([A-Za-z][\w]*)[^(]*\((\d+)\)\s*$")
+
+
+def global_window_hits(plan: str) -> bool:
+    """True iff a Window node's unary child chain reaches an Exchange
+    whose arguments are SinglePartition (= global window)."""
+    import re
+
+    lines = plan.splitlines()
+    # tree section: after "== Physical Plan ==" until the first blank
+    try:
+        start = next(i for i, ln in enumerate(lines) if ln.startswith("== Physical Plan"))
+    except StopIteration:
+        return False
+    nodes: list[tuple[int, str, str]] = []  # (depth, name, id)
+    for ln in lines[start + 1 :]:
+        if not ln.strip():
+            break
+        m = _TREE_NODE.match(ln)
+        if m:
+            nodes.append((len(m.group(1)), m.group(2), m.group(3)))
+    # detail blocks: "(N) Name" header, lines until blank
+    details: dict[str, str] = {}
+    cur = None
+    for ln in lines:
+        h = re.match(r"^\((\d+)\) ", ln)
+        if h:
+            cur = h.group(1)
+            details[cur] = ln
+        elif cur is not None:
+            if not ln.strip():
+                cur = None
+            else:
+                details[cur] += "\n" + ln
+    PASS_THROUGH = {"Sort", "Project", "Filter", "Window", "WindowGroupLimit"}
+    for i, (depth, name, _nid) in enumerate(nodes):
+        if name != "Window":
+            continue
+        j = i + 1
+        while j < len(nodes) and nodes[j][0] > depth:
+            cdepth, cname, cid = nodes[j]
+            if cname == "Exchange":
+                if "SinglePartition" in details.get(cid, ""):
+                    return True
+                break
+            if cname not in PASS_THROUGH:
+                # input distribution satisfied without a new exchange
+                # (or a binary node) — not this rule's shape
+                break
+            depth = cdepth  # follow the unary chain one level deeper
+            j += 1
+    return False
+
+
 def lint(keys=None) -> list[tuple[str, str]]:
     spark = get_spark("plan_lint")
     reg = load_all()
@@ -167,6 +255,8 @@ def lint(keys=None) -> list[tuple[str, str]]:
         for pattern, allow in RULES.items():
             if pattern in plan and name not in allow:
                 violations.append((name, pattern))
+        if global_window_hits(plan) and name not in GLOBAL_WINDOW_ALLOW:
+            violations.append((name, "Window over Exchange SinglePartition"))
     return violations
 
 
