@@ -353,13 +353,17 @@ def stream_foreach_batch(spark, sf_dir):
     return spark.read.parquet(out)
 
 
-# NOTE (r4): Spark 4's transformWithStateInPandas (the modern typed-
-# ValueState successor to applyInPandasWithState) was prototyped here
-# but cannot run in this container — its runner requires
-# google.protobuf, which is absent/broken (ImportError: cannot import
-# name 'descriptor').  stream_custom_state covers the same workload on
-# the applyInPandasWithState API; swap in transformWithStateInPandas
-# where protobuf is available.
+# NOTE (r4, re-evidenced r7): Spark 4's transformWithStateInPandas
+# (the modern typed-ValueState successor to applyInPandasWithState)
+# cannot run in this container — its Python runner requires
+# google.protobuf, which is absent (ModuleNotFoundError: No module
+# named 'google'; the end-to-end attempt dies with
+# "TransformWithStateInPySpark driver worker exited unexpectedly").
+# EVIDENCE: tools/tws_probe.py runs the real minimal StatefulProcessor
+# stream and records the exact failure — committed as
+# reports/streaming_probe_r7.txt.  stream_custom_state covers the same
+# workload on the applyInPandasWithState API; the probe's docstring
+# documents the exact swap once protobuf is available.
 
 
 @register(
