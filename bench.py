@@ -261,6 +261,38 @@ def main() -> int:
     except ValueError:
         sf_num = sf
 
+    # Batched service pass (r6 verdict #7): ~60 of the headline keys
+    # are sub-second, where each pays a fixed ~0.3-1 s JVM
+    # job-submission cost that DuckDB doesn't — the sequential total
+    # then measures job submission, not plan quality.  Submit every
+    # key once more from a thread pool (Spark's scheduler interleaves
+    # concurrent jobs) and take ONE wall-clock for the whole set: the
+    # fixed costs amortize and the number reflects aggregate plan
+    # throughput — what a real multi-tenant service sees.
+    batched_sec = None
+    try:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _run_one(key: str) -> None:
+            spec = registry.get(key)
+            if spec is None:
+                return
+            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+        bt0 = time.time()
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            futures = [pool.submit(_run_one, k) for k in HEADLINE]
+            errs = [f.exception() for f in futures]
+        batched_sec = round(time.time() - bt0, 3)
+        n_err = sum(1 for e in errs if e is not None)
+        print(
+            f"bench: batched pass {batched_sec}s over {len(HEADLINE)} keys "
+            f"(pool=8, {n_err} errors)",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # pragma: no cover
+        print(f"bench: batched pass skipped: {exc}", file=sys.stderr)
+
     # Full per-key timings + the DuckDB comparator go to a detail file;
     # stdout gets ONE COMPACT line (<256 bytes).  Round 6 lesson: the
     # driver truncates long stdout (BENCH_r06 captured only the tail of
@@ -279,6 +311,7 @@ def main() -> int:
                 "unit": "sec",
                 "sf": sf_num,
                 "n_keys": len(timings),
+                "batched_wall_sec": batched_sec,
                 "queries": timings,
                 "comparator": {
                     "engine": "duckdb",
@@ -306,6 +339,7 @@ def main() -> int:
             "unit": "sec",
             "sf": sf_num,
             "n_keys": len(timings),
+            "batched_sec": batched_sec,
             "queries": flagship,
             "detail": "reports/" + os.path.basename(detail_path),
         },
