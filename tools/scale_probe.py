@@ -13,7 +13,12 @@ realistic and the user universe grows 10×; documents: 10 tag-suffixed
 copies so the chunk universe grows instead of collapsing into exact
 dups) and probes the event/behavioral keys one decade beyond the
 shipped corpus — the evidence that the one-exchange-per-operator claim
-holds at larger n, not just at sf0.1.
+holds at larger n, not just at sf0.1.  It then materializes a
+RELATIONAL 10×-sf0.1 slice (key-offset copies of lineitem/orders/
+customer/part/supplier — disjoint key universes, so join fan-outs stay
+realistic while key cardinality grows 10×; fixed dims copied) and
+probes the full TPC-H suite plus the relational global-window keys one
+decade beyond sf0.1 (6M lineitem rows).
 
 Usage: python tools/scale_probe.py [--x10] [keys...]   (writes stdout;
 redirect to reports/scale_probe_rN.txt to commit evidence)
@@ -106,6 +111,110 @@ X10_KEYS = [
     "text_phrase_near",
     "privacy_erasure_cascade",
 ]
+
+
+# relational keys probed at the synthetic 10×-sf0.1 RELATIONAL decade
+# (--x10rel): the TPC-H suite's heavy shapes plus the relational
+# global-window keys whose collapsed-cardinality claim (lint allowlist)
+# deserves a measured decade, and the two-pass rank-search median.
+X10_REL_KEYS = [
+    "tpch_q1",
+    "tpch_q2",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "rfm_segments",
+    "pareto_customers",
+    "agg_gini",
+    "agg_exact_median_twopass",
+    "skyline_pareto_front",
+    "join_salted",
+]
+
+
+def build_x10_rel(src_dir: str) -> str:
+    """Materialize the synthetic 10×-sf0.1 RELATIONAL slice: 10
+    key-offset copies of lineitem/orders/customer/part/supplier (each
+    copy a disjoint key universe, so join fan-outs and per-key group
+    sizes stay exactly realistic while every key universe grows 10×,
+    mirroring build_x10's event/user axis), nation/region copied
+    unchanged (fixed-size dims per the TPC-H spec).  Cached on source
+    mtime+size like build_x10."""
+    import hashlib
+    import shutil
+
+    import duckdb
+
+    li = os.path.join(src_dir, "lineitem.parquet")
+    st = os.stat(li)
+    digest = hashlib.md5(
+        f"{os.path.abspath(li)}:{st.st_mtime}:{st.st_size}:x10relv1".encode()
+    ).hexdigest()[:10]
+    out = os.path.join("/tmp", f"r2p_x10rel_{digest}")
+    if os.path.isdir(out):
+        return out
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    con = duckdb.connect()
+    K = "CROSS JOIN (SELECT unnest(range(0, 10)) AS k) k"
+    # strides exceed every key's max at sf0.1 (orderkey<=6e5, custkey
+    # <=1.5e4, partkey<=2e4, suppkey<=1e3) so copies never collide
+    O, C, P, S = 10_000_000, 1_000_000, 1_000_000, 100_000
+    copies = {
+        "lineitem": f"""
+          SELECT l_orderkey + k.k * {O} AS l_orderkey,
+                 l_partkey + k.k * {P} AS l_partkey,
+                 l_suppkey + k.k * {S} AS l_suppkey,
+                 l_linenumber, l_quantity, l_extendedprice, l_discount,
+                 l_tax, l_returnflag, l_linestatus, l_shipdate
+          FROM read_parquet('{src_dir}/lineitem.parquet') {K}""",
+        "orders": f"""
+          SELECT o_orderkey + k.k * {O} AS o_orderkey,
+                 o_custkey + k.k * {C} AS o_custkey,
+                 o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+          FROM read_parquet('{src_dir}/orders.parquet') {K}""",
+        "customer": f"""
+          SELECT c_custkey + k.k * {C} AS c_custkey,
+                 c_name, c_nationkey, c_acctbal, c_mktsegment
+          FROM read_parquet('{src_dir}/customer.parquet') {K}""",
+        "part": f"""
+          SELECT p_partkey + k.k * {P} AS p_partkey,
+                 p_name, p_brand, p_type, p_size, p_retailprice
+          FROM read_parquet('{src_dir}/part.parquet') {K}""",
+        "supplier": f"""
+          SELECT s_suppkey + k.k * {S} AS s_suppkey,
+                 s_name, s_nationkey, s_acctbal
+          FROM read_parquet('{src_dir}/supplier.parquet') {K}""",
+    }
+    for name, sql in copies.items():
+        con.execute(f"COPY ({sql}) TO '{tmp}/{name}.parquet' (FORMAT parquet)")
+    for name in ("nation", "region"):
+        shutil.copy(
+            os.path.join(src_dir, f"{name}.parquet"),
+            os.path.join(tmp, f"{name}.parquet"),
+        )
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 def build_x10(src_dir: str) -> str:
@@ -212,7 +321,25 @@ def main() -> int:
         f"\nworst 0.1->x10 growth {worst10:.1f}x "
         f"({'SUB-linear everywhere' if worst10 < 10 else 'SUPER-LINEAR KEY PRESENT'})"
     )
-    return 0 if worst < 10 and worst10 < 10 else 1
+
+    rel_dir = build_x10_rel(SFS[2][1])
+    print(f"\n--x10 relational: synthetic 10x-sf0.1 slice at {rel_dir}")
+    print(f"{'key':26s} {'sf0.1':>9s} {'x10':>9s} {'x(0.1->x10)':>12s}")
+    worst_rel = 0.0
+    for key in X10_REL_KEYS:
+        times = []
+        for sf_dir in (SFS[2][1], rel_dir):
+            t0 = time.time()
+            reg[key].fn(spark, sf_dir).count()
+            times.append(time.time() - t0)
+        ratio = times[1] / max(times[0], 1e-9)
+        worst_rel = max(worst_rel, ratio)
+        print(f"{key:26s} {times[0]:8.2f}s {times[1]:8.2f}s {ratio:11.1f}x")
+    print(
+        f"\nworst relational 0.1->x10 growth {worst_rel:.1f}x "
+        f"({'SUB-linear everywhere' if worst_rel < 10 else 'SUPER-LINEAR KEY PRESENT'})"
+    )
+    return 0 if worst < 10 and worst10 < 10 and worst_rel < 10 else 1
 
 
 if __name__ == "__main__":
