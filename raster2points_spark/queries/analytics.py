@@ -284,28 +284,29 @@ def profile_columns(spark, sf_dir):
     nodes AS (
         SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges
     ),
-    nn AS (SELECT count(*) AS n FROM nodes),
     outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
-    r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
+    r0 AS (SELECT id, cast(1000000000 AS bigint) AS r FROM nodes),
     c1 AS (
-        SELECT e.dst AS id, sum(r0.r / o.d) AS c
+        SELECT e.dst AS id, sum(r0.r // o.d) AS c
         FROM edges e JOIN r0 ON r0.id = e.src JOIN outdeg o ON o.src = e.src
         GROUP BY e.dst
     ),
     r1 AS (
-        SELECT n.id, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c1.c, 0) AS r
+        SELECT n.id,
+               150000000 + (17 * coalesce(c1.c, 0)) // 20 AS r
         FROM nodes n LEFT JOIN c1 ON c1.id = n.id
     ),
     c2 AS (
-        SELECT e.dst AS id, sum(r1.r / o.d) AS c
+        SELECT e.dst AS id, sum(r1.r // o.d) AS c
         FROM edges e JOIN r1 ON r1.id = e.src JOIN outdeg o ON o.src = e.src
         GROUP BY e.dst
     ),
     r2 AS (
-        SELECT n.id, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c2.c, 0) AS r
+        SELECT n.id,
+               150000000 + (17 * coalesce(c2.c, 0)) // 20 AS r
         FROM nodes n LEFT JOIN c2 ON c2.id = n.id
     )
-    SELECT id, round(r * (SELECT n FROM nn), 6) AS rank_scaled
+    SELECT id, round(r / 1000000000.0, 6) AS rank_scaled
     FROM r2
     ORDER BY rank_scaled DESC, id
     LIMIT 100
@@ -322,8 +323,20 @@ def graph_pagerank(spark, sf_dir):
     node-count and per-round scalars are 1-row broadcasts; a real run
     adds localCheckpoint per round (see connected_components) and
     iterates to convergence — 2 rounds are unrolled here so the DuckDB
-    oracle can state the exact fixpoint-prefix.  Output is rank×N
-    (scale-free, O(1) magnitudes) rounded at 6 dp, top-100 with id
+    oracle can state the exact fixpoint-prefix.
+
+    Determinism (r7): the iteration is FIXED-POINT INTEGER arithmetic —
+    ranks live in 1e-9 units of the scaled rank R = r·N (R₀ = 1.0 →
+    10⁹), contributions are exact bigint floor-divisions R div d, and
+    damping is (17·c) div 20 (= 0.85 exactly).  Float sum(r/d) is
+    order-DEPENDENT: at sf0.1 one node's contribution sum straddled a
+    6-dp rounding boundary between Spark's and DuckDB's summation
+    orders (1.749063 vs 1.749062) — integer sums are associative, so
+    the result is bit-identical in any engine, any partitioning, any
+    scale.  Floor loses <1e-9 relative mass per term (invisible at the
+    6-dp output); c is bounded by N·10⁹ so bigints hold to ~10⁸ nodes
+    per component of total mass — document-scale safe.  Output is
+    R/1e9 rounded at 6 dp (exact double: R < 2⁵³), top-100 with id
     tiebreak (R2)."""
     li = t(spark, sf_dir, "lineitem")
     # Loop invariants are persisted once: without this every branch
@@ -351,23 +364,28 @@ def graph_pagerank(spark, sf_dir):
     # groupBy, not two joins.  Pre-dividing by out-degree is the
     # standard "weighted edges" PageRank form.
     edges_w = edges.join(outdeg, "src").select("src", "dst", "d").persist()
-    n_nodes = nodes.count()  # one scalar job; also materializes the caches
-    ranks = nodes.select("id", F.lit(1.0 / n_nodes).alias("r"))
+    edges_w.count()  # one job to materialize the loop-invariant caches
+    ranks = nodes.select("id", F.lit(1_000_000_000).cast("long").alias("r"))
     for _ in range(2):
-        # r/d stays a per-row division (NOT pre-inverted r*(1/d)) so
-        # the float arithmetic is bit-identical to the oracle's
+        # exact bigint floor division + associative integer sum — see
+        # the docstring's determinism note
         contrib = (
             edges_w.join(ranks.withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum(F.col("r") / F.col("d")).alias("c"))
+            .agg(F.sum(F.expr("r div d")).alias("c"))
         )
         ranks = nodes.join(contrib, "id", "left").select(
             "id",
-            (F.lit(0.15 / n_nodes) + F.lit(0.85) * F.coalesce("c", F.lit(0.0))).alias("r"),
+            (
+                F.lit(150_000_000).cast("long")
+                + F.expr("(17 * coalesce(c, 0L)) div 20")
+            ).alias("r"),
         )
         ranks = ranks.localCheckpoint(eager=False)
     return (
-        ranks.select("id", F.round(F.col("r") * n_nodes, 6).alias("rank_scaled"))
+        ranks.select(
+            "id", F.round(F.col("r") / F.lit(1_000_000_000.0), 6).alias("rank_scaled")
+        )
         .orderBy(F.col("rank_scaled").desc(), "id")
         .limit(100)
     )
@@ -776,9 +794,13 @@ def graph_triangle_count(spark, sf_dir):
             "n_edges",
             "n_wedges",
             "n_triangles",
-            F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6).alias(
-                "clustering"
-            ),
+            # try_divide: a wedge-free graph (all degrees 1 — happens at
+            # sf0.1 where only 2 co-purchase edges clear the >=3-order
+            # bar) must yield NULL like the DuckDB oracle's float x/0,
+            # not an ANSI DIVIDE_BY_ZERO.
+            F.round(
+                F.try_divide(3.0 * F.col("n_triangles"), F.col("n_wedges")), 6
+            ).alias("clustering"),
         )
     )
 
