@@ -148,15 +148,30 @@ X10_REL_KEYS = [
     "join_salted",
 ]
 
+# --x100: a SECOND relational decade (60M lineitem rows) for the
+# heaviest shapes only — two measured decades beyond sf0.1 is the
+# strongest extrapolation evidence this sandbox can produce.
+# (graph_pagerank is excluded: its dst = l_partkey + 1e7 node-id
+# arithmetic collides with offset orderkey copies, so the synthetic
+# slice would change its topology, not just its size.)
+X100_REL_KEYS = [
+    "tpch_q1",
+    "tpch_q9",
+    "tpch_q18",
+    "tpch_q21",
+    "join_salted",
+    "agg_exact_median_twopass",
+]
 
-def build_x10_rel(src_dir: str) -> str:
-    """Materialize the synthetic 10×-sf0.1 RELATIONAL slice: 10
+
+def build_x10_rel(src_dir: str, copies_n: int = 10) -> str:
+    """Materialize the synthetic ``copies_n``×-sf0.1 RELATIONAL slice:
     key-offset copies of lineitem/orders/customer/part/supplier (each
     copy a disjoint key universe, so join fan-outs and per-key group
-    sizes stay exactly realistic while every key universe grows 10×,
-    mirroring build_x10's event/user axis), nation/region copied
-    unchanged (fixed-size dims per the TPC-H spec).  Cached on source
-    mtime+size like build_x10."""
+    sizes stay exactly realistic while every key universe grows
+    ``copies_n``×, mirroring build_x10's event/user axis),
+    nation/region copied unchanged (fixed-size dims per the TPC-H
+    spec).  Cached on source mtime+size like build_x10."""
     import hashlib
     import shutil
 
@@ -165,7 +180,7 @@ def build_x10_rel(src_dir: str) -> str:
     li = os.path.join(src_dir, "lineitem.parquet")
     st = os.stat(li)
     digest = hashlib.md5(
-        f"{os.path.abspath(li)}:{st.st_mtime}:{st.st_size}:x10relv1".encode()
+        f"{os.path.abspath(li)}:{st.st_mtime}:{st.st_size}:x{copies_n}relv1".encode()
     ).hexdigest()[:10]
     out = os.path.join("/tmp", f"r2p_x10rel_{digest}")
     if os.path.isdir(out):
@@ -173,7 +188,7 @@ def build_x10_rel(src_dir: str) -> str:
     tmp = f"{out}.tmp.{os.getpid()}"
     os.makedirs(tmp, exist_ok=True)
     con = duckdb.connect()
-    K = "CROSS JOIN (SELECT unnest(range(0, 10)) AS k) k"
+    K = f"CROSS JOIN (SELECT unnest(range(0, {copies_n})) AS k) k"
     # strides exceed every key's max at sf0.1 (orderkey<=6e5, custkey
     # <=1.5e4, partkey<=2e4, suppkey<=1e3) so copies never collide
     O, C, P, S = 10_000_000, 1_000_000, 1_000_000, 100_000
@@ -276,7 +291,8 @@ def build_x10(src_dir: str) -> str:
 def main() -> int:
     args = sys.argv[1:]
     x10 = "--x10" in args
-    args = [a for a in args if a != "--x10"]
+    x100 = "--x100" in args
+    args = [a for a in args if a not in ("--x10", "--x100")]
     keys = args or DEFAULT_KEYS
     spark = get_spark("scale_probe")
     reg = load_all()
@@ -339,6 +355,28 @@ def main() -> int:
         f"\nworst relational 0.1->x10 growth {worst_rel:.1f}x "
         f"({'SUB-linear everywhere' if worst_rel < 10 else 'SUPER-LINEAR KEY PRESENT'})"
     )
+
+    if x100:
+        rel100_dir = build_x10_rel(SFS[2][1], copies_n=100)
+        print(f"\n--x100 relational: synthetic 100x-sf0.1 slice at {rel100_dir}")
+        print(f"{'key':26s} {'x10':>9s} {'x100':>9s} {'x(x10->x100)':>13s}")
+        worst100 = 0.0
+        for key in X100_REL_KEYS:
+            times = []
+            for sf_dir in (rel_dir, rel100_dir):
+                t0 = time.time()
+                reg[key].fn(spark, sf_dir).count()
+                times.append(time.time() - t0)
+            ratio = times[1] / max(times[0], 1e-9)
+            worst100 = max(worst100, ratio)
+            print(f"{key:26s} {times[0]:8.2f}s {times[1]:8.2f}s {ratio:12.1f}x")
+        print(
+            f"\nworst relational x10->x100 growth {worst100:.1f}x "
+            f"({'SUB-linear everywhere' if worst100 < 10 else 'SUPER-LINEAR KEY PRESENT'})"
+        )
+        if worst100 >= 10:
+            return 1
+
     return 0 if worst < 10 and worst10 < 10 and worst_rel < 10 else 1
 
 
