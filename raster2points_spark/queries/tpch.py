@@ -27,12 +27,40 @@ from raster2points_spark.queries._util import t
 
 _CUT = "1997-01-01"
 
+# Exact-money arithmetic (r7).  Monetary sums are accumulated as exact
+# bigints — l_extendedprice in integer cents times integer
+# (100 ± discount/tax hundredths) — and divided back to dollars only at
+# the final rounding.  Float sums are summation-ORDER-dependent, and a
+# group total landing within float noise of a half-cent boundary rounds
+# differently between engines (observed: tpch_q10 at sf0.001, revenue
+# 261471.225 ± 1 ulp → .22 in one engine, .23 in the other).  Integer
+# sums are associative, so that whole flake class is gone at any scale
+# or partitioning.  The final round(sum/1e4, 2) is also deterministic:
+# the quotient double can never land EXACTLY on a .005 boundary (x.xx5
+# has a factor-5 denominator, unrepresentable in binary), so both
+# engines round the same double the same way.  Bounds: revenue units
+# are 1e-4 dollars (charge 1e-6), so bigint holds to ~1e14 dollars per
+# group (~1e12 for charge) and double conversion is exact below 2^53
+# units — past that, swap the accumulator to decimal(38,0) (same
+# shape, one cast).  The corpus columns are verified 2-dp (max
+# |x·100 − round(x·100)| < 1e-9 at sf0.1), so round(x·100) recovers
+# the exact integer and the HALF_UP-vs-HALF_EVEN difference between
+# engines can never fire.  The same strings serve the DuckDB oracle
+# (f-string splice) and the Spark plan (F.expr) — one definition, two
+# engines.
+_EPC = "cast(round(l_extendedprice * 100) AS bigint)"  # price cents
+_DC = "cast(round(l_discount * 100) AS bigint)"  # discount hundredths
+_TC = "cast(round(l_tax * 100) AS bigint)"  # tax hundredths
+_REV = f"({_EPC} * (100 - {_DC}))"  # revenue line, 1e-4 $ units
+_CHG = f"({_EPC} * (100 - {_DC}) * (100 + {_TC}))"  # charge, 1e-6 $ units
+_BALC = "cast(round(c_acctbal * 100) AS bigint)"  # acctbal cents
+
 
 @register(
     "tpch_q3",
     oracle=f"""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(sum({_REV}) / 10000.0, 2) AS revenue,
            o_orderdate, o_orderpriority
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -62,11 +90,7 @@ def tpch_q3(spark, sf_dir):
         cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        .agg(F.round(F.sum(F.expr(_REV)) / 10000.0, 2).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -126,9 +150,9 @@ def tpch_q18(spark, sf_dir):
 
 @register(
     "tpch_q5",
-    oracle="""
+    oracle=f"""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           round(sum({_REV}) / 10000.0, 2) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -174,19 +198,15 @@ def tpch_q5(spark, sf_dir):
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(F.round(F.sum(F.expr(_REV)) / 10000.0, 2).alias("revenue"))
     )
 
 
 @register(
     "tpch_q17",
-    oracle="""
+    oracle=f"""
     SELECT p_brand,
-           round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           round(sum({_EPC}) / 100.0 / 7.0, 2) AS avg_yearly,
            count(*) AS n_small
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
@@ -229,7 +249,7 @@ def tpch_q17(spark, sf_dir):
         .filter(F.col("l_quantity") < F.col("qty_lim"))
         .groupBy("p_brand")
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.round(F.sum(F.expr(_EPC)) / 100.0 / 7.0, 2).alias("avg_yearly"),
             F.count("*").alias("n_small"),
         )
     )
@@ -302,8 +322,8 @@ def tpch_q21(spark, sf_dir):
 
 @register(
     "tpch_q6",
-    oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    oracle=f"""
+    SELECT round(sum({_EPC} * {_DC}) / 10000.0, 2) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -334,7 +354,7 @@ def tpch_q6(spark, sf_dir):
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            F.round(F.sum(F.expr(f"{_EPC} * {_DC}")) / 10000.0, 2).alias(
                 "revenue"
             )
         )
@@ -343,10 +363,10 @@ def tpch_q6(spark, sf_dir):
 
 @register(
     "tpch_q7",
-    oracle="""
+    oracle=f"""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            year(l_shipdate) AS l_year,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           round(sum({_REV}) / 10000.0, 2) AS revenue
     FROM supplier
     JOIN lineitem ON s_suppkey = l_suppkey
     JOIN orders   ON o_orderkey = l_orderkey
@@ -400,19 +420,15 @@ def tpch_q7(spark, sf_dir):
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(F.round(F.sum(F.expr(_REV)) / 10000.0, 2).alias("revenue"))
     )
 
 
 @register(
     "tpch_q10",
-    oracle="""
+    oracle=f"""
     SELECT c_custkey, c_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(sum({_REV}) / 10000.0, 2) AS revenue,
            round(c_acctbal, 2) AS c_acctbal, n_name
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -508,12 +524,11 @@ def tpch_q13(spark, sf_dir):
 
 @register(
     "tpch_q14",
-    oracle="""
+    oracle=f"""
     SELECT round(
              100.0 * sum(CASE WHEN p_type = 'PROMO'
-                              THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0 END)
-                   / sum(l_extendedprice * (1 - l_discount)), 4
+                              THEN {_REV} ELSE 0 END)
+                   / sum({_REV}), 4
            ) AS promo_revenue
     FROM lineitem
     JOIN part ON l_partkey = p_partkey
@@ -539,13 +554,13 @@ def tpch_q14(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
     )
     p = t(spark, sf_dir, "part")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    disc = F.expr(_REV)
     return (
         li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0)))
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0)))
                 / F.sum(disc),
                 4,
             ).alias("promo_revenue")
@@ -555,10 +570,10 @@ def tpch_q14(spark, sf_dir):
 
 @register(
     "tpch_q15",
-    oracle="""
+    oracle=f"""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+             round(sum({_REV}) / 10000.0, 2) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -591,9 +606,7 @@ def tpch_q15(spark, sf_dir):
     rev = (
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("total_revenue")
+            F.round(F.sum(F.expr(_REV)) / 10000.0, 2).alias("total_revenue")
         )
         .persist()
     )
@@ -654,11 +667,11 @@ def tpch_q4(spark, sf_dir):
 
 @register(
     "tpch_q8",
-    oracle="""
+    oracle=f"""
     SELECT year(o_orderdate) AS o_year,
            round(sum(CASE WHEN sn.n_name = 'NATION_3'
-                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+                          THEN {_REV} ELSE 0 END)
+                 / sum({_REV}), 6) AS mkt_share
     FROM lineitem
     JOIN orders   ON o_orderkey = l_orderkey
     JOIN customer ON c_custkey = o_custkey
@@ -701,7 +714,7 @@ def tpch_q8(spark, sf_dir):
         F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
     )
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = F.expr(_REV)
     return (
         li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(c, F.col("c_custkey") == F.col("o_custkey"))
@@ -712,7 +725,7 @@ def tpch_q8(spark, sf_dir):
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0.0)))
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0)))
                 / F.sum(rev),
                 6,
             ).alias("mkt_share")
@@ -722,8 +735,8 @@ def tpch_q8(spark, sf_dir):
 
 @register(
     "tpch_q19",
-    oracle="""
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    oracle=f"""
+    SELECT round(sum({_REV}) / 10000.0, 2) AS revenue,
            count(*) AS n_lines
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
@@ -768,9 +781,7 @@ def tpch_q19(spark, sf_dir):
         li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .filter(branches)
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            F.round(F.sum(F.expr(_REV)) / 10000.0, 2).alias("revenue"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -778,15 +789,15 @@ def tpch_q19(spark, sf_dir):
 
 @register(
     "tpch_q1",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                   AS sum_qty,
-           round(sum(l_extendedprice), 2)                              AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(sum({_EPC}) / 100.0, 2)                               AS sum_base_price,
+           round(sum({_REV}) / 10000.0, 2)                             AS sum_disc_price,
+           round(sum({_CHG}) / 1000000.0, 2)                           AS sum_charge,
            round(avg(l_quantity), 2)                                   AS avg_qty,
-           round(avg(l_extendedprice), 2)                              AS avg_price,
-           round(avg(l_discount), 4)                                   AS avg_disc,
+           round(sum({_EPC}) / count(*) / 100.0, 2)                    AS avg_price,
+           round(sum({_DC}) / count(*) / 100.0, 4)                     AS avg_disc,
            count(*)                                                    AS count_order
     FROM lineitem
     WHERE l_shipdate <= timestamp '2001-06-01'
@@ -806,17 +817,16 @@ def tpch_q1(spark, sf_dir):
     ORDER BY the full group key is already a total order (R2).
     """
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2001-06-01")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.sum(F.expr(_EPC)) / 100.0, 2).alias("sum_base_price"),
+            F.round(F.sum(F.expr(_REV)) / 10000.0, 2).alias("sum_disc_price"),
+            F.round(F.sum(F.expr(_CHG)) / 1000000.0, 2).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.sum(F.expr(_EPC)) / F.count("*") / 100.0, 2).alias("avg_price"),
+            F.round(F.sum(F.expr(_DC)) / F.count("*") / 100.0, 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -903,9 +913,9 @@ def tpch_q2(spark, sf_dir):
 
 @register(
     "tpch_q9",
-    oracle="""
+    oracle=f"""
     SELECT n_name AS nation, year(o_orderdate) AS o_year,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit
+           round(sum({_REV}) / 10000.0, 2) AS profit
     FROM lineitem
     JOIN part     ON p_partkey = l_partkey
     JOIN supplier ON s_suppkey = l_suppkey
@@ -941,29 +951,25 @@ def tpch_q9(spark, sf_dir):
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
         )
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("profit")
-        )
+        .agg(F.round(F.sum(F.expr(_REV)) / 10000.0, 2).alias("profit"))
     )
 
 
 @register(
     "tpch_q11",
-    oracle="""
+    oracle=f"""
     WITH value_by_part AS (
       SELECT l_partkey,
-             sum(l_extendedprice * l_quantity) AS raw_value
+             sum({_EPC} * cast(l_quantity AS bigint)) AS raw_cents
       FROM lineitem
       JOIN supplier ON s_suppkey = l_suppkey
       JOIN nation   ON n_nationkey = s_nationkey
       WHERE n_name IN ('NATION_3', 'NATION_7')
       GROUP BY l_partkey
     )
-    SELECT l_partkey AS partkey, round(raw_value, 2) AS part_value
+    SELECT l_partkey AS partkey, round(raw_cents / 100.0, 2) AS part_value
     FROM value_by_part
-    WHERE raw_value > (SELECT sum(raw_value) * 0.002 FROM value_by_part)
+    WHERE 500 * raw_cents > (SELECT sum(raw_cents) FROM value_by_part)
     """,
 )
 def tpch_q11(spark, sf_dir):
@@ -991,15 +997,18 @@ def tpch_q11(spark, sf_dir):
         li.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(n, F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy("l_partkey")
-        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("raw_value"))
+        .agg(
+            F.sum(F.expr(f"{_EPC} * cast(l_quantity AS bigint)")).alias("raw_cents")
+        )
     )
-    total = by_part.agg((F.sum("raw_value") * F.lit(0.002)).alias("threshold"))
+    # 0.2% threshold in EXACT integers: raw > total*0.002 <=> 500*raw > total
+    total = by_part.agg(F.sum("raw_cents").alias("total_cents"))
     return (
         by_part.crossJoin(F.broadcast(total))
-        .filter(F.col("raw_value") > F.col("threshold"))
+        .filter(500 * F.col("raw_cents") > F.col("total_cents"))
         .select(
             F.col("l_partkey").alias("partkey"),
-            F.round("raw_value", 2).alias("part_value"),
+            F.round(F.col("raw_cents") / 100.0, 2).alias("part_value"),
         )
     )
 
@@ -1182,19 +1191,20 @@ def tpch_q20(spark, sf_dir):
 
 @register(
     "tpch_q22",
-    oracle="""
+    oracle=f"""
     WITH eligible AS (
-      SELECT c_custkey, c_acctbal, c_nationkey % 10 AS cntrycode
+      SELECT c_custkey, {_BALC} AS balc, c_nationkey % 10 AS cntrycode
       FROM customer
       WHERE c_nationkey % 10 IN (1, 3, 5, 7)
+    ),
+    pos AS (
+      SELECT sum(balc) AS s, count(*) AS n FROM eligible WHERE balc > 0
     )
     SELECT cntrycode,
            count(*) AS numcust,
-           round(sum(c_acctbal), 2) AS totacctbal
+           round(sum(balc) / 100.0, 2) AS totacctbal
     FROM eligible
-    WHERE c_acctbal > (
-        SELECT avg(c_acctbal) FROM eligible WHERE c_acctbal > 0
-      )
+    WHERE balc * (SELECT n FROM pos) > (SELECT s FROM pos)
       AND NOT EXISTS (
         SELECT 1 FROM orders
         WHERE o_custkey = c_custkey
@@ -1219,11 +1229,14 @@ def tpch_q22(spark, sf_dir):
     """
     eligible = (
         t(spark, sf_dir, "customer")
+        .withColumn("balc", F.expr(_BALC))
         .withColumn("cntrycode", F.col("c_nationkey") % 10)
         .filter(F.col("cntrycode").isin(1, 3, 5, 7))
     )
-    avg_bal = eligible.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("threshold")
+    # positive-balance mean threshold in EXACT integers:
+    # balc > s/n  <=>  balc * n > s  (n > 0 whenever any row passes)
+    avg_bal = eligible.filter(F.col("balc") > 0).agg(
+        F.sum("balc").alias("s"), F.count("*").alias("n")
     )
     orders_keys = (
         t(spark, sf_dir, "orders")
@@ -1232,11 +1245,11 @@ def tpch_q22(spark, sf_dir):
     )
     return (
         eligible.crossJoin(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("threshold"))
+        .filter(F.col("balc") * F.col("n") > F.col("s"))
         .join(orders_keys, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
         .groupBy("cntrycode")
         .agg(
             F.count("*").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            F.round(F.sum("balc") / 100.0, 2).alias("totacctbal"),
         )
     )
