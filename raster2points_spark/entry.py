@@ -134,10 +134,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #     join_salted, join_bucketed, join_interval_bucketed, dedup_exact,
 #     dedup_jaccard, dedup_near, dedup_simhash, text_tokens, text_stats.
 # Implementation-changed or newly-added keys always jump the queue:
-# graph_pagerank (fixed-point integer iteration, r7) and
-# graph_triangle_count (try_divide on wedge-free graphs, r7) were
-# changed AFTER the r7 window froze — both re-verified locally at
-# sf0.01 AND sf0.1 plus the determinism gate — and therefore lead r8.
+# graph_pagerank (fixed-point integer iteration, r7),
+# graph_triangle_count (try_divide on wedge-free graphs, r7), and
+# tpch_q3 / tpch_q5 (exact integer-cents revenue, r7 — the other 20
+# TPC-H keys also converted but already sit in the r7 window above)
+# were changed AFTER the r7 window froze — all re-verified locally at
+# sf0.001, sf0.01 AND sf0.1 plus the determinism gate — and therefore
+# lead r8.
 
 def _ordered():
     registry = load_all()

