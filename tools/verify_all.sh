@@ -1,0 +1,42 @@
+#!/usr/bin/env bash
+# The full r7 evidence chain, one command.  Each stage writes the
+# report the committed evidence in reports/ was produced from; run
+# after any operator change and commit the refreshed reports with it.
+#
+# Usage: bash tools/verify_all.sh [round-tag, default r7]
+set -uo pipefail
+cd "$(dirname "$0")/.."
+R="${1:-r7}"
+mkdir -p reports
+fail=0
+
+run() { # run <label> <outfile> <cmd...>
+  local label="$1" out="$2"; shift 2
+  echo "== $label -> $out"
+  if ! "$@" >"$out" 2>/dev/null; then
+    echo "   FAILED (see $out)"; fail=1
+  else
+    tail -1 "$out" | sed 's/^/   /'
+  fi
+}
+
+run "tests" "/tmp/verify_pytest_$R.log" python -m pytest tests/ -q
+run "oracle gate sf0.001" "reports/diff_oracle_${R}_sf0.001.txt" \
+  python tools/diff_oracle.py --sf /root/testdata/sf0.001
+run "oracle gate sf0.01" "reports/diff_oracle_${R}_sf0.01.txt" \
+  python tools/diff_oracle.py
+run "oracle gate sf0.1" "reports/diff_oracle_${R}_sf0.1.txt" \
+  python tools/diff_oracle.py --sf /root/testdata/sf0.1
+run "determinism sf0.01" "reports/determinism_${R}.txt" \
+  python tools/determinism_check.py
+run "determinism sf0.1" "reports/determinism_${R}_sf0.1.txt" \
+  env SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python tools/determinism_check.py
+run "plan lint" "reports/plan_lint_${R}.txt" python tools/plan_lint.py
+run "scale probe (+decades)" "reports/scale_probe_${R}.txt" \
+  python tools/scale_probe.py --x10 --x100
+run "bench sf0.1" "/tmp/verify_bench_$R.json" \
+  env SPARK_GRAFT_ROUND="$R" python bench.py
+
+echo
+if [ "$fail" -eq 0 ]; then echo "ALL GATES GREEN"; else echo "GATE FAILURES — see above"; fi
+exit "$fail"
