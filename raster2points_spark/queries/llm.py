@@ -5646,15 +5646,19 @@ def ml_naive_bayes(spark, sf_dir):
     output is the CONFUSION MATRIX (true × predicted counts), i.e.
     the model card's central table, computed where the data lives.
 
-    Scale: training is one map-side-combined (lang, token) count —
-    the model relation is |langs|×|vocab|, joined back UNHINTED (AQE
-    broadcasts a small model; a 100 TB-corpus vocabulary stays a
-    shuffle join, the text_tfidf discipline).  Scoring fans each
-    doc-term row out over |langs| (5×) candidates, never over vocab;
-    unseen terms fall back to the smoothing floor via LEFT join +
-    coalesce.  Determinism: logp rounded 6 dp at MODEL time and
-    scores 4 dp before the argmax, ties broken by lang asc — the
-    argmax is engine-exact (R1/R2).
+    Scale: the corpus is tokenized and EXPLODED exactly once — the
+    (doc, lang, token) tf relation is the single heavy shuffle, and
+    the model (per-(lang, token) counts), per-lang totals, and vocab
+    size are all DERIVED from it by further aggregation of the
+    already-collapsed relation, never by re-scanning the corpus.  The
+    model is |langs|×|vocab|, joined back UNHINTED (AQE broadcasts a
+    small model; a 100 TB-corpus vocabulary stays a shuffle join, the
+    text_tfidf discipline).  Scoring fans each doc-term row out over
+    |langs| (5×) candidates, never over vocab; unseen terms fall back
+    to the smoothing floor via LEFT join + coalesce.  Determinism:
+    logp rounded 6 dp at MODEL time and scores 4 dp before the
+    argmax, ties broken by lang asc — the argmax is engine-exact
+    (R1/R2).
     """
     from pyspark.sql import Window
 
@@ -5662,19 +5666,21 @@ def ml_naive_bayes(spark, sf_dir):
     tok = docs.select(
         "doc_id", "lang", F.explode(F.expr(TOKS_SPARK)).alias("w")
     )
-    model = tok.groupBy(F.col("lang").alias("m_lang"), F.col("w").alias("m_w")).agg(
-        F.count("*").alias("c")
+    doc_tf = tok.groupBy("doc_id", F.col("lang").alias("true_lang"), "w").agg(
+        F.count("*").alias("tf")
     )
+    # model/totals/vocab roll up from doc_tf (sum of per-doc tf ==
+    # token count) — one corpus explode feeds the whole pipeline.
+    model = doc_tf.groupBy(
+        F.col("true_lang").alias("m_lang"), F.col("w").alias("m_w")
+    ).agg(F.sum("tf").alias("c"))
     totals = model.groupBy(F.col("m_lang").alias("t_lang")).agg(
         F.sum("c").alias("tot")
     )
-    vocab = tok.agg(F.countDistinct("w").alias("v"))
+    vocab = model.agg(F.countDistinct("m_w").alias("v"))
     n_docs = docs.count()  # metadata-only: a literal for the prior expr
     priors = docs.groupBy(F.col("lang").alias("p_lang")).agg(
         F.log(F.count("*") / F.lit(float(n_docs))).alias("prior")
-    )
-    doc_tf = tok.groupBy("doc_id", F.col("lang").alias("true_lang"), "w").agg(
-        F.count("*").alias("tf")
     )
     cand = (
         doc_tf.crossJoin(F.broadcast(totals))
@@ -5759,39 +5765,65 @@ def text_bm25(spark, sf_dir):
     frequencies, tf saturation, document-length normalization against
     the corpus average, top-10 as TakeOrderedAndProject.
 
-    Scale shape: the corpus is tokenized ONCE; the query-term
-    semi-join (3 terms, broadcast) prunes the token stream BEFORE the
-    (doc, term) count shuffle, so the heavy aggregates touch only
-    rows containing query terms — exactly how a search engine's
-    postings traversal behaves.  doc lengths and the (nd, avgdl)
-    scalar pair are the only corpus-wide aggregates (map-side
-    combined, 1-row broadcast).  idf uses the +1 variant (always
-    positive, the Lucene choice), rounded 4 dp after the final sum
-    (R1).
+    Scale shape: with a FIXED small query, BM25 needs no positional
+    explode at all — per-doc term frequencies are array-kernel
+    expressions (``size(filter(tokens, = w))``) and the doc length is
+    ``size(tokens)``, so the whole query is ONE projection pass over
+    the corpus plus a single 1-row corpus-stats aggregate (nd, avgdl,
+    and per-term df, all map-side combined and broadcast back), then
+    a per-row score and TakeOrderedAndProject.  Zero wide shuffles of
+    token rows: at 100 TB this is a scan-and-score (the shape a
+    search engine's impact-ordered scoring takes when the query is
+    known), not a corpus-wide postings materialization.  idf uses the
+    +1 variant (always positive, the Lucene choice), rounded 4 dp
+    after the final sum (R1); docs containing no query term are
+    excluded, matching the join semantics of the oracle.
     """
     from pyspark.sql import Window  # noqa: F401  (symmetry with siblings)
 
-    tok = t_fanout(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(F.expr(TOKS_SPARK)).alias("w")
+    QW = ["stream", "window", "merge"]
+
+    def tf_of(term: str):
+        # one-param lambda (two params would make pyspark bind the
+        # array INDEX as the second argument)
+        return F.size(F.filter(F.col("toks"), lambda x: x == F.lit(term)))
+
+    base = (
+        t_fanout(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(TOKS_SPARK).alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            *[tf_of(w).alias(f"tf{i}") for i, w in enumerate(QW)],
+        )
     )
-    dlen = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stats = dlen.agg(F.count("*").alias("nd"), F.avg("dl").alias("avgdl"))
-    q = spark.createDataFrame([("stream",), ("window",), ("merge",)], "qw string")
-    hits = tok.join(F.broadcast(q), F.col("qw") == F.col("w"))
-    df_rel = hits.groupBy(F.col("w").alias("dw")).agg(
-        F.countDistinct("doc_id").alias("df")
+    stats = base.agg(
+        F.count("*").alias("nd"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("bigint")).alias(f"df{i}")
+            for i in range(len(QW))
+        ],
     )
-    tf = hits.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
-    idf = F.log(
-        (F.col("nd") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-    )
-    norm = F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+
+    def contrib(i: int):
+        # tf = 0 contributes exactly 0.0 (tf multiplies the numerator),
+        # identical to the oracle's absent join row.
+        idf = F.log(
+            (F.col("nd") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+            + 1.0
+        )
+        norm = F.col(f"tf{i}") + 1.2 * (
+            0.25 + 0.75 * F.col("dl") / F.col("avgdl")
+        )
+        return idf * F.col(f"tf{i}") * 2.2 / norm
+
+    total_tf = sum(F.col(f"tf{i}") for i in range(len(QW)))
+    score = sum(contrib(i) for i in range(len(QW)))
     return (
-        tf.join(F.broadcast(df_rel), F.col("dw") == F.col("w"))
-        .join(dlen, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum(idf * F.col("tf") * 2.2 / norm), 4).alias("bm25"))
+        base.crossJoin(F.broadcast(stats))
+        .filter(total_tf > 0)
+        .select("doc_id", F.round(score, 4).alias("bm25"))
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(10)
     )

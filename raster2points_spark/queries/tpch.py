@@ -1093,13 +1093,15 @@ def tpch_q16(spark, sf_dir):
     Scale: part filters prune before the join; the complaint list is
     a ~1-row broadcast anti-join (NOT IN over a non-null key →
     left_anti, no null-trap here because s_suppkey is non-null by
-    construction).  count(DISTINCT suppkey) plans as the two-phase
-    Expand/partial-agg, shuffling only distinct (group, suppkey)
-    pairs.  Top-30 is TakeOrderedAndProject (R2 tiebreaks).
+    construction).  The oracle's DISTINCT supply CTE is deliberately
+    NOT materialized as its own shuffle: count(DISTINCT suppkey)
+    already plans as the two-phase partial-distinct aggregate, which
+    dedupes (group, suppkey) pairs map-side — a separate pre-distinct
+    of lineitem would add a full extra shuffle of the fact table for
+    rows the aggregate dedupes anyway.  Top-30 is
+    TakeOrderedAndProject (R2 tiebreaks).
     """
-    supply = (
-        t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
-    )
+    supply = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     p = t(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#4")
         & (~F.col("p_type").like("PROMO%"))
