@@ -135,12 +135,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #     dedup_jaccard, dedup_near, dedup_simhash, text_tokens, text_stats.
 # Implementation-changed or newly-added keys always jump the queue:
 # graph_pagerank (fixed-point integer iteration, r7),
-# graph_triangle_count (try_divide on wedge-free graphs, r7), and
+# graph_triangle_count (try_divide on wedge-free graphs, r7),
 # tpch_q3 / tpch_q5 (exact integer-cents revenue, r7 — the other 20
-# TPC-H keys also converted but already sit in the r7 window above)
-# were changed AFTER the r7 window froze — all re-verified locally at
-# sf0.001, sf0.01 AND sf0.1 plus the determinism gate — and therefore
-# lead r8.
+# TPC-H keys also converted but already sit in the r7 window above),
+# and ml_naive_bayes / text_bm25 (single-corpus-pass rewrites, late
+# r7: naive_bayes now derives model/totals/vocab from one exploded tf
+# relation; bm25 became a zero-explode scan-and-score) were changed
+# AFTER the r7 window froze — all re-verified locally at sf0.001,
+# sf0.01 AND sf0.1 plus the determinism gate — and therefore lead r8.
+# (tpch_q16 lost its redundant pre-distinct at the same time but
+# already sits in the live r7 window, so the driver grades the new
+# plan this round.)
 
 def _ordered():
     registry = load_all()

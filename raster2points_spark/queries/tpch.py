@@ -868,29 +868,37 @@ def tpch_q2(spark, sf_dir):
     per-part "best supplier" criterion is max s_acctbal (standing in
     for min ps_supplycost — same correlated-extremum shape).
 
-    Scale: the distinct supply projection is one content-keyed shuffle
-    over two int columns (tiny payload); part is pruned by (size,
-    type) BEFORE any join so AQE broadcasts it, as it does the
-    nation→region dim chain.  The correlated scalar subquery of the
-    original is expressed as a per-part window max — one extra
-    exchange on p_partkey, already the join key, so AQE reuses the
-    partitioning.  Top-20 plans as TakeOrderedAndProject with a full
-    tiebreak chain (R2).
+    Scale: the (size, type) part filter prunes BEFORE the distinct —
+    the supply dedup shuffle carries only lineitem rows for the ~0.4%
+    of parts that survive (the filtered dim broadcasts, AQE's call),
+    instead of content-keying the whole fact table and discarding
+    99.6% of the deduped pairs at the subsequent join.  The DISTINCT
+    itself stays required here (unlike q16): duplicate (part, supp)
+    pairs would duplicate extremum OUTPUT rows, not just inflate an
+    aggregate.  The correlated scalar subquery of the original is
+    expressed as a per-part window max — one extra exchange on
+    p_partkey, already the join key, so AQE reuses the partitioning.
+    Top-20 plans as TakeOrderedAndProject with a full tiebreak chain
+    (R2).
     """
     from pyspark.sql import Window
 
-    supply = (
-        t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
-    )
     p = t(spark, sf_dir, "part").filter(
         (F.col("p_size") == 15) & (F.col("p_type") == "MEDIUM")
     )
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supply = (
+        p.join(
+            t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("p_partkey", "p_type", "l_suppkey")
+        .distinct()
+    )
     cand = (
-        p.join(supply, F.col("l_partkey") == F.col("p_partkey"))
-        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        supply.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(n, F.col("n_nationkey") == F.col("s_nationkey"))
         .join(r, F.col("r_regionkey") == F.col("n_regionkey"))
         .withColumn(
