@@ -5666,14 +5666,19 @@ def ml_naive_bayes(spark, sf_dir):
     tok = docs.select(
         "doc_id", "lang", F.explode(F.expr(TOKS_SPARK)).alias("w")
     )
-    doc_tf = tok.groupBy("doc_id", F.col("lang").alias("true_lang"), "w").agg(
-        F.count("*").alias("tf")
+    # The tf relation is PERSISTED: four consumers (scoring, model,
+    # totals, vocab) would otherwise each re-run the corpus explode —
+    # Spark does not share physical subtrees across DataFrame refs.
+    doc_tf = (
+        tok.groupBy("doc_id", F.col("lang").alias("true_lang"), "w")
+        .agg(F.count("*").alias("tf"))
+        .persist()
     )
     # model/totals/vocab roll up from doc_tf (sum of per-doc tf ==
     # token count) — one corpus explode feeds the whole pipeline.
     model = doc_tf.groupBy(
         F.col("true_lang").alias("m_lang"), F.col("w").alias("m_w")
-    ).agg(F.sum("tf").alias("c"))
+    ).agg(F.sum("tf").alias("c")).persist()
     totals = model.groupBy(F.col("m_lang").alias("t_lang")).agg(
         F.sum("c").alias("tot")
     )
@@ -5788,6 +5793,9 @@ def text_bm25(spark, sf_dir):
         # array INDEX as the second argument)
         return F.size(F.filter(F.col("toks"), lambda x: x == F.lit(term)))
 
+    # persisted: the (dl, tf*) projection is ~5 numbers per doc and
+    # feeds both the corpus-stats aggregate and the scoring pass —
+    # without it the tokenize kernels run twice.
     base = (
         t_fanout(spark, sf_dir, "documents")
         .select("doc_id", F.expr(TOKS_SPARK).alias("toks"))
@@ -5796,6 +5804,7 @@ def text_bm25(spark, sf_dir):
             F.size("toks").alias("dl"),
             *[tf_of(w).alias(f"tf{i}") for i, w in enumerate(QW)],
         )
+        .persist()
     )
     stats = base.agg(
         F.count("*").alias("nd"),

@@ -611,11 +611,16 @@ def test_tpch_q1_is_two_level_hash_agg_no_sort(spark, registry):
     assert "rangepartitioning" not in plan.lower()
 
 
-def test_bm25_query_semijoin_prunes_before_count_shuffle(spark, registry):
-    # the 3-term query must reach the token stream as a BroadcastHashJoin
-    # BEFORE any aggregation exchange — postings-traversal behavior
+def test_bm25_is_zero_explode_scan_and_score(spark, registry):
+    # late-r7 shape: with a FIXED 3-term query, per-doc tf is an
+    # array kernel (size(filter(tokens, = w))) and dl is size(tokens)
+    # — NO token explode, no wide shuffle of token rows.  The only
+    # relations are the persisted per-doc projection, a 1-row
+    # broadcast stats aggregate, and TakeOrderedAndProject.
     plan = _formatted_plan(spark, registry["text_bm25"].fn(spark, SF001))
-    assert "BroadcastHashJoin" in plan
+    assert "Generate" not in plan, "bm25 must not explode the token stream"
+    assert "InMemoryTableScan" in plan, "the (dl, tf*) projection must be persisted"
+    assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
 
 
@@ -636,3 +641,42 @@ def test_hierarchy_closure_is_in_row_no_join(spark, registry):
     plan = _formatted_plan(spark, registry["hierarchy_rollup"].fn(spark, SF001))
     assert "Generate" in plan
     assert "Join" not in plan
+
+
+def test_naive_bayes_single_corpus_explode(spark, registry):
+    # late-r7 shape: the (doc, lang, token) tf relation is built by ONE
+    # corpus explode and PERSISTED; model/totals/vocab derive from it by
+    # further aggregation.  The v1 plan re-ran the explode 4x (Spark
+    # shares no physical subtrees across DataFrame refs) — 8 Generate
+    # mentions in the formatted plan.  With the persisted spine the
+    # residual mentions come from the single cached subplan only.
+    plan = _formatted_plan(spark, registry["ml_naive_bayes"].fn(spark, SF001))
+    assert "InMemoryTableScan" in plan, "the doc_tf spine must be persisted"
+    assert plan.count("Generate") <= 6, "corpus explode must not be re-planned per consumer"
+
+
+def test_tpch_q16_has_no_pre_distinct_shuffle(spark, registry):
+    # the oracle's DISTINCT supply CTE must NOT appear as its own
+    # aggregate: count(DISTINCT suppkey) already dedupes (group,
+    # suppkey) pairs map-side in its partial phase.  A reintroduced
+    # pre-distinct adds one HashAggregate pair (+4 formatted mentions)
+    # and a full extra Exchange of the fact projection.
+    plan = _formatted_plan(spark, registry["tpch_q16"].fn(spark, SF001))
+    assert plan.count("HashAggregate") <= 8, "only the count-distinct agg chain may aggregate"
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q2_distinct_runs_after_part_prune(spark, registry):
+    # the supply dedup must key on the POST-JOIN columns (p_partkey,
+    # p_type, l_suppkey) — proof the (size, type) part filter pruned
+    # the fact rows BEFORE the distinct shuffle.  A raw
+    # (l_partkey, l_suppkey) distinct means the whole fact table was
+    # content-keyed first (the v1 plan).
+    plan = _formatted_plan(spark, registry["tpch_q2"].fn(spark, SF001))
+    key_lines = [
+        l for l in plan.splitlines() if "Keys" in l and "l_suppkey" in l
+    ]
+    assert key_lines, "no distinct aggregate over l_suppkey found"
+    assert any("p_partkey" in l for l in key_lines), (
+        "distinct must run on the part-pruned join output, not raw lineitem"
+    )
