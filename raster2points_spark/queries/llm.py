@@ -4740,6 +4740,8 @@ def text_boilerplate(spark, sf_dir):
     w = t_fanout(spark, sf_dir, "documents").select(
         "doc_id", "source", F.split("text", " ").alias("words")
     )
+    # persisted: the chunk relation feeds both the df aggregate and the
+    # join-back — without it the chunking explode runs twice.
     c = w.select(
         "doc_id",
         "source",
@@ -4749,7 +4751,7 @@ def text_boilerplate(spark, sf_dir):
                 lambda i: F.array_join(F.slice("words", i * 5 + 1, 5), " "),
             )
         ).alias("chunk_no", "chunk"),
-    )
+    ).persist()
     df = c.groupBy("source", "chunk").agg(
         F.countDistinct("doc_id").alias("ndocs")
     )
