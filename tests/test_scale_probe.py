@@ -1,0 +1,62 @@
+"""The dedup-fair scale decade's construction invariant.
+
+tools/scale_probe.py --xdedup probes the near-dup family over
+synthetic corpora built by ``build_x10_dedup``: per-copy token
+salting renames every token bijectively, so each copy's shingle
+universe is disjoint from every other copy's and candidate
+generation can NEVER cross copy boundaries.  The probe's runtime
+table only means something if that invariant actually holds — this
+test pins it at copies_n=2 over sf0.001: every content-keyed result
+cardinality must be EXACTLY 2x its single-corpus value.
+
+(dedup_near is the sharpest check: its LSH band buckets hash salted
+shingle minima, so a cross-copy bucket collision would surface extra
+candidate pairs — verified exact-Jaccard would still reject them,
+which is itself the structure the probe relies on.)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from tests.conftest import SF0001
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+)
+
+from scale_probe import build_x10_dedup  # noqa: E402
+
+EXACT_KEYS = ["dedup_exact", "dedup_jaccard", "dedup_containment", "text_tfidf"]
+
+
+def test_dedup_decade_is_a_bijective_rename(spark, registry):
+    x2 = build_x10_dedup(SF0001, copies_n=2)
+    for key in EXACT_KEYS:
+        base = registry[key].fn(spark, SF0001).count()
+        doubled = registry[key].fn(spark, x2).count()
+        assert doubled == 2 * base, (
+            f"{key}: {doubled} rows over 2 salted copies vs {base} over the "
+            f"base corpus — candidate generation leaked across copy universes"
+        )
+
+
+def test_dedup_near_never_pairs_across_copies(spark, registry):
+    """LSH band minima re-roll under salting, so a borderline pair's
+    recall varies per copy (rows <= 2x base) — but the exact-Jaccard
+    verify makes EXTRA pairs impossible, and no pair may ever span two
+    copy universes (disjoint shingle sets => jaccard 0 < threshold)."""
+    from pyspark.sql import functions as F
+
+    x2 = build_x10_dedup(SF0001, copies_n=2)
+    base = registry["dedup_near"].fn(spark, SF0001).count()
+    pairs = registry["dedup_near"].fn(spark, x2)
+    doubled = pairs.count()
+    assert doubled <= 2 * base
+    assert doubled >= 2 * base - max(1, base // 10)
+    cross = pairs.filter(
+        (F.col("doc_a") / 1000000).cast("bigint")
+        != (F.col("doc_b") / 1000000).cast("bigint")
+    )
+    assert cross.count() == 0

@@ -20,8 +20,15 @@ realistic while key cardinality grows 10×; fixed dims copied) and
 probes the full TPC-H suite plus the relational global-window keys one
 decade beyond sf0.1 (6M lineitem rows).
 
-Usage: python tools/scale_probe.py [--x10] [keys...]   (writes stdout;
-redirect to reports/scale_probe_rN.txt to commit evidence)
+``--xdedup`` probes the near-dup flagship keys over DEDUP-FAIR
+synthetic corpora (per-copy token salting keeps near-dup density
+constant while the corpus grows — see build_x10_dedup) at 10× AND
+100× sf0.1 (500k docs): two measured decades for the candidate-
+generation-is-linear claim.
+
+Usage: python tools/scale_probe.py [--x10] [--x100] [--xdedup] [keys...]
+(writes stdout; redirect to reports/scale_probe_rN.txt to commit
+evidence)
 """
 
 from __future__ import annotations
@@ -288,11 +295,85 @@ def build_x10(src_dir: str) -> str:
     return out
 
 
+def build_x10_dedup(src_dir: str, copies_n: int = 10) -> str:
+    """Materialize a DEDUP-FAIR ``copies_n``×-sf0.1 document slice.
+
+    build_x10's ``copytag`` suffix is deliberately WRONG for the
+    near-dup family: a one-token suffix leaves cross-copy Jaccard at
+    ~0.99, so every doc gains ``copies_n - 1`` synthetic near-
+    duplicates and candidate-pair counts grow ~copies²/2 — the slice
+    would change near-dup DENSITY, not just corpus size.  Here every
+    token is prefixed with a per-copy salt (``c{k}`` — lowercase, no
+    space, so the ``split(lower(text), ' ')`` tokenizer sees exactly
+    one token where it saw one before).  Each copy's token/shingle
+    universe is therefore DISJOINT from every other copy's — the
+    bijective rename preserves the original corpus's duplicate groups,
+    shingle-df distribution, and LSH-bucket statistics within each
+    copy, while the universe grows ``copies_n``× — the same
+    key-offset axis build_x10_rel uses for the relational decade.
+    """
+    import hashlib
+
+    import duckdb
+
+    doc = os.path.join(src_dir, "documents.parquet")
+    st = os.stat(doc)
+    digest = hashlib.md5(
+        f"{os.path.abspath(doc)}:{st.st_mtime}:{st.st_size}:dedup{copies_n}v1".encode()
+    ).hexdigest()[:10]
+    out = os.path.join("/tmp", f"r2p_xdedup_{digest}")
+    if os.path.isdir(out):
+        return out
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT doc_id + k.k * 1000000 AS doc_id,
+                 array_to_string(
+                   list_transform(string_split(text, ' '),
+                                  x -> 'c' || cast(k.k AS varchar) || x),
+                   ' ') AS text,
+                 lang, source,
+                 cast(length(array_to_string(
+                   list_transform(string_split(text, ' '),
+                                  x -> 'c' || cast(k.k AS varchar) || x),
+                   ' ')) AS bigint) AS n_chars
+          FROM read_parquet('{doc}')
+          CROSS JOIN (SELECT unnest(range(0, {copies_n})) AS k) k
+        ) TO '{tmp}/documents.parquet' (FORMAT parquet)
+        """
+    )
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+# the near-dup / content-dedup flagships probed over the dedup-fair
+# decades: candidate generation must grow ~linearly with the corpus
+# when near-dup density is held constant — the 100 TB claim for the
+# whole family, measured.  text_tfidf rides along because its vocab
+# universe also grows copies_n× (the unhinted vocab join's scale axis).
+X_DEDUP_KEYS = [
+    "dedup_exact",
+    "dedup_near",
+    "dedup_jaccard",
+    "dedup_containment",
+    "text_tfidf",
+]
+
+
 def main() -> int:
     args = sys.argv[1:]
     x10 = "--x10" in args
     x100 = "--x100" in args
-    args = [a for a in args if a not in ("--x10", "--x100")]
+    xdedup = "--xdedup" in args
+    args = [a for a in args if a not in ("--x10", "--x100", "--xdedup")]
     keys = args or DEFAULT_KEYS
     spark = get_spark("scale_probe")
     reg = load_all()
@@ -317,8 +398,68 @@ def main() -> int:
         f"\n10x data per step; worst 0.01->0.1 growth {worst:.1f}x "
         f"({'SUB-linear everywhere' if worst < 10 else 'SUPER-LINEAR KEY PRESENT'})"
     )
+    dd_fail = False
+    if xdedup:
+        dd10 = build_x10_dedup(SFS[2][1], copies_n=10)
+        dd100 = build_x10_dedup(SFS[2][1], copies_n=100)
+        print(f"\n--xdedup: dedup-fair doc decades at {dd10} / {dd100}")
+        print(
+            f"{'key':22s} {'sf0.1':>9s} {'x10':>9s} {'x100':>9s} "
+            f"{'x(0.1->x10)':>12s} {'x(x10->x100)':>13s} {'rows linear':>12s}"
+        )
+        for key in X_DEDUP_KEYS:
+            times, rows = [], []
+            # warm pass at sf0.1 first: the fresh-JVM / FS-cache cost
+            # otherwise lands entirely on the baseline and fakes a
+            # super-linear first step
+            reg[key].fn(spark, SFS[2][1]).count()
+            for sf_dir in (SFS[2][1], dd10, dd100):
+                t0 = time.time()
+                rows.append(reg[key].fn(spark, sf_dir).count())
+                times.append(time.time() - t0)
+            r1 = times[1] / max(times[0], 1e-9)
+            r2 = times[2] / max(times[1], 1e-9)
+            # Result cardinality: copies are bijective renames, so the
+            # EXACT keys (inverted-index jaccard/containment, hash
+            # dedup, tf-idf) must land on exactly 10x/100x rows — any
+            # deviation means candidate generation leaked across copy
+            # universes.  dedup_near is hash-dependent: salted shingles
+            # hash to different band minima, so a borderline pair's
+            # LSH recall re-rolls per copy (measured: 2559/2560 at x10
+            # — one within-copy band miss, zero cross-copy pairs; the
+            # exact verify makes EXTRA rows impossible).  Allow it the
+            # recall trade it already declares: >= 98% of linear, never
+            # above linear.
+            def _lin(n, k):
+                exp = k * rows[0]
+                if key == "dedup_near":
+                    return n <= exp and n >= int(0.98 * exp)
+                return n == exp
+
+            linear = _lin(rows[1], 10) and _lin(rows[2], 100)
+            # Runtime gate: per-step growth approaches linear (10x work
+            # for 10x corpus IS perfect scaling once fixed cost
+            # amortizes; 15x allows the fixed-32-core / 32-partition
+            # single-node ceiling — at x100 every partition holds 100x
+            # the data, so sorts go external and spill, which a real
+            # cluster absorbs by scaling partitions with data).  The
+            # two-decade product must stay sub-linear: < 100x runtime
+            # for 100x corpus.
+            if r1 >= 15 or r2 >= 15 or r1 * r2 >= 100 or not linear:
+                dd_fail = True
+            print(
+                f"{key:22s} {times[0]:8.2f}s {times[1]:8.2f}s {times[2]:8.2f}s "
+                f"{r1:11.1f}x {r2:12.1f}x {'yes' if linear else 'NO':>12s}"
+            )
+        print(
+            f"\ndedup decades: result rows linear per corpus decade (exact keys "
+            f"bit-exact at 10x/100x; LSH recall >= 98% of linear, never above — "
+            f"candidate generation never crosses copy universes); runtime "
+            f"{'sub-linear overall (< 100x for 100x corpus)' if not dd_fail else 'GATE FAILED'}"
+        )
+
     if not x10:
-        return 0 if worst < 10 else 1
+        return 0 if worst < 10 and not dd_fail else 1
 
     x10_dir = build_x10(SFS[2][1])
     print(f"\n--x10: synthetic 10x-sf0.1 slice at {x10_dir}")
@@ -377,7 +518,9 @@ def main() -> int:
         if worst100 >= 10:
             return 1
 
-    return 0 if worst < 10 and worst10 < 10 and worst_rel < 10 else 1
+    return (
+        0 if worst < 10 and worst10 < 10 and worst_rel < 10 and not dd_fail else 1
+    )
 
 
 if __name__ == "__main__":
