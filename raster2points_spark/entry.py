@@ -146,6 +146,19 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # (tpch_q16 lost its redundant pre-distinct at the same time but
 # already sits in the live r7 window, so the driver grades the new
 # plan this round.)
+# Also late-r7, the embedding-family scale fixes (both re-verified at
+# all three scales + determinism + lint; both lead r8 with the group
+# above): dedup_semantic_cluster now derives its anchor count from
+# corpus size (k = max(8, n/250) — capacity-bounded clusters; fixed k
+# made the prune self-join n²/k) and assigns HIERARCHICALLY (nearest
+# of ⌈√k⌉ coarse reps, then nearest anchor within that id-stride
+# group — n·2√k dots instead of the flat scan's n·k; RESULTS CHANGED
+# at shipped scales: hierarchical ANN assignment is approximate by
+# design); dedup_embed's SRP band width became dynamic
+# (nbits = 8 + ⌈log2(n/2000)⌉ folded from 16 materialized sign bits,
+# so 2^nbits ∝ n keeps bucket sizes constant; results at shipped
+# scales unchanged — n ≤ 2000 buckets identically to the fixed 8-bit
+# scheme).
 
 def _ordered():
     registry = load_all()

@@ -1159,8 +1159,17 @@ _EMB_UNNEST_CTE = """
 # band) while multi-band OR keeps recall: for a true near-dup at
 # cos≈0.9 the per-bit collision prob is ~0.857, so one 8-bit band
 # catches ~29% and three bands 1-(1-0.29)³ ≈ 64% — better than the old
-# single 4-bit band's 54%, with 16× smaller buckets.  At 100 TB raise
-# band_bits (buckets shrink 2× per bit) and add bands to hold recall.
+# single 4-bit band's 54%, with 16× smaller buckets.  At 100 TB the
+# band WIDTH must grow with n — with FIXED bits the per-band pair
+# space n²/2^bits is quadratic in disguise — so dedup_embed derives
+# nbits = 8 + ⌈log2(n/2000)⌉ declaratively from a broadcast 1-row
+# count and folds only the first nbits of _SRP_MAX_BITS materialized
+# sign bits into the bucket id: 2^nbits ∝ n keeps expected bucket
+# size (and so per-band candidate pairs per vector) CONSTANT as the
+# corpus grows.  Every shipped corpus (n ≤ 2000 ⇒ nbits = 8) buckets
+# bit-identically to the historical fixed-8-bit scheme.  The usual
+# LSH trade remains: each extra bit lowers per-band recall ~0.857×
+# at cos≈0.9, so a production 100 TB run adds bands to compensate.
 #
 # Weights derive from md5("band:bit#dim") at query-BUILD time (band 0
 # keeps the legacy "bit#dim" seed so single-band containment is
@@ -1168,6 +1177,7 @@ _EMB_UNNEST_CTE = """
 # and projection signs use exact bigint arithmetic — bucket ids are
 # bit-identical across engines with no float-sum-order risk.
 _SRP_BANDS, _SRP_BAND_BITS, _SRP_DIM = 3, 8, 64
+_SRP_MAX_BITS = 16  # sign bits materialized per band (dynamic fold cap)
 
 
 def _srp_weights() -> list[list[list[int]]]:
@@ -1183,7 +1193,7 @@ def _srp_weights() -> list[list[list[int]]]:
                 - 1000
                 for j in range(_SRP_DIM)
             ]
-            for k in range(_SRP_BAND_BITS)
+            for k in range(_SRP_MAX_BITS)
         ]
         for band in range(_SRP_BANDS)
     ]
@@ -1198,13 +1208,57 @@ def _srp_band_exprs_spark() -> list[str]:
     out = []
     for band, rows in enumerate(_srp_weights()):
         bits = []
-        for k, row in enumerate(rows):
+        for k, row in enumerate(rows[:_SRP_BAND_BITS]):
             arr = "array(" + ", ".join(f"{w}L" for w in row) + ")"
             s = f"aggregate(zip_with(ei, {arr}, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
             bits.append(
                 f"CASE WHEN {s} >= 0 THEN {1 << (_SRP_BAND_BITS - 1 - k)} ELSE 0 END"
             )
         out.append(f"cast({band * (1 << _SRP_BAND_BITS)} + " + " + ".join(bits) + " AS bigint)")
+    return out
+
+
+def _srp_sign_exprs_spark() -> list[str]:
+    """Per-band array of ``_SRP_MAX_BITS`` sign bits (bigint 0/1) over
+    ``ei`` — the dynamic-width raw material: the bucket id folds only
+    the first ``nbits`` of them (see the block comment above)."""
+    out = []
+    for rows in _srp_weights():
+        bits = []
+        for row in rows:
+            arr = "array(" + ", ".join(f"{w}L" for w in row) + ")"
+            s = f"aggregate(zip_with(ei, {arr}, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+            bits.append(f"CASE WHEN {s} >= 0 THEN 1L ELSE 0L END")
+        out.append("array(" + ", ".join(bits) + ")")
+    return out
+
+
+def _srp_dyn_bucket_exprs_spark(nbits_col: str = "nbits") -> list[str]:
+    """Per-band dynamic-width bucket ids: binary fold of the first
+    ``nbits`` sign bits, band-offset by 2^21 so bands never collide
+    (nbits is capped at _SRP_MAX_BITS = 16 < 21).  At nbits = 8 the
+    fold reproduces the historical fixed-width bucket partition
+    exactly (values differ only by the band offset, which never mixes
+    bands in either scheme)."""
+    return [
+        f"cast({band * (1 << 21)} + aggregate(slice(sb{band}, 1, {nbits_col}), "
+        f"0L, (acc, v) -> acc * 2 + v) AS bigint)"
+        for band in range(_SRP_BANDS)
+    ]
+
+
+def _srp_sign_exprs_duck() -> list[str]:
+    out = []
+    for rows in _srp_weights():
+        bits = []
+        for row in rows:
+            arr = "[" + ", ".join(str(w) for w in row) + "]"
+            s = (
+                f"list_aggregate(list_transform(generate_series(1, {_SRP_DIM}), "
+                f"i -> ({arr})[i] * ei[i]), 'sum')"
+            )
+            bits.append(f"CASE WHEN {s} >= 0 THEN 1 ELSE 0 END")
+        out.append("[" + ", ".join(bits) + "]")
     return out
 
 
@@ -1230,15 +1284,27 @@ def _srp_band_exprs_duck() -> list[str]:
 @register(
     "dedup_embed",
     oracle=f"""
-    WITH q AS (
+    WITH kk AS (
+        SELECT cast(8 + ceil(log2(greatest(count(*) / 2000.0, 1.0))) AS int) AS nbits
+        FROM embeddings
+    ),
+    q AS (
         SELECT vec_id,
                list_transform(embedding, x -> cast(round(cast(x AS double) * 1000) AS bigint)) AS ei,
                list_transform(embedding, x -> cast(x AS double)) AS e
         FROM embeddings
     ),
-    bkt AS (
-        SELECT vec_id, e, unnest([{", ".join(_srp_band_exprs_duck())}]) AS bucket
+    signs AS (
+        SELECT vec_id, e,
+               {", ".join(f"{s} AS sb{i}" for i, s in enumerate(_srp_sign_exprs_duck()))}
         FROM q
+    ),
+    bkt AS (
+        SELECT vec_id, e, unnest([{", ".join(
+            f"{band * (1 << 21)} + list_reduce(list_slice(sb{band}, 1, kk.nbits), (acc, x) -> acc * 2 + x)"
+            for band in range(_SRP_BANDS)
+        )}]) AS bucket
+        FROM signs CROSS JOIN kk
     ),
     pairs AS (
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -1254,12 +1320,16 @@ def dedup_embed(spark, sf_dir):
     """Embedding-cosine near-dup pairs, multi-band SRP-LSH-blocked.
 
     Block keys are _SRP_BANDS independent sign-random-projection bands
-    of _SRP_BAND_BITS bits (OR-construction — same banding trick as
+    of DYNAMIC width (OR-construction — same banding trick as
     dedup_near): each vector lands in exactly B buckets, a pair is a
     candidate iff it collides in ANY band, and the within-bucket pair
-    space is O(n²/2^band_bits) per band — 256 buckets/band here vs the
-    old single 4-bit band's 16, with BETTER recall on true near-dups
-    (see _srp_weights block comment for the numbers).  Candidate dot
+    space is O(n²/2^nbits) per band.  nbits = 8 + ⌈log2(n/2000)⌉ is
+    derived declaratively from a broadcast 1-row count, so
+    2^nbits ∝ n and the expected bucket size — hence candidate pairs
+    PER VECTOR — stays constant as the corpus grows; a fixed width
+    would be quadratic in disguise (see _srp_weights block comment).
+    Every shipped corpus (n ≤ 2000 ⇒ nbits = 8) buckets bit-
+    identically to the historical fixed-8-bit scheme.  Candidate dot
     products run JVM-side via zip_with/aggregate after one shuffle on
     the bucket key; distinct() collapses pairs that collide in
     multiple bands (cos_sim is a deterministic sequential fold, so
@@ -1268,15 +1338,37 @@ def dedup_embed(spark, sf_dir):
     emb = t_fanout(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("e"),
-        # materialized (NOT inlined into the 24 bucket folds — the
+        # materialized (NOT inlined into the 48 sign folds — the
         # project-collapse re-eval trap) integer milli-unit components
         F.expr("transform(embedding, x -> cast(round(cast(x AS double) * 1000) AS bigint))").alias(
             "ei"
         ),
     )
-    bands = "array(" + ", ".join(_srp_band_exprs_spark()) + ")"
-    bkt = emb.select(
-        "vec_id", "e", F.explode(F.expr(bands)).alias("bucket")
+    kdf = emb.agg(
+        (
+            F.lit(8)
+            + F.ceil(F.log2(F.greatest(F.count(F.lit(1)) / 2000.0, F.lit(1.0))))
+        )
+        .cast("int")
+        .alias("nbits")
+    )
+    # NOT persisted: both self-join sides shuffle on the same bucket
+    # key, so AQE reuses one exchange and the 48 sign folds already
+    # run once (measured: adding a persist here made the 100x probe
+    # 4x SLOWER — the cache materializes 3 wide rows per vector that
+    # the pipelined exchange never stores).
+    bands = "array(" + ", ".join(_srp_dyn_bucket_exprs_spark()) + ")"
+    bkt = (
+        emb.select(
+            "vec_id",
+            "e",
+            *[
+                F.expr(s).alias(f"sb{i}")
+                for i, s in enumerate(_srp_sign_exprs_spark())
+            ],
+        )
+        .crossJoin(F.broadcast(kdf))
+        .select("vec_id", "e", F.explode(F.expr(bands)).alias("bucket"))
     )
     a = bkt.alias("a")
     b = bkt.alias("b")
@@ -5426,29 +5518,60 @@ def embed_pq(spark, sf_dir):
     "dedup_semantic_cluster",
     oracle=_EMB_UNNEST_CTE
     + """
-    , cent AS (SELECT vec_id AS cid, pos, v FROM e WHERE vec_id < 8),
-    adots AS (
+    , ks AS (
+        SELECT k, cast(ceil(k / ceil(sqrt(k))) AS bigint) AS stride
+        FROM (SELECT greatest(8, cast(ceil(count(*) / 250.0) AS bigint)) AS k
+              FROM embeddings)
+    ),
+    cent AS (
+        SELECT vec_id AS cid, vec_id // ks.stride AS g, pos, v
+        FROM e CROSS JOIN ks WHERE vec_id < ks.k
+    ),
+    reps AS (
+        SELECT g, pos, v FROM cent CROSS JOIN ks WHERE cid % ks.stride = 0
+    ),
+    cdots AS (
+        SELECT e.vec_id, r.g, round(sum(e.v * r.v), 4) AS d
+        FROM e JOIN reps r ON r.pos = e.pos
+        GROUP BY 1, 2
+    ),
+    coarse AS (
+        SELECT vec_id, g FROM (
+            SELECT vec_id, g,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, g) AS rn
+            FROM cdots
+        ) WHERE rn = 1
+    ),
+    fdots AS (
         SELECT e.vec_id, c.cid, round(sum(e.v * c.v), 4) AS d
-        FROM e JOIN cent c ON c.pos = e.pos
+        FROM e
+        JOIN coarse co ON co.vec_id = e.vec_id
+        JOIN cent c ON c.g = co.g AND c.pos = e.pos
         GROUP BY 1, 2
     ),
     assign AS (
         SELECT vec_id, cid FROM (
             SELECT vec_id, cid,
                    row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
-            FROM adots
+            FROM fdots
         ) WHERE rn = 1
     ),
+    salted AS (
+        SELECT vec_id, cid,
+               (row_number() OVER (PARTITION BY cid ORDER BY vec_id) - 1) // 250
+                 AS salt
+        FROM assign
+    ),
     clustered AS (
-        SELECT a.vec_id, a.cid, e.pos, e.v
-        FROM e JOIN assign a ON a.vec_id = e.vec_id
+        SELECT a.vec_id, a.cid, a.salt, e.pos, e.v
+        FROM e JOIN salted a ON a.vec_id = e.vec_id
     ),
     pair_sims AS (
         SELECT x.vec_id AS keep_id, y.vec_id AS drop_id,
                round(sum(x.v * y.v), 4) AS cos_sim
         FROM clustered x
-        JOIN clustered y ON y.cid = x.cid AND y.pos = x.pos
-                         AND x.vec_id < y.vec_id
+        JOIN clustered y ON y.cid = x.cid AND y.salt = x.salt
+                         AND y.pos = x.pos AND x.vec_id < y.vec_id
         GROUP BY 1, 2
     ),
     dropped AS (
@@ -5466,34 +5589,110 @@ def dedup_semantic_cluster(spark, sf_dir):
     near-duplicate semantics pruned without any cross-cluster pair
     ever materializing.
 
-    Two stages, both bucketed: (1) ASSIGN — broadcast 8-row anchor
-    codebook, one linear scan (the sim_ivf spine; production uses
-    trained k-means centroids from ml_kmeans_lloyd); (2) PRUNE —
-    self-join ON CLUSTER ID ONLY, so the pair space is Σ|cluster|²,
-    not n² — the SemDeDup trade: clusters are capacity-bounded (k
-    scales with n so |cluster| stays ~constant), giving O(n·c) total
-    work at 100 TB.  Keep-lowest-id is a deterministic tiebreak (no
-    iteration-order dependence), and the dropped set derives from
-    4-dp-rounded cosines so the cut is engine-exact.
+    Two stages, both bucketed.  (1) ASSIGN is HIERARCHICAL: the anchor
+    codebook has k = max(8, ⌈n/250⌉) entries (capacity rule: k scales
+    with n so |cluster| stays ~250 — with a FIXED k the prune
+    self-join is n²/k, quadratic in disguise), but a flat
+    nearest-of-k scan would itself cost n·k = n²/250, the SAME
+    quadratic moved one stage earlier.  So vectors first pick the
+    nearest of ⌈√k⌉ coarse REPRESENTATIVES (every stride-th anchor,
+    stride = ⌈k/⌈√k⌉⌉ — pure id arithmetic, engine-mirrorable), then
+    the nearest anchor WITHIN that representative's id-stride group
+    (equi-join on group id, ≤ stride candidates per vector): n·2√k
+    total dot products, and the construction extends to log-depth
+    (b-ary anchor tree ⇒ n·b·log_b k) when k outgrows two levels —
+    the IVF/faiss shape SemDeDup uses in production (anchors here are
+    id-chosen; production uses trained k-means centroids from
+    ml_kmeans_lloyd).  (2) PRUNE — self-join ON CLUSTER ID ONLY, so
+    the pair space is Σ|cluster|² ≈ n·250, never n².  Both k and
+    stride derive declaratively from a broadcast 1-row count (no
+    driver collect).  Hierarchical assignment is the standard ANN
+    approximation: a vector may land on a different (near-tied)
+    anchor than the flat argmax would pick; the within-cluster prune
+    semantics are unchanged.  Keep-lowest-id is a deterministic
+    tiebreak (no iteration-order dependence), and both the coarse and
+    fine argmaxes order by 4-dp-rounded dots with id tiebreaks, so
+    assignment — and therefore the cut — is engine-exact.
     """
-    from pyspark.sql import Window
-
     emb = t_fanout(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    cent = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    kdf = (
+        emb.agg(
+            F.greatest(F.lit(8), F.ceil(F.count(F.lit(1)) / 250.0))
+            .cast("bigint")
+            .alias("kk")
+        )
+        .withColumn(
+            "stride",
+            F.ceil(F.col("kk") / F.ceil(F.sqrt(F.col("kk")))).cast("bigint"),
+        )
+    )
+    cent = (
+        emb.crossJoin(F.broadcast(kdf))
+        .filter(F.col("vec_id") < F.col("kk"))
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.expr("vec_id div stride").alias("g"),
+            (F.col("vec_id") % F.col("stride")).alias("slot"),
+            F.col("e").alias("ce"),
+        )
     )
     adot = F.expr(
         "aggregate(zip_with(e, ce, (x, y) -> x * y), cast(0.0 AS double), (acc, v) -> acc + v)"
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("d").desc(), F.col("cid"))
+    # Both argmaxes are max_by HASH AGGREGATES (map-side partial
+    # combine), never row_number windows, and the candidate relations
+    # carry only (vec_id, group/anchor id, d) — the 64-dim arrays are
+    # projected away BEFORE the argmax shuffle and joined back by id
+    # afterwards.  The (d DESC, id ASC) ordering is packed into ONE
+    # exact bigint (d is 4-dp-rounded, so round(d·10⁴) is integral;
+    # ids < 2^40; a struct max_by key forces SortAggregate, a bigint
+    # key hash-aggregates) — the oracle's row_number ORDER BY d DESC,
+    # id semantics, exactly.
+    def _argkey(idcol: str) -> str:
+        return (
+            f"cast(round(d * 10000) AS bigint) * 1099511627776L - {idcol}"
+        )
+
+    # coarse level: ⌈√k⌉ representatives (slot 0 of each stride group)
+    # — small enough to broadcast even at 100 TB-scale k (√k rows)
+    reps = cent.filter(F.col("slot") == 0).select("g", "ce")
+    coarse = (
+        emb.crossJoin(F.broadcast(reps))
+        .select("vec_id", F.round(adot, 4).alias("d"), "g")
+        .groupBy("vec_id")
+        .agg(F.expr(f"max_by(g, {_argkey('g')})").alias("g"))
+    )
+    # fine level: equi-join on the chosen group id — ≤ stride anchor
+    # candidates per vector, never the whole codebook; unhinted so AQE
+    # broadcasts the anchor side only while it is genuinely small
     assign = (
-        emb.crossJoin(F.broadcast(cent))
-        .select("vec_id", "e", "cid", F.round(adot, 4).alias("d"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
+        coarse.join(emb, "vec_id")
+        .join(cent.select("g", "cid", "ce"), "g")
+        .select("vec_id", F.round(adot, 4).alias("d"), "cid")
+        .groupBy("vec_id")
+        .agg(F.expr(f"max_by(cid, {_argkey('cid')})").alias("cid"))
+        .join(emb, "vec_id")
         .select("vec_id", "cid", "e")
+        # ENFORCE the capacity bound, don't just expect it: real (and
+        # synthetic) corpora skew, and one mega-cluster turns Σ|c|²
+        # quadratic again (measured on the rotation decade: max
+        # cluster 4456 vs avg 250 ⇒ 8× the balanced pair count and a
+        # 17×-per-decade prune).  Overflow clusters are split into
+        # deterministic 250-row sub-buckets (row_number by vec_id
+        # within the cluster — engine-exact, no hash involved), and
+        # the prune compares within (cid, salt) only: pair space
+        # ≤ n·250/2 REGARDLESS of skew.  Pairs split across
+        # sub-buckets are the recall trade the capacity contract
+        # already makes; at ≤250-row clusters salt = 0 everywhere and
+        # the split is a no-op.
+        .withColumn(
+            "salt",
+            F.expr(
+                "(row_number() over (partition by cid order by vec_id) - 1) div 250"
+            ),
+        )
         .persist()
     )
     x = assign.alias("x")
@@ -5505,6 +5704,7 @@ def dedup_semantic_cluster(spark, sf_dir):
         x.join(
             y,
             (F.col("x.cid") == F.col("y.cid"))
+            & (F.col("x.salt") == F.col("y.salt"))
             & (F.col("x.vec_id") < F.col("y.vec_id")),
         )
         .select(

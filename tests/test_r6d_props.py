@@ -142,10 +142,21 @@ def test_semantic_dedup_keeps_cluster_representatives(spark, registry):
     n = len(t)
     assert 0 < len(kept) <= n
     emb = np.array(t.embedding.tolist(), dtype=np.float64)
-    cents = emb[:8]
-    d = np.round(emb @ cents.T, 4)
-    # nearest centroid, ties to the lowest cid — mirror the query
-    cid = np.array([int(np.argmax(row)) for row in d])
+    # mirror the HIERARCHICAL assignment (r7): nearest of ceil(sqrt(k))
+    # coarse reps (every stride-th anchor), then nearest anchor within
+    # that stride group; 4-dp-rounded dots, ties to the lowest id
+    # (np.argmax returns the first maximum)
+    k = max(8, int(np.ceil(n / 250.0)))
+    stride = int(np.ceil(k / np.ceil(np.sqrt(k))))
+    reps_idx = [c for c in range(k) if c % stride == 0]
+    dc = np.round(emb @ emb[reps_idx].T, 4)
+    coarse_g = np.array([int(np.argmax(row)) for row in dc])
+    cid_list = []
+    for i in range(n):
+        cand = [c for c in range(k) if c // stride == coarse_g[i]]
+        dd = np.round(emb[i] @ emb[cand].T, 4)
+        cid_list.append(cand[int(np.argmax(dd))])
+    cid = np.array(cid_list)
     kept_by_cluster: dict[int, list[int]] = {}
     for r in kept:
         kept_by_cluster.setdefault(r["cid"], []).append(r["vec_id"])

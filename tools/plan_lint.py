@@ -105,8 +105,11 @@ RULES: dict[str, dict[str, str]] = {
         "the eligible-customer scan",
         "agg_kmv_set_ops": "1-row merged min-k sketch broadcast onto "
         "the 1-row exact-counts aggregate",
-        "dedup_semantic_cluster": "8-row anchor codebook broadcast "
-        "for cluster assignment (sim_ivf spine)",
+        "dedup_semantic_cluster": "capacity-derived anchor codebook "
+        "(k = max(8, n/250) rows) broadcast for cluster assignment, "
+        "plus the 1-row count that derives k",
+        "dedup_embed": "1-row corpus-count broadcast deriving the "
+        "dynamic SRP band width (nbits)",
         "agg_exact_median_twopass": "1-row rank/bucket target and "
         "1-row n/k stats broadcast between the two passes",
         "ml_logreg_irls": "1-row beta and step relations broadcast "

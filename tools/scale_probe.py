@@ -26,7 +26,14 @@ constant while the corpus grows — see build_x10_dedup) at 10× AND
 100× sf0.1 (500k docs): two measured decades for the candidate-
 generation-is-linear claim.
 
-Usage: python tools/scale_probe.py [--x10] [--x100] [--xdedup] [keys...]
+``--xemb`` probes the embedding family (SRP near-dup, SemDeDup,
+kNN/IVF/PQ search) over ROTATION-FAIR vector decades (per-copy seeded
+orthogonal rotations preserve within-copy cosines exactly while
+cross-copy cosines concentrate near 0 — see build_xemb) at 10× AND
+100× sf0.1 (200k vectors).
+
+Usage: python tools/scale_probe.py [--x10] [--x100] [--xdedup]
+[--xemb] [keys...]
 (writes stdout; redirect to reports/scale_probe_rN.txt to commit
 evidence)
 """
@@ -368,12 +375,100 @@ X_DEDUP_KEYS = [
 ]
 
 
+def build_xemb(src_dir: str, copies_n: int = 10) -> str:
+    """Materialize an EMBEDDING-FAIR ``copies_n``×-sf0.1 vector slice.
+
+    Each copy applies a seeded random ORTHOGONAL rotation (copy 0 is
+    the identity): rotations preserve every within-copy cosine
+    exactly — so per-copy near-dup structure, cluster geometry, and
+    top-k neighborhoods are those of the base corpus — while
+    cross-copy cosines concentrate near 0 (±1/√d).  This is the
+    embedding analogue of the dedup decade's token salting.  Caveats
+    the probe must respect: (a) hash-dependent blocking (SRP signs)
+    re-rolls per copy, and at d = 64 a ~0.8% tail of cross-copy pairs
+    exceeds cos 0.3 by chance, so result rows are NOT exactly linear
+    for threshold keys — the embedding decade gates RUNTIME growth
+    (plus constant-row checks for fixed-top-k keys), not row
+    linearity; (b) id-anchored codebooks (vec_id < k) draw all
+    anchors from copy 0, which is fine for capacity/runtime shape but
+    not a semantic-quality measurement.
+    """
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = os.path.join(src_dir, "embeddings.parquet")
+    st = os.stat(src)
+    digest = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_mtime}:{st.st_size}:emb{copies_n}v1".encode()
+    ).hexdigest()[:10]
+    out = os.path.join("/tmp", f"r2p_xemb_{digest}")
+    if os.path.isdir(out):
+        return out
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    t = pq.read_table(src)
+    vec_id = t.column("vec_id").to_numpy()
+    label = t.column("label").to_numpy()
+    emb = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
+    d = emb.shape[1]
+    ids, labs, mats = [], [], []
+    for k in range(copies_n):
+        if k == 0:
+            rot = emb
+        else:
+            q, r = np.linalg.qr(
+                np.random.default_rng(k).standard_normal((d, d))
+            )
+            # canonicalize QR sign so the rotation is deterministic
+            q = q * np.sign(np.diag(r))
+            rot = (emb @ q.astype(np.float32)).astype(np.float32)
+        ids.append(vec_id + k * 1_000_000)
+        labs.append(label)
+        mats.append(rot)
+    allm = np.concatenate(mats)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.concatenate(ids), type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(allm.reshape(-1), type=pa.float32()), d
+            ).cast(pa.list_(pa.float32())),
+            "label": pa.array(np.concatenate(labs), type=pa.int32()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(tmp, "embeddings.parquet"))
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+# embedding-family keys probed over the rotation decades.  "const"
+# keys return a fixed-size top-k result whose cardinality must not
+# move with corpus size; "report" keys' row counts are printed but
+# not gated (SRP recall re-rolls per copy; ~0.8% chance tail of
+# cross-copy cos>0.3 pairs at d=64).
+X_EMB_KEYS = [
+    ("dedup_embed", "report"),
+    ("dedup_semantic_cluster", "report"),
+    ("sim_knn", "const"),
+    ("sim_ivf", "const"),
+    ("embed_pq", "const"),
+]
+
+
 def main() -> int:
     args = sys.argv[1:]
     x10 = "--x10" in args
     x100 = "--x100" in args
     xdedup = "--xdedup" in args
-    args = [a for a in args if a not in ("--x10", "--x100", "--xdedup")]
+    xemb = "--xemb" in args
+    args = [a for a in args if a not in ("--x10", "--x100", "--xdedup", "--xemb")]
     keys = args or DEFAULT_KEYS
     spark = get_spark("scale_probe")
     reg = load_all()
@@ -459,8 +554,38 @@ def main() -> int:
             f"{'sub-linear overall (< 100x for 100x corpus)' if not dd_fail else 'GATE FAILED'}"
         )
 
+    emb_fail = False
+    if xemb:
+        em10 = build_xemb(SFS[2][1], copies_n=10)
+        em100 = build_xemb(SFS[2][1], copies_n=100)
+        print(f"\n--xemb: rotation-fair embedding decades at {em10} / {em100}")
+        print(
+            f"{'key':24s} {'sf0.1':>9s} {'x10':>9s} {'x100':>9s} "
+            f"{'x(0.1->x10)':>12s} {'x(x10->x100)':>13s} {'rows':>22s}"
+        )
+        for key, mode in X_EMB_KEYS:
+            times, rows = [], []
+            reg[key].fn(spark, SFS[2][1]).count()  # warm baseline
+            for sf_dir in (SFS[2][1], em10, em100):
+                t0 = time.time()
+                rows.append(reg[key].fn(spark, sf_dir).count())
+                times.append(time.time() - t0)
+            r1 = times[1] / max(times[0], 1e-9)
+            r2 = times[2] / max(times[1], 1e-9)
+            rows_ok = mode != "const" or (rows[0] == rows[1] == rows[2])
+            if r1 >= 15 or r2 >= 15 or r1 * r2 >= 100 or not rows_ok:
+                emb_fail = True
+            print(
+                f"{key:24s} {times[0]:8.2f}s {times[1]:8.2f}s {times[2]:8.2f}s "
+                f"{r1:11.1f}x {r2:12.1f}x {str(rows):>22s}"
+            )
+        print(
+            f"\nembedding decades: fixed-top-k keys constant-row; runtime "
+            f"{'sub-linear overall (< 100x for 100x vectors)' if not emb_fail else 'GATE FAILED'}"
+        )
+
     if not x10:
-        return 0 if worst < 10 and not dd_fail else 1
+        return 0 if worst < 10 and not dd_fail and not emb_fail else 1
 
     x10_dir = build_x10(SFS[2][1])
     print(f"\n--x10: synthetic 10x-sf0.1 slice at {x10_dir}")
@@ -520,7 +645,13 @@ def main() -> int:
             return 1
 
     return (
-        0 if worst < 10 and worst10 < 10 and worst_rel < 10 and not dd_fail else 1
+        0
+        if worst < 10
+        and worst10 < 10
+        and worst_rel < 10
+        and not dd_fail
+        and not emb_fail
+        else 1
     )
 
 
