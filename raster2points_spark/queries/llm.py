@@ -1895,18 +1895,23 @@ def text_contamination(spark, sf_dir):
 @register(
     "dedup_sorted_neighborhood",
     oracle="""
-    WITH keyed AS (
+    WITH pl AS (
+        SELECT cast(2 + greatest(0, ceil(ln(greatest(count(*) / 100000.0, 1.0))
+                                         / ln(36.0))) AS int) AS plen
+        FROM documents
+    ),
+    keyed AS (
         SELECT doc_id,
                substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 40) AS k,
                substr(text, 1, 80) AS head
         FROM documents
     ),
     nbr AS (
-        SELECT substr(k, 1, 2) AS blk, doc_id, head, k,
+        SELECT substr(k, 1, pl.plen) AS blk, doc_id, head, k,
                lag(doc_id) OVER w AS prev_id,
                lag(head) OVER w AS prev_head
-        FROM keyed
-        WINDOW w AS (PARTITION BY substr(k, 1, 2) ORDER BY k, doc_id)
+        FROM keyed CROSS JOIN pl
+        WINDOW w AS (PARTITION BY substr(k, 1, pl.plen) ORDER BY k, doc_id)
     )
     SELECT blk, doc_id, prev_id,
            levenshtein(head, prev_head) AS dist,
@@ -1921,14 +1926,22 @@ def dedup_sorted_neighborhood(spark, sf_dir):
     only ADJACENT rows (levenshtein on an 80-char head).
 
     Scale shape: a GLOBAL sort of 100 TB is exactly what we refuse to
-    do, so the sort is blocked by the key's 2-char prefix — windows
-    sort within blocks only (classic blocked sorted-neighborhood),
-    turning one global range-shuffle into |blocks| independent local
-    sorts.  Comparisons are O(n) adjacent pairs, not O(n²); the
-    levenshtein cap (80-char heads) bounds per-pair cost.  Every
-    adjacent pair is returned with its distance (is_dup flags the
-    ≤ 20 band) so the oracle discriminates even when the corpus has
-    no near-dups at small SF."""
+    do, so the sort is blocked by a prefix of the key — windows sort
+    within blocks only (classic blocked sorted-neighborhood), turning
+    one global range-shuffle into |blocks| independent local sorts.
+    The prefix LENGTH scales with the corpus
+    (plen = 2 + ⌈log₃₆(n/100k)⌉, from a broadcast 1-row count): a
+    fixed 2-char prefix caps blocks at 36² forever, which at 100 TB
+    means ≤1296 window partitions — 1296 tasks sorting ~77 GB each.
+    Growing the prefix one char per 36× of data keeps per-block rows
+    (and so per-task sort size) roughly constant; narrower blocks
+    compare fewer cross-prefix neighbors, the standard blocked-SNM
+    recall trade.  Every shipped corpus (n ≤ 100k ⇒ plen = 2) blocks
+    identically to the historical scheme.  Comparisons are O(n)
+    adjacent pairs, not O(n²); the levenshtein cap (80-char heads)
+    bounds per-pair cost.  Every adjacent pair is returned with its
+    distance (is_dup flags the ≤ 20 band) so the oracle discriminates
+    even when the corpus has no near-dups at small SF."""
     from pyspark.sql import Window
 
     keyed = t_fanout(spark, sf_dir, "documents").select(
@@ -1936,9 +1949,26 @@ def dedup_sorted_neighborhood(spark, sf_dir):
         F.substring(F.regexp_replace(F.lower("text"), "[^a-z0-9]", ""), 1, 40).alias("k"),
         F.substring("text", 1, 80).alias("head"),
     )
-    w = Window.partitionBy(F.substring("k", 1, 2)).orderBy("k", "doc_id")
+    pl = keyed.agg(
+        (
+            F.lit(2)
+            + F.greatest(
+                F.lit(0).cast("double"),
+                F.ceil(
+                    F.log(F.greatest(F.count(F.lit(1)) / 100000.0, F.lit(1.0)))
+                    / F.log(F.lit(36.0))
+                ).cast("double"),
+            )
+        )
+        .cast("int")
+        .alias("plen")
+    )
+    keyed = keyed.crossJoin(F.broadcast(pl)).withColumn(
+        "blk", F.expr("substring(k, 1, plen)")
+    )
+    w = Window.partitionBy("blk").orderBy("k", "doc_id")
     nbr = keyed.select(
-        F.substring("k", 1, 2).alias("blk"),
+        "blk",
         "doc_id",
         "head",
         "k",
