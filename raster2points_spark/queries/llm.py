@@ -2083,25 +2083,37 @@ def text_gopher_rules(spark, sf_dir):
 
 
 PACK_BUDGET = 512  # tokens per packed training sequence
+# Packing restarts every PACK_SHARD_DOCS doc-ids within a source: the
+# cumsum window partitions on (source, doc_id div PACK_SHARD_DOCS), so
+# per-task sort size is bounded no matter how large one source grows —
+# partitioning by source alone makes ONE window partition per source
+# (a handful of ~20 TB sorts at 100 TB).  The cost is one possibly
+# part-filled sequence per shard boundary — exactly the trade
+# production shard-local packing makes.  Every shipped corpus has
+# doc_id < 100000, so pack_shard = 0 everywhere and results match the
+# historical per-source packing bit-for-bit.
+PACK_SHARD_DOCS = 100_000
 
 
 @register(
     "pack_sequences",
     oracle=f"""
     WITH toks AS (
-        SELECT doc_id, source, len({TOKS_DUCK}) AS n_tok FROM documents
+        SELECT doc_id, source, doc_id // {PACK_SHARD_DOCS} AS pack_shard,
+               len({TOKS_DUCK}) AS n_tok
+        FROM documents
     ),
     pos AS (
-        SELECT doc_id, source, n_tok,
-               sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        SELECT doc_id, source, pack_shard, n_tok,
+               sum(n_tok) OVER (PARTITION BY source, pack_shard ORDER BY doc_id
                                 ROWS UNBOUNDED PRECEDING) - n_tok AS tok_offset
         FROM toks
     )
-    SELECT source,
+    SELECT source, pack_shard,
            cast(floor(tok_offset / {PACK_BUDGET}) AS bigint) AS seq_id,
            count(*) AS n_docs, cast(sum(n_tok) AS bigint) AS total_tokens,
            min(doc_id) AS first_doc, max(doc_id) AS last_doc
-    FROM pos GROUP BY 1, 2
+    FROM pos GROUP BY 1, 2, 3
     """,
 )
 def pack_sequences(spark, sf_dir):
@@ -2113,18 +2125,22 @@ def pack_sequences(spark, sf_dir):
     docs/tokens per packed sequence.
 
     Scale shape: the running offset is a cumulative-sum window
-    PARTITIONED BY source shard — no global sort, no single-partition
-    window; 100 TB packs as |shards| independent local sorts, exactly
-    how production packing shards the corpus.  One shuffle (by
-    source) feeds both the window and the rollup.
+    PARTITIONED BY (source, pack_shard) — no global sort, no
+    single-partition window, and no unbounded partition either: the
+    doc_id-range sub-shard (PACK_SHARD_DOCS block comment) bounds
+    every window partition's sort regardless of how one source grows.
+    One shuffle feeds both the window and the rollup.
     """
     from pyspark.sql import Window
 
     toks = t(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.size(F.expr(TOKS_SPARK)).alias("n_tok")
+        "doc_id",
+        "source",
+        F.expr(f"doc_id div {PACK_SHARD_DOCS}").alias("pack_shard"),
+        F.size(F.expr(TOKS_SPARK)).alias("n_tok"),
     )
     w = (
-        Window.partitionBy("source")
+        Window.partitionBy("source", "pack_shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -2132,6 +2148,7 @@ def pack_sequences(spark, sf_dir):
     return (
         pos.groupBy(
             "source",
+            "pack_shard",
             F.floor(F.col("tok_offset") / PACK_BUDGET).alias("seq_id"),
         )
         .agg(
@@ -4773,11 +4790,15 @@ def text_novelty(spark, sf_dir):
 @register(
     "shuffle_shards",
     oracle="""
-    WITH keyed AS (
-      SELECT doc_id,
-             cast(concat('0x', substr(md5(concat('shard#', cast(doc_id AS varchar))), 1, 15)) AS bigint) % 16 AS shard,
-             md5(concat('order#', cast(doc_id AS varchar))) AS okey
+    WITH ns AS (
+      SELECT greatest(16, cast(ceil(count(*) / 100000.0) AS bigint)) AS nshards
       FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id,
+             cast(concat('0x', substr(md5(concat('shard#', cast(doc_id AS varchar))), 1, 15)) AS bigint) % ns.nshards AS shard,
+             md5(concat('order#', cast(doc_id AS varchar))) AS okey
+      FROM documents CROSS JOIN ns
     )
     SELECT doc_id, shard,
            row_number() OVER (PARTITION BY shard ORDER BY okey, doc_id) AS pos
@@ -4793,25 +4814,34 @@ def shuffle_shards(spark, sf_dir):
     partitioning, any day — which `df.orderBy(rand())` can never give.
 
     Two independent keyed hashes do it: md5('shard#'||id) picks the
-    shard (16 here; thousands at 100 TB), md5('order#'||id) orders
-    WITHIN the shard — independent keys so shard assignment doesn't
-    correlate with intra-shard position.  `pos` is the explicit
-    within-shard index a sequential reader would see.
+    shard, md5('order#'||id) orders WITHIN the shard — independent
+    keys so shard assignment doesn't correlate with intra-shard
+    position.  `pos` is the explicit within-shard index a sequential
+    reader would see.
 
     Spark shape: one hash-keyed exchange (partition by shard) + a
     per-shard sort — exactly the write path of
     `repartition(shard).sortWithinPartitions(okey)`, whose file order
     IS this row_number; the window form materializes the position so
-    the contract is value-checkable cross-engine.  Scale: shard count
-    is chosen so one shard ≈ one task's worth of rows (e.g. 100 TB /
-    512 MB ≈ 200k shards); the md5 keys are uniform so no shard skews.
+    the contract is value-checkable cross-engine.  Scale: the shard
+    COUNT tracks the corpus — nshards = max(16, ⌈n/100k⌉) from a
+    broadcast 1-row count, so one shard stays ≈ one task's worth of
+    rows (100 TB ⇒ ~10⁶ shards) instead of 16 fixed window partitions
+    each sorting 1/16th of the corpus; every shipped corpus
+    (n ≤ 1.6M ⇒ 16 shards) shards identically to the historical
+    constant.  The md5 keys are uniform so no shard skews.
     """
     d = t(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
-    keyed = d.select(
+    ndf = d.agg(
+        F.greatest(F.lit(16), F.ceil(F.count(F.lit(1)) / 100000.0))
+        .cast("bigint")
+        .alias("nshards")
+    )
+    keyed = d.crossJoin(F.broadcast(ndf)).select(
         "doc_id",
-        hash_bucket("shard#", mod=16).alias("shard"),
+        hash_bucket("shard#", mod=F.col("nshards")).alias("shard"),
         F.md5(F.concat(F.lit("order#"), F.col("doc_id").cast("string"))).alias("okey"),
     )
     w = Window.partitionBy("shard").orderBy("okey", "doc_id")

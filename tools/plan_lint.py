@@ -112,6 +112,8 @@ RULES: dict[str, dict[str, str]] = {
         "dynamic SRP band width (nbits)",
         "dedup_sorted_neighborhood": "1-row corpus-count broadcast "
         "deriving the dynamic block-prefix length (plen)",
+        "shuffle_shards": "1-row corpus-count broadcast deriving the "
+        "dynamic shard count (nshards)",
         "agg_exact_median_twopass": "1-row rank/bucket target and "
         "1-row n/k stats broadcast between the two passes",
         "ml_logreg_irls": "1-row beta and step relations broadcast "
