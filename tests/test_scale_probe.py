@@ -42,6 +42,21 @@ def test_dedup_decade_is_a_bijective_rename(spark, registry):
         )
 
 
+def test_emb_decade_rotation_keeps_topk_cardinality(spark, registry):
+    """The rotation decade's invariant for fixed-top-k search keys:
+    per-copy orthogonal rotations preserve within-copy geometry, and
+    the probe/top-k contract returns a FIXED number of rows — corpus
+    growth must change neighbors' identities at most, never the
+    result cardinality."""
+    from scale_probe import build_xemb
+
+    x2 = build_xemb(SF0001, copies_n=2)
+    for key in ("sim_knn", "sim_ivf", "embed_pq"):
+        base = registry[key].fn(spark, SF0001).count()
+        doubled = registry[key].fn(spark, x2).count()
+        assert doubled == base, f"{key}: top-k cardinality moved {base}->{doubled}"
+
+
 def test_dedup_near_never_pairs_across_copies(spark, registry):
     """LSH band minima re-roll under salting, so a borderline pair's
     recall varies per copy (rows <= 2x base) — but the exact-Jaccard
