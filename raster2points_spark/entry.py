@@ -146,9 +146,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # (tpch_q16 lost its redundant pre-distinct at the same time but
 # already sits in the live r7 window, so the driver grades the new
 # plan this round.)
-# Also late-r7, the embedding-family scale fixes (both re-verified at
-# all three scales + determinism + lint; both lead r8 with the group
-# above): dedup_semantic_cluster now derives its anchor count from
+# Also late-r7, the fixed-parameter-trap scale fixes (ALL re-verified
+# at all three scales + determinism + lint; all five lead r8 with the
+# group above): dedup_semantic_cluster now derives its anchor count from
 # corpus size (k = max(8, n/250) — capacity-bounded clusters; fixed k
 # made the prune self-join n²/k) and assigns HIERARCHICALLY (nearest
 # of ⌈√k⌉ coarse reps, then nearest anchor within that id-stride
@@ -158,7 +158,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # (nbits = 8 + ⌈log2(n/2000)⌉ folded from 16 materialized sign bits,
 # so 2^nbits ∝ n keeps bucket sizes constant; results at shipped
 # scales unchanged — n ≤ 2000 buckets identically to the fixed 8-bit
-# scheme).
+# scheme).  The same audit also made three more structural constants
+# corpus-derived (shipped-scale results unchanged for all three, each
+# from a broadcast 1-row count): dedup_sorted_neighborhood's block
+# prefix length (plen = 2 + ceil(log36(n/100k))), pack_sequences'
+# cumsum sub-shard (window now partitions on (source, doc_id div
+# 100k); OUTPUT gained the pack_shard column), and shuffle_shards'
+# shard count (nshards = max(16, ceil(n/100k)); dynamic path
+# cross-checked vs DuckDB at 2M synthetic docs).  These three queue
+# directly behind the embedding pair at the r8 head.
 
 def _ordered():
     registry = load_all()
