@@ -2358,12 +2358,15 @@ def embed_quantize(spark, sf_dir):
               < cast(floor(t.n_min * 1000.0 / c.n_src) AS bigint)
     ),
     packed AS (
-        SELECT source, n_tok,
-               sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        SELECT source, n_tok, doc_id // {PACK_SHARD_DOCS} AS pack_shard,
+               sum(n_tok) OVER (PARTITION BY source, doc_id // {PACK_SHARD_DOCS}
+                                ORDER BY doc_id
                                 ROWS UNBOUNDED PRECEDING) - n_tok AS tok_offset
         FROM mixed
     )
-    SELECT source, cast(floor(tok_offset / {PACK_BUDGET}) AS bigint) AS seq_id,
+    SELECT source,
+           pack_shard * 4294967296 + cast(floor(tok_offset / {PACK_BUDGET}) AS bigint)
+             AS seq_id,
            count(*) AS n_docs, cast(sum(n_tok) AS bigint) AS total_tokens
     FROM packed GROUP BY 1, 2
     """,
@@ -2407,15 +2410,23 @@ def pipeline_train_ready(spark, sf_dir):
         .filter(bkt < F.floor(F.col("n_min") * F.lit(1000.0) / F.col("n_src")).cast("bigint"))
         .select("doc_id", "source", "n_tok")
     )
+    # pack-shard the cumsum like pack_sequences (PACK_SHARD_DOCS block
+    # comment) — the sub-shard folds into seq_id (shard · 2³²) instead
+    # of a new column, so the composite's schema is unchanged and
+    # shipped corpora (doc_id < 100k ⇒ shard 0) pack bit-identically.
     w_pack = (
-        Window.partitionBy("source")
+        Window.partitionBy("source", F.expr(f"doc_id div {PACK_SHARD_DOCS}"))
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     packed = mixed.withColumn("tok_offset", F.sum("n_tok").over(w_pack) - F.col("n_tok"))
     return (
         packed.groupBy(
-            "source", F.floor(F.col("tok_offset") / PACK_BUDGET).alias("seq_id")
+            "source",
+            (
+                F.expr(f"(doc_id div {PACK_SHARD_DOCS}) * 4294967296L")
+                + F.floor(F.col("tok_offset") / PACK_BUDGET)
+            ).alias("seq_id"),
         )
         .agg(F.count("*").alias("n_docs"), F.sum("n_tok").cast("bigint").alias("total_tokens"))
     )
@@ -2734,22 +2745,69 @@ def sample_stratified(spark, sf_dir):
     """Exact 10%-per-stratum sample: rank by a keyed md5 inside each
     source stratum and keep ceil(0.1·n) rows — engine- and
     partitioning-independent (same survivors everywhere), unlike
-    rate-based hash sampling which is only 10% in expectation.  One
-    shuffle on the stratum key serves both the rank and the stratum
-    count; at 100 TB strata are the natural partition and a skewed
-    mega-stratum falls back to the two-phase top-k shape (_knn_pairs)."""
+    rate-based hash sampling which is only 10% in expectation.
+
+    Scale shape: the naive formulation windows the WHOLE stratum
+    (|sources| window partitions = a handful of full-corpus sorts at
+    100 TB).  The exact rank decomposes instead: bucket every row by
+    an md5-key prefix (hex prefixes sort consistently with the full
+    key, so every bucket-b row ranks before every bucket-(b+1) row),
+    then rn = (survivor-count of all earlier buckets — a per-stratum
+    prefix sum over the TINY (source, bucket) count relation) +
+    (row_number within the row's own bucket — a BOUNDED window
+    partition).  The bucket count scales with the corpus
+    (16^c ∝ n; shipped corpora use the 4096-bucket floor), so no
+    window partition ever exceeds ~1000 rows in expectation at any
+    scale.  Selection and ranks are bit-identical to the naive
+    formulation — the DuckDB oracle keeps the one-window version as
+    readable ground truth, and the cross-engine hash match proves the
+    decomposition.
+    """
     from pyspark.sql import Window
 
     d = t(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(
-        F.md5(F.concat(F.lit("strat#"), F.col("doc_id").cast("string"))), F.col("doc_id")
+    h = F.md5(F.concat(F.lit("strat#"), F.col("doc_id").cast("string")))
+    cdf = d.agg(
+        F.greatest(
+            F.lit(3),
+            F.ceil(
+                F.log(F.greatest(F.count(F.lit(1)) / 1000.0, F.lit(1.0)))
+                / F.log(F.lit(16.0))
+            ),
+        )
+        .cast("int")
+        .alias("pc")
     )
-    wc = Window.partitionBy("source")
-    ranked = d.select(
+    keyed = d.crossJoin(F.broadcast(cdf)).select(
         "source",
         "doc_id",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wc).alias("n_strat"),
+        h.alias("h"),
+        F.expr("substring(md5(concat('strat#', cast(doc_id AS string))), 1, pc)").alias(
+            "bkt"
+        ),
+    )
+    nstrat = keyed.groupBy("source").agg(F.count("*").alias("n_strat"))
+    bcnt = keyed.groupBy("source", "bkt").agg(F.count("*").alias("cnt"))
+    # prefix sum over the collapsed (source, bucket) relation — 16^pc
+    # rows per stratum, never the fact stream
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offs = bcnt.select(
+        "source", "bkt", (F.sum("cnt").over(w_cum) - F.col("cnt")).alias("before")
+    )
+    w_in = Window.partitionBy("source", "bkt").orderBy("h", "doc_id")
+    ranked = (
+        keyed.join(offs, ["source", "bkt"])
+        .join(F.broadcast(nstrat), "source")
+        .select(
+            "source",
+            "doc_id",
+            (F.col("before") + F.row_number().over(w_in)).alias("rn"),
+            "n_strat",
+        )
     )
     return ranked.filter(F.col("rn") <= F.ceil(0.1 * F.col("n_strat")))
 

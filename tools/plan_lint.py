@@ -114,6 +114,8 @@ RULES: dict[str, dict[str, str]] = {
         "deriving the dynamic block-prefix length (plen)",
         "shuffle_shards": "1-row corpus-count broadcast deriving the "
         "dynamic shard count (nshards)",
+        "sample_stratified": "1-row corpus-count broadcast deriving "
+        "the dynamic md5-prefix bucket width (pc)",
         "agg_exact_median_twopass": "1-row rank/bucket target and "
         "1-row n/k stats broadcast between the two passes",
         "ml_logreg_irls": "1-row beta and step relations broadcast "
