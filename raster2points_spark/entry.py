@@ -166,7 +166,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # 100k); OUTPUT gained the pack_shard column), and shuffle_shards'
 # shard count (nshards = max(16, ceil(n/100k)); dynamic path
 # cross-checked vs DuckDB at 2M synthetic docs).  These three queue
-# directly behind the embedding pair at the r8 head.
+# directly behind the embedding pair at the r8 head, followed by the
+# audit's final two: pipeline_train_ready (pack sub-shard folded into
+# seq_id — schema unchanged, shipped packing bit-identical) and
+# sample_stratified (whole-stratum rank decomposed into prefix-bucket
+# cumulative counts + bounded within-bucket row_numbers — selection
+# and ranks bit-identical to the one-window oracle).
 
 def _ordered():
     registry = load_all()
