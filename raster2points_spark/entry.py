@@ -171,7 +171,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # seq_id — schema unchanged, shipped packing bit-identical) and
 # sample_stratified (whole-stratum rank decomposed into prefix-bucket
 # cumulative counts + bounded within-bucket row_numbers — selection
-# and ranks bit-identical to the one-window oracle).
+# and ranks bit-identical to the one-window oracle), and sim_ivf
+# (k = max(8, ceil(sqrt(n))) centroids, hierarchical index build,
+# nprobe = 2 — RESULTS CHANGED at shipped scales; hash-matched at all
+# three, recall floor vs exact kNN still green).
 
 def _ordered():
     registry = load_all()

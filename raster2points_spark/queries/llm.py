@@ -1390,22 +1390,46 @@ def dedup_embed(spark, sf_dir):
 _IVF_ORACLE = (
     _EMB_UNNEST_CTE
     + """
-    , cent AS (SELECT vec_id AS cid, pos, v FROM e WHERE vec_id < 8),
-    adots AS (
-        SELECT e.vec_id, c.cid, round(sum(e.v * c.v), 4) AS d
-        FROM e JOIN cent c ON c.pos = e.pos
+    , ks AS (
+        SELECT k, cast(ceil(k / ceil(sqrt(k))) AS bigint) AS stride
+        FROM (SELECT greatest(8, cast(ceil(sqrt(count(DISTINCT vec_id))) AS bigint)) AS k
+              FROM e)
+    ),
+    cent AS (
+        SELECT vec_id AS cid, vec_id // ks.stride AS g, pos, v
+        FROM e CROSS JOIN ks WHERE vec_id < ks.k
+    ),
+    reps AS (
+        SELECT g, pos, v FROM cent CROSS JOIN ks WHERE cid % ks.stride = 0
+    ),
+    cdots AS (
+        SELECT e.vec_id, r.g, round(sum(e.v * r.v), 4) AS d
+        FROM e JOIN reps r ON r.pos = e.pos
         GROUP BY 1, 2
     ),
-    assign AS (
-        SELECT vec_id, cid FROM (
-            SELECT vec_id, cid,
-                   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
-            FROM adots
+    coarse AS (
+        SELECT vec_id, g FROM (
+            SELECT vec_id, g,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, g) AS rn
+            FROM cdots
         ) WHERE rn = 1
     ),
+    fdots AS (
+        SELECT e.vec_id, c.cid, round(sum(e.v * c.v), 4) AS d
+        FROM e
+        JOIN coarse co ON co.vec_id = e.vec_id
+        JOIN cent c ON c.g = co.g AND c.pos = e.pos
+        GROUP BY 1, 2
+    ),
+    franked AS (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS frn
+        FROM fdots
+    ),
+    assign AS (SELECT vec_id, cid FROM franked WHERE frn = 1),
     probes AS (
-        SELECT e.vec_id AS probe_id, a.cid, e.pos, e.v
-        FROM e JOIN assign a ON a.vec_id = e.vec_id
+        SELECT e.vec_id AS probe_id, f.cid, e.pos, e.v
+        FROM e JOIN franked f ON f.vec_id = e.vec_id AND f.frn <= 2
         WHERE e.vec_id < 5
     ),
     cands AS (
@@ -1429,41 +1453,93 @@ _IVF_ORACLE = (
 
 @register("sim_ivf", oracle=_IVF_ORACLE)
 def sim_ivf(spark, sf_dir):
-    """IVF-style ANN: assign every vector to its nearest of 8 fixed
-    centroids (first 8 corpus vectors stand in for a trained codebook),
-    then search each probe ONLY within its own cluster (top-5).
+    """IVF-style ANN: assign every vector to its nearest centroid from
+    a k = max(8, ⌈√n⌉)-entry codebook (the first k corpus vectors
+    stand in for trained centroids), then search each probe only
+    within its nprobe = 2 best clusters (top-5).
 
-    The scale story: the centroid table is broadcast (8 rows at any
-    corpus size), assignment is one linear scan, and the probe search
-    shuffles by cluster id — each query touches ~1/C of the corpus
-    instead of all of it.  Recall loss vs sim_knn is the usual IVF
-    trade; both are oracle-checked so the difference is inspectable.
+    The scale story is the textbook IVF shape, now with the
+    parameters actually scaling: k ∝ √n balances per-probe search
+    cost (n/k candidates) against codebook scan cost (k) — a FIXED k
+    makes every query scan n/8 of the corpus, i.e. a 12.5 TB lookup
+    at 100 TB.  Index build avoids the flat n·k scan the same way
+    dedup_semantic_cluster does: nearest of ⌈√k⌉ coarse
+    representatives first, then the fine argmax within that id-stride
+    group (n·2√k dots; packed-bigint max_by hash aggregates, arrays
+    projected away before every argmax shuffle).  nprobe = 2 — the
+    probe searches its two best fine clusters — buys back the recall
+    the smaller √n-sized clusters cost, the standard IVF knob.
+    Recall loss vs sim_knn stays the usual IVF trade; both are
+    oracle-checked so the difference is inspectable
+    (tests/test_llm.py pins a recall floor).
     """
     from pyspark.sql import Window
 
     emb = t_fanout(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    cent = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    kdf = (
+        emb.agg(
+            F.greatest(F.lit(8), F.ceil(F.sqrt(F.count(F.lit(1)))))
+            .cast("bigint")
+            .alias("kk")
+        )
+        .withColumn(
+            "stride",
+            F.ceil(F.col("kk") / F.ceil(F.sqrt(F.col("kk")))).cast("bigint"),
+        )
+    )
+    cent = (
+        emb.crossJoin(F.broadcast(kdf))
+        .filter(F.col("vec_id") < F.col("kk"))
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.expr("vec_id div stride").alias("g"),
+            (F.col("vec_id") % F.col("stride")).alias("slot"),
+            F.col("e").alias("ce"),
+        )
     )
     adot = F.expr("aggregate(zip_with(e, ce, (x, y) -> x * y), cast(0.0 AS double), (acc, v) -> acc + v)")
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("d").desc(), F.col("cid"))
+
+    def _argkey(idcol: str) -> str:
+        return f"cast(round(d * 10000) AS bigint) * 1099511627776L - {idcol}"
+
+    reps = cent.filter(F.col("slot") == 0).select("g", "ce")
+    coarse = (
+        emb.crossJoin(F.broadcast(reps))
+        .select("vec_id", F.round(adot, 4).alias("d"), "g")
+        .groupBy("vec_id")
+        .agg(F.expr(f"max_by(g, {_argkey('g')})").alias("g"))
+    )
+    # fine dots for the chosen group: feeds BOTH the rn=1 assignment
+    # (the IVF index) and the probes' rn<=2 cluster choice
+    w_fine = Window.partitionBy("vec_id").orderBy(F.col("d").desc(), F.col("cid"))
+    franked = (
+        coarse.join(emb, "vec_id")
+        .join(cent.select("g", "cid", "ce"), "g")
+        .select("vec_id", F.round(adot, 4).alias("d"), "cid")
+        .withColumn("frn", F.row_number().over(w_fine))
+        # index rows (frn=1 for every vector) + the probes' second
+        # cluster; at scale the frn=2 tail exists only for the probe set
+        .filter((F.col("frn") == 1) | ((F.col("frn") <= 2) & (F.col("vec_id") < 5)))
+        .persist()
+    )
     # persist: the assignment (vector → nearest centroid) feeds both
     # the probe set and the candidate side of the cluster-pruned
     # search; one codebook scan instead of two.  On a cluster this is
     # the materialized IVF index — the thing a vector store would
     # build once and reuse across queries.
     assign = (
-        emb.crossJoin(F.broadcast(cent))
-        .select("vec_id", "e", "cid", F.round(adot, 4).alias("d"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
+        franked.filter(F.col("frn") == 1)
+        .select("vec_id", "cid")
+        .join(emb, "vec_id")
         .select("vec_id", "e", "cid")
         .persist()
     )
-    probes = assign.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("probe_id"), F.col("cid"), F.col("e").alias("pe")
+    probes = (
+        franked.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("probe_id"), "cid")
+        .join(emb.select(F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")), "probe_id")
     )
     pdot = F.expr("aggregate(zip_with(pe, e, (x, y) -> x * y), cast(0.0 AS double), (acc, v) -> acc + v)")
     w_rank = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("vec_id"))

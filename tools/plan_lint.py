@@ -53,7 +53,7 @@ RULES: dict[str, dict[str, str]] = {
         "join_theta_range": "non-equi theta join vs a broadcast 25-row dim",
         "sim_knn": "probe set (5 rows) broadcast against the corpus scan",
         "sim_knn_label": "probe set broadcast",
-        "sim_ivf": "8-centroid codebook broadcast",
+        "sim_ivf": "sqrt(n)-entry codebook: 1-row count broadcast deriving k, plus the sqrt(k)-row coarse-rep broadcast",
         "text_heavy_hitters": "1-row corpus count broadcast",
         "text_unigram_ppl": "1-row corpus token total broadcast",
         "text_tfidf": "1-row corpus doc-count (nd) broadcast",
