@@ -17,164 +17,96 @@ SF0001 = "/root/testdata/sf0.001"
 
 # The grading driver evaluates only the FIRST 50 ``queries()`` keys per
 # round.  Cumulative driver-verified coverage = union of all round
-# windows (r1: 44, r3: 43, r4: 50, r5: 50, r6: 50 -> 227/361 graded,
-# 0 red).  The registry is FROZEN at 361 for r7 (VERDICT r6 #2): the
-# entire window goes to never-driver-graded keys, ordered per the
-# judge's triage -- TPC-H first (worst evidence ratio, 3/22), then the
-# analytics family (14/40), then the keys whose implementation or
-# oracle changed THIS round (changed keys always outrank
-# re-confirmation), then the two heaviest llm composites.
-# All 50 are oracle-checked keys drawn from the 134-key never-graded
-# list, leaving the never-graded gap at exactly 84 after this round.
+# windows (r1: 44, r3: 43, r4: 50, r5: 50, r6: 50, r7: 50 -> 277/361
+# graded, 0 red; r7 was 50/50 hash-green).  The registry stays FROZEN
+# at 361 for r8 (VERDICT r6 #2: no new keys until the evidence window
+# catches up).  The r8 window below has two tranches:
+#
+# 1. Fourteen CHANGED-IMPLEMENTATION keys (changed keys always outrank
+#    re-confirmation).  Changed in r8: dedup_embed (ADVICE: nbits
+#    formula now explicitly least(16, ...) on BOTH engines; shipped-
+#    scale results unchanged) and sim_ivf (ADVICE: oracle k now
+#    derived from count(*) FROM embeddings, matching Spark's count
+#    expression; results unchanged).  Changed late in r7, AFTER that
+#    round's window froze (all re-verified locally at sf0.001/0.01/0.1
+#    + determinism + lint, see reports/): graph_pagerank,
+#    graph_triangle_count, tpch_q3, tpch_q5, ml_naive_bayes, text_bm25,
+#    dedup_semantic_cluster, dedup_sorted_neighborhood, pack_sequences,
+#    shuffle_shards, pipeline_train_ready, sample_stratified.
+# 2. Thirty-six keys from the 84 never-driver-graded list (four of the
+#    tranche-1 keys are also never-graded, so this window retires 40
+#    of the 84): llm.py's remaining 28 (composites and privacy first),
+#    then raster.py's 8.
+#
+# All 50 are oracle-checked.  Never-graded gap after r8 = 44, which is
+# exactly joins.py 8 + aggs.py 6 + scans.py 7 + functions.py 6 +
+# udfs.py 4 + windows.py 4 + behavioral.py 4 + sorts_setops.py 3 +
+# streaming.py 1 + fn_uuid_name -- the whole set fits r9's window with
+# ~6 slots left over to begin the r1-era evidence refresh (VERDICT r6
+# #4): agg_groupby family, filter_pred, project_expr, case_when,
+# distinct_rows, fn_string/math/cast/higher_order, join_inner_eq /
+# broadcast_star / left / right / full / theta_range / semi / anti /
+# cross / salted / bucketed / interval_bucketed, dedup_exact / jaccard
+# / near / simhash, text_tokens, text_stats (38 keys whose newest
+# driver row is r1) -- r9 takes the 6 oldest, r10 finishes the rest.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- 1. TPC-H suite, the 19 shapes with no driver row (q3/q5/q18
-    #        already graded) ---
-    "tpch_q1",
-    "tpch_q2",
-    "tpch_q4",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    # --- 2. analytics/profiling family, all 26 never-graded keys ---
-    "ts_ewma",
-    "graph_shortest_hops",
-    "ts_seasonal_decompose",
-    "agg_benford_profile",
-    "ts_autocorr",
-    "ab_test_proportions",
-    "ts_cusum_changepoint",
-    "agg_corr_matrix",
-    "profile_drift_psi",
-    "agg_gini",
-    "ts_backtest_naive",
-    "ts_interpolate_linear",
-    "dq_expectations",
-    "agg_moments",
-    "corr_spearman",
-    "win_rolling_median",
-    "ts_ohlc",
-    "ml_auc_roc",
-    "ml_decision_stump",
-    "ml_calibration_bins",
-    "ml_linreg_normal",
-    "ts_cross_correlation",
-    "skyline_pareto_front",
-    "hierarchy_rollup",
-    "ml_logreg_irls",
-    "stat_bootstrap_se",
-    # --- 3. implementation/oracle changed in r7 (advisor fixes:
-    #        exact-integer HLL bucketing, NULL-safe KMV kth element,
-    #        loud pysource drain timeout; tpch_q2's oracle de-shadowing
-    #        is covered by its slot above) ---
-    "agg_hll_oracle",
-    "agg_kmv_set_ops",
-    "scan_pysource_stream",
-    # --- 4. the two heaviest llm composites (multi-stage plans where a
-    #        driver-environment divergence would be most informative) ---
-    "pipeline_entity_resolution",
-    "pipeline_rag_index",
+    # --- tranche 1: changed implementations (r8 ADVICE fixes first,
+    #     then the late-r7 scale-audit and rewrite group) ---
+    "dedup_embed",
+    "sim_ivf",
+    "ml_naive_bayes",
+    "text_bm25",
+    "dedup_semantic_cluster",
+    "shuffle_shards",
+    "graph_pagerank",
+    "graph_triangle_count",
+    "tpch_q3",
+    "tpch_q5",
+    "dedup_sorted_neighborhood",
+    "pack_sequences",
+    "pipeline_train_ready",
+    "sample_stratified",
+    # --- tranche 2a: llm.py never-graded (28; composites, privacy,
+    #     similarity, text-quality, features, sampling) ---
+    "pipeline_quality_ensemble",
+    "pipeline_release_gate",
+    "privacy_erasure_cascade",
+    "dedup_containment",
+    "dedup_near_recall",
+    "embed_pq",
+    "embed_power_iteration",
+    "sim_mips",
+    "sim_matryoshka_eval",
+    "ml_kmeans_lloyd",
+    "ml_ndcg",
+    "text_bigram_ppl",
+    "text_kn_smoothing",
+    "text_phrase_near",
+    "text_sentence_split",
+    "text_readability",
+    "text_novelty",
+    "text_boilerplate",
+    "feature_loo_encoding",
+    "feature_onehot",
+    "feature_hashing",
+    "sample_kcenter",
+    "sample_balanced",
+    "privacy_k_anonymity",
+    "privacy_l_diversity",
+    "privacy_dp_counts",
+    "profile_key_skew",
+    "mm_training_manifest",
+    # --- tranche 2b: raster.py never-graded (8) ---
+    "raster_resample_bilinear",
+    "raster_region_label",
+    "raster_flow_direction",
+    "raster_flow_accumulation",
+    "spatial_nearest",
+    "raster_contour_cells",
+    "spatial_point_in_polygon",
+    "raster_mosaic_priority",
 )
-# ROUND-8+ ROTATION QUEUE (VERDICT r6 #4): after this window the
-# never-graded gap is the 84 keys below; fill r8's window from it in
-# this order (family-newest + composites first), then start the r1-era
-# evidence refresh in r9.
-# (a) llm.py remaining 33: pipeline_quality_ensemble,
-#     pipeline_release_gate, dedup_semantic_cluster, dedup_containment,
-#     dedup_near_recall, embed_pq, embed_power_iteration, sim_mips,
-#     sim_matryoshka_eval, ml_kmeans_lloyd, ml_naive_bayes, ml_ndcg,
-#     text_bigram_ppl, text_kn_smoothing, text_bm25, text_phrase_near,
-#     text_sentence_split, text_readability, text_novelty,
-#     text_boilerplate, feature_loo_encoding, feature_onehot,
-#     feature_hashing, sample_kcenter, sample_balanced, shuffle_shards,
-#     privacy_k_anonymity, privacy_l_diversity, privacy_dp_counts,
-#     privacy_erasure_cascade, profile_key_skew, fn_uuid_name,
-#     mm_training_manifest;
-# (b) raster.py 8: raster_resample_bilinear, raster_region_label,
-#     raster_flow_direction, raster_flow_accumulation, spatial_nearest,
-#     raster_contour_cells, spatial_point_in_polygon,
-#     raster_mosaic_priority;
-# (c) joins.py 8: diff_snapshots, join_strategy_hints, cdc_net_changes,
-#     join_phonetic, join_bloom_runtime, join_not_in_nullaware,
-#     join_allen_relations, join_asof_tolerance;
-# (d) aggs.py remaining 6: agg_multi_distinct, mv_join_incremental,
-#     agg_count_min_sketch, agg_exact_median_twopass,
-#     agg_exact_p99_grouped, agg_compound_product — r8 window = (a)+(b)+
-#     (c)+(d) + fn_sql_udf... trim to 50 composites-first.
-# (e) r9: scans.py 7 (scan_schema_evolution, scan_csv_permissive,
-#     sink_dynamic_overwrite, scan_glob_recursive, scan_observe,
-#     sink_manifest, sink_timetravel), functions.py 6 (fn_url,
-#     agg_listagg, fn_timestamp_fmt, fn_struct, fn_mask,
-#     fn_explode_outer), udfs.py 4 (udf_map_in_arrow, udf_cogrouped_map,
-#     fn_sql_udf, udf_pandas_iter), windows.py 4 (win_locf,
-#     win_dist_rank, win_range_frame, win_groups_frame), behavioral.py 4
-#     (interval_coverage, seq_top_paths, seq_markov_eval,
-#     ml_confusion_matrix), sorts_setops.py 3 (set_intersect_all,
-#     set_except_distinct, sort_nulls_order), streaming.py 1
-#     (stream_restart_recovery) = 29 keys, closing the never-graded gap;
-#     remaining r9 slots begin the r1-era refresh (newest driver row
-#     = round 1): agg_groupby, agg_having, agg_rollup, agg_cube,
-#     agg_grouping_sets, agg_filtered, agg_stats, agg_percentile,
-#     agg_rollup_cascade, filter_pred, project_expr, case_when,
-#     distinct_rows, fn_string, fn_math, fn_cast, fn_higher_order,
-#     join_inner_eq, join_broadcast_star, join_left, join_right,
-#     join_full, join_theta_range, join_semi, join_anti, join_cross,
-#     join_salted, join_bucketed, join_interval_bucketed, dedup_exact,
-#     dedup_jaccard, dedup_near, dedup_simhash, text_tokens, text_stats.
-# Implementation-changed or newly-added keys always jump the queue:
-# graph_pagerank (fixed-point integer iteration, r7),
-# graph_triangle_count (try_divide on wedge-free graphs, r7),
-# tpch_q3 / tpch_q5 (exact integer-cents revenue, r7 — the other 20
-# TPC-H keys also converted but already sit in the r7 window above),
-# and ml_naive_bayes / text_bm25 (single-corpus-pass rewrites, late
-# r7: naive_bayes now derives model/totals/vocab from one exploded tf
-# relation; bm25 became a zero-explode scan-and-score) were changed
-# AFTER the r7 window froze — all re-verified locally at sf0.001,
-# sf0.01 AND sf0.1 plus the determinism gate — and therefore lead r8.
-# (tpch_q16 lost its redundant pre-distinct at the same time but
-# already sits in the live r7 window, so the driver grades the new
-# plan this round.)
-# Also late-r7, the fixed-parameter-trap scale fixes (ALL re-verified
-# at all three scales + determinism + lint; all five lead r8 with the
-# group above): dedup_semantic_cluster now derives its anchor count from
-# corpus size (k = max(8, n/250) — capacity-bounded clusters; fixed k
-# made the prune self-join n²/k) and assigns HIERARCHICALLY (nearest
-# of ⌈√k⌉ coarse reps, then nearest anchor within that id-stride
-# group — n·2√k dots instead of the flat scan's n·k; RESULTS CHANGED
-# at shipped scales: hierarchical ANN assignment is approximate by
-# design); dedup_embed's SRP band width became dynamic
-# (nbits = 8 + ⌈log2(n/2000)⌉ folded from 16 materialized sign bits,
-# so 2^nbits ∝ n keeps bucket sizes constant; results at shipped
-# scales unchanged — n ≤ 2000 buckets identically to the fixed 8-bit
-# scheme).  The same audit also made three more structural constants
-# corpus-derived (shipped-scale results unchanged for all three, each
-# from a broadcast 1-row count): dedup_sorted_neighborhood's block
-# prefix length (plen = 2 + ceil(log36(n/100k))), pack_sequences'
-# cumsum sub-shard (window now partitions on (source, doc_id div
-# 100k); OUTPUT gained the pack_shard column), and shuffle_shards'
-# shard count (nshards = max(16, ceil(n/100k)); dynamic path
-# cross-checked vs DuckDB at 2M synthetic docs).  These three queue
-# directly behind the embedding pair at the r8 head, followed by the
-# audit's final two: pipeline_train_ready (pack sub-shard folded into
-# seq_id — schema unchanged, shipped packing bit-identical) and
-# sample_stratified (whole-stratum rank decomposed into prefix-bucket
-# cumulative counts + bounded within-bucket row_numbers — selection
-# and ranks bit-identical to the one-window oracle), and sim_ivf
-# (k = max(8, ceil(sqrt(n))) centroids, hierarchical index build,
-# nprobe = 2 — RESULTS CHANGED at shipped scales; hash-matched at all
-# three, recall floor vs exact kNN still green).
+
 
 def _ordered():
     registry = load_all()

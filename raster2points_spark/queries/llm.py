@@ -1285,7 +1285,7 @@ def _srp_band_exprs_duck() -> list[str]:
     "dedup_embed",
     oracle=f"""
     WITH kk AS (
-        SELECT cast(8 + ceil(log2(greatest(count(*) / 2000.0, 1.0))) AS int) AS nbits
+        SELECT cast(least(16, 8 + ceil(log2(greatest(count(*) / 2000.0, 1.0)))) AS int) AS nbits
         FROM embeddings
     ),
     q AS (
@@ -1323,11 +1323,14 @@ def dedup_embed(spark, sf_dir):
     of DYNAMIC width (OR-construction — same banding trick as
     dedup_near): each vector lands in exactly B buckets, a pair is a
     candidate iff it collides in ANY band, and the within-bucket pair
-    space is O(n²/2^nbits) per band.  nbits = 8 + ⌈log2(n/2000)⌉ is
-    derived declaratively from a broadcast 1-row count, so
-    2^nbits ∝ n and the expected bucket size — hence candidate pairs
-    PER VECTOR — stays constant as the corpus grows; a fixed width
-    would be quadratic in disguise (see _srp_weights block comment).
+    space is O(n²/2^nbits) per band.  nbits = least(16,
+    8 + ⌈log2(n/2000)⌉) is derived declaratively from a broadcast
+    1-row count, so 2^nbits ∝ n and the expected bucket size — hence
+    candidate pairs PER VECTOR — stays constant as the corpus grows
+    until the explicit _SRP_MAX_BITS=16 plateau (n ≈ 512k; both
+    engines cap at the formula site, not implicitly via slice); a
+    fixed width would be quadratic in disguise (see _srp_weights
+    block comment).
     Every shipped corpus (n ≤ 2000 ⇒ nbits = 8) buckets bit-
     identically to the historical fixed-8-bit scheme.  Candidate dot
     products run JVM-side via zip_with/aggregate after one shuffle on
@@ -1345,9 +1348,10 @@ def dedup_embed(spark, sf_dir):
         ),
     )
     kdf = emb.agg(
-        (
+        F.least(
+            F.lit(16),
             F.lit(8)
-            + F.ceil(F.log2(F.greatest(F.count(F.lit(1)) / 2000.0, F.lit(1.0))))
+            + F.ceil(F.log2(F.greatest(F.count(F.lit(1)) / 2000.0, F.lit(1.0)))),
         )
         .cast("int")
         .alias("nbits")
@@ -1392,8 +1396,8 @@ _IVF_ORACLE = (
     + """
     , ks AS (
         SELECT k, cast(ceil(k / ceil(sqrt(k))) AS bigint) AS stride
-        FROM (SELECT greatest(8, cast(ceil(sqrt(count(DISTINCT vec_id))) AS bigint)) AS k
-              FROM e)
+        FROM (SELECT greatest(8, cast(ceil(sqrt(count(*))) AS bigint)) AS k
+              FROM embeddings)
     ),
     cent AS (
         SELECT vec_id AS cid, vec_id // ks.stride AS g, pos, v

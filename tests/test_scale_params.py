@@ -4,11 +4,17 @@ Five keys now derive a structural parameter from the corpus row count
 with float math (ln/log2/sqrt/ceil) evaluated independently by Spark
 and DuckDB:
 
-- dedup_embed:              nbits   = 8 + ceil(log2(greatest(n/2000, 1)))
+- dedup_embed:              nbits   = least(16, 8 + ceil(log2(greatest(n/2000, 1))))
+                            (the cap is EXPLICIT at the formula site in
+                            both engines since r8 — past n = 512k the
+                            bucket-size-constant claim plateaus and the
+                            formula says so, ADVICE r7 #1)
 - dedup_semantic_cluster:   k       = greatest(8, ceil(n/250))
                             stride  = ceil(k / ceil(sqrt(k)))
 - dedup_sorted_neighborhood plen    = 2 + greatest(0, ceil(ln(greatest(n/100000, 1))/ln(36)))
 - shuffle_shards:           nshards = greatest(16, ceil(n/100000))
+- sim_ivf:                  ivfk    = greatest(8, ceil(sqrt(n)))
+                            ivfstride = ceil(ivfk / ceil(sqrt(ivfk)))
 
 If the two engines ever rounded differently at some n, their bucket /
 block / shard universes would silently diverge and the oracle gate
@@ -32,6 +38,7 @@ BOUNDARY_NS = sorted(
     | {100000 * (36**j) + d for j in range(0, 3) for d in (-1, 1)}
     | {250 * j for j in range(1, 40)}
     | {100000 * j + d for j in range(1, 5) for d in (-1, 0, 1)}
+    | {j * j + d for j in (2, 3, 5, 14, 45, 142, 449, 1415) for d in (-1, 0, 1)}
 )
 
 
@@ -39,14 +46,18 @@ def _duck_params(n: int):
     return duckdb.sql(
         f"""
         SELECT
-          cast(8 + ceil(log2(greatest({n} / 2000.0, 1.0))) AS int) AS nbits,
+          cast(least(16, 8 + ceil(log2(greatest({n} / 2000.0, 1.0)))) AS int) AS nbits,
           greatest(8, cast(ceil({n} / 250.0) AS bigint)) AS k,
           cast(ceil(greatest(8, cast(ceil({n} / 250.0) AS bigint))
                / ceil(sqrt(greatest(8, cast(ceil({n} / 250.0) AS bigint))))) AS bigint)
             AS stride,
           cast(2 + greatest(0, ceil(ln(greatest({n} / 100000.0, 1.0)) / ln(36.0)))
                AS int) AS plen,
-          greatest(16, cast(ceil({n} / 100000.0) AS bigint)) AS nshards
+          greatest(16, cast(ceil({n} / 100000.0) AS bigint)) AS nshards,
+          greatest(8, cast(ceil(sqrt({n})) AS bigint)) AS ivfk,
+          cast(ceil(greatest(8, cast(ceil(sqrt({n})) AS bigint))
+               / ceil(sqrt(greatest(8, cast(ceil(sqrt({n})) AS bigint))))) AS bigint)
+            AS ivfstride
         """
     ).fetchone()
 
@@ -57,7 +68,7 @@ def spark_params(spark):
         [(n,) for n in BOUNDARY_NS], "n bigint"
     ).selectExpr(
         "n",
-        "cast(8 + ceil(log2(greatest(n / 2000.0, 1.0))) AS int) AS nbits",
+        "cast(least(16, 8 + ceil(log2(greatest(n / 2000.0, 1.0)))) AS int) AS nbits",
         "greatest(8L, cast(ceil(n / 250.0) AS bigint)) AS k",
         "cast(ceil(greatest(8L, cast(ceil(n / 250.0) AS bigint))"
         " / ceil(sqrt(greatest(8L, cast(ceil(n / 250.0) AS bigint))))) AS bigint)"
@@ -65,8 +76,15 @@ def spark_params(spark):
         "cast(2 + greatest(cast(0 AS double),"
         " ceil(ln(greatest(n / 100000.0, 1.0)) / ln(36.0))) AS int) AS plen",
         "greatest(16L, cast(ceil(n / 100000.0) AS bigint)) AS nshards",
+        "greatest(8L, cast(ceil(sqrt(n)) AS bigint)) AS ivfk",
+        "cast(ceil(greatest(8L, cast(ceil(sqrt(n)) AS bigint))"
+        " / ceil(sqrt(greatest(8L, cast(ceil(sqrt(n)) AS bigint))))) AS bigint)"
+        " AS ivfstride",
     ).collect()
-    return {r["n"]: (r["nbits"], r["k"], r["stride"], r["plen"], r["nshards"]) for r in rows}
+    return {
+        r["n"]: (r["nbits"], r["k"], r["stride"], r["plen"], r["nshards"], r["ivfk"], r["ivfstride"])
+        for r in rows
+    }
 
 
 def test_scale_params_match_across_engines(spark_params):
@@ -87,3 +105,12 @@ def test_shipped_scales_keep_historical_parameters(spark_params):
     for n in (50, 500, 5000):        # documents at sf0.001/0.01/0.1
         assert spark_params[n][3] == 2   # plen
         assert spark_params[n][4] == 16  # nshards
+
+
+def test_nbits_cap_is_explicit(spark_params):
+    # ADVICE r7 #1: past n = 512k the formula must plateau at
+    # _SRP_MAX_BITS = 16 rather than silently exceeding the
+    # materialized sign bits (the old implicit slice-clamp).
+    assert spark_params[512000][0] == 16          # exactly at the knee
+    for n in (1024000, 2048000, 4096000):         # 2000 * 2^(9..11)
+        assert spark_params[n][0] == 16, f"n={n}: cap not enforced"
