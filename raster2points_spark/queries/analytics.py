@@ -899,9 +899,11 @@ def graph_shortest_hops(spark, sf_dir):
     each node expands exactly once (the oracle's recursive CTE instead
     dedups (id, hops) pairs per level and takes min(hops) at the end —
     same answer, but the anti-join form is what scales: work is
-    O(edges touched), never O(paths)).  localCheckpoint truncates the
-    per-round lineage exactly as dedup_components does; the edge list
-    is persisted once and reused all rounds.  The seed is a 1-row
+    O(edges touched), never O(paths)).  LAZY localCheckpoint truncates
+    the per-round lineage (fixed 4-round loop, no driver action in the
+    loop, so every level materializes inside the final job — unlike
+    dedup_components, whose convergence check forces eager); the edge
+    list is persisted once and reused all rounds.  The seed is a 1-row
     aggregate collected driver-side (a scalar, like pagerank's node
     count).
 
@@ -925,7 +927,7 @@ def graph_shortest_hops(spark, sf_dir):
     seed = (
         spark.range(1)
         .select(F.lit(seed_id).cast("long").alias("id"), F.lit(0).alias("hops"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # visited is the UNION of the per-round checkpointed frontiers —
     # one checkpoint per round (on nxt only), not two: the union of
@@ -941,7 +943,7 @@ def graph_shortest_hops(spark, sf_dir):
             .distinct()
             .join(visited, "id", "left_anti")
             .withColumn("hops", F.lit(h))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         levels.append(nxt)
         visited = visited.union(nxt)

@@ -3991,6 +3991,12 @@ def ml_kmeans_lloyd(spark, sf_dir):
     The centroid relation is localCheckpoint'ed each round: it is k×D
     rows SMALL, but its lineage would otherwise nest three
     crossJoin+window plans deep (the pagerank/components discipline).
+    The checkpoint is LAZY (eager=False): the loop is fixed-count with
+    no driver-side action, so Catalyst still plans each round against
+    a shallow LogicalRDD, but all rounds materialize inside the one
+    final job instead of paying one eager job per round — only loops
+    with a driver-side convergence check (dedup_components) need
+    eager.
     Output: final centroids with the member counts of the assignment
     that produced them.
 
@@ -4040,7 +4046,7 @@ def ml_kmeans_lloyd(spark, sf_dir):
                     "transform(array_sort(collect_list(struct(pos, mv))), s -> s.mv)"
                 ).alias("c")
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     sizes = assign.groupBy("cid").agg(F.count("*").alias("n"))
     return sizes.join(cent, "cid").select(
@@ -4105,9 +4111,10 @@ def embed_power_iteration(spark, sf_dir):
 
     Per round: one G⋈v equi-join on the column index + a partial-agg
     groupBy(row index) = the matrix-vector product; the norm is a
-    1-row aggregate crossJoined back (broadcast).  localCheckpoint
-    truncates the per-round lineage (pagerank discipline, k×1-sized
-    relation).  Sign and order are deterministic: fixed v0, and both
+    1-row aggregate crossJoined back (broadcast).  A LAZY
+    localCheckpoint truncates the per-round lineage (pagerank
+    discipline, k×1-sized relation; fixed-count loop, no driver
+    action, so rounds fold into the final job — see ml_kmeans_lloyd).  Sign and order are deterministic: fixed v0, and both
     engines state the identical fixpoint prefix; 4-dp round absorbs
     1e-12 summation-order skew (verified: no component sits near a
     rounding boundary at any shipped SF).
@@ -4142,7 +4149,7 @@ def embed_power_iteration(spark, sf_dir):
         v = (
             w.crossJoin(F.broadcast(nrm))
             .select("j", (F.col("val") / F.col("nrm")).alias("val"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return v.crossJoin(F.broadcast(nrm)).select(
         F.col("j").alias("pos"),
@@ -4501,8 +4508,9 @@ def sample_kcenter(spark, sf_dir):
     packed (dd, −vec_id) tiebreak — never a global sort (at 100 TB
     row_number over an unpartitioned window funnels the corpus into
     one task; max_by is the scalable argmax, and the oracle's
-    row_number states the same total order).  localCheckpoint per
-    round (pagerank discipline).  Distances fold in ascending dim
+    row_number states the same total order).  LAZY localCheckpoint per
+    round (pagerank discipline; fixed-count loop, no driver action —
+    see ml_kmeans_lloyd).  Distances fold in ascending dim
     order both engines → bitwise-equal doubles; ties broken by id.
     Output: the 6 chosen centers + the final covering radius (a 1-row
     aggregate crossJoined back).
@@ -4522,7 +4530,7 @@ def sample_kcenter(spark, sf_dir):
     m = (
         ev.crossJoin(F.broadcast(c))
         .select("vec_id", "v", F.expr(dist).alias("dd"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     picks = [c.select(F.lit(0).alias("round"), F.col("c_id").alias("vec_id"))]
     for k in range(1, _KC_K):
@@ -4542,7 +4550,7 @@ def sample_kcenter(spark, sf_dir):
                 "v",
                 F.least(F.col("dd"), F.expr(dist)).alias("dd"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     radius = m.agg(F.round(F.max("dd"), 4).alias("final_radius_sq"))
     centers = picks[0]

@@ -1108,7 +1108,9 @@ def raster_region_label(spark, sf_dir):
     |pixels|² abs-distance comparison the oracle states (fine there:
     the fixture grid is constant-size).  Each round is one
     neighbor-min groupBy + one left join, all integer arithmetic
-    (exact), localCheckpoint per round truncates lineage.  At 100 TB
+    (exact), LAZY localCheckpoint per round truncates lineage
+    (fixed-count loop, no driver action — rounds fold into the final
+    job, see ml_kmeans_lloyd).  At 100 TB
     pixels shuffle by spatial key; rounds ∝ component diameter —
     for continental-scale regions you'd switch to the
     interval/run-compression variant, same propagation spine.
@@ -1159,7 +1161,7 @@ def raster_region_label(spark, sf_dir):
                     "lbl"
                 ),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return lbl.select("col", "row", "cls", "lbl")
 
@@ -1342,7 +1344,8 @@ def raster_flow_accumulation(spark, sf_dir):
     Shape: the drainage graph is ONE argmax rank over the shift-join
     gradients (shared with flow_direction), then each round is one
     groupBy(down_pid) partial-aggregated sum + a left join back —
-    integer-exact in any order, localCheckpoint per round.  At 100 TB
+    integer-exact in any order, LAZY localCheckpoint per round
+    (fixed-count loop, no driver action — see ml_kmeans_lloyd).  At 100 TB
     the graph is keyed by spatial cell; rounds shuffle |cells| rows
     pre-combined map-side.  (The oracle's correlated per-cell subquery
     states the same sum; the groupBy form is what scales.)
@@ -1413,7 +1416,7 @@ def raster_flow_accumulation(spark, sf_dir):
                 .cast("bigint")
                 .alias("acc"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return acc.join(valid, "pid").select("col", "row", "acc")
 
