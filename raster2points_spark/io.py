@@ -99,11 +99,31 @@ def load_events(spark: SparkSession, path: str) -> DataFrame:
     raise ValueError(f"events.ts has unsupported parquet type {typ!r} in {path!r}")
 
 
+# Per-session relation cache (the catalog pattern): building a reader
+# costs a py4j round-trip plus a footer read PER CALL, which at ~97
+# benchmark keys × ~2 tables each is pure fixed overhead — a real
+# engine resolves a table name through its catalog once.  DataFrames
+# are immutable, every corpus directory here is write-once (testdata
+# is read-only; probe corpora are content-digest-keyed), and the cache
+# dies with the session object (WeakKeyDictionary), so a restarted
+# session can never see stale relations.
+_RELATION_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = None  # type: ignore[assignment]
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
-        return load_events(spark, path)
-    return spark.read.parquet(path)
+    global _RELATION_CACHE
+    if _RELATION_CACHE is None:
+        import weakref
+
+        _RELATION_CACHE = weakref.WeakKeyDictionary()
+    per_session = _RELATION_CACHE.setdefault(spark, {})
+    key = (os.path.abspath(sf_dir), name)
+    df = per_session.get(key)
+    if df is None:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        df = load_events(spark, path) if name == "events" else spark.read.parquet(path)
+        per_session[key] = df
+    return df
 
 
 def tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
