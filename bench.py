@@ -298,11 +298,23 @@ def main() -> int:
     # stdout gets ONE COMPACT line (<256 bytes).  Round 6 lesson: the
     # driver truncates long stdout (BENCH_r06 captured only the tail of
     # a ~4 KB line → "parsed": null, zero driver-side perf evidence).
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "reports",
-        f"bench_{os.environ.get('SPARK_GRAFT_ROUND', 'r7')}_detail.json",
-    )
+    # Detail file round tag: SPARK_GRAFT_ROUND when set, else inferred
+    # as newest committed BENCH_r{N}.json + 1 (the round being run) —
+    # a hard-coded default silently overwrote the PRIOR round's detail
+    # when the driver ran bench without the env var.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    if not rnd:
+        import glob as _glob
+        import re as _re
+
+        benched = [
+            int(m.group(1))
+            for f in _glob.glob(os.path.join(repo, "BENCH_r*.json"))
+            if (m := _re.search(r"BENCH_r(\d+)\.json$", f))
+        ]
+        rnd = f"r{max(benched, default=0) + 1}"
+    detail_path = os.path.join(repo, "reports", f"bench_{rnd}_detail.json")
     os.makedirs(os.path.dirname(detail_path), exist_ok=True)
     with open(detail_path, "w") as fh:
         json.dump(
