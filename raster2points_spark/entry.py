@@ -22,27 +22,36 @@ SF0001 = "/root/testdata/sf0.001"
 # at 361 for r8 (VERDICT r6 #2: no new keys until the evidence window
 # catches up).  The r8 window below has two tranches:
 #
-# 1. Fourteen CHANGED-IMPLEMENTATION keys (changed keys always outrank
-#    re-confirmation).  Changed in r8: dedup_embed (ADVICE: nbits
-#    formula now explicitly least(16, ...) on BOTH engines; shipped-
-#    scale results unchanged) and sim_ivf (ADVICE: oracle k now
-#    derived from count(*) FROM embeddings, matching Spark's count
-#    expression; results unchanged).  Changed late in r7, AFTER that
-#    round's window froze (all re-verified locally at sf0.001/0.01/0.1
-#    + determinism + lint, see reports/): graph_pagerank,
-#    graph_triangle_count, tpch_q3, tpch_q5, ml_naive_bayes, text_bm25,
+# 1. Fifteen CHANGED-IMPLEMENTATION keys (changed keys always outrank
+#    re-confirmation).  Changed in r8 (every change re-verified at
+#    sf0.001/0.01/0.1 + determinism + lint, see reports/): dedup_embed
+#    (ADVICE: nbits formula now explicitly least(16, ...) on BOTH
+#    engines), sim_ivf (ADVICE: oracle k now derived from count(*)
+#    FROM embeddings, matching Spark's count expression),
+#    ml_naive_bayes (prior's corpus size became a broadcast 1-row
+#    aggregate, not a driver count()), graph_shortest_hops (BFS seed
+#    kept declarative — the last removable driver collect in query
+#    code — plus the lazy-checkpoint change below); the six
+#    fixed-count iterative loops (ml_kmeans_lloyd,
+#    embed_power_iteration, sample_kcenter, raster_region_label,
+#    raster_flow_accumulation + shortest_hops) switched to LAZY
+#    localCheckpoint — all results bit-identical.  Changed late in r7,
+#    AFTER that round's window froze: graph_pagerank,
+#    graph_triangle_count, tpch_q3, tpch_q5, text_bm25,
 #    dedup_semantic_cluster, dedup_sorted_neighborhood, pack_sequences,
 #    shuffle_shards, pipeline_train_ready, sample_stratified.
-# 2. Thirty-six keys from the 84 never-driver-graded list (four of the
-#    tranche-1 keys are also never-graded, so this window retires 40
-#    of the 84): llm.py's remaining 28 (composites and privacy first),
-#    then raster.py's 8.
+# 2. Thirty-five keys from the 84 never-driver-graded list (four of
+#    the tranche-1 keys are also never-graded, so this window retires
+#    39 of the 84): llm.py's remaining 28 (composites and privacy
+#    first), then raster.py's 8 minus raster_mosaic_priority (bumped
+#    to r9 to make room for the graph_shortest_hops re-grade).
 #
-# All 50 are oracle-checked.  Never-graded gap after r8 = 44, which is
-# exactly joins.py 8 + aggs.py 6 + scans.py 7 + functions.py 6 +
-# udfs.py 4 + windows.py 4 + behavioral.py 4 + sorts_setops.py 3 +
-# streaming.py 1 + fn_uuid_name -- the whole set fits r9's window with
-# ~6 slots left over to begin the r1-era evidence refresh (VERDICT r6
+# All 50 are oracle-checked.  Never-graded gap after r8 = 45, which is
+# raster_mosaic_priority + joins.py 8 + aggs.py 6 + scans.py 7 +
+# functions.py 6 + udfs.py 4 + windows.py 4 + behavioral.py 4 +
+# sorts_setops.py 3 + streaming.py 1 + fn_uuid_name -- the whole set
+# fits r9's window with ~5 slots left over to begin the r1-era
+# evidence refresh (VERDICT r6
 # #4): agg_groupby family, filter_pred, project_expr, case_when,
 # distinct_rows, fn_string/math/cast/higher_order, join_inner_eq /
 # broadcast_star / left / right / full / theta_range / semi / anti /
@@ -66,6 +75,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "pack_sequences",
     "pipeline_train_ready",
     "sample_stratified",
+    "graph_shortest_hops",
     # --- tranche 2a: llm.py never-graded (28; composites, privacy,
     #     similarity, text-quality, features, sampling) ---
     "pipeline_quality_ensemble",
@@ -104,7 +114,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "spatial_nearest",
     "raster_contour_cells",
     "spatial_point_in_polygon",
-    "raster_mosaic_priority",
 )
 
 

@@ -904,8 +904,8 @@ def graph_shortest_hops(spark, sf_dir):
     loop, so every level materializes inside the final job — unlike
     dedup_components, whose convergence check forces eager); the edge
     list is persisted once and reused all rounds.  The seed is a 1-row
-    aggregate collected driver-side (a scalar, like pagerank's node
-    count).
+    min aggregate kept declarative (no driver collect anywhere in the
+    key).
 
     At 100 TB: each round shuffles frontier-sized relations keyed by
     node id; the visited set grows to |reachable| — for deeper
@@ -922,11 +922,12 @@ def graph_shortest_hops(spark, sf_dir):
     edges = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
-    # 1-row scalar: the BFS source (smallest order node).
-    seed_id = li.agg(F.min("l_orderkey")).collect()[0][0]
+    # The BFS source (smallest order node) IS a 1-row aggregate — keep
+    # it declarative instead of collecting a literal to the driver
+    # (r8; was the last removable driver action in query code).
     seed = (
-        spark.range(1)
-        .select(F.lit(seed_id).cast("long").alias("id"), F.lit(0).alias("hops"))
+        li.agg(F.min("l_orderkey").cast("long").alias("id"))
+        .withColumn("hops", F.lit(0))
         .localCheckpoint(eager=False)
     )
     # visited is the UNION of the per-round checkpointed frontiers —

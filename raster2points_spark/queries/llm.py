@@ -6091,9 +6091,15 @@ def ml_naive_bayes(spark, sf_dir):
         F.sum("c").alias("tot")
     )
     vocab = model.agg(F.countDistinct("m_w").alias("v"))
-    n_docs = docs.count()  # metadata-only: a literal for the prior expr
-    priors = docs.groupBy(F.col("lang").alias("p_lang")).agg(
-        F.log(F.count("*") / F.lit(float(n_docs))).alias("prior")
+    # corpus size enters the prior as a broadcast 1-row aggregate, not
+    # a driver-side count() action (same double division bitwise:
+    # bigint/bigint and bigint/double both promote to double)
+    n_docs = docs.agg(F.count("*").cast("double").alias("nd"))
+    priors = (
+        docs.groupBy(F.col("lang").alias("p_lang"))
+        .agg(F.count("*").alias("nl"))
+        .crossJoin(F.broadcast(n_docs))
+        .select("p_lang", F.log(F.col("nl") / F.col("nd")).alias("prior"))
     )
     cand = (
         doc_tf.crossJoin(F.broadcast(totals))

@@ -1,12 +1,12 @@
 #!/usr/bin/env bash
-# The full r7 evidence chain, one command.  Each stage writes the
-# report the committed evidence in reports/ was produced from; run
+# The full per-round evidence chain, one command.  Each stage writes
+# the report the committed evidence in reports/ was produced from; run
 # after any operator change and commit the refreshed reports with it.
 #
-# Usage: bash tools/verify_all.sh [round-tag, default r7]
+# Usage: bash tools/verify_all.sh [round-tag, default r8]
 set -uo pipefail
 cd "$(dirname "$0")/.."
-R="${1:-r7}"
+R="${1:-r8}"
 mkdir -p reports
 fail=0
 
@@ -36,6 +36,8 @@ run "scale probe (+decades)" "reports/scale_probe_${R}.txt" \
   python tools/scale_probe.py --x10 --x100
 run "bench sf0.1" "/tmp/verify_bench_$R.json" \
   env SPARK_GRAFT_ROUND="$R" python bench.py
+run "evidence audit" "reports/evidence_audit_${R}.txt" \
+  python tools/evidence_audit.py
 
 echo
 if [ "$fail" -eq 0 ]; then echo "ALL GATES GREEN"; else echo "GATE FAILURES — see above"; fi
