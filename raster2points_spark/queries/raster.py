@@ -49,6 +49,21 @@ def _tiles(spark, sf_dir):
     return read_tiles(spark, GRID64)
 
 
+def _probe_tiles(spark, sf_dir):
+    """Decade-probe seam (tools/scale_probe.py --xraster): the heavy
+    grid keys read their tile source and pid-packing width from env
+    when set — unset (every oracle/determinism gate, the driver, and
+    bench) this is exactly GRID64 / width 64, so shipped results are
+    untouched.  The width rides with the grid because
+    pid = row·W + col must stay collision-free (col < W)."""
+    import os
+
+    p = os.environ.get("SPARK_GRAFT_RASTER_GRID")
+    if p:
+        return read_tiles(spark, p), int(os.environ["SPARK_GRAFT_RASTER_W"])
+    return _tiles(spark, sf_dir), 64
+
+
 @register(
     "scan_tiles",
     oracle=f"""
@@ -1115,11 +1130,10 @@ def raster_region_label(spark, sf_dir):
     for continental-scale regions you'd switch to the
     interval/run-compression variant, same propagation spine.
     """
-    px = nodata_filter(
-        grid_unpivot(_tiles(spark, sf_dir).filter(F.col("band_id") == "b1"))
-    )
+    src, gw = _probe_tiles(spark, sf_dir)
+    px = nodata_filter(grid_unpivot(src.filter(F.col("band_id") == "b1")))
     vp = px.select(
-        (F.col("row").cast("bigint") * 64 + F.col("col")).alias("pid"),
+        (F.col("row").cast("bigint") * gw + F.col("col")).alias("pid"),
         "col",
         "row",
         F.floor(F.col("value") / 10).cast("int").alias("cls"),
@@ -1218,9 +1232,8 @@ def raster_flow_direction(spark, sf_dir):
     100 TB pixels shuffle once by spatial key; edge pixels simply rank
     over fewer candidates.
     """
-    px = nodata_filter(
-        grid_unpivot(_tiles(spark, sf_dir).filter(F.col("band_id") == "b1"))
-    )
+    src, _gw = _probe_tiles(spark, sf_dir)
+    px = nodata_filter(grid_unpivot(src.filter(F.col("band_id") == "b1")))
     valid = px.select("col", "row", "value").persist()
     cand = valid.select(
         "col",
@@ -1350,11 +1363,10 @@ def raster_flow_accumulation(spark, sf_dir):
     pre-combined map-side.  (The oracle's correlated per-cell subquery
     states the same sum; the groupBy form is what scales.)
     """
-    px = nodata_filter(
-        grid_unpivot(_tiles(spark, sf_dir).filter(F.col("band_id") == "b1"))
-    )
+    src, gw = _probe_tiles(spark, sf_dir)
+    px = nodata_filter(grid_unpivot(src.filter(F.col("band_id") == "b1")))
     valid = px.select(
-        (F.col("row").cast("bigint") * 64 + F.col("col")).alias("pid"),
+        (F.col("row").cast("bigint") * gw + F.col("col")).alias("pid"),
         "col",
         "row",
         "value",

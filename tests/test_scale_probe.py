@@ -75,3 +75,43 @@ def test_dedup_near_never_pairs_across_copies(spark, registry):
         != (F.col("doc_b") / 1000000).cast("bigint")
     )
     assert cross.count() == 0
+
+
+def test_raster_probe_seam_defaults_to_grid64(spark, registry, monkeypatch):
+    """The _probe_tiles env seam must be invisible when env is unset
+    (every gate/driver/bench path), and a same-grid env setting must
+    reproduce the default results exactly — so the probe measures the
+    SHIPPED dataflow, not a variant."""
+    import raster2points_spark.queries.raster as R
+
+    monkeypatch.delenv("SPARK_GRAFT_RASTER_GRID", raising=False)
+    base = sorted(
+        map(tuple, registry["raster_region_label"].fn(spark, SF0001).collect())
+    )
+    monkeypatch.setenv("SPARK_GRAFT_RASTER_GRID", R.GRID64)
+    monkeypatch.setenv("SPARK_GRAFT_RASTER_W", "64")
+    via_env = sorted(
+        map(tuple, registry["raster_region_label"].fn(spark, SF0001).collect())
+    )
+    assert via_env == base
+
+
+def test_xraster_grid_is_tile_exact(spark, monkeypatch):
+    """build_xraster grids must unpivot to exactly n*n pixels per band
+    with col/row < n — the collision-free precondition for the
+    pid = row*W + col packing the probe relies on."""
+    from pyspark.sql import functions as F
+
+    from raster2points_spark.operators.grid import grid_unpivot
+    from raster2points_spark.sources.tiles import read_tiles
+    from tools.scale_probe import build_xraster
+
+    p = build_xraster(128)
+    px = grid_unpivot(read_tiles(spark, p).filter(F.col("band_id") == "b1"))
+    agg = px.agg(
+        F.count("*").alias("n"),
+        F.max("col").alias("mc"),
+        F.max("row").alias("mr"),
+    ).collect()[0]
+    assert agg["n"] == 128 * 128
+    assert agg["mc"] == 127 and agg["mr"] == 127

@@ -32,8 +32,14 @@ orthogonal rotations preserve within-copy cosines exactly while
 cross-copy cosines concentrate near 0 — see build_xemb) at 10× AND
 100× sf0.1 (200k vectors).
 
+``--xraster`` probes the three join/iteration-heavy grid keys
+(region label, flow direction, flow accumulation) over synthetic
+PIXEL decades (512² → 1600² → 5120², the gridbig recipe) through the
+``queries.raster._probe_tiles`` env seam — the raster family's own
+decade axis.
+
 Usage: python tools/scale_probe.py [--x10] [--x100] [--xdedup]
-[--xemb] [keys...]
+[--xemb] [--xraster] [keys...]
 (writes stdout; redirect to reports/scale_probe_rN.txt to commit
 evidence)
 """
@@ -375,6 +381,38 @@ X_DEDUP_KEYS = [
 ]
 
 
+def build_xraster(n: int) -> str:
+    """Materialize an n×n synthetic grid (the gridbig recipe: 64-px
+    tiles, seed 7, 60%/95% NoData masks on b1/b2) in a size-keyed
+    /tmp dir; returns the parquet path.  n must be a multiple of the
+    64-px tile edge.  Pixel count grows with n², so n = 512 / 1600 /
+    5120 gives the raster family its own ~10×/~100× PIXEL decades —
+    the axis every other family already has (relational, events,
+    dedup-fair documents, rotation-fair embeddings)."""
+    import pyarrow.parquet as pq
+
+    from raster2points_spark.sources.tiles import gridbig_table
+
+    out = os.path.join("/tmp", f"r2p_xraster_{n}")
+    p = os.path.join(out, "grid.parquet")
+    if not os.path.exists(p):
+        os.makedirs(out, exist_ok=True)
+        tmp = p + ".tmp"
+        pq.write_table(gridbig_table(n=n), tmp, compression="zstd")
+        os.replace(tmp, p)
+    return p
+
+
+# the three join/iteration-heavy grid keys, parameterized through the
+# queries.raster._probe_tiles env seam (unset env = shipped GRID64)
+X_RASTER_KEYS = [
+    "raster_region_label",
+    "raster_flow_direction",
+    "raster_flow_accumulation",
+]
+X_RASTER_SIZES = [(512, "x1"), (1600, "x10"), (5120, "x100")]
+
+
 def build_xemb(src_dir: str, copies_n: int = 10) -> str:
     """Materialize an EMBEDDING-FAIR ``copies_n``×-sf0.1 vector slice.
 
@@ -468,7 +506,10 @@ def main() -> int:
     x100 = "--x100" in args
     xdedup = "--xdedup" in args
     xemb = "--xemb" in args
-    args = [a for a in args if a not in ("--x10", "--x100", "--xdedup", "--xemb")]
+    xraster = "--xraster" in args
+    args = [
+        a for a in args if a not in ("--x10", "--x100", "--xdedup", "--xemb", "--xraster")
+    ]
     keys = args or DEFAULT_KEYS
     spark = get_spark("scale_probe")
     reg = load_all()
@@ -584,8 +625,55 @@ def main() -> int:
             f"{'sub-linear overall (< 100x for 100x vectors)' if not emb_fail else 'GATE FAILED'}"
         )
 
+    raster_fail = False
+    if xraster:
+        paths = {n: build_xraster(n) for n, _ in X_RASTER_SIZES}
+        print(
+            f"\n--xraster: synthetic pixel decades at "
+            f"{', '.join(f'{t}={n}x{n}' for n, t in X_RASTER_SIZES)}"
+        )
+        print(
+            f"{'key':26s} {'x1':>9s} {'x10':>9s} {'x100':>9s} "
+            f"{'x(1->10)':>9s} {'x(10->100)':>11s} {'rows':>26s}"
+        )
+        try:
+            for key in X_RASTER_KEYS:
+                times, rows = [], []
+                # warm at x1 so fresh codegen/FS cost stays off the baseline
+                os.environ["SPARK_GRAFT_RASTER_GRID"] = paths[512]
+                os.environ["SPARK_GRAFT_RASTER_W"] = "512"
+                reg[key].fn(spark, SFS[2][1]).count()
+                for n, _tag in X_RASTER_SIZES:
+                    os.environ["SPARK_GRAFT_RASTER_GRID"] = paths[n]
+                    os.environ["SPARK_GRAFT_RASTER_W"] = str(n)
+                    t0 = time.time()
+                    rows.append(reg[key].fn(spark, SFS[2][1]).count())
+                    times.append(time.time() - t0)
+                r1 = times[1] / max(times[0], 1e-9)
+                r2 = times[2] / max(times[1], 1e-9)
+                # rows track valid-pixel count (deterministic per size):
+                # each ~10x pixel decade must grow result rows ~10x —
+                # a flat or super-linear row count means the key
+                # silently truncated or blew up its pair space
+                rows_ok = all(
+                    8.0 <= rows[i + 1] / max(rows[i], 1) <= 12.5 for i in range(2)
+                )
+                if r1 >= 15 or r2 >= 15 or r1 * r2 >= 100 or not rows_ok:
+                    raster_fail = True
+                print(
+                    f"{key:26s} {times[0]:8.2f}s {times[1]:8.2f}s {times[2]:8.2f}s "
+                    f"{r1:8.1f}x {r2:10.1f}x {str(rows):>26s}"
+                )
+        finally:
+            os.environ.pop("SPARK_GRAFT_RASTER_GRID", None)
+            os.environ.pop("SPARK_GRAFT_RASTER_W", None)
+        print(
+            f"\nraster decades: rows track valid pixels per ~10x decade; runtime "
+            f"{'sub-linear overall (< 100x for 100x pixels)' if not raster_fail else 'GATE FAILED'}"
+        )
+
     if not x10:
-        return 0 if worst < 10 and not dd_fail and not emb_fail else 1
+        return 0 if worst < 10 and not dd_fail and not emb_fail and not raster_fail else 1
 
     x10_dir = build_x10(SFS[2][1])
     print(f"\n--x10: synthetic 10x-sf0.1 slice at {x10_dir}")
@@ -651,6 +739,7 @@ def main() -> int:
         and worst_rel < 10
         and not dd_fail
         and not emb_fail
+        and not raster_fail
         else 1
     )
 
