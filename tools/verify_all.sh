@@ -33,7 +33,7 @@ run "determinism sf0.1" "reports/determinism_${R}_sf0.1.txt" \
   env SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python tools/determinism_check.py
 run "plan lint" "reports/plan_lint_${R}.txt" python tools/plan_lint.py
 run "scale probe (+decades)" "reports/scale_probe_${R}.txt" \
-  python tools/scale_probe.py --x10 --x100
+  python tools/scale_probe.py --x10 --x100 --xdedup --xemb --xraster
 run "bench sf0.1" "/tmp/verify_bench_$R.json" \
   env SPARK_GRAFT_ROUND="$R" python bench.py
 run "evidence audit" "reports/evidence_audit_${R}.txt" \
