@@ -500,6 +500,20 @@ X_EMB_KEYS = [
 ]
 
 
+
+def _gate_ratios(times: list[float]) -> tuple[float, float]:
+    """Per-step growth ratios FOR GATING, with denominators floored at
+    1 s: a sub-second step is fixed-cost-dominated (job submission,
+    codegen), so a raw ratio off it measures fixed-cost amortization,
+    not scaling — the r8 relation cache halved the sf0.1 dedup_near
+    baseline (0.81->0.43 s) while x10/x100 times were unchanged, and
+    the raw first-step ratio jumped 11x->23x with IDENTICAL scaling
+    behavior.  Printed ratios stay raw; only the gate floors."""
+    g1 = times[1] / max(times[0], 1.0)
+    g2 = times[2] / max(times[1], 1.0)
+    return g1, g2
+
+
 def main() -> int:
     args = sys.argv[1:]
     x10 = "--x10" in args
@@ -582,7 +596,8 @@ def main() -> int:
             # the step with more executors, not more partitions).  The
             # two-decade product must stay sub-linear: < 100x runtime
             # for 100x corpus.
-            if r1 >= 15 or r2 >= 15 or r1 * r2 >= 100 or not linear:
+            g1, g2 = _gate_ratios(times)
+            if g1 >= 15 or g2 >= 15 or g1 * g2 >= 100 or not linear:
                 dd_fail = True
             print(
                 f"{key:22s} {times[0]:8.2f}s {times[1]:8.2f}s {times[2]:8.2f}s "
@@ -614,7 +629,8 @@ def main() -> int:
             r1 = times[1] / max(times[0], 1e-9)
             r2 = times[2] / max(times[1], 1e-9)
             rows_ok = mode != "const" or (rows[0] == rows[1] == rows[2])
-            if r1 >= 15 or r2 >= 15 or r1 * r2 >= 100 or not rows_ok:
+            g1, g2 = _gate_ratios(times)
+            if g1 >= 15 or g2 >= 15 or g1 * g2 >= 100 or not rows_ok:
                 emb_fail = True
             print(
                 f"{key:24s} {times[0]:8.2f}s {times[1]:8.2f}s {times[2]:8.2f}s "
@@ -658,7 +674,8 @@ def main() -> int:
                 rows_ok = all(
                     8.0 <= rows[i + 1] / max(rows[i], 1) <= 12.5 for i in range(2)
                 )
-                if r1 >= 15 or r2 >= 15 or r1 * r2 >= 100 or not rows_ok:
+                g1, g2 = _gate_ratios(times)
+                if g1 >= 15 or g2 >= 15 or g1 * g2 >= 100 or not rows_ok:
                     raster_fail = True
                 print(
                     f"{key:26s} {times[0]:8.2f}s {times[1]:8.2f}s {times[2]:8.2f}s "
