@@ -17,103 +17,93 @@ SF0001 = "/root/testdata/sf0.001"
 
 # The grading driver evaluates only the FIRST 50 ``queries()`` keys per
 # round.  Cumulative driver-verified coverage = union of all round
-# windows (r1: 44, r3: 43, r4: 50, r5: 50, r6: 50, r7: 50 -> 277/361
-# graded, 0 red; r7 was 50/50 hash-green).  The registry stays FROZEN
-# at 361 for r8 (VERDICT r6 #2: no new keys until the evidence window
-# catches up).  The r8 window below has two tranches:
+# windows (r1: 44, r3: 43, r4-r8: 50 each -> 316/361 graded, 0 red in
+# latest status; r7 and r8 were 50/50 hash-green).  The registry stays
+# FROZEN at 361 through r9 (VERDICT r8 #5: no new keys until the
+# driver-evidence gap is zero).
 #
-# 1. Fifteen CHANGED-IMPLEMENTATION keys (changed keys always outrank
-#    re-confirmation).  Changed in r8 (every change re-verified at
-#    sf0.001/0.01/0.1 + determinism + lint, see reports/): dedup_embed
-#    (ADVICE: nbits formula now explicitly least(16, ...) on BOTH
-#    engines), sim_ivf (ADVICE: oracle k now derived from count(*)
-#    FROM embeddings, matching Spark's count expression),
-#    ml_naive_bayes (prior's corpus size became a broadcast 1-row
-#    aggregate, not a driver count()), graph_shortest_hops (BFS seed
-#    kept declarative — the last removable driver collect in query
-#    code — plus the lazy-checkpoint change below); the six
-#    fixed-count iterative loops (ml_kmeans_lloyd,
-#    embed_power_iteration, sample_kcenter, raster_region_label,
-#    raster_flow_accumulation + shortest_hops) switched to LAZY
-#    localCheckpoint — all results bit-identical.  Changed late in r7,
-#    AFTER that round's window froze: graph_pagerank,
-#    graph_triangle_count, tpch_q3, tpch_q5, text_bm25,
-#    dedup_semantic_cluster, dedup_sorted_neighborhood, pack_sequences,
-#    shuffle_shards, pipeline_train_ready, sample_stratified.
-# 2. Thirty-five keys from the 84 never-driver-graded list (four of
-#    the tranche-1 keys are also never-graded, so this window retires
-#    39 of the 84): llm.py's remaining 28 (composites and privacy
-#    first), then raster.py's 8 minus raster_mosaic_priority (bumped
-#    to r9 to make room for the graph_shortest_hops re-grade).
+# The r9 window is VERDICT r8 #1, shipped unchanged: ALL 45 keys the
+# driver has never graded (tools/evidence_audit.py, cross-checked by
+# the judge's own list in VERDICT.md) plus the 5 oldest r1-era stale
+# keys to begin the refresh VERDICT r8 #2 schedules for r10.  Zero
+# implementation changes this round demand a changed-key tranche: the
+# r9 product diffs (UTC-pin conf re-check, relation-cache lifetime,
+# scale-probe gate tightening, bench round-tag inference) touch
+# harness/_util plumbing only, and every one was re-verified by the
+# full gate chain at three scale factors (see reports/*_r9*).
 #
-# All 50 are oracle-checked.  Never-graded gap after r8 = 45, which is
-# raster_mosaic_priority + joins.py 8 + aggs.py 6 + scans.py 7 +
-# functions.py 6 + udfs.py 4 + windows.py 4 + behavioral.py 4 +
-# sorts_setops.py 3 + streaming.py 1 + fn_uuid_name -- the whole set
-# fits r9's window with ~5 slots left over to begin the r1-era
-# evidence refresh (VERDICT r6
-# #4): agg_groupby family, filter_pred, project_expr, case_when,
-# distinct_rows, fn_string/math/cast/higher_order, join_inner_eq /
-# broadcast_star / left / right / full / theta_range / semi / anti /
-# cross / salted / bucketed / interval_bucketed, dedup_exact / jaccard
-# / near / simhash, text_tokens, text_stats (38 keys whose newest
-# driver row is r1) -- r9 takes the 6 oldest, r10 finishes the rest.
+# All 50 are oracle-checked.  Never-graded gap after r9 = 0; stale
+# r1-era keys remaining for r10 = 33 (agg_approx_distinct, agg_cube,
+# agg_filtered, agg_grouping_sets, agg_having, agg_percentile,
+# agg_rollup, agg_rollup_cascade, agg_stats, dedup_exact,
+# dedup_jaccard, dedup_minhash_ml, dedup_near, dedup_simhash,
+# fn_cast, fn_higher_order, fn_math, fn_string, join_anti,
+# join_broadcast_star, join_bucketed, join_cross, join_full,
+# join_inner_eq, join_interval_bucketed, join_left, join_right,
+# join_salted, join_semi, join_theta_range, sim_lsh, text_stats,
+# text_tokens) -- r10 takes those, r11+ walks the r3/r4/r5 tail.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- tranche 1: changed implementations (r8 ADVICE fixes first,
-    #     then the late-r7 scale-audit and rewrite group) ---
-    "dedup_embed",
-    "sim_ivf",
-    "ml_naive_bayes",
-    "text_bm25",
-    "dedup_semantic_cluster",
-    "shuffle_shards",
-    "graph_pagerank",
-    "graph_triangle_count",
-    "tpch_q3",
-    "tpch_q5",
-    "dedup_sorted_neighborhood",
-    "pack_sequences",
-    "pipeline_train_ready",
-    "sample_stratified",
-    "graph_shortest_hops",
-    # --- tranche 2a: llm.py never-graded (28; composites, privacy,
-    #     similarity, text-quality, features, sampling) ---
-    "pipeline_quality_ensemble",
-    "pipeline_release_gate",
-    "privacy_erasure_cascade",
-    "dedup_containment",
-    "dedup_near_recall",
-    "embed_pq",
-    "embed_power_iteration",
-    "sim_mips",
-    "sim_matryoshka_eval",
-    "ml_kmeans_lloyd",
-    "ml_ndcg",
-    "text_bigram_ppl",
-    "text_kn_smoothing",
-    "text_phrase_near",
-    "text_sentence_split",
-    "text_readability",
-    "text_novelty",
-    "text_boilerplate",
-    "feature_loo_encoding",
-    "feature_onehot",
-    "feature_hashing",
-    "sample_kcenter",
-    "sample_balanced",
-    "privacy_k_anonymity",
-    "privacy_l_diversity",
-    "privacy_dp_counts",
-    "profile_key_skew",
-    "mm_training_manifest",
-    # --- tranche 2b: raster.py never-graded (8) ---
-    "raster_resample_bilinear",
-    "raster_region_label",
-    "raster_flow_direction",
-    "raster_flow_accumulation",
-    "spatial_nearest",
-    "raster_contour_cells",
-    "spatial_point_in_polygon",
+    # --- the 45 never-driver-graded keys, grouped by family ---
+    # aggs.py (6)
+    "agg_multi_distinct",
+    "agg_count_min_sketch",
+    "agg_exact_median_twopass",
+    "agg_exact_p99_grouped",
+    "agg_compound_product",
+    "mv_join_incremental",
+    # joins.py (8)
+    "diff_snapshots",
+    "join_strategy_hints",
+    "cdc_net_changes",
+    "join_phonetic",
+    "join_bloom_runtime",
+    "join_not_in_nullaware",
+    "join_allen_relations",
+    "join_asof_tolerance",
+    # scans.py (7)
+    "scan_schema_evolution",
+    "scan_csv_permissive",
+    "sink_dynamic_overwrite",
+    "scan_glob_recursive",
+    "scan_observe",
+    "sink_manifest",
+    "sink_timetravel",
+    # functions.py (6)
+    "fn_url",
+    "agg_listagg",
+    "fn_timestamp_fmt",
+    "fn_struct",
+    "fn_mask",
+    "fn_explode_outer",
+    # udfs.py (4)
+    "udf_map_in_arrow",
+    "udf_cogrouped_map",
+    "fn_sql_udf",
+    "udf_pandas_iter",
+    # windows.py (4)
+    "win_locf",
+    "win_dist_rank",
+    "win_range_frame",
+    "win_groups_frame",
+    # behavioral.py (4)
+    "interval_coverage",
+    "seq_top_paths",
+    "seq_markov_eval",
+    "ml_confusion_matrix",
+    # sorts_setops.py (3)
+    "set_intersect_all",
+    "set_except_distinct",
+    "sort_nulls_order",
+    # streaming.py (1) + llm.py (1) + raster.py (1)
+    "stream_restart_recovery",
+    "fn_uuid_name",
+    "raster_mosaic_priority",
+    # --- 5 oldest r1-era stale keys: start the r10 refresh early ---
+    "agg_groupby",
+    "filter_pred",
+    "project_expr",
+    "case_when",
+    "distinct_rows",
 )
 
 
