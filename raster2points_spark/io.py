@@ -103,20 +103,20 @@ def load_events(spark: SparkSession, path: str) -> DataFrame:
 # costs a py4j round-trip plus a footer read PER CALL, which at ~97
 # benchmark keys × ~2 tables each is pure fixed overhead — a real
 # engine resolves a table name through its catalog once.  DataFrames
-# are immutable, every corpus directory here is write-once (testdata
-# is read-only; probe corpora are content-digest-keyed), and the cache
-# dies with the session object (WeakKeyDictionary), so a restarted
-# session can never see stale relations.
-_RELATION_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = None  # type: ignore[assignment]
+# are immutable and every corpus directory here is write-once
+# (testdata is read-only; probe corpora are content-digest-keyed).
+# The dict lives ON the session object itself — not in a module-level
+# WeakKeyDictionary, which could never evict because cached DataFrames
+# hold a strong ref to their session (df._session → value keeps key
+# alive; r8 ADVICE) — so its lifetime genuinely follows the session:
+# a stopped/replaced session drops the attribute with the object, and
+# a fresh session starts with no cache.
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    global _RELATION_CACHE
-    if _RELATION_CACHE is None:
-        import weakref
-
-        _RELATION_CACHE = weakref.WeakKeyDictionary()
-    per_session = _RELATION_CACHE.setdefault(spark, {})
+    per_session = getattr(spark, "_r2p_relations", None)
+    if per_session is None:
+        per_session = spark._r2p_relations = {}
     key = (os.path.abspath(sf_dir), name)
     df = per_session.get(key)
     if df is None:

@@ -36,14 +36,13 @@ SCRATCH = os.environ.get(
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Defensive: declared queries are graded inside the DRIVER's session,
     # whose confs we don't control.  Timestamp↔epoch expressions (R3)
-    # are only DuckDB-comparable under UTC, so pin it once per session
-    # wrapper (the set() is a py4j round-trip; ~200 loads per bench
-    # pass makes the guard worth it — nothing else in this package
-    # ever changes the session TZ back).  The flag lives ON the session
-    # object, so a fresh session can never inherit it.
-    if not getattr(spark, "_r2p_utc_pinned", False):
+    # are only DuckDB-comparable under UTC, so verify the conf itself on
+    # every load — a Python-side flag would go stale if co-hosted code
+    # reset the TZ between keys (r8 ADVICE).  conf.get is one py4j
+    # round-trip (~100 µs); correctness of every timestamp key is worth
+    # it, and the set() only fires when the value actually drifted.
+    if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        spark._r2p_utc_pinned = True
     return table(spark, sf_dir, name)
 
 

@@ -49,3 +49,36 @@ def test_cached_events_is_normalized(spark):
 
 def test_cached_relation_still_answers(spark):
     assert table(spark, SF0001, "nation").count() == 25
+
+
+def test_cache_lives_on_the_session_object(spark):
+    """r9 (ADVICE r8): no module-level registry may hold the session.
+
+    A module-level WeakKeyDictionary could never evict — cached
+    DataFrames strong-ref their session, so the values kept the key
+    alive.  The cache must live as an attribute of the session object
+    so its lifetime follows the session exactly.
+    """
+    import os
+
+    import raster2points_spark.io as io_mod
+
+    table(spark, SF0001, "nation")
+    assert (os.path.abspath(SF0001), "nation") in spark._r2p_relations
+    assert not hasattr(io_mod, "_RELATION_CACHE")
+
+
+def test_utc_repinned_after_conf_drift(spark):
+    """r9 (ADVICE r8): the UTC pin re-checks the conf on every load.
+
+    Queries run in the DRIVER's session; if co-hosted code resets the
+    session TZ between keys, the next t() load must restore UTC or
+    every timestamp↔epoch key silently diverges from the oracle.
+    """
+    from raster2points_spark.queries._util import t
+
+    t(spark, SF0001, "nation")
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    t(spark, SF0001, "region")
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
