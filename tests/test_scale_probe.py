@@ -96,6 +96,35 @@ def test_raster_probe_seam_defaults_to_grid64(spark, registry, monkeypatch):
     assert via_env == base
 
 
+def test_gate_semantics_r9(spark):
+    """Pin the r9 gate tightening (VERDICT r8 #3 + ADVICE):
+
+    - per-step ratios floor ONLY sub-second denominators (>=1 s gates
+      raw);
+    - the two-decade check is ABSOLUTE growth from a 1 s-floored
+      baseline, so a cheap key going truly quadratic (0.2 -> 8 ->
+      320 s = 1600x real growth) fails even though both floored step
+      ratios slip under 15x and their old product (8 * 40-floored)
+      behaved differently;
+    - the r8 relation-cache artifact shape (dedup_near 0.47 -> 7.67
+      -> 28.54 s, scaling unchanged while the baseline halved) still
+      passes.
+    """
+    from scale_probe import _gate_overall, _gate_ratios
+
+    def fails(times):
+        g1, g2 = _gate_ratios(times)
+        return g1 >= 15 or g2 >= 15 or _gate_overall(times) >= 100
+
+    assert not fails([0.47, 7.67, 28.54])  # relation-cache artifact
+    assert not fails([1.22, 9.35, 93.14])  # r8 raster decade (76x abs)
+    assert fails([0.2, 8.0, 320.0])  # cheap quadratic
+    assert fails([2.0, 40.0, 90.0])  # measurable 20x step gates raw
+    # overall gate is end-to-end: a 100x-for-100x breach fails even
+    # with both steps under 15
+    assert fails([1.0, 14.0, 140.0])
+
+
 def test_xraster_grid_is_tile_exact(spark, monkeypatch):
     """build_xraster grids must unpivot to exactly n*n pixels per band
     with col/row < n — the collision-free precondition for the
