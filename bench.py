@@ -317,7 +317,23 @@ def main() -> int:
             for f in _glob.glob(os.path.join(repo, "BENCH_r*.json"))
             if (m := _re.search(r"BENCH_r(\d+)\.json$", f))
         ]
-        rnd = f"r{max(benched, default=0) + 1}"
+        n = max(benched, default=0)
+        # A BENCH_r{n} whose detail file hasn't been written yet means
+        # THIS run is still round n (a rerun after the driver landed
+        # the BENCH file), not round n+1 — naively inferring n+1 would
+        # mislabel this round's evidence as next round's and leave the
+        # real detail file stale (r8 ADVICE).
+        if n > 0 and not os.path.exists(
+            os.path.join(repo, "reports", f"bench_r{n}_detail.json")
+        ):
+            rnd = f"r{n}"
+        else:
+            rnd = f"r{n + 1}"
+        print(
+            f"bench: round tag inferred as {rnd} from BENCH_r*.json "
+            f"(set SPARK_GRAFT_ROUND to override)",
+            file=sys.stderr,
+        )
     detail_path = os.path.join(repo, "reports", f"bench_{rnd}_detail.json")
     os.makedirs(os.path.dirname(detail_path), exist_ok=True)
     with open(detail_path, "w") as fh:
@@ -350,16 +366,22 @@ def main() -> int:
         for k in ("tpch_q1", "dedup_near", "pipeline_train_ready")
         if k in timings
     }
-    # A batched pass with ANY errored key would understate work done;
-    # null the throughput number rather than publish a flattering lie
-    # (per-key sequential timings above are unaffected).
+    # Headline metric = the BATCHED service pass (r8 VERDICT #6): the
+    # 97-key sequential total is ~70% fixed JVM job-submission cost at
+    # sf0.1 and under-sells plan quality round-over-round; the batched
+    # wall-clock is the number that tracks plan improvements.  The
+    # sequential total stays alongside as sequential_sec (and in the
+    # detail file per-key).  A batched pass with ANY errored key would
+    # understate work done, so fall back to the sequential metric
+    # rather than publish a flattering lie.
+    batched_ok = batched_sec is not None and batched_err == 0
     headline = {
-        "metric": "headline_total_wall",
-        "value": round(total, 3),
+        "metric": "headline_batched_wall" if batched_ok else "headline_total_wall",
+        "value": batched_sec if batched_ok else round(total, 3),
         "unit": "sec",
         "sf": sf_num,
         "n_keys": len(timings),
-        "batched_sec": batched_sec if batched_err == 0 else None,
+        "sequential_sec": round(total, 3),
         "batched_err": batched_err,
         "queries": flagship,
         "detail": "reports/" + os.path.basename(detail_path),
@@ -367,7 +389,7 @@ def main() -> int:
     # Degrade, never crash: the driver needs SOME parseable line even
     # if a field grows (longer sf string, extra digits).  Drop
     # optional fields until the line fits the 256-byte contract.
-    for drop in ("queries", "detail", "batched_err", "batched_sec", "n_keys"):
+    for drop in ("queries", "detail", "batched_err", "sequential_sec", "n_keys"):
         line = json.dumps(headline, separators=(",", ":"))
         if len(line) < 256:
             break
