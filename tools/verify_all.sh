@@ -3,10 +3,10 @@
 # the report the committed evidence in reports/ was produced from; run
 # after any operator change and commit the refreshed reports with it.
 #
-# Usage: bash tools/verify_all.sh [round-tag, default r8]
+# Usage: bash tools/verify_all.sh [round-tag, default r9]
 set -uo pipefail
 cd "$(dirname "$0")/.."
-R="${1:-r8}"
+R="${1:-r9}"
 mkdir -p reports
 fail=0
 
@@ -34,6 +34,8 @@ run "determinism sf0.1" "reports/determinism_${R}_sf0.1.txt" \
 run "plan lint" "reports/plan_lint_${R}.txt" python tools/plan_lint.py
 run "scale probe (+decades)" "reports/scale_probe_${R}.txt" \
   python tools/scale_probe.py --x10 --x100 --xdedup --xemb --xraster
+run "non-oracle pins" "reports/nonoracle_pins_${R}.txt" \
+  python tools/nonoracle_pins.py
 run "bench sf0.1" "/tmp/verify_bench_$R.json" \
   env SPARK_GRAFT_ROUND="$R" python bench.py
 run "evidence audit" "reports/evidence_audit_${R}.txt" \
