@@ -689,3 +689,64 @@ def test_tpch_q2_distinct_runs_after_part_prune(spark, registry):
     assert any("p_partkey" in l for l in key_lines), (
         "distinct must run on the part-pruned join output, not raw lineitem"
     )
+
+
+def test_sim_ivf_search_is_cluster_pruned_equi_join(spark, registry):
+    # The IVF search must reach candidates through an EQUI-join on the
+    # assigned cluster id (assign ⋈ probes ON cid) — the structural
+    # guarantee that a probe scans only its nprobe clusters, never the
+    # corpus.  A refactor that degrades this to a cartesian-with-filter
+    # re-introduces the n·P all-pairs scan IVF exists to avoid.  The
+    # only Cross joins allowed are the broadcast 1-row scalar joins
+    # (k/stride parameters).
+    plan = _formatted_plan(spark, registry["sim_ivf"].fn(spark, SF001))
+    assert "CartesianProduct" not in plan
+    assert "Left keys [1]: [cid#" in plan, "candidate search must equi-join on cid"
+    assert "SortMergeJoin" not in plan, (
+        "toy-scale IVF joins are all broadcast; an SMJ here means a "
+        "corpus-sized relation leaked into the parameter plumbing"
+    )
+
+
+def test_embed_pq_encode_and_adc_are_broadcast_equi_joins(spark, registry):
+    # PQ's three joins — encode (corpus-long ⋈ 32-row codebook on
+    # (m, pos)), probe distance table build (codebook ⋈ 64-row probe),
+    # and the ADC scan (codes ⋈ 32-row distance table on (m, code)) —
+    # must all be BroadcastHashJoins: every build side is
+    # codebook-sized by construction (M·K rows), independent of corpus
+    # size.  Top-10 must be TakeOrderedAndProject, never a global sort.
+    plan = _formatted_plan(spark, registry["embed_pq"].fn(spark, SF001))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "Left keys [2]: [m#" in plan, "encode/ADC joins are 2-key equi"
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semantic_cluster_prune_is_equi_join_on_cluster(spark, registry):
+    # SemDeDup's pair space is bounded ONLY because the prune
+    # self-join is an equi-join on (cid, salt): Σ|cluster|² ≈ n·cap,
+    # never n².  The salt key is the overflow-split guard — losing it
+    # from the join keys silently re-merges mega-clusters and the
+    # pair space reverts to Σ|c|² over unsplit skew.
+    import re
+
+    plan = _formatted_plan(spark, registry["dedup_semantic_cluster"].fn(spark, SF001))
+    assert "CartesianProduct" not in plan
+    assert re.search(r"Left keys \[2\]: \[cid#\d+L?, salt#", plan), (
+        "prune self-join must key on (cid, salt)"
+    )
+
+
+def test_sim_mips_is_broadcast_scan_with_group_limit(spark, registry):
+    # MIPS via norm augmentation keeps sim_knn's scan shape: probes
+    # broadcast against one linear pass over the corpus (the BNLJ is
+    # the deliberate brute-force baseline), and the per-probe top-10
+    # must be pushed down as WindowGroupLimit so each partition keeps
+    # 10 rows per probe before the rank shuffle — not funneled through
+    # a single global sort.
+    plan = _formatted_plan(spark, registry["sim_mips"].fn(spark, SF001))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin Cross BuildRight" in plan
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
