@@ -750,3 +750,29 @@ def test_sim_mips_is_broadcast_scan_with_group_limit(spark, registry):
     assert "BroadcastNestedLoopJoin Cross BuildRight" in plan
     assert "WindowGroupLimit" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_iterative_loops_truncate_lineage(spark, registry):
+    # Every fixed-point/fixed-count DataFrame loop must checkpoint per
+    # round (SCALE.md §6): without truncation the logical plan grows
+    # with iteration count — per-round analysis cost compounds, and at
+    # real depth the driver ooms on plan trees before an executor
+    # touches data.  The FINAL returned plan therefore must read from
+    # the checkpointed relation (Scan ExistingRDD) and stay shallow —
+    # a few post-loop ops, never the unrolled per-round join tree
+    # (sample_kcenter's 515-line plan is the deepest legitimate
+    # post-loop shape; an unrolled loop is thousands of lines).
+    for key in (
+        "ml_kmeans_lloyd",
+        "embed_power_iteration",
+        "sample_kcenter",
+        "raster_region_label",
+        "raster_flow_accumulation",
+        "graph_shortest_hops",
+        "graph_pagerank",
+        "dedup_components",
+    ):
+        plan = _formatted_plan(spark, registry[key].fn(spark, SF001))
+        assert "ExistingRDD" in plan, f"{key}: final plan lost its checkpoint"
+        n = len(plan.splitlines())
+        assert n < 1000, f"{key}: {n}-line final plan — loop lineage unrolled?"
