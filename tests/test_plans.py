@@ -776,3 +776,19 @@ def test_iterative_loops_truncate_lineage(spark, registry):
         assert "ExistingRDD" in plan, f"{key}: final plan lost its checkpoint"
         n = len(plan.splitlines())
         assert n < 1000, f"{key}: {n}-line final plan — loop lineage unrolled?"
+
+
+def test_dedup_near_candidates_join_on_full_band(spark, registry):
+    # LSH candidate generation must be an EQUI-join on
+    # (band_idx, band_val) with only the doc_id ordering as residual —
+    # the structural guarantee that pairs exist only inside a band
+    # bucket.  Degrading to a theta-join (e.g. band_val equality moved
+    # into the residual) re-plans as a cartesian at scale.  The
+    # signature relation must also be persisted: the md5-heavy subplan
+    # feeds four consumers (two band sides + two verify fetches).
+    plan = _formatted_plan(spark, registry["dedup_near"].fn(spark, SF001))
+    assert "CartesianProduct" not in plan
+    assert "Left keys [2]: [band_idx#" in plan, (
+        "candidate join must be equi on (band_idx, band_val)"
+    )
+    assert "InMemoryRelation" in plan, "signature relation must be persisted"
