@@ -792,3 +792,28 @@ def test_dedup_near_candidates_join_on_full_band(spark, registry):
         "candidate join must be equi on (band_idx, band_val)"
     )
     assert "InMemoryRelation" in plan, "signature relation must be persisted"
+
+
+def test_raster_stencils_single_aggregate_shuffle(spark, registry):
+    # The focal-mean / slope stencils scatter each valid pixel to its
+    # k neighborhood centers and gather with ONE partial-aggregated
+    # shuffle (SCALE.md §"shuffle budget"): exactly one
+    # hash-partitioning Exchange, fed by a map-side partial
+    # HashAggregate — never a self-join of the pixel relation per
+    # neighbor offset, and never a second shuffle.
+    for key in ("raster_focal_mean", "raster_slope"):
+        plan = _formatted_plan(spark, registry[key].fn(spark, SF001))
+        assert plan.count("+- Exchange (") == 1, f"{key}: stencil must shuffle once"
+        assert "partial_" in plan, f"{key}: aggregate must map-side combine"
+        assert "CartesianProduct" not in plan
+
+
+def test_salted_twophase_agg_shape(spark, registry):
+    # The skew-safe aggregate must be the literal two-phase plan:
+    # phase 1 partial+final on (key, salt) behind one Exchange, phase
+    # 2 re-aggregate on the bare key behind a second — the salt
+    # expression visible in phase-1 keys and absent from phase-2.
+    plan = _formatted_plan(spark, registry["agg_salted_twophase"].fn(spark, SF001))
+    assert plan.count("+- Exchange (") == 2
+    assert "Keys [2]: [o_orderpriority" in plan, "phase 1 must key on (key, salt)"
+    assert "Keys [1]: [o_orderpriority" in plan, "phase 2 must key on the bare key"
