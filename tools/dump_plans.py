@@ -66,6 +66,11 @@ SHOWCASE = [
     ("agg_exact_median_twopass", "exact median with NO global sort: histogram groupBy + tiny cumulative window locate the rank bucket; pass 2's filter re-reaches the scan; the only WindowExec sorts one bucket's rows"),
     ("agg_hll_oracle", "mergeable HLL: per-bucket max-rho partial-aggregates map-side (<=64 registers per partition); the register spine joins LEFT so empty buckets survive; estimate arithmetic is a 5-row projection"),
     ("skyline_pareto_front", "dominance decomposed: per-size minima partial-agg, suffix-min window over the tiny minima relation, ONE BroadcastHashJoin back - no CartesianProduct for the quadratic definition"),
+    ("sim_mips", "MIPS via norm augmentation: probes broadcast against one corpus scan (the BNLJ is the deliberate brute-force baseline); per-probe top-10 pushed down as WindowGroupLimit - no global sort"),
+    ("dedup_semantic_cluster", "SemDeDup prune self-join is EQUI on (cid, salt) - pair space is sum(|cluster|^2) with overflow clusters salt-split, never n^2; cluster count and stride derive from broadcast 1-row counts"),
+    ("agg_salted_twophase", "skew-safe aggregate: partial+final on (key, salt) behind one Exchange, re-aggregate on the bare key behind a second - the literal two-phase plan"),
+    ("raster_focal_mean", "stencil scatter-gather: each valid pixel scatters to its k neighborhood centers, ONE partial-aggregated hashpartitioning Exchange gathers - no per-offset self-join of the pixel relation"),
+    ("ml_kmeans_lloyd", "iterative loop discipline: the final plan reads the localCheckpoint'd relation (Scan ExistingRDD) - per-round lineage TRUNCATED so plan depth is constant in iteration count; centroids broadcast inside each round"),
 ]
 
 
