@@ -817,3 +817,16 @@ def test_salted_twophase_agg_shape(spark, registry):
     assert plan.count("+- Exchange (") == 2
     assert "Keys [2]: [o_orderpriority" in plan, "phase 1 must key on (key, salt)"
     assert "Keys [1]: [o_orderpriority" in plan, "phase 2 must key on the bare key"
+
+
+def test_asof_family_is_one_shuffle_zero_join(spark, registry):
+    # The as-of family plans as union + per-key LOCF window — ZERO
+    # joins and exactly ONE hashpartitioning(user_id) Exchange.  The
+    # naive formulation (theta-join on ts ranges, or a correlated
+    # probe per row) blows up as |events|x|dim| at scale; this shape's
+    # shuffle volume is |events|+|dim| regardless of time density.
+    for key in ("join_asof", "join_asof_forward", "scd2_asof_lookup"):
+        plan = _formatted_plan(spark, registry[key].fn(spark, SF001))
+        assert plan.count("Join ") == 0, f"{key}: as-of must not plan a join"
+        assert plan.count("+- Exchange (") == 1, f"{key}: exactly one shuffle"
+        assert "hashpartitioning(user_id" in plan, f"{key}: shuffle must key on user_id"
