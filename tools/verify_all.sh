@@ -3,10 +3,18 @@
 # the report the committed evidence in reports/ was produced from; run
 # after any operator change and commit the refreshed reports with it.
 #
-# Usage: bash tools/verify_all.sh [round-tag, default r9]
+# Usage: bash tools/verify_all.sh [round-tag]
+# Default tag = newest CORRECTNESS_r{N}.json + 1 (the round being
+# built), mirroring bench.py's inference — no per-round edit needed.
 set -uo pipefail
 cd "$(dirname "$0")/.."
-R="${1:-r9}"
+R="${1:-}"
+if [ -z "$R" ]; then
+  n=$(ls CORRECTNESS_r*.json 2>/dev/null \
+      | sed -E 's/.*CORRECTNESS_r0*([0-9]+)\.json/\1/' | sort -n | tail -1)
+  R="r$(( ${n:-0} + 1 ))"
+  echo "verify_all: round tag inferred as $R (pass one to override)"
+fi
 mkdir -p reports
 fail=0
 
