@@ -830,3 +830,16 @@ def test_asof_family_is_one_shuffle_zero_join(spark, registry):
         assert plan.count("Join ") == 0, f"{key}: as-of must not plan a join"
         assert plan.count("+- Exchange (") == 1, f"{key}: exactly one shuffle"
         assert "hashpartitioning(user_id" in plan, f"{key}: shuffle must key on user_id"
+
+
+def test_raster_melt_path_never_shuffles_pixels(spark, registry):
+    # The §2.2 melt core: tiles unpivot to points via arrays_zip +
+    # ONE posexplode as a pure projection pipeline — the pixel stream
+    # must never hit an Exchange, and multi-band zip must align bands
+    # in-row (broadcast scalars only), not join exploded pixels.
+    for key in ("grid_unpivot", "affine_coords"):
+        plan = _formatted_plan(spark, registry[key].fn(spark, SF001))
+        assert plan.count("+- Exchange (") == 0, f"{key}: melt path must not shuffle"
+        assert plan.count("Generate (") == 1, f"{key}: exactly one posexplode"
+    plan = _formatted_plan(spark, registry["band_zip_join"].fn(spark, SF001))
+    assert plan.count("+- Exchange (") == 0, "band zip must not shuffle pixels"
