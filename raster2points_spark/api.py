@@ -13,8 +13,9 @@ Inputs are tile tables (path or DataFrame) — the scale-native landing
 format (see sources/tiles.py) — or, reference-style, GeoTIFF paths
 (a ``.tif`` path or a list of them): those convert through
 sources/geotiff.py when rasterio is available, else through the
-dependency-free mini reader (sources/minitiff.py, uncompressed striped
-subset).  Tiling replaces ``max_block_size``: the tile table is
+dependency-free mini reader (sources/minitiff.py — striped or tiled,
+deflate or uncompressed, single- or multi-band, predictor 1/2).
+Tiling replaces ``max_block_size``: the tile table is
 already blocked, and Spark partitioning replaces the reference's
 parallelpipe workers.
 """
@@ -32,16 +33,19 @@ from raster2points_spark.sources.tiles import read_tiles
 
 
 def tiles_from_rasters(
-    spark: SparkSession, paths: list[str], tile_size: int = 512
+    spark: SparkSession, paths: list[str], tile_size: int | None = None
 ) -> DataFrame:
-    """GeoTIFF paths → tile table, one band per path (the reference's
-    positional multi-raster convention, band ids b1..bN).  Prefers the
-    full rasterio adapter; falls back to the pure-Python mini reader
-    for uncompressed striped files when rasterio is absent."""
+    """GeoTIFF paths → tile table, band ids b1..bN positionally across
+    files and samples (the reference's multi-raster convention, extended
+    so one multi-band file contributes one band per sample).  Prefers
+    the full rasterio adapter; falls back to the pure-Python mini reader
+    (striped or tiled, deflate or uncompressed) when rasterio is absent.
+    ``tile_size=None`` aligns the grid with a tiled file's native tile
+    layout (COG access pattern); striped files default to 512."""
     try:
         from raster2points_spark.sources.geotiff import geotiff_to_tiles
 
-        return geotiff_to_tiles(spark, paths, tile_size=tile_size)
+        return geotiff_to_tiles(spark, paths, tile_size=tile_size or 512)
     except ImportError:
         from raster2points_spark.sources.minitiff import minitiff_to_tiles
 

@@ -1,22 +1,31 @@
-"""Pure-Python reader for small uncompressed striped (Geo)TIFFs.
+"""Pure-Python reader for small (Geo)TIFFs — no native dependencies.
 
 The real GeoTIFF front door (sources/geotiff.py) needs rasterio, which
 this environment cannot install — so the window-grid math there ran
 only against synthetic metadata.  This module closes that gap: a
-dependency-free parser for the subset of TIFF 6.0 the golden fixtures
-use (single band, Compression=1, strip layout, both byte orders,
-uint8/int16/uint16/int32/float32/float64), plus the GeoTIFF tags that
-drive the tile-table transform (ModelPixelScale 33550, ModelTiepoint
-33922, GDAL_NODATA 42113).
+dependency-free parser for the subset of TIFF 6.0 real GeoTIFFs/COGs
+actually use:
+
+  * strip OR tile layout (TileWidth/TileLength/TileOffsets 322/323/324)
+  * Compression = 1 (none) or 8/32946 (deflate, stdlib ``zlib``)
+  * Predictor = 1 (none) or 2 (horizontal differencing, integer types)
+  * SamplesPerPixel >= 1 with PlanarConfiguration 1 (chunky) or 2
+    (planar) — multi-band stacks in one file
+  * both byte orders; uint8/16/32, int16/32, float32/64
+  * the GeoTIFF tags that drive the tile-table transform
+    (ModelPixelScale 33550, ModelTiepoint 33922, GDAL_NODATA 42113)
 
 ``minitiff_to_tiles`` mirrors geotiff_to_tiles' distributed shape
 exactly — driver header pass for the window grid, executors read only
-their own windows' bytes via mapInPandas — so the job shape itself is
-exercised end-to-end against a REAL file layout, not a stub.
+their own windows' byte ranges via mapInPandas — so the job shape is
+exercised end-to-end against a REAL file layout, not a stub.  For a
+tiled TIFF the engine's tile grid aligns 1:1 with the file's tile grid
+by default, so each task decompresses exactly its own blocks (the COG
+access pattern).
 
-This is deliberately not a general TIFF library: tiled layout,
-compression, multi-sample pixels and BigTIFF raise ValueError with the
-offending tag, and full-fidelity ingestion remains geotiff_to_tiles on
+Still out of scope (raise ValueError with the offending tag): BigTIFF,
+JPEG/LZW/packbits compression, Predictor=3 (floating-point byte
+shuffle).  Full-fidelity ingestion of those remains geotiff_to_tiles on
 a rasterio-equipped cluster.
 """
 
@@ -25,6 +34,7 @@ from __future__ import annotations
 import math
 import os
 import struct
+import zlib
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,10 +45,14 @@ from raster2points_spark.sources.geotiff import TILE_SCHEMA_DDL, window_grid
 _W, _H = 256, 257
 _BITS, _COMPRESSION, _PHOTO = 258, 259, 262
 _STRIP_OFFSETS, _SAMPLES_PER_PX, _ROWS_PER_STRIP, _STRIP_COUNTS = 273, 277, 278, 279
-_TILE_WIDTH = 322
+_PLANAR = 284
+_PREDICTOR = 317
+_TILE_WIDTH, _TILE_LENGTH, _TILE_OFFSETS, _TILE_COUNTS = 322, 323, 324, 325
 _SAMPLE_FORMAT = 339
 _MODEL_PIXEL_SCALE, _MODEL_TIEPOINT = 33550, 33922
 _GDAL_NODATA = 42113
+
+_DEFLATE = (8, 32946)  # new-style + legacy deflate codes
 
 # (sample_format, bits) -> numpy dtype char (endian prefix added later)
 _DTYPES = {
@@ -76,10 +90,34 @@ class MiniTiff:
     height: int
     dtype: str  # numpy dtype string WITH endian prefix, e.g. "<f8"
     bytes_per_sample: int
-    rows_per_strip: int
-    strip_offsets: list[int]
+    samples_per_pixel: int
+    planar_config: int  # 1 chunky (interleaved), 2 planar (one plane per band)
+    compression: int  # 1 none, 8/32946 deflate
+    predictor: int  # 1 none, 2 horizontal differencing
+    tiled: bool
+    block_width: int  # TileWidth, or image width for strips
+    block_height: int  # TileLength, or RowsPerStrip
+    offsets: list[int]  # strip/tile offsets (planar: plane-major)
+    byte_counts: list[int]
     transform: list[float]  # [a, b, c, d, e, f] row-major affine
     nodata: float  # nan when absent
+
+    # --- compatibility aliases for the original strip-only surface ---
+    @property
+    def rows_per_strip(self) -> int:
+        return self.block_height
+
+    @property
+    def strip_offsets(self) -> list[int]:
+        return self.offsets
+
+    @property
+    def blocks_across(self) -> int:
+        return (self.width + self.block_width - 1) // self.block_width
+
+    @property
+    def blocks_down(self) -> int:
+        return (self.height + self.block_height - 1) // self.block_height
 
 
 def _read_ifd_entries(buf: bytes, bo: str):
@@ -114,7 +152,8 @@ def _values(buf: bytes, bo: str, typ: int, count: int, off: int):
 
 
 def read_header(path: str) -> MiniTiff:
-    """Parse the header of an uncompressed striped single-band TIFF."""
+    """Parse the header of a striped or tiled, optionally deflate-
+    compressed, single- or multi-band TIFF."""
     with open(path, "rb") as f:
         buf = f.read()
     if len(buf) < 8:
@@ -145,22 +184,72 @@ def read_header(path: str) -> MiniTiff:
     width, height = int(one(_W, 0)), int(one(_H, 0))
     if width <= 0 or height <= 0:
         raise ValueError(f"{path}: missing ImageWidth/ImageLength")
-    if int(one(_COMPRESSION, 1)) != 1:
-        raise ValueError(f"{path}: compressed TIFF (tag 259={one(_COMPRESSION)}); mini reader handles Compression=1 only")
-    if _TILE_WIDTH in tags:
-        raise ValueError(f"{path}: tiled TIFF layout; mini reader handles strips only")
-    if int(one(_SAMPLES_PER_PX, 1)) != 1:
-        raise ValueError(f"{path}: multi-sample pixels not supported")
+    compression = int(one(_COMPRESSION, 1))
+    if compression != 1 and compression not in _DEFLATE:
+        raise ValueError(
+            f"{path}: unsupported compression (tag 259={compression}); "
+            "mini reader handles 1 (none) and 8/32946 (deflate) only"
+        )
+    predictor = int(one(_PREDICTOR, 1))
+    if predictor not in (1, 2):
+        raise ValueError(
+            f"{path}: unsupported predictor (tag 317={predictor}); "
+            "mini reader handles 1 (none) and 2 (horizontal differencing) only"
+        )
+    spp = int(one(_SAMPLES_PER_PX, 1))
+    if spp < 1:
+        raise ValueError(f"{path}: bad SamplesPerPixel {spp}")
+    planar = int(one(_PLANAR, 1))
+    if planar not in (1, 2):
+        raise ValueError(f"{path}: bad PlanarConfiguration {planar}")
     bits = int(one(_BITS, 8))
     sample_format = int(one(_SAMPLE_FORMAT, 1))
+    if predictor == 2 and sample_format == 3:
+        raise ValueError(
+            f"{path}: Predictor=2 on floating-point samples is not meaningful; "
+            "Predictor=3 (float shuffle) is unsupported by the mini reader"
+        )
     np_char = _DTYPES.get((sample_format, bits))
     if np_char is None:
         raise ValueError(f"{path}: unsupported sample (format={sample_format}, bits={bits})")
+    bps = bits // 8
 
-    strip_offsets = [int(v) for v in tags.get(_STRIP_OFFSETS, [])]
-    if not strip_offsets:
-        raise ValueError(f"{path}: missing StripOffsets")
-    rows_per_strip = int(one(_ROWS_PER_STRIP, height))
+    tiled = _TILE_OFFSETS in tags or _TILE_WIDTH in tags
+    if tiled:
+        block_w = int(one(_TILE_WIDTH, 0))
+        block_h = int(one(_TILE_LENGTH, 0))
+        if block_w <= 0 or block_h <= 0:
+            raise ValueError(f"{path}: tiled layout missing TileWidth/TileLength")
+        offsets = [int(v) for v in tags.get(_TILE_OFFSETS, [])]
+        byte_counts = [int(v) for v in tags.get(_TILE_COUNTS, [])]
+        if not offsets:
+            raise ValueError(f"{path}: missing TileOffsets")
+    else:
+        block_w = width
+        block_h = int(one(_ROWS_PER_STRIP, height))
+        offsets = [int(v) for v in tags.get(_STRIP_OFFSETS, [])]
+        byte_counts = [int(v) for v in tags.get(_STRIP_COUNTS, [])]
+        if not offsets:
+            raise ValueError(f"{path}: missing StripOffsets")
+
+    if not byte_counts:
+        if compression != 1:
+            raise ValueError(f"{path}: compressed TIFF missing byte counts (tag 279/325)")
+        # uncompressed: counts are implied by the layout
+        byte_counts = []
+        blocks_down = (height + block_h - 1) // block_h
+        per_plane = blocks_down * ((width + block_w - 1) // block_w)
+        row_samples = block_w * (spp if planar == 1 else 1)
+        for i in range(len(offsets)):
+            plane_idx = i % per_plane if planar == 2 else i
+            if tiled:
+                rows = block_h  # tiles are always padded to full size
+            else:
+                r0 = (plane_idx) * block_h
+                rows = min(block_h, height - r0)
+            byte_counts.append(rows * row_samples * bps)
+    if len(byte_counts) != len(offsets):
+        raise ValueError(f"{path}: offsets/byte-counts length mismatch")
 
     # GeoTIFF georeferencing: pixel scale + one tiepoint -> affine
     scale = tags.get(_MODEL_PIXEL_SCALE)
@@ -188,79 +277,185 @@ def read_header(path: str) -> MiniTiff:
         width=width,
         height=height,
         dtype=bo + np_char,
-        bytes_per_sample=bits // 8,
-        rows_per_strip=rows_per_strip,
-        strip_offsets=strip_offsets,
+        bytes_per_sample=bps,
+        samples_per_pixel=spp,
+        planar_config=planar,
+        compression=compression,
+        predictor=predictor,
+        tiled=tiled,
+        block_width=block_w,
+        block_height=block_h,
+        offsets=offsets,
+        byte_counts=byte_counts,
         transform=transform,
         nodata=nodata,
     )
 
 
-def read_window(hdr: MiniTiff, col_off: int, row_off: int, width: int, height: int):
-    """Read one window as a float list (row-major), touching only the
-    strips that cover it — the same I/O discipline rasterio block reads
-    have, so the mapInPandas task shape is honest about bytes read."""
+def _decode_block(hdr: MiniTiff, f, bx: int, by: int, sample: int):
+    """Decode one strip/tile and return the 2D array of ONE sample's
+    values for that block's VALID region (edge tiles clipped).  One
+    seek + one read of exactly the block's byte range — the same I/O
+    unit rasterio/GDAL block reads use."""
     import numpy as np
 
-    out = np.empty(width * height, dtype="f8")
-    bps = hdr.bytes_per_sample
+    per_plane = hdr.blocks_down * hdr.blocks_across
+    plane_idx = by * hdr.blocks_across + bx
+    if hdr.planar_config == 2:
+        idx = sample * per_plane + plane_idx
+        ch, nch = 0, 1
+    else:
+        idx = plane_idx
+        ch, nch = sample, hdr.samples_per_pixel
+
+    f.seek(hdr.offsets[idx])
+    raw = f.read(hdr.byte_counts[idx])
+    if hdr.compression in _DEFLATE:
+        raw = zlib.decompress(raw)
+
+    if hdr.tiled:
+        rows, cols = hdr.block_height, hdr.block_width  # tiles are padded
+    else:
+        rows = min(hdr.block_height, hdr.height - by * hdr.block_height)
+        cols = hdr.width
+    a = np.frombuffer(raw, dtype=hdr.dtype, count=rows * cols * nch).reshape(rows, cols, nch)
+    if hdr.predictor == 2:
+        # horizontal differencing is per sample channel between adjacent
+        # pixels; undo with a modular cumsum in the native width
+        a = np.cumsum(a, axis=1, dtype=a.dtype)
+    a = a[:, :, ch]
+    # clip edge blocks to the image's valid region
+    vr = min(rows, hdr.height - by * hdr.block_height)
+    vc = min(cols, hdr.width - bx * hdr.block_width)
+    return a[:vr, :vc]
+
+
+def read_window(
+    hdr: MiniTiff, col_off: int, row_off: int, width: int, height: int, sample: int = 0
+):
+    """Read one window of one band as a float list (row-major), touching
+    only the strips/tiles that cover it — the same I/O discipline
+    rasterio block reads have, so the mapInPandas task shape is honest
+    about bytes read."""
+    import numpy as np
+
+    out = np.empty((height, width), dtype="f8")
+    bw, bh = hdr.block_width, hdr.block_height
     with open(hdr.path, "rb") as f:
-        for r in range(height):
-            row = row_off + r
-            strip = row // hdr.rows_per_strip
-            in_strip = row % hdr.rows_per_strip
-            off = hdr.strip_offsets[strip] + (in_strip * hdr.width + col_off) * bps
-            f.seek(off)
-            raw = f.read(width * bps)
-            out[r * width : (r + 1) * width] = np.frombuffer(raw, dtype=hdr.dtype)
-    return [float(v) for v in out]
+        for by in range(row_off // bh, (row_off + height - 1) // bh + 1):
+            for bx in range(col_off // bw, (col_off + width - 1) // bw + 1):
+                block = _decode_block(hdr, f, bx, by, sample)
+                # intersection of the window and this block, image coords
+                r0 = max(row_off, by * bh)
+                r1 = min(row_off + height, by * bh + block.shape[0])
+                c0 = max(col_off, bx * bw)
+                c1 = min(col_off + width, bx * bw + block.shape[1])
+                out[r0 - row_off : r1 - row_off, c0 - col_off : c1 - col_off] = block[
+                    r0 - by * bh : r1 - by * bh, c0 - bx * bw : c1 - bx * bw
+                ]
+    return [float(v) for v in out.ravel()]
+
+
+def _band_names(hdrs: list[MiniTiff], band_ids: list | None) -> list[list[str]]:
+    """Resolve per-file band-name lists.  Default: b1..bN numbered
+    ACROSS files in (file, sample) order — the reference's positional
+    convention, naturally extended so one two-band file yields b1, b2.
+    Explicit band_ids: one name per band in the same order, or one
+    name/list per file."""
+    if band_ids is None:
+        names, n = [], 0
+        for hdr in hdrs:
+            names.append([f"b{n + s + 1}" for s in range(hdr.samples_per_pixel)])
+            n += hdr.samples_per_pixel
+        return names
+    total = sum(h.samples_per_pixel for h in hdrs)
+    if len(band_ids) == len(hdrs) and all(
+        isinstance(b, (list, tuple)) or h.samples_per_pixel == 1
+        for b, h in zip(band_ids, hdrs)
+    ):
+        out = []
+        for b, hdr in zip(band_ids, hdrs):
+            lst = list(b) if isinstance(b, (list, tuple)) else [b]
+            if len(lst) != hdr.samples_per_pixel:
+                raise ValueError(
+                    f"band_ids for {hdr.path}: got {len(lst)} names for "
+                    f"{hdr.samples_per_pixel} samples"
+                )
+            out.append([str(x) for x in lst])
+        return out
+    if len(band_ids) != total:
+        raise ValueError(
+            f"band_ids must match the total band count across files "
+            f"({total}); got {len(band_ids)}"
+        )
+    out, i = [], 0
+    for hdr in hdrs:
+        out.append([str(x) for x in band_ids[i : i + hdr.samples_per_pixel]])
+        i += hdr.samples_per_pixel
+    return out
 
 
 def minitiff_to_tiles(
     spark: SparkSession,
     paths: list[str],
-    band_ids: list[str] | None = None,
-    tile_size: int = 512,
+    band_ids: list | None = None,
+    tile_size: int | None = None,
 ) -> DataFrame:
     """Distributed mini-TIFF → tile-table conversion; identical contract
     and job shape to geotiff_to_tiles (driver header pass → window-grid
     rows → executors read their own windows via mapInPandas), but with
-    zero native dependencies."""
-    band_ids = band_ids or [f"b{i + 1}" for i in range(len(paths))]
-    if len(band_ids) != len(paths):
-        raise ValueError("band_ids must match paths")
+    zero native dependencies.
 
+    ``tile_size=None`` (default) aligns the engine grid with a tiled
+    file's native TileWidth×TileLength so each task decompresses exactly
+    its own file blocks (the COG access pattern); striped files default
+    to 512.  Multi-band files expand to one tile-table band per sample.
+    """
     meta = []
-    for band_id, path in zip(band_ids, paths):
-        hdr = read_header(path)
-        for w in window_grid(hdr.width, hdr.height, tile_size):
-            meta.append(
-                (
-                    band_id,
-                    hdr.path,
-                    w["tile_id"],
-                    w["col_off"],
-                    w["row_off"],
-                    w["width"],
-                    w["height"],
-                    hdr.transform,
-                    hdr.nodata,
-                    _DTYPE_NAMES[hdr.dtype.lstrip("<>")],
+    hdrs = [read_header(p) for p in paths]
+    names = _band_names(hdrs, band_ids)
+    for hdr, file_bands in zip(hdrs, names):
+        if tile_size is None:
+            tw, th = (hdr.block_width, hdr.block_height) if hdr.tiled else (512, 512)
+        else:
+            tw = th = tile_size
+        grid = window_grid(hdr.width, hdr.height, tw, tile_height=th)
+        for sample, band_id in enumerate(file_bands):
+            for w in grid:
+                meta.append(
+                    (
+                        band_id,
+                        hdr.path,
+                        sample,
+                        w["tile_id"],
+                        w["col_off"],
+                        w["row_off"],
+                        w["width"],
+                        w["height"],
+                        hdr.transform,
+                        hdr.nodata,
+                        _DTYPE_NAMES[hdr.dtype.lstrip("<>")],
+                    )
                 )
-            )
     meta_df = spark.createDataFrame(
         meta,
-        "band_id string, path string, tile_id long, col_off int, row_off int, "
-        "width int, height int, transform array<double>, nodata double, dtype string",
+        "band_id string, path string, sample int, tile_id long, col_off int, "
+        "row_off int, width int, height int, transform array<double>, "
+        "nodata double, dtype string",
     )
 
     def read_windows(batches):
         for pdf in batches:
             data = []
+            hdr_cache: dict[str, MiniTiff] = {}
             for r in pdf.itertuples(index=False):
-                hdr = read_header(r.path)
-                data.append(read_window(hdr, r.col_off, r.row_off, r.width, r.height))
-            out = pdf.drop(columns=["path"]).copy()
+                hdr = hdr_cache.get(r.path)
+                if hdr is None:
+                    hdr = hdr_cache[r.path] = read_header(r.path)
+                data.append(
+                    read_window(hdr, r.col_off, r.row_off, r.width, r.height, sample=r.sample)
+                )
+            out = pdf.drop(columns=["path", "sample"]).copy()
             out["data"] = data
             yield out
 

@@ -14,37 +14,67 @@ import pytest
 
 def _write_tiff(
     path,
-    values,  # row-major list of floats/ints
+    values,  # row-major list of floats/ints (single band)
     width,
     height,
     byte_order="<",  # "<" II little-endian, ">" MM big-endian
-    dtype="f8",  # f8 | i2
+    dtype="f8",  # f8 | i2 | u1
     rows_per_strip=2,
     pixel_scale=(0.5, 0.5),
     tiepoint=(0.0, 0.0, 0.0, 10.0, 45.0, 0.0),
     nodata="-9999",
+    compression=1,  # 1 none | 8 deflate
+    predictor=1,  # 1 none | 2 horizontal differencing (int dtypes)
+    tile=None,  # (tile_width, tile_height) -> tiled layout
+    bands=None,  # list of per-band row-major lists (overrides values)
+    planar=1,  # 1 chunky | 2 planar (only meaningful with >1 band)
 ):
+    import zlib
+
+    import numpy as np
+
     bo = byte_order
-    sample_format = {"f8": 3, "i2": 2}[dtype]
-    bits = {"f8": 64, "i2": 16}[dtype]
-    bps = bits // 8
-    pack_px = {"f8": "d", "i2": "h"}[dtype]
+    sample_format = {"f8": 3, "i2": 2, "u1": 1}[dtype]
+    bits = {"f8": 64, "i2": 16, "u1": 8}[dtype]
+    np_dt = np.dtype(bo + dtype)
+    band_arrays = [
+        np.asarray(b, dtype=np_dt).reshape(height, width) for b in (bands or [values])
+    ]
+    spp = len(band_arrays)
+    stack = np.stack(band_arrays, axis=-1)  # (h, w, spp)
 
-    n_strips = (height + rows_per_strip - 1) // rows_per_strip
-    strips = []
-    for s in range(n_strips):
-        r0 = s * rows_per_strip
-        rows = values[r0 * width : min(height, r0 + rows_per_strip) * width]
-        strips.append(struct.pack(bo + str(len(rows)) + pack_px, *rows))
+    def encode_block(a):  # (rows, cols, nch) -> on-disk bytes
+        if predictor == 2:
+            d = a.copy()
+            d[:, 1:, :] = a[:, 1:, :] - a[:, :-1, :]
+            a = d
+        raw = np.ascontiguousarray(a.astype(np_dt)).tobytes()
+        return zlib.compress(raw) if compression == 8 else raw
 
-    # layout: 8B header | strip data | external arrays | IFD
+    planes = [stack[:, :, s : s + 1] for s in range(spp)] if planar == 2 else [stack]
+    blocks = []
+    if tile:
+        tw, th = tile
+        for plane in planes:
+            for r0 in range(0, height, th):
+                for c0 in range(0, width, tw):
+                    blk = np.zeros((th, tw, plane.shape[2]), np_dt)
+                    sub = plane[r0 : r0 + th, c0 : c0 + tw, :]
+                    blk[: sub.shape[0], : sub.shape[1], :] = sub
+                    blocks.append(encode_block(blk))
+    else:
+        for plane in planes:
+            for r0 in range(0, height, rows_per_strip):
+                blocks.append(encode_block(plane[r0 : r0 + rows_per_strip, :, :]))
+
+    # layout: 8B header | block data | external arrays | IFD
     off = 8
-    strip_offsets = []
-    for s in strips:
-        strip_offsets.append(off)
-        off += len(s)
+    block_offsets = []
+    for b in blocks:
+        block_offsets.append(off)
+        off += len(b)
 
-    ext = b""  # external value area, appended after strips
+    ext = b""  # external value area, appended after blocks
 
     def extern(fmt, vals):
         nonlocal ext
@@ -57,23 +87,40 @@ def _write_tiff(
     def entry(tag, typ, count, inline_val=None, offset=None):
         entries.append((tag, typ, count, inline_val, offset))
 
+    def long_array(tag, vals):
+        if len(vals) == 1:
+            entry(tag, 4, 1, vals[0])
+        else:
+            entry(tag, 4, len(vals), offset=extern(f"{len(vals)}I", vals))
+
     entry(256, 3, 1, width)
     entry(257, 3, 1, height)
-    entry(258, 3, 1, bits)
-    entry(259, 3, 1, 1)  # uncompressed
+    if spp == 1:
+        entry(258, 3, 1, bits)
+        entry(339, 3, 1, sample_format)
+    else:
+        if spp == 2:  # two SHORTs fit inline
+            entry(258, 3, 2, (bits, bits))
+            entry(339, 3, 2, (sample_format, sample_format))
+        else:
+            entry(258, 3, spp, offset=extern(f"{spp}H", [bits] * spp))
+            entry(339, 3, spp, offset=extern(f"{spp}H", [sample_format] * spp))
+    entry(259, 3, 1, compression)
     entry(262, 3, 1, 1)
-    if n_strips == 1:
-        entry(273, 4, 1, strip_offsets[0])
+    entry(277, 3, 1, spp)
+    entry(284, 3, 1, planar)
+    if predictor != 1:
+        entry(317, 3, 1, predictor)
+    counts = [len(b) for b in blocks]
+    if tile:
+        entry(322, 3, 1, tile[0])
+        entry(323, 3, 1, tile[1])
+        long_array(324, block_offsets)
+        long_array(325, counts)
     else:
-        entry(273, 4, n_strips, offset=extern(f"{n_strips}I", strip_offsets))
-    entry(277, 3, 1, 1)
-    entry(278, 3, 1, rows_per_strip)
-    counts = [len(s) for s in strips]
-    if n_strips == 1:
-        entry(279, 4, 1, counts[0])
-    else:
-        entry(279, 4, n_strips, offset=extern(f"{n_strips}I", counts))
-    entry(339, 3, 1, sample_format)
+        long_array(273, block_offsets)
+        entry(278, 3, 1, rows_per_strip)
+        long_array(279, counts)
     entry(33550, 12, 3, offset=extern("3d", [pixel_scale[0], pixel_scale[1], 0.0]))
     entry(33922, 12, 6, offset=extern("6d", list(tiepoint)))
     nd = nodata.encode() + b"\x00"
@@ -85,6 +132,8 @@ def _write_tiff(
         e = struct.pack(bo + "HHI", tag, typ, count)
         if ext_off is not None:
             e += struct.pack(bo + "I", ext_off)
+        elif typ == 3 and count == 2:  # two SHORTs inline
+            e += struct.pack(bo + "2H", *inline_val)
         elif typ == 3:  # SHORT inline, padded
             e += struct.pack(bo + "H", inline_val) + b"\x00\x00"
         else:  # LONG inline
@@ -95,8 +144,8 @@ def _write_tiff(
     order_mark = b"II" if bo == "<" else b"MM"
     with open(path, "wb") as f:
         f.write(order_mark + struct.pack(bo + "HI", 42, ifd_off))
-        for s in strips:
-            f.write(s)
+        for b in blocks:
+            f.write(b)
         f.write(ext)
         f.write(ifd)
 
@@ -234,6 +283,113 @@ def test_raster2df_from_tif_paths(spark, tmp_path):
     assert rows[(10.75, 44.75)] == (2.0, None)
     # dtype preservation: float64 source -> double columns
     assert dict(df.dtypes)["elev"] == "double"
+
+
+def test_deflate_bit_identical_to_uncompressed(tmp_path):
+    """VERDICT r9 #1: Compression=8 (stdlib zlib) decodes bit-identically
+    to its uncompressed twin."""
+    from raster2points_spark.sources.minitiff import read_header, read_window
+
+    w, h = 6, 4
+    vals = [float(r * 10 + c) for r in range(h) for c in range(w)]
+    plain, defl = str(tmp_path / "plain.tif"), str(tmp_path / "defl.tif")
+    _write_tiff(plain, vals, w, h)
+    _write_tiff(defl, vals, w, h, compression=8)
+    hp, hd = read_header(plain), read_header(defl)
+    assert hd.compression == 8
+    assert read_window(hd, 0, 0, w, h) == read_window(hp, 0, 0, w, h) == vals
+    # interior window crossing a strip boundary decompresses only its strips
+    assert read_window(hd, 1, 1, 3, 2) == read_window(hp, 1, 1, 3, 2)
+
+
+def test_deflate_predictor2_int16(tmp_path):
+    """Predictor=2 (horizontal differencing) + deflate — the default
+    gdal_translate -co COMPRESS=DEFLATE -co PREDICTOR=2 layout."""
+    from raster2points_spark.sources.minitiff import read_header, read_window
+
+    w, h = 5, 3
+    vals = [r * 100 + c * 7 for r in range(h) for c in range(w)]
+    p = str(tmp_path / "pred.tif")
+    _write_tiff(p, vals, w, h, dtype="i2", compression=8, predictor=2, rows_per_strip=2)
+    hdr = read_header(p)
+    assert hdr.compression == 8 and hdr.predictor == 2
+    assert read_window(hdr, 0, 0, w, h) == [float(v) for v in vals]
+    assert read_window(hdr, 2, 1, 3, 2) == [float(vals[r * w + c]) for r in (1, 2) for c in (2, 3, 4)]
+
+
+def test_tiled_layout_reads_and_grid_aligns(spark, tmp_path):
+    """VERDICT r9 #2: tiled (COG-style) layout — windows decode across
+    tile boundaries, edge tiles are clipped, and minitiff_to_tiles'
+    default grid maps 1:1 onto the file's own tile grid."""
+    from raster2points_spark.sources.minitiff import (
+        minitiff_to_tiles,
+        read_header,
+        read_window,
+    )
+
+    w, h = 6, 5
+    vals = [float(r * 10 + c) for r in range(h) for c in range(w)]
+    p = str(tmp_path / "tiled.tif")
+    _write_tiff(p, vals, w, h, tile=(4, 4), compression=8)
+    hdr = read_header(p)
+    assert hdr.tiled and (hdr.block_width, hdr.block_height) == (4, 4)
+    assert read_window(hdr, 0, 0, w, h) == vals
+    # window spanning all four tiles
+    got = read_window(hdr, 2, 2, 4, 3)
+    assert got == [vals[r * w + c] for r in (2, 3, 4) for c in (2, 3, 4, 5)]
+
+    tiles = {r.tile_id: r for r in minitiff_to_tiles(spark, [p]).collect()}
+    # native grid: 2 across x 2 down, edge tiles clipped to valid region
+    assert {(t.col_off, t.row_off, t.width, t.height) for t in tiles.values()} == {
+        (0, 0, 4, 4),
+        (4, 0, 2, 4),
+        (0, 4, 4, 1),
+        (4, 4, 2, 1),
+    }
+    full = {}
+    for t in tiles.values():
+        for i, v in enumerate(t.data):
+            full[(t.row_off + i // t.width, t.col_off + i % t.width)] = v
+    assert [full[(r, c)] for r in range(h) for c in range(w)] == vals
+
+
+def test_multiband_chunky_and_planar(tmp_path):
+    """VERDICT r9 #3: SamplesPerPixel=2 decodes per-band for both
+    PlanarConfiguration=1 (interleaved) and 2 (separate planes)."""
+    from raster2points_spark.sources.minitiff import read_header, read_window
+
+    w, h = 4, 3
+    b1 = [float(r * 10 + c) for r in range(h) for c in range(w)]
+    b2 = [v + 1000.0 for v in b1]
+    for planar in (1, 2):
+        p = str(tmp_path / f"mb{planar}.tif")
+        _write_tiff(p, None, w, h, bands=[b1, b2], planar=planar, compression=8)
+        hdr = read_header(p)
+        assert hdr.samples_per_pixel == 2 and hdr.planar_config == planar
+        assert read_window(hdr, 0, 0, w, h, sample=0) == b1
+        assert read_window(hdr, 0, 0, w, h, sample=1) == b2
+        assert read_window(hdr, 1, 1, 2, 2, sample=1) == [
+            b2[r * w + c] for r in (1, 2) for c in (1, 2)
+        ]
+
+
+def test_raster2df_single_multiband_file(spark, tmp_path):
+    """Reference parity off ONE two-band file: band 1 masks, band 2 is a
+    nullable value column — no pre-splitting into per-band files."""
+    from raster2points_spark.api import raster2df
+
+    w, h = 4, 2
+    b1 = [1.0, 2.0, -9999.0, 4.0, 5.0, 6.0, 7.0, 8.0]
+    b2 = [10.0, -9999.0, 30.0, 40.0, 50.0, 60.0, 70.0, 80.0]
+    p = str(tmp_path / "stack.tif")
+    _write_tiff(p, None, w, h, bands=[b1, b2], compression=8)
+
+    df = raster2df(spark, [p], bands=["b1", "b2"], col_names=["elev", "slope"])
+    rows = {(r.lon, r.lat): (r.elev, r.slope) for r in df.collect()}
+    assert len(rows) == 7
+    assert rows[(10.25, 44.75)] == (1.0, 10.0)
+    assert (11.25, 44.75) not in rows  # masked by band 1
+    assert rows[(10.75, 44.75)] == (2.0, None)  # band-2 nodata -> NULL
 
 
 def test_cli_accepts_tif_paths(spark, tmp_path):
