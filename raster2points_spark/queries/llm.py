@@ -2612,17 +2612,100 @@ def _bpe_apply_merge(words, a: str, b: str):
     return words.select(F.expr(merged).alias("syms"), "n")
 
 
-def bpe_train(spark, sf_dir, n_merges: int = N_BPE_MERGES):
+def _bpe_safe_batch(top, list_full: bool, max_take: int):
+    """From one round's sorted top-N pair counts, take the longest
+    PREFIX that is provably identical to what the sequential trainer
+    would pick step by step (the fast-BPE batching trick, restricted to
+    the exactness-preserving subset):
+
+    * batch pairs must be pairwise symbol-disjoint — merging (a1,b1)
+      cannot change the count of a disjoint pair, so round-start counts
+      stay exact for the rest of the batch;
+    * a later candidate's symbols must not textually equal an earlier
+      merge's concatenation (the new symbol would conflate with it);
+    * every NEW pair a merge creates is bounded by the round-start
+      count of a pair sharing a symbol with that merge
+      (cnt(x, a1b1) <= cnt(x, a1)), so a candidate is only safe while
+      no unselected symbol-sharing pair has count >= its own — strict,
+      because a renamed new pair can win a lexicographic tie;
+    * when the collected list was truncated (list_full), uncollected
+      pairs can tie anything at or below the last collected count, so
+      candidates at that count are unsafe.
+
+    The first element is always exact (it is the global argmax under
+    the full (cnt desc, a, b) order).  Returns [(a, b, cnt), ...].
+    """
+    sel: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    concats: set[str] = set()
+    for i, r in enumerate(top):
+        if len(sel) >= max_take:
+            break
+        a, b, c = r.a, r.b, r.cnt
+        if sel:
+            if a in used or b in used or a in concats or b in concats:
+                break
+            if list_full and c <= top[-1].cnt:
+                break
+            threat = any(
+                (q.a in used or q.b in used) and q.cnt >= c for q in top[i + 1 :]
+            )
+            if threat:
+                break
+        sel.append((a, b, int(c)))
+        used.update((a, b))
+        concats.add(a + b)
+    return sel
+
+
+def _bpe_train_words(
+    spark, words, n_merges: int, batch_top_n: int = 64, stats: dict | None = None
+):
+    """Core BPE trainer over a (syms array<string>, n bigint) word
+    vocabulary.  Per ROUND (not per merge): ONE pair-count aggregate
+    (map-side combined) + ONE top-N collect (metadata-sized: N<=64
+    rows) + a composed per-row merge fold for every merge the round
+    proved sequential-exact (``_bpe_safe_batch``).  Driver round-trips
+    therefore scale with rounds, not vocabulary size — a 30k-merge
+    production vocabulary is thousands of jobs fewer than the naive
+    one-collect-per-merge loop, while the learned merge TABLE is
+    bit-identical to the sequential trainer's."""
+    rules: list[tuple[int, str, str, int]] = []
+    rounds = 0
+    while len(rules) < n_merges:
+        words = words.localCheckpoint(eager=True)  # truncate fold lineage
+        top = (
+            _bpe_pair_counts(words)
+            .orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
+            .limit(batch_top_n)
+            .collect()
+        )
+        rounds += 1
+        if not top:
+            break
+        batch = _bpe_safe_batch(top, len(top) == batch_top_n, n_merges - len(rules))
+        for a, b, cnt in batch:
+            rules.append((len(rules), a, b, cnt))
+            words = _bpe_apply_merge(words, a, b)
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["merges"] = len(rules)
+    return spark.createDataFrame(
+        rules, "rank int, sym_a string, sym_b string, pair_count bigint"
+    )
+
+
+def bpe_train(spark, sf_dir, n_merges: int = N_BPE_MERGES, stats: dict | None = None):
     """Distributed BPE tokenizer training (Sennrich et al. 2016) —
     learn the top-K merge rules from the corpus.
 
-    Scale shape per iteration: ONE pair-count aggregate over the word
-    vocabulary (map-side combined; the corpus itself is touched once,
-    to build the vocab) + a 1-row argmax collect (metadata-only,
-    like the grid validation collects) + a per-row merge fold.  K
-    iterations = K tiny jobs over an ever-smaller symbol population;
-    the vocab is cached between rounds.  This is the textbook
-    map-reduce BPE trainer, not a driver-side loop over tokens.
+    Scale shape: the corpus is touched ONCE to build the word
+    vocabulary; training then iterates over the vocab with one
+    aggregate + one top-N collect per ROUND, batch-applying every
+    merge that round's counts prove sequential-exact (see
+    ``_bpe_train_words`` / ``_bpe_safe_batch``).  This is the textbook
+    map-reduce BPE trainer with the fast-BPE batching trick, not a
+    driver-side loop over tokens — and not a collect per merge.
     """
     docs = t_fanout(spark, sf_dir, "documents")
     words = (
@@ -2632,23 +2715,7 @@ def bpe_train(spark, sf_dir, n_merges: int = N_BPE_MERGES):
         .select(F.expr("transform(split(w, ''), c -> c)").alias("syms"), "n")
         .filter(F.size("syms") > 0)
     )
-    rules = []
-    for rank in range(n_merges):
-        words = words.localCheckpoint(eager=True)  # truncate fold lineage
-        top = (
-            _bpe_pair_counts(words)
-            .orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
-            .limit(1)
-            .collect()
-        )
-        if not top:
-            break
-        a, b, cnt = top[0].a, top[0].b, top[0].cnt
-        rules.append((rank, a, b, int(cnt)))
-        words = _bpe_apply_merge(words, a, b)
-    return spark.createDataFrame(
-        rules, "rank int, sym_a string, sym_b string, pair_count bigint"
-    )
+    return _bpe_train_words(spark, words, n_merges, stats=stats)
 
 
 @register("bpe_train", check="rows-only")

@@ -334,6 +334,104 @@ def test_bpe_train_matches_reference_implementation(spark):
     assert got == want
 
 
+def _sequential_bpe(vocab, n_merges):
+    """Pure-Python Sennrich-style trainer, (cnt desc, a, b) tiebreak —
+    the ground truth the batched distributed trainer must reproduce."""
+    from collections import Counter
+
+    vocab = Counter(vocab)
+    out = []
+    for rank in range(n_merges):
+        pc = Counter()
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += n
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        out.append((rank, a, b, cnt))
+        new_vocab = Counter()
+        for syms, n in vocab.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            new_vocab[tuple(res)] += n
+        vocab = new_vocab
+    return out
+
+
+def _words_df(spark, vocab):
+    return spark.createDataFrame(
+        [(list(syms), n) for syms, n in vocab.items()],
+        "syms array<string>, n bigint",
+    )
+
+
+def test_bpe_batched_rounds_scale_with_rounds_not_merges(spark):
+    """VERDICT r9 #4: with symbol-disjoint top pairs the trainer must
+    learn several merges from ONE driver round-trip — collects scale
+    with rounds, not merges — while staying exactly sequential."""
+    from raster2points_spark.queries.llm import _bpe_train_words
+
+    # four disjoint dominant pairs, no cross-symbol interference
+    vocab = {
+        ("a", "b"): 100,
+        ("c", "d"): 90,
+        ("e", "f"): 80,
+        ("g", "h"): 70,
+    }
+    stats = {}
+    got = [
+        tuple(r)
+        for r in _bpe_train_words(spark, _words_df(spark, vocab), 4, stats=stats)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == _sequential_bpe(vocab, 4)
+    assert stats == {"rounds": 1, "merges": 4}
+
+
+def test_bpe_batched_matches_sequential_on_adversarial_vocabs(spark):
+    """Exactness under the batching hazards: symbol-sharing runner-ups
+    (must stop the batch), merge concatenations colliding with existing
+    symbols, count ties, and chained pairs whose merge creates a new
+    dominant pair."""
+    import random
+
+    from raster2points_spark.queries.llm import _bpe_train_words
+
+    cases = [
+        # merging (t,h) creates (th,e) which must beat the stale runner-up
+        {("t", "h", "e"): 100, ("x", "y"): 60, ("t", "z"): 55},
+        # tie counts across sharing pairs — batch must stop at the tie
+        {("a", "b"): 50, ("c", "a"): 50, ("d", "e"): 50},
+        # pre-existing symbol equal to a merge concatenation
+        {("a", "b"): 40, ("ab", "c"): 39, ("d", "f"): 10},
+    ]
+    rng = random.Random(7)
+    syms = list("abcdefgh")
+    for _ in range(3):  # seeded random vocabularies
+        vocab = {}
+        for _w in range(rng.randint(4, 9)):
+            word = tuple(rng.choice(syms) for _ in range(rng.randint(1, 5)))
+            vocab[word] = vocab.get(word, 0) + rng.randint(1, 40)
+        cases.append(vocab)
+
+    for vocab in cases:
+        got = [
+            tuple(r)
+            for r in _bpe_train_words(spark, _words_df(spark, vocab), 6)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert got == _sequential_bpe(vocab, 6), vocab
+
+
 def test_hll_partial_merge_accuracy(spark, registry):
     """agg_hll_partial_merge is rows-only (no DuckDB oracle — different
     sketch algorithm), so exactness is pinned here instead: every
