@@ -17,93 +17,78 @@ SF0001 = "/root/testdata/sf0.001"
 
 # The grading driver evaluates only the FIRST 50 ``queries()`` keys per
 # round.  Cumulative driver-verified coverage = union of all round
-# windows (r1: 44, r3: 43, r4-r8: 50 each -> 316/361 graded, 0 red in
-# latest status; r7 and r8 were 50/50 hash-green).  The registry stays
-# FROZEN at 361 through r9 (VERDICT r8 #5: no new keys until the
-# driver-evidence gap is zero).
+# windows; after r9 every one of the 361 keys has a driver grade
+# (never-graded gap = 0) and no key is red.
 #
-# The r9 window is VERDICT r8 #1, shipped unchanged: ALL 45 keys the
-# driver has never graded (tools/evidence_audit.py, cross-checked by
-# the judge's own list in VERDICT.md) plus the 5 oldest r1-era stale
-# keys to begin the refresh VERDICT r8 #2 schedules for r10.  Zero
-# implementation changes this round demand a changed-key tranche: the
-# r9 product diffs (UTC-pin conf re-check, relation-cache lifetime,
-# scale-probe gate tightening, bench round-tag inference) touch
-# harness/_util plumbing only, and every one was re-verified by the
-# full gate chain at three scale factors (see reports/*_r9*).
-#
-# All 50 are oracle-checked.  Never-graded gap after r9 = 0; stale
-# r1-era keys remaining for r10 = 33 (agg_approx_distinct, agg_cube,
-# agg_filtered, agg_grouping_sets, agg_having, agg_percentile,
-# agg_rollup, agg_rollup_cascade, agg_stats, dedup_exact,
-# dedup_jaccard, dedup_minhash_ml, dedup_near, dedup_simhash,
-# fn_cast, fn_higher_order, fn_math, fn_string, join_anti,
-# join_broadcast_star, join_bucketed, join_cross, join_full,
-# join_inner_eq, join_interval_bucketed, join_left, join_right,
-# join_salted, join_semi, join_theta_range, sim_lsh, text_stats,
-# text_tokens) -- r10 takes those, r11+ walks the r3/r4/r5 tail.
+# The r10 window executes VERDICT r8 #2's refresh schedule plus this
+# round's changes:
+# - the 33 remaining r1-era stale keys (so no oracle key's newest
+#   driver row predates r3),
+# - the 3 streaming keys promoted this round from smoke to declared
+#   rows-only batch-equivalence contracts (VERDICT r9 #5 — the driver
+#   now grades their stable row counts),
+# - bpe_train, whose trainer was rewritten this round to batch merges
+#   (changed-key tranche rule),
+# - 13 oldest r3-era stale keys, weighted toward the raster chain
+#   downstream of this round's minitiff work (deflate/tiled/multiband
+#   ingest) and the BPE family.
+# r11+ walks the remaining r3/r4/r5 tail (tools/evidence_audit.py is
+# the ordering source).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- the 45 never-driver-graded keys, grouped by family ---
-    # aggs.py (6)
-    "agg_multi_distinct",
-    "agg_count_min_sketch",
-    "agg_exact_median_twopass",
-    "agg_exact_p99_grouped",
-    "agg_compound_product",
-    "mv_join_incremental",
-    # joins.py (8)
-    "diff_snapshots",
-    "join_strategy_hints",
-    "cdc_net_changes",
-    "join_phonetic",
-    "join_bloom_runtime",
-    "join_not_in_nullaware",
-    "join_allen_relations",
-    "join_asof_tolerance",
-    # scans.py (7)
-    "scan_schema_evolution",
-    "scan_csv_permissive",
-    "sink_dynamic_overwrite",
-    "scan_glob_recursive",
-    "scan_observe",
-    "sink_manifest",
-    "sink_timetravel",
-    # functions.py (6)
-    "fn_url",
-    "agg_listagg",
-    "fn_timestamp_fmt",
-    "fn_struct",
-    "fn_mask",
-    "fn_explode_outer",
-    # udfs.py (4)
-    "udf_map_in_arrow",
-    "udf_cogrouped_map",
-    "fn_sql_udf",
-    "udf_pandas_iter",
-    # windows.py (4)
-    "win_locf",
-    "win_dist_rank",
-    "win_range_frame",
-    "win_groups_frame",
-    # behavioral.py (4)
-    "interval_coverage",
-    "seq_top_paths",
-    "seq_markov_eval",
-    "ml_confusion_matrix",
-    # sorts_setops.py (3)
-    "set_intersect_all",
-    "set_except_distinct",
-    "sort_nulls_order",
-    # streaming.py (1) + llm.py (1) + raster.py (1)
-    "stream_restart_recovery",
-    "fn_uuid_name",
-    "raster_mosaic_priority",
-    # --- 5 oldest r1-era stale keys: start the r10 refresh early ---
-    "agg_groupby",
-    "filter_pred",
-    "project_expr",
-    "case_when",
-    "distinct_rows",
+    # --- 33 r1-era stale keys ---
+    "agg_approx_distinct",
+    "agg_cube",
+    "agg_filtered",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_percentile",
+    "agg_rollup",
+    "agg_rollup_cascade",
+    "agg_stats",
+    "dedup_exact",
+    "dedup_jaccard",
+    "dedup_minhash_ml",
+    "dedup_near",
+    "dedup_simhash",
+    "fn_cast",
+    "fn_higher_order",
+    "fn_math",
+    "fn_string",
+    "join_anti",
+    "join_broadcast_star",
+    "join_bucketed",
+    "join_cross",
+    "join_full",
+    "join_inner_eq",
+    "join_interval_bucketed",
+    "join_left",
+    "join_right",
+    "join_salted",
+    "join_semi",
+    "join_theta_range",
+    "sim_lsh",
+    "text_stats",
+    "text_tokens",
+    # --- streaming smoke -> rows-only promotions (VERDICT r9 #5) ---
+    "stream_watermark",
+    "stream_dedup_state",
+    "stream_custom_state",
+    # --- changed this round: batched merge trainer ---
+    "bpe_train",
+    # --- 13 oldest r3-era stale keys (raster chain + BPE family) ---
+    "affine_coords",
+    "agg_collect_sorted",
+    "band_zip_join",
+    "chunk_union",
+    "col_rename",
+    "filter_like",
+    "fn_array",
+    "geodesic_area",
+    "grid_unpivot",
+    "nodata_filter",
+    "raster_big",
+    "scan_tiles",
+    "text_bpe_tokens",
 )
 
 

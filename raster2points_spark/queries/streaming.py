@@ -3,8 +3,11 @@
 Batch `window()` / `session_window()` are the SAME functions Structured
 Streaming executes incrementally, so the oracle-checked keys here run
 them in batch (hash-comparable against DuckDB bucket arithmetic), and
-the smoke keys run genuinely-streaming plans (watermark, stateful
-dedup) through an availableNow replay into a memory sink.
+the rows-only keys run genuinely-streaming plans (watermark, stateful
+dedup, custom grouped state) through an availableNow replay into a
+memory sink — each with a DECLARED deterministic batch-equivalence
+contract the driver's row counts grade and tools/nonoracle_pins.py
+re-proves exactly each round (promoted from smoke in r10).
 
 Determinism (SURVEY §7 R3/R4): events.ts storage unit varies by corpus
 generation (ns → µs); the loader sniffs the parquet footer.  Every
@@ -233,12 +236,19 @@ def stream_stream_join(spark, sf_dir):
     return run_available_now(joined, "ss_join", output_mode="append")
 
 
-@register("stream_watermark", check="smoke")
+@register("stream_watermark", check="rows-only")
 def stream_watermark(spark, sf_dir):
     """Real Structured Streaming: 15-min watermark + 1-h tumbling agg,
     replayed with trigger(availableNow).  Append mode emits only
-    windows the watermark has closed — the late-data-drop invariant the
-    unit test asserts."""
+    windows the watermark has closed.
+
+    Declared rows-only contract (deterministic — the replay slices the
+    events file chronologically, so watermark advancement is fixed):
+    every emitted (window, event_type, n) row must EQUAL the batch
+    tumbling aggregate's row, and emitted windows are exactly those the
+    final watermark closed.  Pinned exactly in
+    tools/nonoracle_pins.py::_stream_watermark and
+    tests/test_streaming.py; the driver grades the stable row count."""
     ev = read_events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "15 minutes")
@@ -251,25 +261,34 @@ def stream_watermark(spark, sf_dir):
     )
 
 
-@register("stream_dedup_state", check="smoke")
+@register("stream_dedup_state", check="rows-only")
 def stream_dedup_state(spark, sf_dir):
     """Stateful streaming dedup on event_id within the watermark
     (dropDuplicatesWithinWatermark), then per-type counts of the
-    deduplicated stream."""
+    deduplicated stream.
+
+    Declared rows-only contract (deterministic): corpus event_ids are
+    unique, so stateful dedup is a no-op and per-type streamed counts
+    EQUAL the batch counts — one row per event type.  Pinned exactly in
+    tools/nonoracle_pins.py::_stream_dedup and tests/test_streaming.py."""
     ev = read_events_stream(spark, sf_dir)
     deduped = ev.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["event_id"])
     out = run_available_now(deduped, "dedup_state", output_mode="append")
     return out.groupBy("event_type").agg(F.count("*").alias("n")).orderBy("event_type")
 
 
-@register("stream_custom_state", check="smoke")
+@register("stream_custom_state", check="rows-only")
 def stream_custom_state(spark, sf_dir):
     """Custom stateful streaming operator via applyInPandasWithState:
     a per-user running event counter + value accumulator whose state
     survives across micro-batches.  This is the extension point for
     operators Spark lacks natively (custom sessionization, CEP-ish
     logic, online aggregates); the grouped-state API keeps state
-    partitioned by key across the cluster."""
+    partitioned by key across the cluster.
+
+    Declared rows-only contract (deterministic): the final per-user
+    state EQUALS the batch per-user event count — one row per user.
+    Pinned exactly in tools/nonoracle_pins.py::_stream_custom."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

@@ -1,7 +1,9 @@
 """Machine-readable unit-pin evidence for every non-oracle registry key.
 
-The 11 keys SURVEY §2 declares non-oracle (8 rows-only + 3 streaming
-smoke) can't be hash-checked against DuckDB, so their correctness
+The 11 keys SURVEY §2 declares non-oracle (all rows-only since r10 —
+the 3 streaming keys were promoted from smoke with declared
+batch-equivalence contracts) can't be hash-checked against DuckDB, so
+their correctness
 evidence lived only in `tests/` — invisible to the per-round driver
 record (r8 VERDICT #4).  This tool re-runs each key's quantitative pin
 and emits one PASS/FAIL line per key WITH the measured quantity and
