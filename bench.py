@@ -270,6 +270,7 @@ def main() -> int:
     # fixed costs amortize and the number reflects aggregate plan
     # throughput — what a real multi-tenant service sees.
     batched_sec = None
+    batched_passes: list[float] = []
     batched_err = 0
     try:
         from concurrent.futures import ThreadPoolExecutor
@@ -291,17 +292,22 @@ def main() -> int:
         # so min-of-2 is the better point estimate; any error in
         # either pass still counts (fall back to the sequential
         # headline downstream).
+        # BOTH pass wall-clocks are recorded in the detail file (r9
+        # ADVICE): pass 2 runs fully warmed by pass 1, so min-of-2 is
+        # a methodology BREAK vs the single-pass numbers of r1-r8 —
+        # cross-round comparisons should use batched_passes[0] (the
+        # same-methodology series) and SCALE.md says so.
         for _pass in range(2):
             bt0 = time.time()
             with ThreadPoolExecutor(max_workers=16) as pool:
                 futures = [pool.submit(_run_one, k) for k in HEADLINE]
                 errs = [f.exception() for f in futures]
-            wall = round(time.time() - bt0, 3)
-            batched_sec = wall if batched_sec is None else min(batched_sec, wall)
+            batched_passes.append(round(time.time() - bt0, 3))
             batched_err += sum(1 for e in errs if e is not None)
+        batched_sec = min(batched_passes)
         print(
-            f"bench: batched pass {batched_sec}s over {len(HEADLINE)} keys "
-            f"(pool=16, min of 2 passes, {batched_err} errors)",
+            f"bench: batched passes {batched_passes}s over {len(HEADLINE)} keys "
+            f"(pool=16, headline=min={batched_sec}s, {batched_err} errors)",
             file=sys.stderr,
         )
     except Exception as exc:  # pragma: no cover
@@ -354,6 +360,9 @@ def main() -> int:
                 "sf": sf_num,
                 "n_keys": len(timings),
                 "batched_wall_sec": batched_sec,
+                # both raw pass wall-clocks; [0] is the cold(er) pass —
+                # the series comparable to r1-r8's single-pass numbers
+                "batched_passes": batched_passes,
                 "batched_err": batched_err,
                 "queries": timings,
                 "comparator": {

@@ -96,19 +96,19 @@ def test_raster_probe_seam_defaults_to_grid64(spark, registry, monkeypatch):
     assert via_env == base
 
 
-def test_gate_semantics_r9(spark):
-    """Pin the r9 gate tightening (VERDICT r8 #3 + ADVICE):
+def test_gate_semantics_r10(spark):
+    """Pin the r10 gate (r9 ADVICE fix on top of the r9 tightening):
 
     - per-step ratios floor ONLY sub-second denominators (>=1 s gates
       raw);
-    - the two-decade check is ABSOLUTE growth from a 1 s-floored
-      baseline, so a cheap key going truly quadratic (0.2 -> 8 ->
-      320 s = 1600x real growth) fails even though both floored step
-      ratios slip under 15x and their old product (8 * 40-floored)
-      behaved differently;
+    - the two-decade check is ABSOLUTE growth with a +2 s fixed-cost
+      allowance (times[2] >= 100*times[0] + 2 fails), so a sub-second
+      baseline no longer buys a free ride to 100 s: the r9 ADVICE
+      counter-example 0.2 -> 10 -> 90 s (450x real growth, passed the
+      1 s-floored gate) now fails;
     - the r8 relation-cache artifact shape (dedup_near 0.47 -> 7.67
       -> 28.54 s, scaling unchanged while the baseline halved) still
-      passes.
+      passes, as do the slowest real r9 decade ladders.
     """
     from scale_probe import _gate_overall, _gate_ratios
 
@@ -118,7 +118,9 @@ def test_gate_semantics_r9(spark):
 
     assert not fails([0.47, 7.67, 28.54])  # relation-cache artifact
     assert not fails([1.22, 9.35, 93.14])  # r8 raster decade (76x abs)
+    assert not fails([1.28, 6.12, 85.56])  # r9 dedup_jaccard x100 ladder
     assert fails([0.2, 8.0, 320.0])  # cheap quadratic
+    assert fails([0.2, 10.0, 90.0])  # r9 ADVICE counter-example
     assert fails([2.0, 40.0, 90.0])  # measurable 20x step gates raw
     # overall gate is end-to-end: a 100x-for-100x breach fails even
     # with both steps under 15
@@ -126,10 +128,11 @@ def test_gate_semantics_r9(spark):
 
 
 def test_noise_retry_semantics():
-    """Pin _noise_retry (r9): a gate-tripping ladder is re-measured
-    once and gated on the per-point min (additive-noise model); a
-    clean ladder never re-measures; a rows mismatch between the two
-    runs is real nondeterminism and keeps the first (failing) sample."""
+    """Pin _noise_retry (r10 form, r9 ADVICE): a gate-tripping ladder
+    is re-measured once and the retry LADDER is gated as measured (no
+    cross-run per-point composite that never co-occurred); a clean
+    ladder never re-measures; a rows mismatch between the two runs is
+    real nondeterminism and keeps the first (failing) sample."""
     from scale_probe import _noise_retry, _runtime_gate_fails
 
     calls = []
@@ -146,8 +149,21 @@ def test_noise_retry_semantics():
     times, rows, first = _noise_retry(measure_outlier, _runtime_gate_fails)
     assert len(calls) == 2
     assert first == [1.1, 29.7, 28.3]
-    assert times == [1.1, 11.9, 27.0]  # per-point min across runs
+    assert times == [1.2, 11.9, 27.0]  # the retry ladder, as measured
     assert not _runtime_gate_fails(times)
+
+    calls.clear()
+
+    def measure_both_fail():
+        calls.append(1)
+        # genuinely super-linear: both ladders trip the gate
+        return ([0.2, 8.0, 300.0 + len(calls)], [1, 2, 3])
+
+    times, rows, first = _noise_retry(measure_both_fail, _runtime_gate_fails)
+    assert len(calls) == 2
+    assert first == [0.2, 8.0, 301.0]
+    assert times == [0.2, 8.0, 302.0]  # retry ladder kept; still fails
+    assert _runtime_gate_fails(times)
 
     calls.clear()
 

@@ -532,14 +532,21 @@ def _gate_ratios(times: list[float]) -> tuple[float, float]:
 
 def _gate_overall(times: list[float]) -> float:
     """Two-decade growth for the sub-linearity gate: ABSOLUTE growth
-    from a 1 s-floored baseline, not the product of the two per-step
-    ratios.  times[2]/max(times[0], 1) holds the end-to-end
-    100x-runtime-for-100x-corpus contract no matter how the middle
-    step splits, and only the single baseline point — the one place
-    fixed cost genuinely dominates — is ever floored.  Both later
-    points gate raw: a cheap key going truly quadratic fails here
-    even when each individual step slips under the floored 15x."""
-    return times[2] / max(times[0], 1.0)
+    from the baseline with a fixed-cost ALLOWANCE instead of a 1 s
+    floor.  The r9 max(times[0], 1) floor was weaker than its
+    docstring claimed (r9 ADVICE): with a sub-second baseline it
+    reduced to "x100 runtime < 100 s" regardless of growth shape, so
+    the motivating 0.2 -> 10 -> 90 s key (450x real growth) still
+    passed.  The allowance form gates times[2] >= 100*times[0] + 2
+    (expressed as a ratio against times[0] + 0.02): the +2 s budget
+    at x100 covers the measured fixed costs (job submission, codegen
+    — sub-second per job on this box) without ever granting a
+    sub-second key a free ride to 100 s.  0.2 -> 10 -> 90 now fails
+    (90 >= 22); the r8 relation-cache artifact (0.47 -> 7.67 ->
+    28.54, scaling unchanged while the baseline halved) still passes
+    (28.54 < 49); for baselines >= 1 s it is within 2 s of the old
+    raw gate."""
+    return times[2] / (times[0] + 0.02)
 
 
 def _runtime_gate_fails(times: list[float]) -> bool:
@@ -563,6 +570,15 @@ def _noise_retry(measure, gate_fails):
     an outlier), where the sealed r8 run of the same code had
     measured 12.0 s.
 
+    The retry is gated as a WHOLE ladder (r9 ADVICE): the per-point
+    min composite could mix points from different runs into a triple
+    that never co-occurred, and could only ever flip fail->pass.  Now
+    the second ladder must itself pass the gate as measured; if it
+    also fails, the key fails on the retry ladder.  (The retry still
+    runs warmer than the first — pages and codegen cached — which is
+    inherent to retry-on-fail; both samples are printed so the
+    committed evidence shows it.)
+
     Returns (times, rows, first_times): first_times is None when no
     retry fired, else the original ladder — the caller prints it so
     the committed evidence SHOWS the outlier instead of hiding it.
@@ -574,7 +590,7 @@ def _noise_retry(measure, gate_fails):
     t2, r2 = measure()
     if r2 != rows:
         return times, rows, None
-    return [min(a, b) for a, b in zip(times, t2)], rows, times
+    return t2, rows, times
 
 
 def main() -> int:

@@ -6,13 +6,22 @@
 # Usage: bash tools/verify_all.sh [round-tag]
 # Default tag = newest CORRECTNESS_r{N}.json + 1 (the round being
 # built), mirroring bench.py's inference — no per-round edit needed.
+# Staleness guard (r9 ADVICE): if CORRECTNESS_r{N} exists but THIS
+# round's reports do not (reports/evidence_audit_r{N}.txt missing), a
+# late-in-round rerun after the driver landed CORRECTNESS_r{N} is
+# still round N — naively inferring N+1 would mislabel the evidence.
 set -uo pipefail
 cd "$(dirname "$0")/.."
 R="${1:-}"
 if [ -z "$R" ]; then
   n=$(ls CORRECTNESS_r*.json 2>/dev/null \
       | sed -E 's/.*CORRECTNESS_r0*([0-9]+)\.json/\1/' | sort -n | tail -1)
-  R="r$(( ${n:-0} + 1 ))"
+  n="${n:-0}"
+  if [ "$n" -gt 0 ] && [ ! -e "reports/evidence_audit_r${n}.txt" ]; then
+    R="r$n"
+  else
+    R="r$(( n + 1 ))"
+  fi
   echo "verify_all: round tag inferred as $R (pass one to override)"
 fi
 mkdir -p reports
