@@ -392,6 +392,29 @@ def test_raster2df_single_multiband_file(spark, tmp_path):
     assert rows[(10.75, 44.75)] == (2.0, None)  # band-2 nodata -> NULL
 
 
+def test_committed_tif_fixtures_golden(spark):
+    """The README quickstart, verbatim, against the COMMITTED golden
+    .tif fixtures (tools/make_tif.py, byte-stable): the per-file pair
+    and the one-file two-band stack must both produce the same 7-point
+    golden answer."""
+    import os
+
+    from raster2points_spark.api import raster2df
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tif = os.path.join(repo, "fixtures", "tif")
+    for paths in (
+        [os.path.join(tif, "elev.tif"), os.path.join(tif, "slope.tif")],
+        [os.path.join(tif, "stack2.tif")],
+    ):
+        df = raster2df(spark, paths, bands=["b1", "b2"], col_names=["elev", "slope"])
+        rows = {(r.lon, r.lat): (r.elev, r.slope) for r in df.collect()}
+        assert len(rows) == 7, paths
+        assert rows[(10.25, 44.75)] == (1.0, 10.0)
+        assert (11.25, 44.75) not in rows  # masked by band 1 nodata
+        assert rows[(10.75, 44.75)] == (2.0, None)  # band-2 nodata -> NULL
+
+
 def test_cli_accepts_tif_paths(spark, tmp_path):
     """Reference CLI contract: ``raster2csv in1.tif in2.tif out`` with
     bands defaulting to b1..bN positionally."""
