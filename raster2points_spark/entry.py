@@ -29,7 +29,10 @@ SF0001 = "/root/testdata/sf0.001"
 #   now grades their stable row counts),
 # - bpe_train, whose trainer was rewritten this round to batch merges
 #   (changed-key tranche rule),
-# - 13 oldest r3-era stale keys, weighted toward the raster chain
+# - scan_geotiff_mini, NEW this round (registry unfroze at zero
+#   evidence gap): the TIFF front door oracle-checked off the
+#   committed golden fixture,
+# - 12 oldest r3-era stale keys, weighted toward the raster chain
 #   downstream of this round's minitiff work (deflate/tiled/multiband
 #   ingest) and the BPE family.
 # r11+ walks the remaining r3/r4/r5 tail (tools/evidence_audit.py is
@@ -75,9 +78,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_custom_state",
     # --- changed this round: batched merge trainer ---
     "bpe_train",
-    # --- 13 oldest r3-era stale keys (raster chain + BPE family) ---
+    # --- new in r10 (registry unfroze at zero evidence gap):
+    # the TIFF front door, oracle-checked off the committed fixture ---
+    "scan_geotiff_mini",
+    # --- 12 oldest r3-era stale keys (raster chain + BPE family) ---
     "affine_coords",
-    "agg_collect_sorted",
     "band_zip_join",
     "chunk_union",
     "col_rename",

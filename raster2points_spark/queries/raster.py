@@ -88,6 +88,46 @@ def scan_tiles(spark, sf_dir):
 
 
 @register(
+    "scan_geotiff_mini",
+    oracle="""
+    SELECT lon, lat, elev, slope FROM (VALUES
+        (10.25, 44.75, 1.0, 10.0),
+        (10.75, 44.75, 2.0, CAST(NULL AS double)),
+        (11.75, 44.75, 4.0, 40.0),
+        (10.25, 44.25, 5.0, 50.0),
+        (10.75, 44.25, 6.0, 60.0),
+        (11.25, 44.25, 7.0, 70.0),
+        (11.75, 44.25, 8.0, 80.0)
+    ) AS t(lon, lat, elev, slope)
+    """,
+)
+def scan_geotiff_mini(spark, sf_dir):
+    """[r10] The reference's ACTUAL front door, driver-checked: a real
+    GeoTIFF file (committed golden fixture fixtures/tif/stack2.tif —
+    tiled 4x4, deflate-compressed, TWO bands in one file) ingests
+    through the dependency-free mini reader into the full
+    raster2df pipeline: header parse → tile grid → mapInPandas
+    window decode → melt → band-1 nodata mask → pixel-center affine
+    coords → band zip.  The oracle is the 7-point golden answer as a
+    VALUES literal (DuckDB cannot read TIFFs; the fixture is
+    byte-stable via tools/make_tif.py, so the literal IS the file's
+    content), making TIFF decode + mask + affine parity a standing
+    hash-checked gate rather than a unit test only.
+
+    reference parity: raster2df("elev.tif", "slope.tif") semantics
+    off one multi-band stack (SURVEY §1.1); scale shape: one metadata
+    row per file tile, each executor task decompresses exactly its
+    own tile's byte range (the COG access pattern)."""
+    import os as _os
+
+    from raster2points_spark.api import raster2df
+    from raster2points_spark.queries._util import REPO_ROOT
+
+    tif = _os.path.join(REPO_ROOT, "fixtures", "tif", "stack2.tif")
+    return raster2df(spark, [tif], bands=["b1", "b2"], col_names=["elev", "slope"])
+
+
+@register(
     "grid_unpivot",
     oracle=f"""
     {_PX}

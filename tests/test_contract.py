@@ -117,8 +117,11 @@ def test_committed_determinism_report_covers_oracle_keys():
 
     from raster2points_spark.registry import load_all
 
+    # sort by ROUND NUMBER, not name: "determinism_r9_sf0.1.txt" sorts
+    # after "determinism_r10.txt" lexicographically (the 9->10 rollover)
     reports = sorted(
-        (Path(__file__).resolve().parent.parent / "reports").glob("determinism_r*.txt")
+        (Path(__file__).resolve().parent.parent / "reports").glob("determinism_r*.txt"),
+        key=lambda p: (int(re.search(r"_r(\d+)", p.name).group(1)), p.name),
     )
     assert reports, "no committed determinism report"
     text = reports[-1].read_text()

@@ -373,6 +373,51 @@ def test_multiband_chunky_and_planar(tmp_path):
         ]
 
 
+def test_multiband_planar_tiled_deflate(tmp_path):
+    """The layout corners composed: planar multi-band + tiled + deflate
+    (plane-major tile offsets, padded edge tiles per plane)."""
+    from raster2points_spark.sources.minitiff import read_header, read_window
+
+    w, h = 5, 3
+    b1 = [float(r * 10 + c) for r in range(h) for c in range(w)]
+    b2 = [v + 500.0 for v in b1]
+    p = str(tmp_path / "planar_tiled.tif")
+    _write_tiff(p, None, w, h, bands=[b1, b2], planar=2, tile=(4, 2), compression=8)
+    hdr = read_header(p)
+    assert hdr.tiled and hdr.planar_config == 2 and hdr.samples_per_pixel == 2
+    # 2 across x 2 down x 2 planes = 8 tile blocks
+    assert len(hdr.offsets) == 8
+    assert read_window(hdr, 0, 0, w, h, sample=0) == b1
+    assert read_window(hdr, 0, 0, w, h, sample=1) == b2
+    # cross-tile window in the second plane
+    assert read_window(hdr, 3, 1, 2, 2, sample=1) == [
+        b2[r * w + c] for r in (1, 2) for c in (3, 4)
+    ]
+
+
+def test_big_endian_deflate_predictor(tmp_path):
+    """Big-endian + deflate + predictor 2: the modular cumsum must
+    respect the byteswapped dtype."""
+    from raster2points_spark.sources.minitiff import read_header, read_window
+
+    w, h = 4, 2
+    vals = [r * 300 + c * 11 for r in range(h) for c in range(w)]
+    p = str(tmp_path / "be_pred.tif")
+    _write_tiff(p, vals, w, h, byte_order=">", dtype="i2", compression=8, predictor=2)
+    hdr = read_header(p)
+    assert hdr.dtype == ">i2" and hdr.predictor == 2
+    assert read_window(hdr, 0, 0, w, h) == [float(v) for v in vals]
+
+
+def test_predictor_on_float_rejected(tmp_path):
+    from raster2points_spark.sources.minitiff import read_header
+
+    p = str(tmp_path / "fpred.tif")
+    _write_tiff(p, [1.0, 2.0, 3.0, 4.0], 2, 2, dtype="f8", predictor=2)
+    with pytest.raises(ValueError, match="[Pp]redictor"):
+        read_header(str(p))
+
+
 def test_raster2df_single_multiband_file(spark, tmp_path):
     """Reference parity off ONE two-band file: band 1 masks, band 2 is a
     nullable value column — no pre-splitting into per-band files."""

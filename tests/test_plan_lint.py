@@ -278,8 +278,11 @@ def test_committed_sweep_covers_current_registry():
 
     from raster2points_spark.registry import load_all
 
+    # numeric round sort — "plan_lint_r9.txt" sorts after
+    # "plan_lint_r10.txt" lexicographically (the 9->10 rollover)
     reports = sorted(
-        (Path(__file__).resolve().parent.parent / "reports").glob("plan_lint_r*.txt")
+        (Path(__file__).resolve().parent.parent / "reports").glob("plan_lint_r*.txt"),
+        key=lambda p: (int(re.search(r"_r(\d+)", p.name).group(1)), p.name),
     )
     assert reports, "no committed plan-lint sweep"
     text = reports[-1].read_text()
