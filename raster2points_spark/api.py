@@ -13,8 +13,9 @@ Inputs are tile tables (path or DataFrame) — the scale-native landing
 format (see sources/tiles.py) — or, reference-style, GeoTIFF paths
 (a ``.tif`` path or a list of them): those convert through
 sources/geotiff.py when rasterio is available, else through the
-dependency-free mini reader (sources/minitiff.py — striped or tiled,
-deflate or uncompressed, single- or multi-band, predictor 1/2).
+dependency-free mini reader (sources/minitiff.py — classic TIFF or
+BigTIFF, striped or tiled, LZW/deflate/uncompressed, predictor 1/2/3,
+single- or multi-band).
 Tiling replaces ``max_block_size``: the tile table is
 already blocked, and Spark partitioning replaces the reference's
 parallelpipe workers.
@@ -39,7 +40,8 @@ def tiles_from_rasters(
     files and samples (the reference's multi-raster convention, extended
     so one multi-band file contributes one band per sample).  Prefers
     the full rasterio adapter; falls back to the pure-Python mini reader
-    (striped or tiled, deflate or uncompressed) when rasterio is absent.
+    (classic/BigTIFF, striped or tiled, LZW/deflate/uncompressed,
+    predictors 1/2/3) when rasterio is absent.
     ``tile_size=None`` aligns the grid with a tiled file's native tile
     layout (COG access pattern); striped files default to 512."""
     try:

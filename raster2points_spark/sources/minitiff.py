@@ -6,9 +6,13 @@ only against synthetic metadata.  This module closes that gap: a
 dependency-free parser for the subset of TIFF 6.0 real GeoTIFFs/COGs
 actually use:
 
+  * classic TIFF AND BigTIFF (magic 43, 8-byte offsets — what >4 GB
+    rasters, i.e. everything at the 100 TB design point, ship as)
   * strip OR tile layout (TileWidth/TileLength/TileOffsets 322/323/324)
-  * Compression = 1 (none) or 8/32946 (deflate, stdlib ``zlib``)
-  * Predictor = 1 (none) or 2 (horizontal differencing, integer types)
+  * Compression = 1 (none), 5 (TIFF-LZW, decoded in pure Python) or
+    8/32946 (deflate, stdlib ``zlib``)
+  * Predictor = 1 (none), 2 (horizontal differencing, integer types)
+    or 3 (floating-point byte shuffle)
   * SamplesPerPixel >= 1 with PlanarConfiguration 1 (chunky) or 2
     (planar) — multi-band stacks in one file
   * both byte orders; uint8/16/32, int16/32, float32/64
@@ -23,10 +27,12 @@ tiled TIFF the engine's tile grid aligns 1:1 with the file's tile grid
 by default, so each task decompresses exactly its own blocks (the COG
 access pattern).
 
-Still out of scope (raise ValueError with the offending tag): BigTIFF,
-JPEG/LZW/packbits compression, Predictor=3 (floating-point byte
-shuffle).  Full-fidelity ingestion of those remains geotiff_to_tiles on
-a rasterio-equipped cluster.
+Still out of scope (raise ValueError with the offending tag):
+JPEG/packbits/zstd compression, sub-byte and 64-bit-int samples,
+multi-IFD reads beyond the first (COG overview IFDs are deliberately
+skipped — the first IFD is the full-resolution image).  Full-fidelity
+ingestion of those remains geotiff_to_tiles on a rasterio-equipped
+cluster.
 """
 
 from __future__ import annotations
@@ -53,6 +59,50 @@ _MODEL_PIXEL_SCALE, _MODEL_TIEPOINT = 33550, 33922
 _GDAL_NODATA = 42113
 
 _DEFLATE = (8, 32946)  # new-style + legacy deflate codes
+_LZW = 5
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (TIFF 6.0 §13): MSB-first bit packing, codes
+    start at 9 bits, ClearCode=256, EOI=257, first table code 258,
+    EARLY CHANGE (the code width bumps when the NEXT table slot would
+    be 2^width-1 — i.e. at 511/1023/2047), 12-bit max.  Pure Python:
+    a tile/strip is a bounded block (the task's own byte range), and
+    correctness-first decode of the most common GeoTIFF compression
+    beats rejecting the file; swap in an accelerated codec via the
+    rasterio path when the cluster has one."""
+    CLEAR, EOI = 256, 257
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    width, prev = 9, None
+    out = bytearray()
+    bitpos, nbits = 0, len(data) * 8
+    while bitpos + width <= nbits:
+        byte_idx = bitpos >> 3
+        chunk = int.from_bytes(data[byte_idx : byte_idx + 4].ljust(4, b"\0"), "big")
+        code = (chunk >> (32 - (bitpos & 7) - width)) & ((1 << width) - 1)
+        bitpos += width
+        if code == CLEAR:
+            table = list(base)
+            width, prev = 9, None
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                raise ValueError(f"corrupt LZW stream: code {code} > table {len(table)}")
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1  # early change
+        out += entry
+        prev = entry
+    return bytes(out)
 
 # (sample_format, bits) -> numpy dtype char (endian prefix added later)
 _DTYPES = {
@@ -77,8 +127,11 @@ _DTYPE_NAMES = {
     "f8": "float64",
 }
 
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
-_TYPE_FMT = {1: "B", 3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d"}
+_TYPE_SIZES = {
+    1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8,
+    16: 8, 17: 8, 18: 8,  # BigTIFF LONG8 / SLONG8 / IFD8
+}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d", 16: "Q", 17: "q", 18: "Q"}
 
 
 @dataclass
@@ -120,17 +173,29 @@ class MiniTiff:
         return (self.height + self.block_height - 1) // self.block_height
 
 
-def _read_ifd_entries(buf: bytes, bo: str):
-    (ifd_off,) = struct.unpack_from(bo + "I", buf, 4)
-    (n,) = struct.unpack_from(bo + "H", buf, ifd_off)
+def _read_ifd_entries(buf: bytes, bo: str, big: bool):
+    """Yield (tag, type, count, value_offset) for the FIRST IFD.
+    Classic TIFF: 4-byte offsets, 12-byte entries, <=4 B inline.
+    BigTIFF (magic 43): 8-byte offsets, 20-byte entries, <=8 B inline.
+    Later IFDs (COG overviews, multi-page) are deliberately ignored —
+    the first IFD is the full-resolution image."""
+    if big:
+        (ifd_off,) = struct.unpack_from(bo + "Q", buf, 8)
+        (n,) = struct.unpack_from(bo + "Q", buf, ifd_off)
+        first, step, hdr_fmt, off_fmt, inline = ifd_off + 8, 20, "HHQ", "Q", 8
+    else:
+        (ifd_off,) = struct.unpack_from(bo + "I", buf, 4)
+        (n,) = struct.unpack_from(bo + "H", buf, ifd_off)
+        first, step, hdr_fmt, off_fmt, inline = ifd_off + 2, 12, "HHI", "I", 4
     for i in range(n):
-        base = ifd_off + 2 + 12 * i
-        tag, typ, count = struct.unpack_from(bo + "HHI", buf, base)
+        base = first + step * i
+        tag, typ, count = struct.unpack_from(bo + hdr_fmt, buf, base)
         size = _TYPE_SIZES.get(typ, 1) * count
-        if size <= 4:
-            val_off = base + 8
+        val_base = base + step - inline
+        if size <= inline:
+            val_off = val_base
         else:
-            (val_off,) = struct.unpack_from(bo + "I", buf, base + 8)
+            (val_off,) = struct.unpack_from(bo + off_fmt, buf, val_base)
         yield tag, typ, count, val_off
 
 
@@ -166,13 +231,16 @@ def read_header(path: str) -> MiniTiff:
     else:
         raise ValueError(f"{path}: bad TIFF byte-order mark {order!r}")
     (magic,) = struct.unpack_from(bo + "H", buf, 2)
-    if magic == 43:
-        raise ValueError(f"{path}: BigTIFF not supported by the mini reader")
-    if magic != 42:
+    big = magic == 43
+    if big:
+        off_size, zero = struct.unpack_from(bo + "HH", buf, 4)
+        if off_size != 8 or zero != 0:
+            raise ValueError(f"{path}: malformed BigTIFF header ({off_size}, {zero})")
+    elif magic != 42:
         raise ValueError(f"{path}: bad TIFF magic {magic}")
 
     tags: dict[int, object] = {}
-    for tag, typ, count, off in _read_ifd_entries(buf, bo):
+    for tag, typ, count, off in _read_ifd_entries(buf, bo, big):
         tags[tag] = _values(buf, bo, typ, count, off)
 
     def one(tag, default=None):
@@ -185,16 +253,17 @@ def read_header(path: str) -> MiniTiff:
     if width <= 0 or height <= 0:
         raise ValueError(f"{path}: missing ImageWidth/ImageLength")
     compression = int(one(_COMPRESSION, 1))
-    if compression != 1 and compression not in _DEFLATE:
+    if compression != 1 and compression != _LZW and compression not in _DEFLATE:
         raise ValueError(
             f"{path}: unsupported compression (tag 259={compression}); "
-            "mini reader handles 1 (none) and 8/32946 (deflate) only"
+            "mini reader handles 1 (none), 5 (LZW) and 8/32946 (deflate) only"
         )
     predictor = int(one(_PREDICTOR, 1))
-    if predictor not in (1, 2):
+    if predictor not in (1, 2, 3):
         raise ValueError(
             f"{path}: unsupported predictor (tag 317={predictor}); "
-            "mini reader handles 1 (none) and 2 (horizontal differencing) only"
+            "mini reader handles 1 (none), 2 (horizontal differencing) "
+            "and 3 (floating-point byte shuffle) only"
         )
     spp = int(one(_SAMPLES_PER_PX, 1))
     if spp < 1:
@@ -206,8 +275,13 @@ def read_header(path: str) -> MiniTiff:
     sample_format = int(one(_SAMPLE_FORMAT, 1))
     if predictor == 2 and sample_format == 3:
         raise ValueError(
-            f"{path}: Predictor=2 on floating-point samples is not meaningful; "
-            "Predictor=3 (float shuffle) is unsupported by the mini reader"
+            f"{path}: Predictor=2 on floating-point samples is not meaningful "
+            "(use Predictor=3, the float byte shuffle)"
+        )
+    if predictor == 3 and sample_format != 3:
+        raise ValueError(
+            f"{path}: Predictor=3 is defined for floating-point samples only "
+            f"(tag 339={sample_format})"
         )
     np_char = _DTYPES.get((sample_format, bits))
     if np_char is None:
@@ -312,17 +386,41 @@ def _decode_block(hdr: MiniTiff, f, bx: int, by: int, sample: int):
     raw = f.read(hdr.byte_counts[idx])
     if hdr.compression in _DEFLATE:
         raw = zlib.decompress(raw)
+    elif hdr.compression == _LZW:
+        raw = _lzw_decode(raw)
 
     if hdr.tiled:
         rows, cols = hdr.block_height, hdr.block_width  # tiles are padded
     else:
         rows = min(hdr.block_height, hdr.height - by * hdr.block_height)
         cols = hdr.width
-    a = np.frombuffer(raw, dtype=hdr.dtype, count=rows * cols * nch).reshape(rows, cols, nch)
-    if hdr.predictor == 2:
-        # horizontal differencing is per sample channel between adjacent
-        # pixels; undo with a modular cumsum in the native width
-        a = np.cumsum(a, axis=1, dtype=a.dtype)
+    if hdr.predictor == 3:
+        # float byte shuffle: per row, bytes are stored plane-major
+        # (all MSBs first) with horizontal BYTE differencing applied;
+        # undo the diff with a u1 cumsum, then reassemble each value's
+        # big-endian bytes from the planes
+        bps, row_vals = hdr.bytes_per_sample, cols * nch
+        a8 = np.frombuffer(raw, dtype="u1", count=rows * row_vals * bps).reshape(
+            rows, row_vals * bps
+        )
+        a8 = np.cumsum(a8, axis=1, dtype="u1")
+        planes = a8.reshape(rows, bps, row_vals)
+        seq = np.ascontiguousarray(planes.transpose(0, 2, 1))
+        a = (
+            seq.reshape(rows, row_vals * bps)
+            .view(">" + hdr.dtype[1:])
+            .astype(hdr.dtype)
+            .reshape(rows, cols, nch)
+        )
+    else:
+        a = np.frombuffer(raw, dtype=hdr.dtype, count=rows * cols * nch).reshape(
+            rows, cols, nch
+        )
+        if hdr.predictor == 2:
+            # horizontal differencing is per sample channel between
+            # adjacent pixels; undo with a modular cumsum in the
+            # native width
+            a = np.cumsum(a, axis=1, dtype=a.dtype)
     a = a[:, :, ch]
     # clip edge blocks to the image's valid region
     vr = min(rows, hdr.height - by * hdr.block_height)

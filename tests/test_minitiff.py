@@ -12,30 +12,77 @@ import struct
 import pytest
 
 
+def _lzw_encode(data: bytes) -> bytes:
+    """Reference TIFF-LZW encoder for the golden writer: MSB-first
+    packing, CLEAR first, EARLY CHANGE (width bumps when the next free
+    code reaches 2^width - 1), CLEAR again when the table fills."""
+    CLEAR, EOI = 256, 257
+
+    def init():
+        return {bytes([i]): i for i in range(256)}, 258, 9
+
+    table, next_code, width = init()
+    emit = [(CLEAR, 9)]
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in table:
+            w += c
+            continue
+        emit.append((table[w], width))
+        table[w + c] = next_code
+        next_code += 1
+        # the decoder's table lags the encoder's by ONE entry (the
+        # KwKwK lag), so its early change at table-len == 2^width - 1
+        # aligns with an encoder bump one entry later, at 2^width
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4094:
+            emit.append((CLEAR, width))
+            table, next_code, width = init()
+        w = c
+    if w:
+        emit.append((table[w], width))
+    emit.append((EOI, width))
+    acc = bitlen = 0
+    out = bytearray()
+    for code, wd in emit:
+        acc = (acc << wd) | code
+        bitlen += wd
+        while bitlen >= 8:
+            out.append((acc >> (bitlen - 8)) & 0xFF)
+            bitlen -= 8
+    if bitlen:
+        out.append((acc << (8 - bitlen)) & 0xFF)
+    return bytes(out)
+
+
 def _write_tiff(
     path,
     values,  # row-major list of floats/ints (single band)
     width,
     height,
     byte_order="<",  # "<" II little-endian, ">" MM big-endian
-    dtype="f8",  # f8 | i2 | u1
+    dtype="f8",  # f8 | f4 | i2 | u1
     rows_per_strip=2,
     pixel_scale=(0.5, 0.5),
     tiepoint=(0.0, 0.0, 0.0, 10.0, 45.0, 0.0),
     nodata="-9999",
-    compression=1,  # 1 none | 8 deflate
-    predictor=1,  # 1 none | 2 horizontal differencing (int dtypes)
+    compression=1,  # 1 none | 5 LZW | 8 deflate
+    predictor=1,  # 1 none | 2 horiz diff (int) | 3 float byte shuffle
     tile=None,  # (tile_width, tile_height) -> tiled layout
     bands=None,  # list of per-band row-major lists (overrides values)
     planar=1,  # 1 chunky | 2 planar (only meaningful with >1 band)
+    bigtiff=False,  # magic 43, 8-byte offsets, 20-byte IFD entries
 ):
     import zlib
 
     import numpy as np
 
     bo = byte_order
-    sample_format = {"f8": 3, "i2": 2, "u1": 1}[dtype]
-    bits = {"f8": 64, "i2": 16, "u1": 8}[dtype]
+    sample_format = {"f8": 3, "f4": 3, "i2": 2, "u1": 1}[dtype]
+    bits = {"f8": 64, "f4": 32, "i2": 16, "u1": 8}[dtype]
+    bps = bits // 8
     np_dt = np.dtype(bo + dtype)
     band_arrays = [
         np.asarray(b, dtype=np_dt).reshape(height, width) for b in (bands or [values])
@@ -47,9 +94,26 @@ def _write_tiff(
         if predictor == 2:
             d = a.copy()
             d[:, 1:, :] = a[:, 1:, :] - a[:, :-1, :]
-            a = d
-        raw = np.ascontiguousarray(a.astype(np_dt)).tobytes()
-        return zlib.compress(raw) if compression == 8 else raw
+            raw = np.ascontiguousarray(d.astype(np_dt)).tobytes()
+        elif predictor == 3:
+            rows_, cols_, nch_ = a.shape
+            row_vals = cols_ * nch_
+            be = np.frombuffer(
+                np.ascontiguousarray(a.astype(">" + dtype)).tobytes(), "u1"
+            ).reshape(rows_, row_vals, bps)
+            planes = np.ascontiguousarray(be.transpose(0, 2, 1)).reshape(
+                rows_, row_vals * bps
+            )
+            d = planes.copy()
+            d[:, 1:] = planes[:, 1:] - planes[:, :-1]
+            raw = np.ascontiguousarray(d).tobytes()
+        else:
+            raw = np.ascontiguousarray(a.astype(np_dt)).tobytes()
+        if compression == 8:
+            return zlib.compress(raw)
+        if compression == 5:
+            return _lzw_encode(raw)
+        return raw
 
     planes = [stack[:, :, s : s + 1] for s in range(spp)] if planar == 2 else [stack]
     blocks = []
@@ -67,8 +131,8 @@ def _write_tiff(
             for r0 in range(0, height, rows_per_strip):
                 blocks.append(encode_block(plane[r0 : r0 + rows_per_strip, :, :]))
 
-    # layout: 8B header | block data | external arrays | IFD
-    off = 8
+    # layout: header | block data | external arrays | IFD
+    off = 16 if bigtiff else 8
     block_offsets = []
     for b in blocks:
         block_offsets.append(off)
@@ -83,13 +147,14 @@ def _write_tiff(
         return o
 
     entries = []  # (tag, type, count, value_or_offset, inline)
+    vsize = 8 if bigtiff else 4  # inline value-field width
 
     def entry(tag, typ, count, inline_val=None, offset=None):
         entries.append((tag, typ, count, inline_val, offset))
 
     def long_array(tag, vals):
-        if len(vals) == 1:
-            entry(tag, 4, 1, vals[0])
+        if len(vals) * 4 <= vsize:  # fits the value field -> MUST inline
+            entry(tag, 4, len(vals), tuple(vals))
         else:
             entry(tag, 4, len(vals), offset=extern(f"{len(vals)}I", vals))
 
@@ -127,23 +192,29 @@ def _write_tiff(
     entry(42113, 2, len(nd), offset=extern(f"{len(nd)}s", [nd]))
 
     ifd_off = off + len(ext)
-    ifd = struct.pack(bo + "H", len(entries))
+    ifd = struct.pack(bo + ("Q" if bigtiff else "H"), len(entries))
     for tag, typ, count, inline_val, ext_off in sorted(entries):
-        e = struct.pack(bo + "HHI", tag, typ, count)
+        e = struct.pack(bo + ("HHQ" if bigtiff else "HHI"), tag, typ, count)
         if ext_off is not None:
-            e += struct.pack(bo + "I", ext_off)
+            v = struct.pack(bo + ("Q" if bigtiff else "I"), ext_off)
         elif typ == 3 and count == 2:  # two SHORTs inline
-            e += struct.pack(bo + "2H", *inline_val)
+            v = struct.pack(bo + "2H", *inline_val).ljust(vsize, b"\x00")
         elif typ == 3:  # SHORT inline, padded
-            e += struct.pack(bo + "H", inline_val) + b"\x00\x00"
-        else:  # LONG inline
-            e += struct.pack(bo + "I", inline_val)
-        ifd += e
-    ifd += struct.pack(bo + "I", 0)  # next-IFD terminator
+            v = struct.pack(bo + "H", inline_val).ljust(vsize, b"\x00")
+        elif isinstance(inline_val, tuple):  # LONG array inline (BigTIFF)
+            v = struct.pack(bo + f"{len(inline_val)}I", *inline_val).ljust(vsize, b"\x00")
+        else:  # LONG inline, padded
+            v = struct.pack(bo + "I", inline_val).ljust(vsize, b"\x00")
+        ifd += e + v
+    # next-IFD terminator
+    ifd += struct.pack(bo + ("Q" if bigtiff else "I"), 0)
 
     order_mark = b"II" if bo == "<" else b"MM"
     with open(path, "wb") as f:
-        f.write(order_mark + struct.pack(bo + "HI", 42, ifd_off))
+        if bigtiff:
+            f.write(order_mark + struct.pack(bo + "HHHQ", 43, 8, 0, ifd_off))
+        else:
+            f.write(order_mark + struct.pack(bo + "HI", 42, ifd_off))
         for b in blocks:
             f.write(b)
         f.write(ext)
@@ -226,7 +297,7 @@ def test_mini_reader_rejects_unsupported(tmp_path):
     from raster2points_spark.sources.minitiff import read_header
 
     p = tmp_path / "bad.tif"
-    p.write_bytes(b"II\x2b\x00" + b"\x00" * 12)  # BigTIFF magic 43
+    p.write_bytes(b"II\x2b\x00" + b"\x00" * 12)  # BigTIFF with off_size=0
     with pytest.raises(ValueError, match="BigTIFF"):
         read_header(str(p))
     p2 = tmp_path / "notatiff.bin"
@@ -416,6 +487,111 @@ def test_predictor_on_float_rejected(tmp_path):
     _write_tiff(p, [1.0, 2.0, 3.0, 4.0], 2, 2, dtype="f8", predictor=2)
     with pytest.raises(ValueError, match="[Pp]redictor"):
         read_header(str(p))
+
+
+def test_bigtiff_golden(spark, tmp_path):
+    """BigTIFF (magic 43, 8-byte offsets, 20-byte IFD entries) — what
+    every >4 GB raster ships as — parses and decodes identically to
+    its classic-TIFF twin, through to the tile table."""
+    from raster2points_spark.sources.minitiff import (
+        minitiff_to_tiles,
+        read_header,
+        read_window,
+    )
+
+    w, h = 6, 4
+    vals = [float(r * 10 + c) for r in range(h) for c in range(w)]
+    classic, big = str(tmp_path / "classic.tif"), str(tmp_path / "big.tif")
+    _write_tiff(classic, vals, w, h, compression=8)
+    _write_tiff(big, vals, w, h, compression=8, bigtiff=True)
+    hb = read_header(big)
+    assert (hb.width, hb.height, hb.dtype) == (w, h, "<f8")
+    assert hb.transform == read_header(classic).transform
+    assert read_window(hb, 0, 0, w, h) == vals
+    assert read_window(hb, 1, 1, 3, 2) == read_window(read_header(classic), 1, 1, 3, 2)
+    # big-endian BigTIFF too
+    bigmm = str(tmp_path / "big_mm.tif")
+    _write_tiff(bigmm, vals, w, h, byte_order=">", bigtiff=True)
+    assert read_window(read_header(bigmm), 0, 0, w, h) == vals
+    # end-to-end into the distributed tile table
+    rows = {r.tile_id: r for r in minitiff_to_tiles(spark, [big], tile_size=4).collect()}
+    assert rows[0].data == [vals[r * w + c] for r in range(4) for c in range(4)]
+
+
+def test_lzw_known_bitstream_decodes():
+    """Decoder vs a HAND-PACKED 9-bit stream (independent of the
+    encoder): codes [CLEAR, 7, 258, 8, 8, 258, 6, 6, EOI] must decode
+    to 7 7 7 8 8 7 7 6 6 — the classic worked example (258 = '77' is
+    also the KwKwK-free table-reuse case)."""
+    from raster2points_spark.sources.minitiff import _lzw_decode
+
+    codes = [256, 7, 258, 8, 8, 258, 6, 6, 257]
+    acc, bitlen, out = 0, 0, bytearray()
+    for c in codes:
+        acc = (acc << 9) | c
+        bitlen += 9
+        while bitlen >= 8:
+            out.append((acc >> (bitlen - 8)) & 0xFF)
+            bitlen -= 8
+    if bitlen:
+        out.append((acc << (8 - bitlen)) & 0xFF)
+    assert _lzw_decode(bytes(out)) == bytes([7, 7, 7, 8, 8, 7, 7, 6, 6])
+
+
+def test_lzw_roundtrip_crosses_width_changes():
+    """Round-trip through the test encoder with enough distinct
+    material to cross the 9->10->11->12-bit EARLY-CHANGE boundaries,
+    plus the KwKwK pattern."""
+    import random
+
+    from raster2points_spark.sources.minitiff import _lzw_decode
+
+    rng = random.Random(42)
+    payloads = [
+        bytes([7, 7, 7, 8, 8, 7, 7, 6, 6]),
+        b"aaaaaaaaaaaaaaaaaaaaaa",  # KwKwK chains
+        bytes(rng.randrange(256) for _ in range(20000)),  # > 2047 codes
+    ]
+    for p in payloads:
+        assert _lzw_decode(_lzw_encode(p)) == p
+
+
+def test_lzw_tiff_decodes_like_uncompressed_twin(tmp_path):
+    """Compression=5 end-to-end: LZW file reads bit-identically to its
+    uncompressed twin, with predictor 2 composed on top."""
+    from raster2points_spark.sources.minitiff import read_header, read_window
+
+    w, h = 6, 4
+    vals = [r * 100 + c * 7 for r in range(h) for c in range(w)]
+    plain, lzw = str(tmp_path / "plain.tif"), str(tmp_path / "lzw.tif")
+    _write_tiff(plain, vals, w, h, dtype="i2")
+    _write_tiff(lzw, vals, w, h, dtype="i2", compression=5, predictor=2)
+    hl = read_header(lzw)
+    assert hl.compression == 5 and hl.predictor == 2
+    assert read_window(hl, 0, 0, w, h) == read_window(read_header(plain), 0, 0, w, h)
+    assert read_window(hl, 2, 1, 3, 2) == [
+        float(vals[r * w + c]) for r in (1, 2) for c in (2, 3, 4)
+    ]
+
+
+def test_float_predictor3_roundtrip(tmp_path):
+    """Predictor=3 (floating-point byte shuffle + horizontal byte
+    diff) — the standard layout for compressed float DEMs — decodes
+    bit-exactly for f4 and f8, with deflate and LZW."""
+    from raster2points_spark.sources.minitiff import read_header, read_window
+
+    w, h = 5, 3
+    vals = [r * 3.25 + c * 0.125 - 7.5 for r in range(h) for c in range(w)]
+    for dtype, comp in (("f8", 8), ("f4", 8), ("f8", 5)):
+        p = str(tmp_path / f"pred3_{dtype}_{comp}.tif")
+        _write_tiff(p, vals, w, h, dtype=dtype, compression=comp, predictor=3)
+        hdr = read_header(p)
+        assert hdr.predictor == 3
+        got = read_window(hdr, 0, 0, w, h)
+        assert got == vals, (dtype, comp)
+        assert read_window(hdr, 1, 1, 3, 2) == [
+            vals[r * w + c] for r in (1, 2) for c in (1, 2, 3)
+        ]
 
 
 def test_raster2df_single_multiband_file(spark, tmp_path):
