@@ -71,6 +71,7 @@ SHOWCASE = [
     ("agg_salted_twophase", "skew-safe aggregate: partial+final on (key, salt) behind one Exchange, re-aggregate on the bare key behind a second - the literal two-phase plan"),
     ("raster_focal_mean", "stencil scatter-gather: each valid pixel scatters to its k neighborhood centers, ONE partial-aggregated hashpartitioning Exchange gathers - no per-offset self-join of the pixel relation"),
     ("ml_kmeans_lloyd", "iterative loop discipline: the final plan reads the localCheckpoint'd relation (Scan ExistingRDD) - per-round lineage TRUNCATED so plan depth is constant in iteration count; centroids broadcast inside each round"),
+    ("scan_geotiff_mini", "TIFF ingest job shape: driver reads HEADERS only; MapInPandas tasks do all pixel I/O, each seeking exactly its own tiles' byte ranges (COG access pattern); the band zip joins TILE rows (packed arrays - Generate sits ABOVE the join) so every Exchange carries tile-granularity rows, and the exploded pixel stream itself is never shuffled"),
 ]
 
 
