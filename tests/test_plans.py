@@ -843,3 +843,22 @@ def test_raster_melt_path_never_shuffles_pixels(spark, registry):
         assert plan.count("Generate (") == 1, f"{key}: exactly one posexplode"
     plan = _formatted_plan(spark, registry["band_zip_join"].fn(spark, SF001))
     assert plan.count("+- Exchange (") == 0, "band zip must not shuffle pixels"
+
+
+def test_geotiff_ingest_joins_tiles_not_pixels(spark, registry):
+    # The TIFF front door (scan_geotiff_mini): one MapInPandas stage
+    # does all pixel I/O (no row-at-a-time BatchEvalPython), and the
+    # multi-band zip joins TILE rows — the posexplode (Generate) must
+    # sit ABOVE the join so every Exchange carries packed tile arrays,
+    # never the exploded pixel stream.
+    plan = _formatted_plan(spark, registry["scan_geotiff_mini"].fn(spark, SF001))
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan, "pixel decode must be Arrow-batched"
+    assert plan.count("Generate (") == 1, "exactly one posexplode of the zipped bands"
+    gen = plan.index("Generate (")
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        pos = plan.find(join)
+        if pos != -1:
+            # formatted plans print the tree root-first, so an
+            # operator ABOVE another prints EARLIER
+            assert gen < pos, f"Generate must sit above the {join} (tile-level zip)"
