@@ -561,9 +561,9 @@ def _noise_retry(measure, gate_fails):
     cost with box noise — and noise on a shared machine is strictly
     ADDITIVE (GC pauses, co-tenant CPU, cold page cache can only
     inflate a sample), so when the first ladder trips its gate, one
-    re-measure with a per-point min is the honest correction: a key
-    that is REALLY super-linear fails both samples, while a one-off
-    spike is absorbed.  The first r9 frozen-code run demonstrated the
+    re-measure is the honest correction: a key that is REALLY
+    super-linear fails both samples, while a one-off spike is
+    absorbed.  The first r9 frozen-code run demonstrated the
     problem on implementation-unchanged keys: dedup_semantic_cluster's
     x10 point read 29.7 s against its own x100 at 28.3 s (a "26x"
     step followed by a flat decade — internally impossible except as
@@ -691,7 +691,7 @@ def main() -> int:
                 print(
                     f"  ^ gate retry: first sample "
                     f"{' '.join(f'{t:.2f}s' for t in first)}; "
-                    f"gated on per-point min of 2 runs"
+                    f"gated on the retry ladder as measured"
                 )
         print(
             f"\ndedup decades: result rows linear per corpus decade (exact keys "
@@ -734,7 +734,7 @@ def main() -> int:
                 print(
                     f"  ^ gate retry: first sample "
                     f"{' '.join(f'{t:.2f}s' for t in first)}; "
-                    f"gated on per-point min of 2 runs"
+                    f"gated on the retry ladder as measured"
                 )
         print(
             f"\nembedding decades: fixed-top-k keys constant-row; runtime "
@@ -789,7 +789,7 @@ def main() -> int:
                     print(
                         f"  ^ gate retry: first sample "
                         f"{' '.join(f'{t:.2f}s' for t in first)}; "
-                        f"gated on per-point min of 2 runs"
+                        f"gated on the retry ladder as measured"
                     )
         finally:
             os.environ.pop("SPARK_GRAFT_RASTER_GRID", None)
