@@ -659,3 +659,51 @@ def test_cli_accepts_tif_paths(spark, tmp_path):
     data = [l for l in lines if not l.startswith("lon")]
     assert len(data) == 7  # one pixel masked by band-1 nodata
     assert "10.25;44.75;1.0;10.0" in data
+
+
+def test_layout_matrix_roundtrip(tmp_path):
+    """Property sweep across the reader's full layout space: every
+    combination of byte order x dtype x compression x predictor x
+    strips/tiles x chunky/planar x classic/BigTIFF must decode the
+    full raster AND an interior window bit-exactly.  Catches pairwise
+    interactions (e.g. big-endian predictor under LZW in a planar
+    BigTIFF tile) that the targeted golden tests cover only singly."""
+    import itertools
+
+    from raster2points_spark.sources.minitiff import read_header, read_window
+
+    w, h = 7, 5
+    n = 0
+    for bo, dtype, comp, tile, planar, big in itertools.product(
+        ("<", ">"), ("f8", "f4", "i2", "u1"), (1, 5, 8),
+        (None, (4, 4)), (1, 2), (False, True),
+    ):
+        # predictor chosen per dtype: floats get the byte shuffle,
+        # ints alternate between none and horizontal differencing
+        pred = 3 if dtype in ("f4", "f8") else (2 if comp != 1 else 1)
+        if dtype == "u1":
+            b1 = [(r * 31 + c * 7) % 251 for r in range(h) for c in range(w)]
+        elif dtype == "i2":
+            b1 = [r * 100 + c * 11 - 300 for r in range(h) for c in range(w)]
+        else:
+            b1 = [r * 3.25 + c * 0.125 - 7.5 for r in range(h) for c in range(w)]
+        b2 = [v if isinstance(v, float) else v + 1 for v in b1][::-1]
+        p = str(tmp_path / f"m{n}.tif")
+        n += 1
+        _write_tiff(
+            p, None, w, h, byte_order=bo, dtype=dtype, compression=comp,
+            predictor=pred, tile=tile, bands=[b1, b2], planar=planar,
+            bigtiff=big, rows_per_strip=2,
+        )
+        hdr = read_header(p)
+        ctx = (bo, dtype, comp, pred, tile, planar, big)
+        assert hdr.samples_per_pixel == 2, ctx
+        want1 = [float(v) for v in b1]
+        want2 = [float(v) for v in b2]
+        assert read_window(hdr, 0, 0, w, h, sample=0) == want1, ctx
+        assert read_window(hdr, 0, 0, w, h, sample=1) == want2, ctx
+        # interior window crossing strip/tile boundaries
+        assert read_window(hdr, 2, 1, 4, 3, sample=1) == [
+            want2[r * w + c] for r in (1, 2, 3) for c in (2, 3, 4, 5)
+        ], ctx
+    assert n == 192
