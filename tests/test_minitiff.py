@@ -707,3 +707,39 @@ def test_layout_matrix_roundtrip(tmp_path):
             want2[r * w + c] for r in (1, 2, 3) for c in (2, 3, 4, 5)
         ], ctx
     assert n == 192
+
+
+def test_make_tif_regenerates_committed_fixtures_byte_identically(tmp_path, monkeypatch):
+    """The VALUES-literal oracle of scan_geotiff_mini is only as good
+    as the fixture's byte stability: regenerating via tools/make_tif.py
+    must reproduce the committed bytes exactly.  A writer change that
+    alters the output fails HERE with a clear message, not at the
+    driver's hash gate."""
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    committed = os.path.join(repo, "fixtures", "tif")
+    work = tmp_path / "regen"
+    shutil.copytree(os.path.join(repo, "tools"), work / "tools")
+    # run the generator against a scratch copy of the repo layout
+    (work / "fixtures").mkdir()
+    shutil.copytree(os.path.join(repo, "tests"), work / "tests")
+    shutil.copytree(
+        os.path.join(repo, "raster2points_spark"), work / "raster2points_spark"
+    )
+    r = subprocess.run(
+        [sys.executable, str(work / "tools" / "make_tif.py")],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr
+    for f in ("elev.tif", "slope.tif", "stack2.tif"):
+        got = (work / "fixtures" / "tif" / f).read_bytes()
+        want = open(os.path.join(committed, f), "rb").read()
+        assert got == want, (
+            f"{f}: regenerated bytes differ from the committed fixture — "
+            "the golden writer changed; update fixtures/tif AND the "
+            "scan_geotiff_mini VALUES oracle together if intentional"
+        )
