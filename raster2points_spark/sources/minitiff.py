@@ -9,8 +9,8 @@ actually use:
   * classic TIFF AND BigTIFF (magic 43, 8-byte offsets — what >4 GB
     rasters, i.e. everything at the 100 TB design point, ship as)
   * strip OR tile layout (TileWidth/TileLength/TileOffsets 322/323/324)
-  * Compression = 1 (none), 5 (TIFF-LZW, decoded in pure Python) or
-    8/32946 (deflate, stdlib ``zlib``)
+  * Compression = 1 (none), 5 (TIFF-LZW, decoded in pure Python),
+    8/32946 (deflate, stdlib ``zlib``) or 32773 (PackBits RLE)
   * Predictor = 1 (none), 2 (horizontal differencing, integer types)
     or 3 (floating-point byte shuffle)
   * SamplesPerPixel >= 1 with PlanarConfiguration 1 (chunky) or 2
@@ -28,7 +28,7 @@ by default, so each task decompresses exactly its own blocks (the COG
 access pattern).
 
 Still out of scope (raise ValueError with the offending tag):
-JPEG/packbits/zstd compression, sub-byte and 64-bit-int samples,
+JPEG/zstd/webp compression, sub-byte and 64-bit-int samples,
 multi-IFD reads beyond the first (COG overview IFDs are deliberately
 skipped — the first IFD is the full-resolution image).  Full-fidelity
 ingestion of those remains geotiff_to_tiles on a rasterio-equipped
@@ -60,6 +60,26 @@ _GDAL_NODATA = 42113
 
 _DEFLATE = (8, 32946)  # new-style + legacy deflate codes
 _LZW = 5
+_PACKBITS = 32773
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    """TIFF PackBits (TIFF 6.0 §9): byte-oriented RLE.  Control byte
+    n in 0..127 copies the next n+1 literals; n in 129..255 repeats
+    the next byte 257-n times; 128 is a no-op."""
+    out = bytearray()
+    i, end = 0, len(data)
+    while i < end:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += data[i : i + 1] * (257 - n)
+            i += 1
+        # n == 128: no-op
+    return bytes(out)
 
 
 def _lzw_decode(data: bytes) -> bytes:
@@ -255,10 +275,11 @@ def read_header(path: str) -> MiniTiff:
     if width <= 0 or height <= 0:
         raise ValueError(f"{path}: missing ImageWidth/ImageLength")
     compression = int(one(_COMPRESSION, 1))
-    if compression != 1 and compression != _LZW and compression not in _DEFLATE:
+    if compression not in (1, _LZW, _PACKBITS) and compression not in _DEFLATE:
         raise ValueError(
             f"{path}: unsupported compression (tag 259={compression}); "
-            "mini reader handles 1 (none), 5 (LZW) and 8/32946 (deflate) only"
+            "mini reader handles 1 (none), 5 (LZW), 8/32946 (deflate) "
+            "and 32773 (PackBits) only"
         )
     predictor = int(one(_PREDICTOR, 1))
     if predictor not in (1, 2, 3):
@@ -390,6 +411,8 @@ def _decode_block(hdr: MiniTiff, f, bx: int, by: int, sample: int):
         raw = zlib.decompress(raw)
     elif hdr.compression == _LZW:
         raw = _lzw_decode(raw)
+    elif hdr.compression == _PACKBITS:
+        raw = _packbits_decode(raw)
 
     if hdr.tiled:
         rows, cols = hdr.block_height, hdr.block_width  # tiles are padded

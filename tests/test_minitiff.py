@@ -57,6 +57,30 @@ def _lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Reference PackBits encoder: runs >= 2 become repeat packets,
+    everything else literal packets (max 128 either way)."""
+    out = bytearray()
+    i, end = 0, len(data)
+    while i < end:
+        run = 1
+        while i + run < end and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit = i + 1
+        while lit < end and lit - i < 128 and not (
+            lit + 1 < end and data[lit] == data[lit + 1]
+        ):
+            lit += 1
+        out += bytes([lit - i - 1]) + data[i:lit]
+        i = lit
+    return bytes(out)
+
+
 def _write_tiff(
     path,
     values,  # row-major list of floats/ints (single band)
@@ -68,7 +92,7 @@ def _write_tiff(
     pixel_scale=(0.5, 0.5),
     tiepoint=(0.0, 0.0, 0.0, 10.0, 45.0, 0.0),
     nodata="-9999",
-    compression=1,  # 1 none | 5 LZW | 8 deflate
+    compression=1,  # 1 none | 5 LZW | 8 deflate | 32773 PackBits
     predictor=1,  # 1 none | 2 horiz diff (int) | 3 float byte shuffle
     tile=None,  # (tile_width, tile_height) -> tiled layout
     bands=None,  # list of per-band row-major lists (overrides values)
@@ -113,6 +137,8 @@ def _write_tiff(
             return zlib.compress(raw)
         if compression == 5:
             return _lzw_encode(raw)
+        if compression == 32773:
+            return _packbits_encode(raw)
         return raw
 
     planes = [stack[:, :, s : s + 1] for s in range(spp)] if planar == 2 else [stack]
@@ -675,7 +701,7 @@ def test_layout_matrix_roundtrip(tmp_path):
     w, h = 7, 5
     n = 0
     for bo, dtype, comp, tile, planar, big in itertools.product(
-        ("<", ">"), ("f8", "f4", "i2", "u1"), (1, 5, 8),
+        ("<", ">"), ("f8", "f4", "i2", "u1"), (1, 5, 8, 32773),
         (None, (4, 4)), (1, 2), (False, True),
     ):
         # predictor chosen per dtype: floats get the byte shuffle,
@@ -706,7 +732,7 @@ def test_layout_matrix_roundtrip(tmp_path):
         assert read_window(hdr, 2, 1, 4, 3, sample=1) == [
             want2[r * w + c] for r in (1, 2, 3) for c in (2, 3, 4, 5)
         ], ctx
-    assert n == 192
+    assert n == 256
 
 
 def test_make_tif_regenerates_committed_fixtures_byte_identically(tmp_path, monkeypatch):
@@ -743,3 +769,13 @@ def test_make_tif_regenerates_committed_fixtures_byte_identically(tmp_path, monk
             "the golden writer changed; update fixtures/tif AND the "
             "scan_geotiff_mini VALUES oracle together if intentional"
         )
+
+
+def test_packbits_known_stream_decodes():
+    """Decoder vs a HAND-BUILT control stream (independent of the test
+    encoder): literal(3) 'abc' | repeat x4 'z' | no-op 128 | literal(1)
+    'q' -> b'abczzzzq'."""
+    from raster2points_spark.sources.minitiff import _packbits_decode
+
+    stream = bytes([2]) + b"abc" + bytes([257 - 4]) + b"z" + bytes([128]) + bytes([0]) + b"q"
+    assert _packbits_decode(stream) == b"abczzzzq"
