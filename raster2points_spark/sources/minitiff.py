@@ -263,7 +263,14 @@ def read_header(path: str) -> MiniTiff:
 
     tags: dict[int, object] = {}
     for tag, typ, count, off in _read_ifd_entries(buf, bo, big):
-        tags[tag] = _values(buf, bo, typ, count, off)
+        try:
+            tags[tag] = _values(buf, bo, typ, count, off)
+        except ValueError:
+            # an exotic field type (SBYTE, UNDEFINED, IFD, vendor
+            # extensions) on a tag we never read must not reject the
+            # file; the required tags below all use standard types and
+            # fail loudly through their own checks when absent
+            continue
 
     def one(tag, default=None):
         v = tags.get(tag)
@@ -294,6 +301,12 @@ def read_header(path: str) -> MiniTiff:
     planar = int(one(_PLANAR, 1))
     if planar not in (1, 2):
         raise ValueError(f"{path}: bad PlanarConfiguration {planar}")
+    bits_all = tags.get(_BITS, [8])
+    fmt_all = tags.get(_SAMPLE_FORMAT, [1])
+    if isinstance(bits_all, list) and len(set(bits_all)) > 1:
+        raise ValueError(f"{path}: mixed BitsPerSample {bits_all} not supported")
+    if isinstance(fmt_all, list) and len(set(fmt_all)) > 1:
+        raise ValueError(f"{path}: mixed SampleFormat {fmt_all} not supported")
     bits = int(one(_BITS, 8))
     sample_format = int(one(_SAMPLE_FORMAT, 1))
     if predictor == 2 and sample_format == 3:

@@ -779,3 +779,47 @@ def test_packbits_known_stream_decodes():
 
     stream = bytes([2]) + b"abc" + bytes([257 - 4]) + b"z" + bytes([128]) + bytes([0]) + b"q"
     assert _packbits_decode(stream) == b"abczzzzq"
+
+
+def test_exotic_tag_types_are_skipped_not_fatal(tmp_path):
+    """Real files carry vendor tags with exotic field types (UNDEFINED,
+    SBYTE, IFD); a type we can't parse on a tag we never read must not
+    reject the file."""
+    from raster2points_spark.sources.minitiff import read_header, read_window
+
+    w, h = 4, 2
+    vals = [float(v) for v in range(8)]
+    p = str(tmp_path / "vendor.tif")
+    _write_tiff(p, vals, w, h)
+    # splice an extra IFD entry with field type 7 (UNDEFINED) into the
+    # file: rewrite entry count and append a 12-byte entry before the
+    # next-IFD terminator
+    buf = bytearray(open(p, "rb").read())
+    (ifd_off,) = struct.unpack_from("<I", buf, 4)
+    (n,) = struct.unpack_from("<H", buf, ifd_off)
+    entries_end = ifd_off + 2 + 12 * n
+    extra = struct.pack("<HHI", 37500, 7, 4) + b"\x01\x02\x03\x04"  # MakerNote
+    new = buf[:ifd_off] + struct.pack("<H", n + 1) + buf[ifd_off + 2 : entries_end] + extra + buf[entries_end:]
+    open(p, "wb").write(new)
+    hdr = read_header(p)
+    assert read_window(hdr, 0, 0, w, h) == vals
+
+
+def test_mixed_bits_per_sample_rejected(tmp_path):
+    from raster2points_spark.sources.minitiff import read_header
+
+    w, h = 2, 1
+    p = str(tmp_path / "mixed.tif")
+    _write_tiff(p, None, w, h, bands=[[1.0, 2.0], [3.0, 4.0]])
+    buf = bytearray(open(p, "rb").read())
+    # corrupt the inline 2-SHORT BitsPerSample (tag 258) to (64, 32)
+    (ifd_off,) = struct.unpack_from("<I", buf, 4)
+    (n,) = struct.unpack_from("<H", buf, ifd_off)
+    for i in range(n):
+        base = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack_from("<HHI", buf, base)
+        if tag == 258:
+            struct.pack_into("<HH", buf, base + 8, 64, 32)
+    open(p, "wb").write(buf)
+    with pytest.raises(ValueError, match="mixed BitsPerSample"):
+        read_header(p)
