@@ -239,8 +239,9 @@ def _values(buf: bytes, bo: str, typ: int, count: int, off: int):
 
 
 def read_header(path: str) -> MiniTiff:
-    """Parse the header of a striped or tiled, optionally deflate-
-    compressed, single- or multi-band TIFF."""
+    """Parse the header of a classic or BigTIFF file — striped or
+    tiled, none/LZW/deflate/PackBits-compressed, predictor 1/2/3,
+    single- or multi-band."""
     with open(path, "rb") as f:
         buf = f.read()
     if len(buf) < 8:
@@ -475,6 +476,22 @@ def read_window(
     about bytes read."""
     import numpy as np
 
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad window size {width}x{height}")
+    if (
+        col_off < 0
+        or row_off < 0
+        or col_off + width > hdr.width
+        or row_off + height > hdr.height
+    ):
+        raise ValueError(
+            f"window ({col_off},{row_off},{width},{height}) exceeds "
+            f"raster {hdr.width}x{hdr.height}"
+        )
+    if not 0 <= sample < hdr.samples_per_pixel:
+        raise ValueError(
+            f"sample {sample} out of range (SamplesPerPixel={hdr.samples_per_pixel})"
+        )
     out = np.empty((height, width), dtype="f8")
     bw, bh = hdr.block_width, hdr.block_height
     with open(hdr.path, "rb") as f:
