@@ -31,7 +31,9 @@ SF0001 = "/root/testdata/sf0.001"
 #   (changed-key tranche rule),
 # - scan_geotiff_mini, NEW this round (registry unfroze at zero
 #   evidence gap): the TIFF front door oracle-checked off the
-#   committed golden fixture,
+#   committed golden fixture.  (bpe_apply, the second r10 addition,
+#   landed after the window was fixed — it queues for its first
+#   driver grade in r11's window,)
 # - 12 oldest r3-era stale keys, weighted toward the raster chain
 #   downstream of this round's minitiff work (deflate/tiled/multiband
 #   ingest) and the BPE family.

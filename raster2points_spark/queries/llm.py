@@ -2728,6 +2728,66 @@ def bpe_train_q(spark, sf_dir):
     return bpe_train(spark, sf_dir)
 
 
+# fixed, corpus-independent merge table for the oracle-checked APPLY
+# path (rule 3 consumes rule 2's output — sequential application is
+# part of what the oracle checks)
+BPE_APPLY_RULES = [("e", "r"), ("t", "h"), ("th", "e"), ("a", "n"), ("i", "n")]
+
+
+@register(
+    "bpe_apply",
+    oracle=f"""
+    WITH words AS (
+        SELECT w, count(*) AS n
+        FROM (SELECT unnest({TOKS_DUCK}) AS w FROM documents)
+        GROUP BY w
+    ),
+    s0 AS (SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s, n FROM words),
+    s1 AS (SELECT replace(s, ' e r ', ' er ') AS s, n FROM s0),
+    s2 AS (SELECT replace(s, ' t h ', ' th ') AS s, n FROM s1),
+    s3 AS (SELECT replace(s, ' th e ', ' the ') AS s, n FROM s2),
+    s4 AS (SELECT replace(s, ' a n ', ' an ') AS s, n FROM s3),
+    s5 AS (SELECT replace(s, ' i n ', ' in ') AS s, n FROM s4),
+    tok AS (SELECT unnest(string_split(trim(s), ' ')) AS token, n FROM s5)
+    SELECT token, cast(sum(n) AS bigint) AS cnt
+    FROM tok GROUP BY token ORDER BY cnt DESC, token LIMIT 50
+    """,
+)
+def bpe_apply(spark, sf_dir):
+    """[r10] BPE tokenizer APPLICATION, oracle-checked: apply a fixed
+    merge table (rule 3 merges rule 2's output — order matters) to the
+    word vocabulary via the per-row aggregate() fold
+    (``_bpe_apply_merge``) and return the top-50 resulting tokens by
+    corpus count.  The oracle restates greedy left-to-right
+    non-overlapping merging as sequential ``replace`` over
+    space-joined symbol strings (DuckDB replace is leftmost
+    non-overlapping — same pass semantics), so a hash match proves the
+    fold's merge semantics against an independent formulation.
+    bpe_train (rows-only) learns rules; this key pins how they are
+    APPLIED.
+
+    Scale shape: the corpus is touched once to build the vocab; merges
+    are zero-shuffle per-row folds over the VOCABULARY; one map-side-
+    combined token rollup + TakeOrderedAndProject top-50."""
+    docs = t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.expr(TOKS_SPARK)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .select(F.expr("split(w, '')").alias("syms"), "n")
+        .filter(F.size("syms") > 0)
+    )
+    for a, b in BPE_APPLY_RULES:
+        words = _bpe_apply_merge(words, a, b)
+    return (
+        words.select(F.explode("syms").alias("token"), "n")
+        .groupBy("token")
+        .agg(F.sum("n").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(50)
+    )
+
+
 @register(
     "text_url_domain",
     oracle="""
