@@ -2734,6 +2734,24 @@ def bpe_train_q(spark, sf_dir):
 BPE_APPLY_RULES = [("e", "r"), ("t", "h"), ("th", "e"), ("a", "n"), ("i", "n")]
 
 
+def _replace_fixpoint_sql(expr: str, a: str, b: str, passes: int = 3) -> str:
+    """SQL for merging adjacent (a, b) in a space-delimited symbol
+    string by iterating leftmost-non-overlapping ``replace`` to
+    FIXPOINT.  A single pass under-merges overlapping-ADJACENT
+    occurrences (' a n a n a ' — the match consumes the shared
+    delimiter space, so 'banana' would yield [b, an, a, n, a] instead
+    of greedy's [b, an, an, a]).  Pass 1 merges alternating members of
+    such a run, which isolates the survivors, so pass 2 reaches the
+    fixpoint; fixpoint == greedy left-to-right for pair merges
+    (exhaustively verified to |word|=12 and randomized to 40 in
+    tests/test_llm.py::test_bpe_apply_oracle_fixpoint_equals_greedy).
+    Three passes are emitted for margin."""
+    pat, rep = f" {a} {b} ", f" {a}{b} "
+    for _ in range(passes):
+        expr = f"replace({expr}, '{pat}', '{rep}')"
+    return expr
+
+
 @register(
     "bpe_apply",
     oracle=f"""
@@ -2743,11 +2761,11 @@ BPE_APPLY_RULES = [("e", "r"), ("t", "h"), ("th", "e"), ("a", "n"), ("i", "n")]
         GROUP BY w
     ),
     s0 AS (SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s, n FROM words),
-    s1 AS (SELECT replace(s, ' e r ', ' er ') AS s, n FROM s0),
-    s2 AS (SELECT replace(s, ' t h ', ' th ') AS s, n FROM s1),
-    s3 AS (SELECT replace(s, ' th e ', ' the ') AS s, n FROM s2),
-    s4 AS (SELECT replace(s, ' a n ', ' an ') AS s, n FROM s3),
-    s5 AS (SELECT replace(s, ' i n ', ' in ') AS s, n FROM s4),
+    s1 AS (SELECT {_replace_fixpoint_sql('s', 'e', 'r')} AS s, n FROM s0),
+    s2 AS (SELECT {_replace_fixpoint_sql('s', 't', 'h')} AS s, n FROM s1),
+    s3 AS (SELECT {_replace_fixpoint_sql('s', 'th', 'e')} AS s, n FROM s2),
+    s4 AS (SELECT {_replace_fixpoint_sql('s', 'a', 'n')} AS s, n FROM s3),
+    s5 AS (SELECT {_replace_fixpoint_sql('s', 'i', 'n')} AS s, n FROM s4),
     tok AS (SELECT unnest(string_split(trim(s), ' ')) AS token, n FROM s5)
     SELECT token, cast(sum(n) AS bigint) AS cnt
     FROM tok GROUP BY token ORDER BY cnt DESC, token LIMIT 50
@@ -2759,10 +2777,13 @@ def bpe_apply(spark, sf_dir):
     word vocabulary via the per-row aggregate() fold
     (``_bpe_apply_merge``) and return the top-50 resulting tokens by
     corpus count.  The oracle restates greedy left-to-right
-    non-overlapping merging as sequential ``replace`` over
-    space-joined symbol strings (DuckDB replace is leftmost
-    non-overlapping — same pass semantics), so a hash match proves the
-    fold's merge semantics against an independent formulation.
+    non-overlapping merging as per-rule ``replace`` iterated to
+    FIXPOINT over space-joined symbol strings (a SINGLE
+    leftmost-non-overlapping pass is NOT equivalent on
+    overlapping-adjacent occurrences — see ``_replace_fixpoint_sql``),
+    so a hash match proves the fold's merge semantics against an
+    independent formulation on every corpus, including words like
+    'banana'/'mining' with adjacent rule hits.
     bpe_train (rows-only) learns rules; this key pins how they are
     APPLIED.
 

@@ -432,6 +432,89 @@ def test_bpe_batched_matches_sequential_on_adversarial_vocabs(spark):
         assert got == _sequential_bpe(vocab, 6), vocab
 
 
+def _greedy_merge(tokens, a, b):
+    out, i = [], 0
+    while i < len(tokens):
+        if i + 1 < len(tokens) and tokens[i] == a and tokens[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(tokens[i])
+            i += 1
+    return out
+
+
+def test_bpe_apply_oracle_fixpoint_equals_greedy():
+    """ADVICE r10 (medium): the claim the bpe_apply oracle rests on —
+    leftmost-non-overlapping ``replace`` iterated to fixpoint equals
+    greedy left-to-right pair merging.  A SINGLE pass is NOT equivalent
+    ('banana' under (a,n) -> [b,an,a,n,a]); two passes are (pass 1
+    isolates the survivors of each overlapping-adjacent run), three are
+    emitted for margin.  Exhaustive to |word|=12 over {a,n}, randomized
+    to 40 over {a,n,x}."""
+    import itertools
+    import random
+
+    def via_replace(tokens, a, b, passes):
+        s = " " + " ".join(tokens) + " "
+        for _ in range(passes):
+            s = s.replace(f" {a} {b} ", f" {a}{b} ")
+        return s.strip().split(" ")
+
+    # the documented single-pass counterexample
+    assert via_replace(list("banana"), "a", "n", 1) == ["b", "an", "a", "n", "a"]
+    assert _greedy_merge(list("banana"), "a", "n") == ["b", "an", "an", "a"]
+
+    for L in range(1, 13):
+        for tup in itertools.product("an", repeat=L):
+            t_ = list(tup)
+            assert via_replace(t_, "a", "n", 3) == _greedy_merge(t_, "a", "n"), t_
+    rng = random.Random(0)
+    for _ in range(2000):
+        t_ = [rng.choice("anx") for _ in range(rng.randint(13, 40))]
+        assert via_replace(t_, "a", "n", 3) == _greedy_merge(t_, "a", "n"), t_
+    # multi-char symbols (the th+e rule shape)
+    for _ in range(2000):
+        t_ = [rng.choice(["th", "e", "x"]) for _ in range(rng.randint(1, 30))]
+        assert via_replace(t_, "th", "e", 3) == _greedy_merge(t_, "th", "e"), t_
+
+
+def test_bpe_apply_oracle_matches_spark_on_adversarial_corpus(spark):
+    """ADVICE r10 (medium), end-to-end guard: run the REGISTERED
+    bpe_apply oracle SQL (DuckDB) and the Spark fold on a corpus built
+    to contain overlapping-adjacent rule hits ('banana', 'mining',
+    'remaining', 'ananan', 'thethe', 'inin') — exactly the words that
+    made the r10 single-pass oracle wrong.  Values must match."""
+    import os
+    import tempfile
+
+    import duckdb
+
+    from raster2points_spark.registry import load_all
+
+    texts = [
+        "banana mining remaining ananan banana",
+        "thethe thermal anther inin winning",
+        "the miner can and an in inn era erer",
+        "ananananan bananas thinthin nine",
+    ]
+    d = tempfile.mkdtemp(prefix="bpe_apply_adv_")
+    spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    spec = load_all()["bpe_apply"]
+    got = [
+        (r.token, r.cnt) for r in spec.fn(spark, d).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    want = [(t_, int(c)) for t_, c in con.execute(spec.oracle).fetchall()]
+    assert got == want
+
+
 def test_hll_partial_merge_accuracy(spark, registry):
     """agg_hll_partial_merge is rows-only (no DuckDB oracle — different
     sketch algorithm), so exactness is pinned here instead: every
