@@ -110,7 +110,24 @@ def _lzw_decode(data: bytes) -> bytes:
             continue
         if code == EOI:
             break
+        if code == 0 and prev is not None:
+            # A zero code here is either a real '\x00' or the zero-bit
+            # pad of a stream that omitted its EOI terminator (seen in
+            # the wild).  It is pad iff every bit from the code's own
+            # start position to the end of the block is zero — a
+            # conformant writer always emits EOI, so the ambiguity only
+            # exists on non-conformant tails, where dropping pad is the
+            # correct reading.
+            start = bitpos - width
+            first_mask = (1 << (8 - (start & 7))) - 1
+            tail = data[start >> 3 :]
+            if (tail[0] & first_mask) == 0 and not any(tail[1:]):
+                break
         if prev is None:
+            if code >= len(table):
+                raise ValueError(
+                    f"corrupt LZW stream: code {code} > table {len(table)}"
+                )
             entry = table[code]
         else:
             if code < len(table):

@@ -564,6 +564,83 @@ def test_lzw_known_bitstream_decodes():
     assert _lzw_decode(bytes(out)) == bytes([7, 7, 7, 8, 8, 7, 7, 6, 6])
 
 
+# ADVICE r10 (low): an independent pinned vector CROSSING the 9->10-bit
+# early-change boundary, so decoder interop is locked to the libtiff
+# convention rather than to the sibling test encoder.  Derivation
+# (spec-level, no codec involved): codes = CLEAR, literals 0..255, EOI.
+# After literal #254 (code 253) the decoder table holds
+# 258 + 253 == 511 == 2^9 - 1 entries, so per TIFF 6.0 early change
+# (libtiff tif_lzw.c: bump when the next free entry would be
+# MAXCODE(9)) codes 0..253 are packed at 9 bits and codes 254, 255 and
+# EOI at 10 bits, MSB-first.  Expected plaintext: bytes(range(256)).
+_LZW_BOUNDARY_VECTOR_HEX = (
+    "800000202018100a0603820120a058301a0e078402212098502a160b860321a0d870"
+    "3a1e0f8804222118904a26138a0522a158b05a2e178c06232198d06a361b8e0723a1"
+    "d8f07a3e1f9008242219108a4623920924a259309a4e27940a25229950aa562b960b"
+    "25a2d970ba5e2f980c26231990ca66339a0d26a359b0da6e379c0e272399d0ea763b"
+    "9e0f27a3d9f0fa7e3fa01028241a110a8643a21128a45a311a8e47a41229249a512a"
+    "964ba61329a4da713a9e4fa8142a251a914aa653aa152aa55ab15aae57ac162b259a"
+    "d16ab65bae172ba5daf17abe5fb0182c261b118ac663b2192ca65b319ace67b41a2d"
+    "269b51aad66bb61b2da6db71bade6fb81c2e271b91cae673ba1d2ea75bb1daee77bc"
+    "1e2f279bd1eaf67bbe1f2fa7dbf1fa7f1fe808"
+)
+
+
+def test_lzw_pinned_vector_crosses_9_to_10_bit_boundary():
+    """ADVICE r10 (low): the 9->10-bit width switch is pinned against a
+    spec-derived constant (see _LZW_BOUNDARY_VECTOR_HEX) — an aligned
+    off-by-one in decoder AND test encoder can no longer pass."""
+    from raster2points_spark.sources.minitiff import _lzw_decode
+
+    vec = bytes.fromhex(_LZW_BOUNDARY_VECTOR_HEX)
+    assert _lzw_decode(vec) == bytes(range(256))
+    # consistency (not the pin): the test encoder emits these exact bytes
+    assert _lzw_encode(bytes(range(256))) == vec
+
+
+def test_lzw_corrupt_first_code_raises_valueerror():
+    """ADVICE r10 (low): a first-after-CLEAR code beyond the table must
+    raise the decoder's ValueError, not an IndexError."""
+    from raster2points_spark.sources.minitiff import _lzw_decode
+
+    for bad in (258, 300, 511):
+        acc, bitlen, out = 0, 0, bytearray()
+        for c in (256, bad):
+            acc = (acc << 9) | c
+            bitlen += 9
+            while bitlen >= 8:
+                out.append((acc >> (bitlen - 8)) & 0xFF)
+                bitlen -= 8
+        if bitlen:
+            out.append((acc << (8 - bitlen)) & 0xFF)
+        with pytest.raises(ValueError, match="corrupt LZW"):
+            _lzw_decode(bytes(out))
+
+
+def test_lzw_missing_eoi_zero_pad_not_decoded_as_nuls():
+    """ADVICE r10 (low): a stream whose writer omitted EOI must not
+    decode its zero pad bits as spurious '\\x00' output — while a
+    stream with REAL interior zero bytes still decodes them."""
+    from raster2points_spark.sources.minitiff import _lzw_decode
+
+    # [CLEAR, 7, 8] hand-packed, no EOI, padded with zero bytes
+    codes = [256, 7, 8]
+    acc, bitlen, out = 0, 0, bytearray()
+    for c in codes:
+        acc = (acc << 9) | c
+        bitlen += 9
+        while bitlen >= 8:
+            out.append((acc >> (bitlen - 8)) & 0xFF)
+            bitlen -= 8
+    if bitlen:
+        out.append((acc << (8 - bitlen)) & 0xFF)
+    out += b"\x00\x00"  # extra zero pad some writers leave
+    assert _lzw_decode(bytes(out)) == bytes([7, 8])
+    # real interior NULs survive (zero code followed by non-zero bits)
+    payload = bytes([0, 0, 5, 0, 9])
+    assert _lzw_decode(_lzw_encode(payload)) == payload
+
+
 def test_lzw_roundtrip_crosses_width_changes():
     """Round-trip through the test encoder with enough distinct
     material to cross the 9->10->11->12-bit EARLY-CHANGE boundaries,
