@@ -4,8 +4,10 @@ reference (reconstructed): ``raster2csv in1.tif [in2.tif ...] out.csv
 [--col_names ...] [--separator {,|;|t}] [--calc_area]``.
 
 here: tile-table parquet in — or, reference-style, GeoTIFF paths
-(rasterio when available, else the pure-Python mini reader for
-uncompressed striped files) — CSV/Parquet directory out:
+(rasterio when available, else the pure-Python mini reader: classic
+TIFF or BigTIFF, striped or tiled/COG incl. overview IFDs,
+none/LZW/deflate/PackBits compression, predictor 1/2/3, 1-bit masks,
+single- or multi-band chunky/planar) — CSV/Parquet directory out:
 
     python -m raster2points_spark.cli TILES_PARQUET OUT_DIR \
         --bands b1 b2 [--col-names elev slope] [--separator ';'] \
@@ -13,6 +15,7 @@ uncompressed striped files) — CSV/Parquet directory out:
 
     python -m raster2points_spark.cli in1.tif in2.tif OUT_DIR \
         [--col-names elev slope] ...    # bands default to b1..bN
+                                        # across files AND samples
 """
 
 from __future__ import annotations
@@ -50,10 +53,8 @@ def main(argv: list[str] | None = None) -> int:
     if len(args.inputs) > 1 and not tif_mode:
         ap.error("multiple inputs are only supported for GeoTIFF paths")
     tiles = args.inputs if tif_mode else args.inputs[0]
-    bands = args.bands or (
-        [f"b{i + 1}" for i in range(len(args.inputs))] if tif_mode else None
-    )
-    if bands is None:
+    bands = args.bands
+    if bands is None and not tif_mode:
         ap.error("--bands is required for tile-table input")
 
     sep = "\t" if args.separator == "t" else args.separator
@@ -69,6 +70,10 @@ def main(argv: list[str] | None = None) -> int:
     present = {
         r[0] for r in _as_tiles(spark, tiles).select(F.col("band_id")).distinct().collect()
     }
+    if bands is None:
+        # GeoTIFF default: every band the inputs yield, positionally
+        # across files AND samples (b2 < b10 — numeric-aware sort)
+        bands = sorted(present, key=lambda b: (len(b), b))
     missing = [b for b in bands if b not in present]
     if missing:
         ap.error(f"band(s) not in tile table: {missing}; present: {sorted(present)}")

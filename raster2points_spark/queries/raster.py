@@ -128,6 +128,97 @@ def scan_geotiff_mini(spark, sf_dir):
 
 
 @register(
+    "scan_geotiff_overview",
+    oracle="""
+    WITH fr AS (
+        SELECT r.r AS row, c.c AS col, CAST(r.r * 8 + c.c AS double) AS v
+        FROM (SELECT unnest(generate_series(0, 3)) AS r) r
+        CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS c) c
+    ),
+    ds AS (
+        SELECT cast(floor(row / 2) AS int) AS row, cast(floor(col / 2) AS int) AS col,
+               avg(v) AS value
+        FROM fr GROUP BY 1, 2
+    )
+    SELECT row, col,
+           round(10.0 + (col + 0.5) * 1.0 + (row + 0.5) * 0.0, 9) AS lon,
+           round(45.0 + (col + 0.5) * 0.0 + (row + 0.5) * -1.0, 9) AS lat,
+           value
+    FROM ds
+    """,
+)
+def scan_geotiff_overview(spark, sf_dir):
+    """[r11] COG overview IFD read, driver-checked: the committed
+    pyramid fixture (fixtures/tif/pyramid.tif — 8x4 full-res + GDAL-
+    style overview IFDs carrying NO geo tags: level 1 is 4x2 TILED 2x2
+    deflate, level 2 is 2x1 striped) ingests its LEVEL-1 overview via
+    ``minitiff_to_tiles(overview_level=1)`` → unpivot → pixel-center
+    affine coords.  The oracle computes full-resolution-then-2x2-
+    average-downsample from the full-res content (the fixture's
+    overview levels are box means, the GDAL "average" convention) with
+    the SCALED transform — so a hash match proves overview-read ≡
+    full-res-then-downsample AND the inherited-transform scaling in
+    one gate.
+
+    Scale shape: a downsample-shaped query that reads the overview
+    touches 1/4 of the bytes per pyramid level instead of decimating
+    full-res pixels — the cheap decade lever at 100 TB; the job shape
+    is unchanged (driver header pass, executors decode only their own
+    overview tiles)."""
+    import os as _os
+
+    from raster2points_spark.sources.minitiff import minitiff_to_tiles
+    from raster2points_spark.queries._util import REPO_ROOT
+
+    tif = _os.path.join(REPO_ROOT, "fixtures", "tif", "pyramid.tif")
+    px = affine_coords(grid_unpivot(minitiff_to_tiles(spark, [tif], overview_level=1)))
+    return px.select(
+        "row",
+        "col",
+        F.round("lon", 9).alias("lon"),
+        F.round("lat", 9).alias("lat"),
+        "value",
+    )
+
+
+@register(
+    "scan_geotiff_mask1bit",
+    oracle="""
+    SELECT lon, lat, CAST(mask AS smallint) AS mask, elev FROM (VALUES
+        (10.25, 44.75, 1, 1.0),
+        (10.75, 44.75, 1, 2.0),
+        (11.25, 44.75, 1, CAST(NULL AS double)),
+        (10.25, 44.25, 1, 5.0),
+        (11.25, 44.25, 1, 7.0),
+        (11.75, 44.25, 1, 8.0)
+    ) AS t(lon, lat, mask, elev)
+    """,
+)
+def scan_geotiff_mask1bit(spark, sf_dir):
+    """[r11] 1-bit mask raster as raster #1, driver-checked: the
+    committed bilevel fixture (fixtures/tif/mask1.tif —
+    BitsPerSample=1, MSB-first row-aligned bit pack, GDAL_NODATA=0)
+    drives the reference's mask-first chain end-to-end with elev.tif
+    as the value raster: mask zeros (pixels 3, 5) DROP rows, elev's
+    own nodata (pixel 2, -9999) stays as NULL — both reference
+    semantics in one 6-row golden answer (VALUES oracle; the fixture
+    is byte-stable via tools/make_tif.py).  The mask column lands as
+    smallint because uint8 is the mask's SOURCE dtype (dtype
+    preservation, SURVEY §1.1(5)).
+
+    reference parity: raster2df("mask.tif", "elev.tif") where the
+    mask ships 1-bit — its most common real-world encoding."""
+    import os as _os
+
+    from raster2points_spark.api import raster2df
+    from raster2points_spark.queries._util import REPO_ROOT
+
+    mask = _os.path.join(REPO_ROOT, "fixtures", "tif", "mask1.tif")
+    elev = _os.path.join(REPO_ROOT, "fixtures", "tif", "elev.tif")
+    return raster2df(spark, [mask, elev], bands=["b1", "b2"], col_names=["mask", "elev"])
+
+
+@register(
     "grid_unpivot",
     oracle=f"""
     {_PX}

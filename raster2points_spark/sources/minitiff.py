@@ -27,12 +27,24 @@ tiled TIFF the engine's tile grid aligns 1:1 with the file's tile grid
 by default, so each task decompresses exactly its own blocks (the COG
 access pattern).
 
+Also supported since r11:
+
+  * multi-IFD chains: ``read_header(path, overview=k)`` selects the
+    k-th IFD (0 = full resolution, 1.. = the COG overview pyramid);
+    an overview IFD without its own GeoTIFF tags inherits the
+    full-resolution transform scaled by the size ratio and the
+    full-resolution nodata (the GDAL overview convention).  Reading an
+    overview instead of the full grid is the decade lever for
+    downsample-shaped queries at 100 TB — 1/4 the bytes per level.
+  * BitsPerSample = 1 (bilevel mask rasters — the reference's
+    raster #1 role commonly ships as 1-bit): MSB-first row-aligned
+    bit unpack, decoded as uint8 0/1.
+
 Still out of scope (raise ValueError with the offending tag):
-JPEG/zstd/webp compression, sub-byte and 64-bit-int samples,
-multi-IFD reads beyond the first (COG overview IFDs are deliberately
-skipped — the first IFD is the full-resolution image).  Full-fidelity
-ingestion of those remains geotiff_to_tiles on a rasterio-equipped
-cluster.
+JPEG/zstd/webp compression (need native libs this box lacks — probed
+each round, see reports/zstd_probe_r11.txt), other sub-byte depths
+(2/4-bit) and 64-bit-int samples.  Full-fidelity ingestion of those
+remains geotiff_to_tiles on a rasterio-equipped cluster.
 """
 
 from __future__ import annotations
@@ -193,6 +205,9 @@ class MiniTiff:
     byte_counts: list[int]
     transform: list[float]  # [a, b, c, d, e, f] row-major affine
     nodata: float  # nan when absent
+    bits_per_sample: int = 8  # 1 for bilevel masks, else 8*bytes_per_sample
+    overview: int = 0  # which IFD this header describes (0 = full res)
+    n_overviews: int = 0  # how many overview IFDs follow the first
 
     # --- compatibility aliases for the original strip-only surface ---
     @property
@@ -212,18 +227,39 @@ class MiniTiff:
         return (self.height + self.block_height - 1) // self.block_height
 
 
-def _read_ifd_entries(buf: bytes, bo: str, big: bool):
-    """Yield (tag, type, count, value_offset) for the FIRST IFD.
-    Classic TIFF: 4-byte offsets, 12-byte entries, <=4 B inline.
-    BigTIFF (magic 43): 8-byte offsets, 20-byte entries, <=8 B inline.
-    Later IFDs (COG overviews, multi-page) are deliberately ignored —
-    the first IFD is the full-resolution image."""
+def _ifd_chain(buf: bytes, bo: str, big: bool, max_ifds: int = 64) -> list[int]:
+    """Walk the next-IFD pointers and return every IFD offset in file
+    order: chain[0] is the full-resolution image, chain[1:] the COG
+    overview pyramid (or further pages).  Capped at ``max_ifds`` so a
+    corrupt circular chain cannot loop forever."""
+    chain: list[int] = []
     if big:
-        (ifd_off,) = struct.unpack_from(bo + "Q", buf, 8)
+        (off,) = struct.unpack_from(bo + "Q", buf, 8)
+    else:
+        (off,) = struct.unpack_from(bo + "I", buf, 4)
+    while off and len(chain) < max_ifds:
+        if off in chain or off + (8 if big else 2) > len(buf):
+            raise ValueError(f"corrupt IFD chain at offset {off}")
+        chain.append(off)
+        if big:
+            (n,) = struct.unpack_from(bo + "Q", buf, off)
+            nxt_at = off + 8 + 20 * n
+            (off,) = struct.unpack_from(bo + "Q", buf, nxt_at)
+        else:
+            (n,) = struct.unpack_from(bo + "H", buf, off)
+            nxt_at = off + 2 + 12 * n
+            (off,) = struct.unpack_from(bo + "I", buf, nxt_at)
+    return chain
+
+
+def _read_ifd_entries(buf: bytes, bo: str, big: bool, ifd_off: int):
+    """Yield (tag, type, count, value_offset) for the IFD at ifd_off.
+    Classic TIFF: 4-byte offsets, 12-byte entries, <=4 B inline.
+    BigTIFF (magic 43): 8-byte offsets, 20-byte entries, <=8 B inline."""
+    if big:
         (n,) = struct.unpack_from(bo + "Q", buf, ifd_off)
         first, step, hdr_fmt, off_fmt, inline = ifd_off + 8, 20, "HHQ", "Q", 8
     else:
-        (ifd_off,) = struct.unpack_from(bo + "I", buf, 4)
         (n,) = struct.unpack_from(bo + "H", buf, ifd_off)
         first, step, hdr_fmt, off_fmt, inline = ifd_off + 2, 12, "HHI", "I", 4
     for i in range(n):
@@ -255,10 +291,30 @@ def _values(buf: bytes, bo: str, typ: int, count: int, off: int):
     return list(struct.unpack_from(bo + str(count) + fmt, buf, off))
 
 
-def read_header(path: str) -> MiniTiff:
+def _parse_tags(buf: bytes, bo: str, big: bool, ifd_off: int) -> dict[int, object]:
+    tags: dict[int, object] = {}
+    for tag, typ, count, off in _read_ifd_entries(buf, bo, big, ifd_off):
+        try:
+            tags[tag] = _values(buf, bo, typ, count, off)
+        except ValueError:
+            # an exotic field type (SBYTE, UNDEFINED, IFD, vendor
+            # extensions) on a tag we never read must not reject the
+            # file; the required tags below all use standard types and
+            # fail loudly through their own checks when absent
+            continue
+    return tags
+
+
+def read_header(path: str, overview: int = 0) -> MiniTiff:
     """Parse the header of a classic or BigTIFF file — striped or
     tiled, none/LZW/deflate/PackBits-compressed, predictor 1/2/3,
-    single- or multi-band."""
+    single- or multi-band, 1-bit bilevel masks.
+
+    ``overview`` selects the IFD: 0 (default) is the full-resolution
+    image, 1.. walk the COG overview pyramid.  Overview IFDs without
+    their own GeoTIFF tags (the GDAL convention) inherit the
+    full-resolution transform scaled by the size ratio and the
+    full-resolution nodata."""
     with open(path, "rb") as f:
         buf = f.read()
     if len(buf) < 8:
@@ -279,16 +335,16 @@ def read_header(path: str) -> MiniTiff:
     elif magic != 42:
         raise ValueError(f"{path}: bad TIFF magic {magic}")
 
-    tags: dict[int, object] = {}
-    for tag, typ, count, off in _read_ifd_entries(buf, bo, big):
-        try:
-            tags[tag] = _values(buf, bo, typ, count, off)
-        except ValueError:
-            # an exotic field type (SBYTE, UNDEFINED, IFD, vendor
-            # extensions) on a tag we never read must not reject the
-            # file; the required tags below all use standard types and
-            # fail loudly through their own checks when absent
-            continue
+    chain = _ifd_chain(buf, bo, big)
+    if not chain:
+        raise ValueError(f"{path}: no IFD")
+    if not 0 <= overview < len(chain):
+        raise ValueError(
+            f"{path}: overview {overview} out of range (file has "
+            f"{len(chain) - 1} overview IFD(s))"
+        )
+    tags = _parse_tags(buf, bo, big, chain[overview])
+    tags0 = tags if overview == 0 else _parse_tags(buf, bo, big, chain[0])
 
     def one(tag, default=None):
         v = tags.get(tag)
@@ -337,10 +393,22 @@ def read_header(path: str) -> MiniTiff:
             f"{path}: Predictor=3 is defined for floating-point samples only "
             f"(tag 339={sample_format})"
         )
-    np_char = _DTYPES.get((sample_format, bits))
-    if np_char is None:
-        raise ValueError(f"{path}: unsupported sample (format={sample_format}, bits={bits})")
-    bps = bits // 8
+    if bits == 1:
+        # bilevel mask raster: decoded as uint8 0/1 (MSB-first,
+        # row-aligned per TIFF 6.0 §4 — every row starts on a byte
+        # boundary)
+        if sample_format != 1:
+            raise ValueError(f"{path}: 1-bit samples must be unsigned (tag 339={sample_format})")
+        if spp != 1:
+            raise ValueError(f"{path}: 1-bit supported for SamplesPerPixel=1 only (got {spp})")
+        if predictor != 1:
+            raise ValueError(f"{path}: predictor {predictor} is not defined for 1-bit samples")
+        np_char, bps = "u1", 1
+    else:
+        np_char = _DTYPES.get((sample_format, bits))
+        if np_char is None:
+            raise ValueError(f"{path}: unsupported sample (format={sample_format}, bits={bits})")
+        bps = bits // 8
 
     tiled = _TILE_OFFSETS in tags or _TILE_WIDTH in tags
     if tiled:
@@ -368,6 +436,8 @@ def read_header(path: str) -> MiniTiff:
         blocks_down = (height + block_h - 1) // block_h
         per_plane = blocks_down * ((width + block_w - 1) // block_w)
         row_samples = block_w * (spp if planar == 1 else 1)
+        # 1-bit rows are bit-packed but byte-aligned per row
+        row_bytes = (row_samples + 7) // 8 if bits == 1 else row_samples * bps
         for i in range(len(offsets)):
             plane_idx = i % per_plane if planar == 2 else i
             if tiled:
@@ -375,11 +445,14 @@ def read_header(path: str) -> MiniTiff:
             else:
                 r0 = (plane_idx) * block_h
                 rows = min(block_h, height - r0)
-            byte_counts.append(rows * row_samples * bps)
+            byte_counts.append(rows * row_bytes)
     if len(byte_counts) != len(offsets):
         raise ValueError(f"{path}: offsets/byte-counts length mismatch")
 
-    # GeoTIFF georeferencing: pixel scale + one tiepoint -> affine
+    # GeoTIFF georeferencing: pixel scale + one tiepoint -> affine.
+    # Overview IFDs rarely carry their own geo tags (GDAL convention);
+    # inherit the full-resolution transform scaled by the size ratio —
+    # same extent, coarser pixels.
     scale = tags.get(_MODEL_PIXEL_SCALE)
     tie = tags.get(_MODEL_TIEPOINT)
     if scale and tie and len(tie) >= 6:
@@ -389,11 +462,24 @@ def read_header(path: str) -> MiniTiff:
         c = x - i * sx
         f = y + j * sy
         transform = [sx, 0.0, c, 0.0, -sy, f]
+    elif overview > 0 and tags0.get(_MODEL_PIXEL_SCALE) and tags0.get(_MODEL_TIEPOINT):
+        full = read_header(path, overview=0)
+        fw, fh = full.width, full.height
+        transform = [
+            full.transform[0] * fw / width,
+            full.transform[1],
+            full.transform[2],
+            full.transform[3],
+            full.transform[4] * fh / height,
+            full.transform[5],
+        ]
     else:
         transform = [1.0, 0.0, 0.0, 0.0, -1.0, float(height)]
 
     nodata = math.nan
     nd = tags.get(_GDAL_NODATA)
+    if nd is None and overview > 0:
+        nd = tags0.get(_GDAL_NODATA)
     if isinstance(nd, str):
         try:
             nodata = float(nd.strip())
@@ -417,6 +503,9 @@ def read_header(path: str) -> MiniTiff:
         byte_counts=byte_counts,
         transform=transform,
         nodata=nodata,
+        bits_per_sample=bits,
+        overview=overview,
+        n_overviews=len(chain) - 1,
     )
 
 
@@ -450,7 +539,14 @@ def _decode_block(hdr: MiniTiff, f, bx: int, by: int, sample: int):
     else:
         rows = min(hdr.block_height, hdr.height - by * hdr.block_height)
         cols = hdr.width
-    if hdr.predictor == 3:
+    if hdr.bits_per_sample == 1:
+        # MSB-first bit-packed rows, each row byte-aligned (TIFF 6.0 §4)
+        row_bytes = (cols + 7) // 8
+        a8 = np.frombuffer(raw, dtype="u1", count=rows * row_bytes).reshape(
+            rows, row_bytes
+        )
+        a = np.unpackbits(a8, axis=1)[:, :cols].reshape(rows, cols, 1)
+    elif hdr.predictor == 3:
         # float byte shuffle: per row, bytes are stored plane-major
         # (all MSBs first) with horizontal BYTE differencing applied;
         # undo the diff with a u1 cumsum, then reassemble each value's
@@ -570,6 +666,7 @@ def minitiff_to_tiles(
     paths: list[str],
     band_ids: list | None = None,
     tile_size: int | None = None,
+    overview_level: int = 0,
 ) -> DataFrame:
     """Distributed mini-TIFF → tile-table conversion; identical contract
     and job shape to geotiff_to_tiles (driver header pass → window-grid
@@ -580,9 +677,15 @@ def minitiff_to_tiles(
     file's native TileWidth×TileLength so each task decompresses exactly
     its own file blocks (the COG access pattern); striped files default
     to 512.  Multi-band files expand to one tile-table band per sample.
+
+    ``overview_level=k`` reads the k-th COG overview IFD instead of the
+    full-resolution image — for downsample-shaped queries this touches
+    1/4^k of the bytes, the cheap decade lever at 100 TB.  The overview
+    grid carries its own (coarser) transform, so downstream affine
+    coords stay correct with no special-casing.
     """
     meta = []
-    hdrs = [read_header(p) for p in paths]
+    hdrs = [read_header(p, overview=overview_level) for p in paths]
     names = _band_names(hdrs, band_ids)
     for hdr, file_bands in zip(hdrs, names):
         if tile_size is None:
@@ -597,6 +700,7 @@ def minitiff_to_tiles(
                         band_id,
                         hdr.path,
                         sample,
+                        hdr.overview,
                         w["tile_id"],
                         w["col_off"],
                         w["row_off"],
@@ -609,23 +713,25 @@ def minitiff_to_tiles(
                 )
     meta_df = spark.createDataFrame(
         meta,
-        "band_id string, path string, sample int, tile_id long, col_off int, "
-        "row_off int, width int, height int, transform array<double>, "
+        "band_id string, path string, sample int, overview int, tile_id long, "
+        "col_off int, row_off int, width int, height int, transform array<double>, "
         "nodata double, dtype string",
     )
 
     def read_windows(batches):
         for pdf in batches:
             data = []
-            hdr_cache: dict[str, MiniTiff] = {}
+            hdr_cache: dict[tuple[str, int], MiniTiff] = {}
             for r in pdf.itertuples(index=False):
-                hdr = hdr_cache.get(r.path)
+                hdr = hdr_cache.get((r.path, r.overview))
                 if hdr is None:
-                    hdr = hdr_cache[r.path] = read_header(r.path)
+                    hdr = hdr_cache[(r.path, r.overview)] = read_header(
+                        r.path, overview=r.overview
+                    )
                 data.append(
                     read_window(hdr, r.col_off, r.row_off, r.width, r.height, sample=r.sample)
                 )
-            out = pdf.drop(columns=["path", "sample"]).copy()
+            out = pdf.drop(columns=["path", "sample", "overview"]).copy()
             out["data"] = data
             yield out
 

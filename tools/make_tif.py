@@ -8,10 +8,17 @@ nodata, band 2 has nodata at a DIFFERENT pixel (kept as NULL), so the
 README quickstart and the fixture test share one golden answer:
 7 points, (10.25, 44.75) -> (1.0, 10.0), (10.75, 44.75) -> (2.0, NULL).
 
-Three files exercise the mini reader's real-world layouts:
-- elev.tif   single-band, striped, deflate (Compression=8)
-- slope.tif  single-band, striped, uncompressed
-- stack2.tif BOTH bands in one file, tiled 4x4 (COG-style), deflate
+Five files exercise the mini reader's real-world layouts:
+- elev.tif    single-band, striped, deflate (Compression=8)
+- slope.tif   single-band, striped, uncompressed
+- stack2.tif  BOTH bands in one file, tiled 4x4 (COG-style), deflate
+- pyramid.tif 8x4 full-res + a 2-level COG overview pyramid (IFD 1:
+  4x2 TILED 2x2 deflate = 2x2 box means; IFD 2: 2x1 striped = 4x4
+  means), overview IFDs GDAL-style with NO geo tags (reader must
+  inherit + scale the full-res transform)
+- mask1.tif   1-bit bilevel mask (BitsPerSample=1, MSB-first,
+  row-aligned), GDAL_NODATA=0 — the reference's raster #1 role as it
+  commonly ships
 """
 
 from __future__ import annotations
@@ -22,11 +29,32 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from tests.test_minitiff import _write_tiff  # the golden-tested writer
+from tests.test_minitiff import _append_overview, _write_tiff  # golden-tested writer
 
 W, H = 4, 2
 BAND1 = [1.0, 2.0, -9999.0, 4.0, 5.0, 6.0, 7.0, 8.0]
 BAND2 = [10.0, -9999.0, 30.0, 40.0, 50.0, 60.0, 70.0, 80.0]
+
+# pyramid.tif: full res 8x4 (value = row*8 + col, exact 2x2/4x4 means
+# in f8), overview levels computed as box means — the GDAL "average"
+# resampling convention
+PYR_W, PYR_H = 8, 4
+PYR_FULL = [float(r * PYR_W + c) for r in range(PYR_H) for c in range(PYR_W)]
+PYR_OV1 = [
+    sum(PYR_FULL[(2 * r + dr) * PYR_W + 2 * c + dc] for dr in (0, 1) for dc in (0, 1)) / 4.0
+    for r in range(2)
+    for c in range(4)
+]
+PYR_OV2 = [
+    sum(PYR_FULL[(4 * r + dr) * PYR_W + 4 * c + dc] for dr in range(4) for dc in range(4)) / 16.0
+    for r in range(1)
+    for c in range(2)
+]
+
+# mask1.tif: 1-bit mask raster over the same 4x2 grid as elev.tif —
+# zeros at DIFFERENT pixels (idx 3, 5) than elev's nodata (idx 2), so
+# the mask-first chain shows both semantics at once
+MASK_BITS = [1, 1, 1, 0, 1, 0, 1, 1]
 
 
 def main() -> int:
@@ -43,7 +71,12 @@ def main() -> int:
         tile=(4, 4),
         compression=8,
     )
-    for f in ("elev.tif", "slope.tif", "stack2.tif"):
+    pyr = os.path.join(out, "pyramid.tif")
+    _write_tiff(pyr, PYR_FULL, PYR_W, PYR_H, compression=8)
+    _append_overview(pyr, PYR_OV1, 4, 2, compression=8, tile=(2, 2))
+    _append_overview(pyr, PYR_OV2, 2, 1, compression=8)
+    _write_tiff(os.path.join(out, "mask1.tif"), MASK_BITS, W, H, dtype="b1", nodata="0")
+    for f in ("elev.tif", "slope.tif", "stack2.tif", "pyramid.tif", "mask1.tif"):
         p = os.path.join(out, f)
         print(f"{f}: {os.path.getsize(p)} bytes")
     return 0
