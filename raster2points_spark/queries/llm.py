@@ -1391,17 +1391,67 @@ def dedup_embed(spark, sf_dir):
     )
 
 
-_IVF_ORACLE = (
-    _EMB_UNNEST_CTE
-    + """
+# Lloyd codebook refinement (VERDICT r10 #4): 2 rounds, max-dot
+# assignment + mean update, trained on a deterministic ~8k-vector
+# stride sample (the faiss convention: codebooks train on a sample,
+# not the corpus).  Unrolled per round in the oracle so both engines
+# state the same fixpoint prefix (the ml_kmeans_lloyd trick).
+_IVF_LLOYD_ROUNDS = 2
+
+
+def _ivf_train_ctes() -> str:
+    ctes = """
     , ks AS (
-        SELECT k, cast(ceil(k / ceil(sqrt(k))) AS bigint) AS stride
-        FROM (SELECT greatest(8, cast(ceil(sqrt(count(*))) AS bigint)) AS k
+        SELECT n, k, cast(ceil(k / ceil(sqrt(k))) AS bigint) AS stride,
+               greatest(1, cast(ceil(n / (8.0 * k)) AS bigint)) AS sstride
+        FROM (SELECT count(*) AS n,
+                     greatest(8, cast(ceil(sqrt(count(*))) AS bigint)) AS k
               FROM embeddings)
     ),
+    samp AS (
+        SELECT e.vec_id, e.pos, e.v FROM e CROSS JOIN ks
+        WHERE e.vec_id % ks.sstride = 0
+    ),
+    tc0 AS (
+        SELECT vec_id AS cid, pos, v FROM e CROSS JOIN ks WHERE vec_id < ks.k
+    )"""
+    for i in range(_IVF_LLOYD_ROUNDS):
+        ctes += f""",
+    td{i} AS (
+        SELECT s.vec_id, c.cid, round(sum(s.v * c.v), 4) AS d
+        FROM samp s JOIN tc{i} c ON c.pos = s.pos
+        GROUP BY 1, 2
+    ),
+    ta{i} AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+            FROM td{i}
+        ) WHERE rn = 1
+    ),
+    tm{i} AS (
+        SELECT a.cid, s.pos, avg(s.v) AS mv
+        FROM ta{i} a JOIN samp s USING (vec_id)
+        GROUP BY 1, 2
+    ),
+    tn{i} AS (SELECT cid, sqrt(sum(mv * mv)) AS nrm FROM tm{i} GROUP BY 1),
+    tc{i + 1} AS (
+        SELECT c.cid, c.pos, coalesce(m.mv / n.nrm, c.v) AS v
+        FROM tc{i} c
+        LEFT JOIN tm{i} m ON m.cid = c.cid AND m.pos = c.pos
+        LEFT JOIN tn{i} n ON n.cid = c.cid
+    )"""
+    return ctes
+
+
+_IVF_ORACLE = (
+    _EMB_UNNEST_CTE
+    + _ivf_train_ctes()
+    + f"""
+    ,
     cent AS (
-        SELECT vec_id AS cid, vec_id // ks.stride AS g, pos, v
-        FROM e CROSS JOIN ks WHERE vec_id < ks.k
+        SELECT cid, cid // ks.stride AS g, pos, v
+        FROM tc{_IVF_LLOYD_ROUNDS} CROSS JOIN ks
     ),
     reps AS (
         SELECT g, pos, v FROM cent CROSS JOIN ks WHERE cid % ks.stride = 0
@@ -1458,15 +1508,26 @@ _IVF_ORACLE = (
 @register("sim_ivf", oracle=_IVF_ORACLE)
 def sim_ivf(spark, sf_dir):
     """IVF-style ANN: assign every vector to its nearest centroid from
-    a k = max(8, ⌈√n⌉)-entry codebook (the first k corpus vectors
-    stand in for trained centroids), then search each probe only
-    within its nprobe = 2 best clusters (top-5).
+    a k = max(8, ⌈√n⌉)-entry codebook TRAINED with 2 Lloyd rounds
+    (init = first k corpus vectors, max-dot assignment + mean update —
+    VERDICT r10 #4: first-k centroids track corpus order, not density;
+    trained centroids hold recall on clustered real embeddings), then
+    search each probe only within its nprobe = 2 best clusters (top-5).
 
-    The scale story is the textbook IVF shape, now with the
-    parameters actually scaling: k ∝ √n balances per-probe search
-    cost (n/k candidates) against codebook scan cost (k) — a FIXED k
-    makes every query scan n/8 of the corpus, i.e. a 12.5 TB lookup
-    at 100 TB.  Index build avoids the flat n·k scan the same way
+    Training runs on a deterministic ~8k-vector stride sample, the
+    faiss convention — codebooks train on a sample, never the corpus,
+    so the training cost is O(8k·k·rounds) dots independent of n; the
+    per-round update is the ml_kmeans_lloyd shape (broadcast
+    centroids, in-row dot fold, map-side-combined (cid,pos) mean,
+    lazy localCheckpoint to truncate the loop lineage), and empty
+    clusters keep their previous centroid (coalesce), matching the
+    oracle's unrolled LEFT JOIN per round.
+
+    The scale story is the textbook IVF shape with the parameters
+    actually scaling: k ∝ √n balances per-probe search cost (n/k
+    candidates) against codebook scan cost (k) — a FIXED k makes
+    every query scan n/8 of the corpus, i.e. a 12.5 TB lookup at
+    100 TB.  Index build avoids the flat n·k scan the same way
     dedup_semantic_cluster does: nearest of ⌈√k⌉ coarse
     representatives first, then the fine argmax within that id-stride
     group (n·2√k dots; packed-bigint max_by hash aggregates, arrays
@@ -1483,25 +1544,79 @@ def sim_ivf(spark, sf_dir):
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     kdf = (
-        emb.agg(
-            F.greatest(F.lit(8), F.ceil(F.sqrt(F.count(F.lit(1)))))
+        emb.agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "n",
+            F.greatest(F.lit(8), F.ceil(F.sqrt(F.col("n"))))
             .cast("bigint")
-            .alias("kk")
+            .alias("kk"),
         )
         .withColumn(
             "stride",
             F.ceil(F.col("kk") / F.ceil(F.sqrt(F.col("kk")))).cast("bigint"),
         )
-    )
-    cent = (
-        emb.crossJoin(F.broadcast(kdf))
-        .filter(F.col("vec_id") < F.col("kk"))
-        .select(
-            F.col("vec_id").alias("cid"),
-            F.expr("vec_id div stride").alias("g"),
-            (F.col("vec_id") % F.col("stride")).alias("slot"),
-            F.col("e").alias("ce"),
+        .withColumn(
+            "sstride",
+            F.greatest(
+                F.lit(1), F.ceil(F.col("n") / (8.0 * F.col("kk")))
+            ).cast("bigint"),
         )
+    )
+    # --- codebook training: 2 Lloyd rounds on the stride sample ---
+    samp = (
+        emb.crossJoin(F.broadcast(kdf.select("sstride")))
+        .filter(F.col("vec_id") % F.col("sstride") == 0)
+        .select("vec_id", "e")
+    )
+    cent_t = (
+        emb.crossJoin(F.broadcast(kdf.select("kk")))
+        .filter(F.col("vec_id") < F.col("kk"))
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+    )
+    tdot = F.expr(
+        "aggregate(zip_with(e, ce, (x, y) -> x * y), cast(0.0 AS double), (acc, v) -> acc + v)"
+    )
+    w_train = Window.partitionBy("vec_id").orderBy(F.col("d").desc(), "cid")
+    for _ in range(_IVF_LLOYD_ROUNDS):
+        ta = (
+            samp.crossJoin(F.broadcast(cent_t))
+            .select("vec_id", "cid", F.round(tdot, 4).alias("d"))
+            .withColumn("rn", F.row_number().over(w_train))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid")
+        )
+        upd = (
+            ta.join(samp, "vec_id")
+            .select("cid", F.posexplode("e").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("mv"))
+            .groupBy("cid")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, mv))), s -> s.mv)"
+                ).alias("mce")
+            )
+            # spherical k-means: the corpus is unit-norm and assignment
+            # is max-dot, so the mean update must renormalize or
+            # large-norm centroids absorb everything
+            .select(
+                "cid",
+                F.expr(
+                    "transform(mce, x -> x / sqrt(aggregate(mce, cast(0.0 AS double), "
+                    "(a, y) -> a + y * y)))"
+                ).alias("nce"),
+            )
+        )
+        cent_t = (
+            cent_t.join(upd, "cid", "left")
+            .select("cid", F.coalesce("nce", "ce").alias("ce"))
+            .localCheckpoint(eager=False)
+        )
+    cent = cent_t.crossJoin(F.broadcast(kdf.select("stride"))).select(
+        "cid",
+        F.expr("cid div stride").alias("g"),
+        (F.col("cid") % F.col("stride")).alias("slot"),
+        "ce",
     )
     adot = F.expr("aggregate(zip_with(e, ce, (x, y) -> x * y), cast(0.0 AS double), (acc, v) -> acc + v)")
 
