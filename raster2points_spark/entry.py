@@ -17,85 +17,78 @@ SF0001 = "/root/testdata/sf0.001"
 
 # The grading driver evaluates only the FIRST 50 ``queries()`` keys per
 # round.  Cumulative driver-verified coverage = union of all round
-# windows; after r9 every one of the 361 keys has a driver grade
-# (never-graded gap = 0) and no key is red.
+# windows; after r10 362 of 363 then-registered keys had a driver
+# grade and no key was red.
 #
-# The r10 window executes VERDICT r8 #2's refresh schedule plus this
-# round's changes:
-# - the 33 remaining r1-era stale keys (so no oracle key's newest
-#   driver row predates r3),
-# - the 3 streaming keys promoted this round from smoke to declared
-#   rows-only batch-equivalence contracts (VERDICT r9 #5 — the driver
-#   now grades their stable row counts),
-# - bpe_train, whose trainer was rewritten this round to batch merges
-#   (changed-key tranche rule),
-# - scan_geotiff_mini, NEW this round (registry unfroze at zero
-#   evidence gap): the TIFF front door oracle-checked off the
-#   committed golden fixture.  (bpe_apply, the second r10 addition,
-#   landed after the window was fixed — it queues for its first
-#   driver grade in r11's window,)
-# - 12 oldest r3-era stale keys, weighted toward the raster chain
-#   downstream of this round's minitiff work (deflate/tiled/multiband
-#   ingest) and the BPE family.
-# r11+ walks the remaining r3/r4/r5 tail (tools/evidence_audit.py is
-# the ordering source).
+# The r11 window (VERDICT r10 #1: grade bpe_apply, keep walking the
+# stale tail):
+# - bpe_apply FIRST — the only never-driver-graded key (landed after
+#   r10's window froze); its oracle was also rewritten this round to
+#   per-rule replace-to-fixpoint (ADVICE r10 medium), so this grade
+#   covers both,
+# - the 2 NEW r11 keys: scan_geotiff_overview (COG overview IFDs,
+#   VERDICT r10 #2) and scan_geotiff_mask1bit (1-bit masks, VERDICT
+#   r10 #3),
+# - sim_ivf, changed this round (Lloyd-trained codebook, VERDICT r10
+#   #4 — changed-key tranche rule),
+# - the 29 remaining r3-era stale keys (clears the r3 tail entirely),
+# - the 17 oldest r4-era stale keys.
+# r12+ walks the remaining r4/r5 tail (tools/evidence_audit.py is the
+# ordering source).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- 33 r1-era stale keys ---
-    "agg_approx_distinct",
-    "agg_cube",
-    "agg_filtered",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_percentile",
-    "agg_rollup",
-    "agg_rollup_cascade",
-    "agg_stats",
-    "dedup_exact",
-    "dedup_jaccard",
-    "dedup_minhash_ml",
-    "dedup_near",
-    "dedup_simhash",
-    "fn_cast",
-    "fn_higher_order",
-    "fn_math",
-    "fn_string",
-    "join_anti",
-    "join_broadcast_star",
-    "join_bucketed",
-    "join_cross",
-    "join_full",
-    "join_inner_eq",
-    "join_interval_bucketed",
-    "join_left",
-    "join_right",
-    "join_salted",
-    "join_semi",
-    "join_theta_range",
-    "sim_lsh",
-    "text_stats",
-    "text_tokens",
-    # --- streaming smoke -> rows-only promotions (VERDICT r9 #5) ---
-    "stream_watermark",
-    "stream_dedup_state",
-    "stream_custom_state",
-    # --- changed this round: batched merge trainer ---
-    "bpe_train",
-    # --- new in r10 (registry unfroze at zero evidence gap):
-    # the TIFF front door, oracle-checked off the committed fixture ---
-    "scan_geotiff_mini",
-    # --- 12 oldest r3-era stale keys (raster chain + BPE family) ---
-    "affine_coords",
-    "band_zip_join",
-    "chunk_union",
-    "col_rename",
-    "filter_like",
-    "fn_array",
-    "geodesic_area",
-    "grid_unpivot",
-    "nodata_filter",
-    "raster_big",
-    "scan_tiles",
-    "text_bpe_tokens",
+    # --- never graded + changed/new this round ---
+    "bpe_apply",
+    "scan_geotiff_overview",
+    "scan_geotiff_mask1bit",
+    "sim_ivf",
+    # --- the 29 remaining r3-era stale keys ---
+    "agg_collect_sorted",
+    "mm_frame_sample",
+    "mm_resize",
+    "mm_struct",
+    "pipeline_clean_corpus",
+    "scan_json_roundtrip",
+    "scan_orc_roundtrip",
+    "set_except",
+    "set_intersect",
+    "set_union_all",
+    "set_union_distinct",
+    "sink_partitioned",
+    "sort_limit_topk",
+    "text_fingerprint",
+    "text_langid",
+    "text_langid_ngram",
+    "text_quality",
+    "text_rolling_hash",
+    "text_tfidf",
+    "tile_stats",
+    "udf_grouped_agg",
+    "udf_grouped_map",
+    "udf_pandas_scalar",
+    "udf_scalar_py",
+    "udtf_py",
+    "win_analytic",
+    "win_rank",
+    "win_running",
+    "win_topk_group",
+    # --- 17 oldest r4-era stale keys ---
+    "agg_argminmax",
+    "agg_count_distinct",
+    "agg_histogram",
+    "agg_kmv_sketch",
+    "agg_pivot",
+    "dedup_components",
+    "embed_quantize",
+    "filter_between_in",
+    "fn_bitwise",
+    "fn_date",
+    "fn_json",
+    "fn_regex",
+    "gen_range",
+    "join_asof",
+    "join_interval",
+    "merge_upsert",
+    "mm_decode",
 )
 
 
