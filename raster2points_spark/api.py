@@ -34,16 +34,30 @@ from raster2points_spark.sources.tiles import read_tiles
 
 
 def tiles_from_rasters(
-    spark: SparkSession, paths: list[str], tile_size: int | None = None
+    spark: SparkSession,
+    paths: list[str],
+    tile_size: int | None = None,
+    overview_level: int = 0,
 ) -> DataFrame:
     """GeoTIFF paths → tile table, band ids b1..bN positionally across
     files and samples (the reference's multi-raster convention, extended
     so one multi-band file contributes one band per sample).  Prefers
     the full rasterio adapter; falls back to the pure-Python mini reader
     (classic/BigTIFF, striped or tiled, LZW/deflate/uncompressed,
-    predictors 1/2/3) when rasterio is absent.
+    predictors 1/2/3, 1-bit masks, COG overview IFDs) when rasterio is
+    absent.
     ``tile_size=None`` aligns the grid with a tiled file's native tile
-    layout (COG access pattern); striped files default to 512."""
+    layout (COG access pattern); striped files default to 512.
+    ``overview_level=k`` reads the k-th COG overview pyramid level
+    instead of full resolution — 1/4^k of the bytes for
+    downsample-shaped queries (mini-reader path; the rasterio adapter
+    takes full-res only and raises otherwise)."""
+    if overview_level:
+        from raster2points_spark.sources.minitiff import minitiff_to_tiles
+
+        return minitiff_to_tiles(
+            spark, paths, tile_size=tile_size, overview_level=overview_level
+        )
     try:
         from raster2points_spark.sources.geotiff import geotiff_to_tiles
 

@@ -62,6 +62,7 @@ from raster2points_spark.sources.geotiff import TILE_SCHEMA_DDL, window_grid
 # TIFF tag ids
 _W, _H = 256, 257
 _BITS, _COMPRESSION, _PHOTO = 258, 259, 262
+_FILL_ORDER = 266
 _STRIP_OFFSETS, _SAMPLES_PER_PX, _ROWS_PER_STRIP, _STRIP_COUNTS = 273, 277, 278, 279
 _PLANAR = 284
 _PREDICTOR = 317
@@ -397,6 +398,12 @@ def read_header(path: str, overview: int = 0) -> MiniTiff:
         # bilevel mask raster: decoded as uint8 0/1 (MSB-first,
         # row-aligned per TIFF 6.0 §4 — every row starts on a byte
         # boundary)
+        if int(one(_FILL_ORDER, 1)) != 1:
+            # silently unpacking an LSB-first stream MSB-first would
+            # invert the bit order per byte — reject loudly
+            raise ValueError(
+                f"{path}: FillOrder=2 (LSB-first) not supported for 1-bit samples"
+            )
         if sample_format != 1:
             raise ValueError(f"{path}: 1-bit samples must be unsigned (tag 339={sample_format})")
         if spp != 1:

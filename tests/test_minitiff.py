@@ -1261,3 +1261,37 @@ def test_cli_ingests_compressed_tiled_tifs(spark, tmp_path):
     _write_tiff(a, BAND1, W, H, compression=5, tile=(4, 2))
     _write_tiff(b, BAND2, W, H, compression=5, tile=(4, 2))
     check([a, b], str(tmp_path / "out2"))
+
+
+def test_1bit_fillorder_lsb_rejected(tmp_path):
+    """FillOrder=2 (LSB-first bit pack) would be silently misdecoded by
+    the MSB-first unpack — must reject loudly."""
+    from raster2points_spark.sources.minitiff import read_header
+
+    p = str(tmp_path / "lsb.tif")
+    _write_tiff(p, [1, 0, 1, 0], 2, 2, dtype="b1")
+    buf = bytearray(open(p, "rb").read())
+    # splice a FillOrder=2 entry over the Photometric entry (tag 262,
+    # also SHORT/1 — a tag the reader never reads)
+    (ifd_off,) = struct.unpack_from("<I", buf, 4)
+    (n,) = struct.unpack_from("<H", buf, ifd_off)
+    for i in range(n):
+        base = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack_from("<HHI", buf, base)
+        if tag == 262:
+            struct.pack_into("<HHI", buf, base, 266, 3, 1)
+            struct.pack_into("<H", buf, base + 8, 2)
+    open(p, "wb").write(buf)
+    with pytest.raises(ValueError, match="FillOrder"):
+        read_header(p)
+
+
+def test_api_overview_level_passthrough(spark):
+    """tiles_from_rasters(overview_level=1) routes through the mini
+    reader and lands the overview grid + scaled transform in the tile
+    table."""
+    from raster2points_spark.api import tiles_from_rasters
+
+    rows = tiles_from_rasters(spark, [_pyramid_path()], overview_level=1).collect()
+    assert len(rows) == 2
+    assert rows[0].transform == [1.0, 0.0, 10.0, 0.0, -1.0, 45.0]
