@@ -1540,53 +1540,43 @@ def sim_ivf(spark, sf_dir):
     """
     from pyspark.sql import Window
 
+    import math as _math
+
     emb = t_fanout(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    kdf = (
-        emb.agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            "n",
-            F.greatest(F.lit(8), F.ceil(F.sqrt(F.col("n"))))
-            .cast("bigint")
-            .alias("kk"),
-        )
-        .withColumn(
-            "stride",
-            F.ceil(F.col("kk") / F.ceil(F.sqrt(F.col("kk")))).cast("bigint"),
-        )
-        .withColumn(
-            "sstride",
-            F.greatest(
-                F.lit(1), F.ceil(F.col("n") / (8.0 * F.col("kk")))
-            ).cast("bigint"),
-        )
-    )
+    # one metadata-sized count sizes the codebook (the BPE-trainer
+    # collect discipline: scalars to the driver, never rows) — the
+    # derived k/stride literals then prune every downstream plan
+    # instead of re-counting the corpus per use
+    n = emb.count()
+    kk = max(8, _math.ceil(_math.sqrt(n)))
+    stride = _math.ceil(kk / _math.ceil(_math.sqrt(kk)))
+    sstride = max(1, _math.ceil(n / (8.0 * kk)))
     # --- codebook training: 2 Lloyd rounds on the stride sample ---
-    samp = (
-        emb.crossJoin(F.broadcast(kdf.select("sstride")))
-        .filter(F.col("vec_id") % F.col("sstride") == 0)
-        .select("vec_id", "e")
-    )
-    cent_t = (
-        emb.crossJoin(F.broadcast(kdf.select("kk")))
-        .filter(F.col("vec_id") < F.col("kk"))
-        .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+    samp = emb.filter(F.col("vec_id") % sstride == 0).select("vec_id", "e").persist()
+    cent_t = emb.filter(F.col("vec_id") < kk).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
     )
     tdot = F.expr(
         "aggregate(zip_with(e, ce, (x, y) -> x * y), cast(0.0 AS double), (acc, v) -> acc + v)"
     )
-    w_train = Window.partitionBy("vec_id").orderBy(F.col("d").desc(), "cid")
+
+    def _argkey(idcol: str) -> str:
+        return f"cast(round(d * 10000) AS bigint) * 1099511627776L - {idcol}"
+
     for _ in range(_IVF_LLOYD_ROUNDS):
         ta = (
             samp.crossJoin(F.broadcast(cent_t))
             .select("vec_id", "cid", F.round(tdot, 4).alias("d"))
-            .withColumn("rn", F.row_number().over(w_train))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cid")
+            .groupBy("vec_id")
+            .agg(F.expr(f"max_by(cid, {_argkey('cid')})").alias("cid"))
         )
         upd = (
-            ta.join(samp, "vec_id")
+            # ta is (vec_id, cid) pairs over the SAMPLE — O(8k) rows,
+            # a few MB even at 100 TB; broadcast keeps the whole
+            # training loop shuffle-free on the corpus side
+            samp.join(F.broadcast(ta), "vec_id")
             .select("cid", F.posexplode("e").alias("pos", "val"))
             .groupBy("cid", "pos")
             .agg(F.avg("val").alias("mv"))
@@ -1608,20 +1598,18 @@ def sim_ivf(spark, sf_dir):
             )
         )
         cent_t = (
-            cent_t.join(upd, "cid", "left")
+            # upd is k rows of D doubles (~16 MB at k=√1e9) — broadcast
+            cent_t.join(F.broadcast(upd), "cid", "left")
             .select("cid", F.coalesce("nce", "ce").alias("ce"))
             .localCheckpoint(eager=False)
         )
-    cent = cent_t.crossJoin(F.broadcast(kdf.select("stride"))).select(
+    cent = cent_t.select(
         "cid",
-        F.expr("cid div stride").alias("g"),
-        (F.col("cid") % F.col("stride")).alias("slot"),
+        F.expr(f"cid div {stride}").alias("g"),
+        (F.col("cid") % stride).alias("slot"),
         "ce",
     )
     adot = F.expr("aggregate(zip_with(e, ce, (x, y) -> x * y), cast(0.0 AS double), (acc, v) -> acc + v)")
-
-    def _argkey(idcol: str) -> str:
-        return f"cast(round(d * 10000) AS bigint) * 1099511627776L - {idcol}"
 
     reps = cent.filter(F.col("slot") == 0).select("g", "ce")
     coarse = (
@@ -1635,7 +1623,9 @@ def sim_ivf(spark, sf_dir):
     w_fine = Window.partitionBy("vec_id").orderBy(F.col("d").desc(), F.col("cid"))
     franked = (
         coarse.join(emb, "vec_id")
-        .join(cent.select("g", "cid", "ce"), "g")
+        # cent descends from the checkpointed trained codebook (no
+        # stats) — hint the k-row broadcast Catalyst can no longer infer
+        .join(F.broadcast(cent.select("g", "cid", "ce")), "g")
         .select("vec_id", F.round(adot, 4).alias("d"), "cid")
         .withColumn("frn", F.row_number().over(w_fine))
         # index rows (frn=1 for every vector) + the probes' second
