@@ -44,7 +44,8 @@ def tiles_from_rasters(
     so one multi-band file contributes one band per sample).  Prefers
     the full rasterio adapter; falls back to the pure-Python mini reader
     (classic/BigTIFF, striped or tiled, LZW/deflate/uncompressed,
-    predictors 1/2/3, 1-bit masks, COG overview IFDs) when rasterio is
+    PackBits, predictors 1/2/3, sub-byte 1/2/4-bit samples, COG
+    overview IFDs) when rasterio is
     absent.
     ``tile_size=None`` aligns the grid with a tiled file's native tile
     layout (COG access pattern); striped files default to 512.

@@ -6,8 +6,9 @@ reference (reconstructed): ``raster2csv in1.tif [in2.tif ...] out.csv
 here: tile-table parquet in — or, reference-style, GeoTIFF paths
 (rasterio when available, else the pure-Python mini reader: classic
 TIFF or BigTIFF, striped or tiled/COG incl. overview IFDs,
-none/LZW/deflate/PackBits compression, predictor 1/2/3, 1-bit masks,
-single- or multi-band chunky/planar) — CSV/Parquet directory out:
+none/LZW/deflate/PackBits compression, predictor 1/2/3, sub-byte
+(1/2/4-bit) samples, single- or multi-band chunky/planar) — CSV/
+Parquet directory out:
 
     python -m raster2points_spark.cli TILES_PARQUET OUT_DIR \
         --bands b1 b2 [--col-names elev slope] [--separator ';'] \

@@ -39,12 +39,15 @@ Also supported since r11:
   * BitsPerSample = 1 (bilevel mask rasters — the reference's
     raster #1 role commonly ships as 1-bit): MSB-first row-aligned
     bit unpack, decoded as uint8 0/1.
+  * BitsPerSample = 2 and 4 (the GDAL NBITS=2/4 low-depth grayscale
+    convention): same MSB-first row-aligned packing, each sample's
+    bits folded back together, decoded as uint8 0..3 / 0..15.
 
 Still out of scope (raise ValueError with the offending tag):
 JPEG/zstd/webp compression (need native libs this box lacks — probed
-each round, see reports/zstd_probe_r11.txt), other sub-byte depths
-(2/4-bit) and 64-bit-int samples.  Full-fidelity ingestion of those
-remains geotiff_to_tiles on a rasterio-equipped cluster.
+each round, see reports/zstd_probe_r11.txt) and 64-bit-int samples.
+Full-fidelity ingestion of those remains geotiff_to_tiles on a
+rasterio-equipped cluster.
 """
 
 from __future__ import annotations
@@ -206,7 +209,7 @@ class MiniTiff:
     byte_counts: list[int]
     transform: list[float]  # [a, b, c, d, e, f] row-major affine
     nodata: float  # nan when absent
-    bits_per_sample: int = 8  # 1 for bilevel masks, else 8*bytes_per_sample
+    bits_per_sample: int = 8  # 1/2/4 for sub-byte, else 8*bytes_per_sample
     overview: int = 0  # which IFD this header describes (0 = full res)
     n_overviews: int = 0  # how many overview IFDs follow the first
 
@@ -394,22 +397,28 @@ def read_header(path: str, overview: int = 0) -> MiniTiff:
             f"{path}: Predictor=3 is defined for floating-point samples only "
             f"(tag 339={sample_format})"
         )
-    if bits == 1:
-        # bilevel mask raster: decoded as uint8 0/1 (MSB-first,
-        # row-aligned per TIFF 6.0 §4 — every row starts on a byte
-        # boundary)
+    if bits in (1, 2, 4):
+        # sub-byte unsigned samples, decoded as uint8: 1-bit bilevel
+        # masks plus the GDAL NBITS=2/4 grayscale convention.  Bits are
+        # MSB-first within each byte and every row starts on a byte
+        # boundary (TIFF 6.0 §4's bilevel rule, which GDAL applies to
+        # all sub-byte depths).
         if int(one(_FILL_ORDER, 1)) != 1:
             # silently unpacking an LSB-first stream MSB-first would
             # invert the bit order per byte — reject loudly
             raise ValueError(
-                f"{path}: FillOrder=2 (LSB-first) not supported for 1-bit samples"
+                f"{path}: FillOrder=2 (LSB-first) not supported for {bits}-bit samples"
             )
         if sample_format != 1:
-            raise ValueError(f"{path}: 1-bit samples must be unsigned (tag 339={sample_format})")
+            raise ValueError(
+                f"{path}: {bits}-bit samples must be unsigned (tag 339={sample_format})"
+            )
         if spp != 1:
-            raise ValueError(f"{path}: 1-bit supported for SamplesPerPixel=1 only (got {spp})")
+            raise ValueError(
+                f"{path}: {bits}-bit supported for SamplesPerPixel=1 only (got {spp})"
+            )
         if predictor != 1:
-            raise ValueError(f"{path}: predictor {predictor} is not defined for 1-bit samples")
+            raise ValueError(f"{path}: predictor {predictor} is not defined for {bits}-bit samples")
         np_char, bps = "u1", 1
     else:
         np_char = _DTYPES.get((sample_format, bits))
@@ -443,8 +452,8 @@ def read_header(path: str, overview: int = 0) -> MiniTiff:
         blocks_down = (height + block_h - 1) // block_h
         per_plane = blocks_down * ((width + block_w - 1) // block_w)
         row_samples = block_w * (spp if planar == 1 else 1)
-        # 1-bit rows are bit-packed but byte-aligned per row
-        row_bytes = (row_samples + 7) // 8 if bits == 1 else row_samples * bps
+        # sub-byte rows are bit-packed but byte-aligned per row
+        row_bytes = (row_samples * bits + 7) // 8 if bits < 8 else row_samples * bps
         for i in range(len(offsets)):
             plane_idx = i % per_plane if planar == 2 else i
             if tiled:
@@ -546,13 +555,18 @@ def _decode_block(hdr: MiniTiff, f, bx: int, by: int, sample: int):
     else:
         rows = min(hdr.block_height, hdr.height - by * hdr.block_height)
         cols = hdr.width
-    if hdr.bits_per_sample == 1:
-        # MSB-first bit-packed rows, each row byte-aligned (TIFF 6.0 §4)
-        row_bytes = (cols + 7) // 8
+    if hdr.bits_per_sample < 8:
+        # MSB-first bit-packed rows, each row byte-aligned (TIFF 6.0 §4;
+        # GDAL NBITS=2/4 packs the same way).  Unpack to single bits,
+        # then fold each sample's `nb` bits back together MSB-first.
+        nb = hdr.bits_per_sample
+        row_bytes = (cols * nb + 7) // 8
         a8 = np.frombuffer(raw, dtype="u1", count=rows * row_bytes).reshape(
             rows, row_bytes
         )
-        a = np.unpackbits(a8, axis=1)[:, :cols].reshape(rows, cols, 1)
+        u = np.unpackbits(a8, axis=1)[:, : cols * nb].reshape(rows, cols, nb)
+        weights = (1 << np.arange(nb - 1, -1, -1)).astype("u1")
+        a = (u * weights).sum(axis=2, dtype="u1").reshape(rows, cols, 1)
     elif hdr.predictor == 3:
         # float byte shuffle: per row, bytes are stored plane-major
         # (all MSBs first) with horizontal BYTE differencing applied;

@@ -105,10 +105,10 @@ def _write_tiff(
     import numpy as np
 
     bo = byte_order
-    sample_format = {"f8": 3, "f4": 3, "i2": 2, "u1": 1, "b1": 1}[dtype]
-    bits = {"f8": 64, "f4": 32, "i2": 16, "u1": 8, "b1": 1}[dtype]
+    sample_format = {"f8": 3, "f4": 3, "i2": 2, "u1": 1, "b1": 1, "b2": 1, "b4": 1}[dtype]
+    bits = {"f8": 64, "f4": 32, "i2": 16, "u1": 8, "b1": 1, "b2": 2, "b4": 4}[dtype]
     bps = max(1, bits // 8)
-    np_dt = np.dtype("u1") if dtype == "b1" else np.dtype(bo + dtype)
+    np_dt = np.dtype("u1") if dtype in ("b1", "b2", "b4") else np.dtype(bo + dtype)
     band_arrays = [
         np.asarray(b, dtype=np_dt).reshape(height, width) for b in (bands or [values])
     ]
@@ -119,6 +119,14 @@ def _write_tiff(
         if bits == 1:
             # bilevel: MSB-first bit pack, each row byte-aligned
             raw = np.packbits((a[:, :, 0] != 0).astype("u1"), axis=1).tobytes()
+        elif bits < 8:
+            # sub-byte (GDAL NBITS=2/4): each sample contributes its
+            # `bits` bits MSB-first; packbits(axis=1) zero-pads each
+            # row to a byte boundary
+            v = a[:, :, 0].astype("u1")
+            shifts = np.arange(bits - 1, -1, -1, dtype="u1")
+            expanded = ((v[:, :, None] >> shifts) & 1).reshape(v.shape[0], -1)
+            raw = np.packbits(expanded.astype("u1"), axis=1).tobytes()
         elif predictor == 2:
             d = a.copy()
             d[:, 1:, :] = a[:, 1:, :] - a[:, :-1, :]
@@ -1295,3 +1303,97 @@ def test_api_overview_level_passthrough(spark):
     rows = tiles_from_rasters(spark, [_pyramid_path()], overview_level=1).collect()
     assert len(rows) == 2
     assert rows[0].transform == [1.0, 0.0, 10.0, 0.0, -1.0, 45.0]
+
+
+def test_subbyte_2_4bit_layouts_roundtrip(tmp_path):
+    """2/4-bit decode (GDAL NBITS convention) across the layout space:
+    width where samples-per-byte doesn't divide the row (row
+    alignment + pad bits), strips and tiles, every supported
+    compression, both byte orders, BigTIFF."""
+    import itertools
+
+    from raster2points_spark.sources.minitiff import read_header, read_window
+
+    w, h = 11, 5
+    for nb in (2, 4):
+        vals = [(r * 3 + c * 5 + (r * c) % 7) % (1 << nb) for r in range(h) for c in range(w)]
+        want = [float(v) for v in vals]
+        n = 0
+        for bo, comp, tile, big in itertools.product(
+            ("<", ">"), (1, 5, 8, 32773), (None, (8, 2)), (False, True)
+        ):
+            p = str(tmp_path / f"s{nb}_{n}.tif")
+            _write_tiff(
+                p, vals, w, h, byte_order=bo, dtype=f"b{nb}", compression=comp,
+                tile=tile, rows_per_strip=2, nodata="0", bigtiff=big,
+            )
+            hdr = read_header(p)
+            assert hdr.bits_per_sample == nb and hdr.dtype.endswith("u1")
+            assert read_window(hdr, 0, 0, w, h) == want, (nb, bo, comp, tile, big)
+            # interior window crossing block boundaries
+            assert read_window(hdr, 6, 1, 5, 3) == [
+                want[r * w + c] for r in (1, 2, 3) for c in range(6, 11)
+            ], (nb, bo, comp, tile, big)
+            n += 1
+        assert n == 32
+
+
+def test_subbyte_pinned_bytes_decode(tmp_path):
+    """Interop pin independent of the sibling test encoder: minimal
+    TIFFs are byte-crafted in place (no _write_tiff), with strip
+    content hand-packed MSB-first — 4-bit 0x12 0x3F = [1,2,3,15],
+    row 2 0xAB 0xC0 = [10,11,12,0] (last 4 bits are row pad); 2-bit
+    0b00_01_10_11 0b11_000000 = [0,1,2,3,3] + pad — so an aligned
+    bit-order bug in writer+reader can't hide."""
+    from raster2points_spark.sources.minitiff import read_header, read_window
+
+    def craft(path, w, h, nb, strip):
+        entries = [  # (tag, type, count, value) — SHORT=3, LONG=4
+            (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, nb),
+            (259, 3, 1, 1), (262, 3, 1, 1), (273, 4, 1, 8),
+            (277, 3, 1, 1), (278, 3, 1, h), (279, 4, 1, len(strip)),
+        ]
+        ifd = struct.pack("<H", len(entries))
+        for tag, typ, cnt, val in entries:
+            ifd += struct.pack("<HHI", tag, typ, cnt) + struct.pack("<I", val)
+        ifd += struct.pack("<I", 0)
+        with open(path, "wb") as f:
+            f.write(b"II" + struct.pack("<HI", 42, 8 + len(strip)) + strip + ifd)
+
+    p4 = str(tmp_path / "pin4.tif")
+    craft(p4, 4, 2, 4, bytes([0x12, 0x3F, 0xAB, 0xC0]))
+    hdr4 = read_header(p4)
+    assert hdr4.bits_per_sample == 4
+    assert read_window(hdr4, 0, 0, 4, 2) == [1.0, 2.0, 3.0, 15.0, 10.0, 11.0, 12.0, 0.0]
+
+    p2 = str(tmp_path / "pin2.tif")
+    craft(p2, 5, 1, 2, bytes([0b00011011, 0b11000000]))
+    hdr2 = read_header(p2)
+    assert hdr2.bits_per_sample == 2
+    assert read_window(hdr2, 0, 0, 5, 1) == [0.0, 1.0, 2.0, 3.0, 3.0]
+
+
+def test_subbyte_4bit_chain_through_raster2df(spark, tmp_path):
+    """A 4-bit gray raster flows through raster2df with dtype
+    preservation (uint8 -> smallint) and nodata mapping to NULL."""
+    import os
+
+    from raster2points_spark.api import raster2df
+
+    p = str(tmp_path / "gray4.tif")
+    _write_tiff(p, [0, 1, 2, 3, 4, 5, 6, 7], 4, 2, dtype="b4", nodata="0")
+    df = raster2df(spark, [p], bands=["b1"], col_names=["gray"])
+    rows = {(r.lon, r.lat): r.gray for r in df.collect()}
+    # nodata=0 masks pixel (0,0); the other 7 survive with exact values
+    assert len(rows) == 7
+    assert rows[(10.75, 44.75)] == 1 and rows[(11.75, 44.25)] == 7
+    assert dict(df.dtypes)["gray"] == "smallint"
+
+
+def test_subbyte_predictor_and_fillorder_rejected(tmp_path):
+    from raster2points_spark.sources.minitiff import read_header
+
+    p = str(tmp_path / "bad4.tif")
+    _write_tiff(p, [1, 2, 3, 4], 2, 2, dtype="b4", predictor=2)
+    with pytest.raises(ValueError, match="not defined for 4-bit"):
+        read_header(p)
