@@ -37,7 +37,6 @@ run() { # run <label> <outfile> <cmd...>
   fi
 }
 
-run "tests" "/tmp/verify_pytest_$R.log" python -m pytest tests/ -q
 run "oracle gate sf0.001" "reports/diff_oracle_${R}_sf0.001.txt" \
   python tools/diff_oracle.py --sf /root/testdata/sf0.001
 run "oracle gate sf0.01" "reports/diff_oracle_${R}_sf0.01.txt" \
@@ -55,6 +54,12 @@ run "non-oracle pins" "reports/nonoracle_pins_${R}.txt" \
   python tools/nonoracle_pins.py
 run "bench sf0.1" "/tmp/verify_bench_$R.json" \
   env SPARK_GRAFT_ROUND="$R" python bench.py
+# tests run AFTER the report stages: test_contract's freshness gates
+# (e.g. the committed determinism report must cover every CURRENT
+# oracle key) validate the reports this script just wrote — running
+# pytest first would red-bar any round that added an oracle key until
+# the chain it is part of completes (the r11 chicken-and-egg)
+run "tests" "/tmp/verify_pytest_$R.log" python -m pytest tests/ -q
 run "evidence audit" "reports/evidence_audit_${R}.txt" \
   python tools/evidence_audit.py
 
