@@ -545,7 +545,13 @@ def raster_downsample(spark, sf_dir):
     aggregated groupBy — at 100 TB each factor-2 level shuffles only
     its own (4× smaller) key space, and levels chain like
     agg_rollup_cascade.  NULLs (nodata) are excluded from the mean
-    exactly as count(value)/avg(value) SQL semantics state."""
+    exactly as count(value)/avg(value) SQL semantics state.
+
+    When the source is a COG that already ships this pyramid, skip the
+    compute entirely: ``tiles_from_rasters(..., overview_level=k)``
+    reads the precomputed level (1/4^k of the bytes);
+    `scan_geotiff_overview` hash-proves overview-read ≡ this operator
+    on the committed pyramid fixture."""
     px = grid_unpivot(_tiles(spark, sf_dir).filter(F.col("band_id") == "b1"))
     return (
         px.groupBy(
