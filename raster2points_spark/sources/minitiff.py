@@ -53,6 +53,7 @@ rasterio-equipped cluster.
 from __future__ import annotations
 
 import math
+import mmap
 import os
 import struct
 import zlib
@@ -320,7 +321,15 @@ def read_header(path: str, overview: int = 0) -> MiniTiff:
     full-resolution transform scaled by the size ratio and the
     full-resolution nodata."""
     with open(path, "rb") as f:
-        buf = f.read()
+        # mmap, not read(): the header pass touches only the IFD
+        # chain + externalized tag arrays (a few KB), so the driver
+        # must not fault in a multi-GB BigTIFF's pixel body just to
+        # plan the tile grid.  The mapping outlives the file handle;
+        # every slice taken below is a bytes copy, so nothing escapes.
+        try:
+            buf = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        except (ValueError, OSError):  # empty file / unmappable fs
+            buf = f.read()
     if len(buf) < 8:
         raise ValueError(f"{path}: not a TIFF (too short)")
     order = buf[:2]
