@@ -715,7 +715,17 @@ def minitiff_to_tiles(
     coords stay correct with no special-casing.
     """
     meta = []
-    hdrs = [read_header(p, overview=overview_level) for p in paths]
+    if len(paths) > 1:
+        # headers are a few KB of I/O each; at thousands of COGs a
+        # sequential pass serializes storage latency on the driver —
+        # pool the reads like Spark's own parallel parquet-footer
+        # listing (order preserved by ex.map)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(32, len(paths))) as ex:
+            hdrs = list(ex.map(lambda p: read_header(p, overview=overview_level), paths))
+    else:
+        hdrs = [read_header(paths[0], overview=overview_level)]
     names = _band_names(hdrs, band_ids)
     for hdr, file_bands in zip(hdrs, names):
         if tile_size is None:
