@@ -1397,3 +1397,26 @@ def test_subbyte_predictor_and_fillorder_rejected(tmp_path):
     _write_tiff(p, [1, 2, 3, 4], 2, 2, dtype="b4", predictor=2)
     with pytest.raises(ValueError, match="not defined for 4-bit"):
         read_header(p)
+
+
+def test_pooled_header_pass_preserves_order(tmp_path):
+    """minitiff_to_tiles' driver header pass reads files through a
+    thread pool; the tile-table's band naming depends on input order,
+    so pooled reads must land in path order regardless of completion
+    order."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from raster2points_spark.sources.minitiff import read_header
+
+    paths = []
+    for i in range(24):
+        p = str(tmp_path / f"f{i}.tif")
+        _write_tiff(p, [float(i)] * 4, 2, 2)
+        paths.append(p)
+    with ThreadPoolExecutor(8) as ex:
+        hdrs = list(ex.map(lambda p: read_header(p), paths))
+    assert [h.path for h in hdrs] == paths
+    # and the pixel identity survives: file i holds value i
+    from raster2points_spark.sources.minitiff import read_window
+
+    assert [read_window(h, 0, 0, 1, 1)[0] for h in hdrs] == [float(i) for i in range(24)]
