@@ -1516,12 +1516,14 @@ def sim_ivf(spark, sf_dir):
 
     Training runs on a deterministic ~8k-vector stride sample, the
     faiss convention — codebooks train on a sample, never the corpus,
-    so the training cost is O(8k·k·rounds) dots independent of n; the
-    per-round update is the ml_kmeans_lloyd shape (broadcast
-    centroids, in-row dot fold, map-side-combined (cid,pos) mean,
-    lazy localCheckpoint to truncate the loop lineage), and empty
-    clusters keep their previous centroid (coalesce), matching the
-    oracle's unrolled LEFT JOIN per round.
+    so the training cost is O(8k·k·rounds) dots independent of n.
+    Because the sample is bounded by construction, the Lloyd rounds
+    run in ONE executor task (mapInPandas over the repartition(1)'d
+    sample — the faiss single-worker training discipline) instead of
+    as per-round distributed stages whose data is metadata-sized:
+    blocked numpy matmuls keep task memory bounded, and empty
+    clusters keep their previous centroid, matching the oracle's
+    unrolled LEFT JOIN per round.
 
     The scale story is the textbook IVF shape with the parameters
     actually scaling: k ∝ √n balances per-probe search cost (n/k
@@ -1553,56 +1555,58 @@ def sim_ivf(spark, sf_dir):
     kk = max(8, _math.ceil(_math.sqrt(n)))
     stride = _math.ceil(kk / _math.ceil(_math.sqrt(kk)))
     sstride = max(1, _math.ceil(n / (8.0 * kk)))
-    # --- codebook training: 2 Lloyd rounds on the stride sample ---
-    samp = emb.filter(F.col("vec_id") % sstride == 0).select("vec_id", "e").persist()
-    cent_t = emb.filter(F.col("vec_id") < kk).select(
-        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
-    )
-    tdot = F.expr(
-        "aggregate(zip_with(e, ce, (x, y) -> x * y), cast(0.0 AS double), (acc, v) -> acc + v)"
+    # --- codebook training: 2 Lloyd rounds in ONE executor task ---
+    # The sample is 8·k = 8·√n vectors BY CONSTRUCTION — training is a
+    # single-node problem (the faiss discipline: codebooks train on a
+    # bounded sample on one worker, never as corpus-wide stages), so
+    # running the rounds as distributed shuffles only buys stage/
+    # broadcast overhead.  mapInPandas over the repartition(1)'d
+    # sample∪init runs the whole loop in one task: numpy max-dot
+    # assignment in ~200 MB blocked matmuls (task memory stays bounded
+    # at k=√1e9), mean update, spherical renormalize, empty cluster
+    # keeps its previous centroid — value-for-value the oracle's
+    # unrolled per-round CTEs (assignment dots rounded 4dp, ties to
+    # the smallest cid = numpy argmax first-hit over cid-ordered rows;
+    # rows sorted by vec_id inside the task, so the result is
+    # partitioning-independent).  The corpus-side plan has ZERO
+    # training stages.
+
+    def _ivf_train(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        parts = [b for b in batches]
+        pdf = _pd.concat(parts, ignore_index=True) if len(parts) != 1 else parts[0]
+        pdf = pdf.sort_values("vec_id", ignore_index=True)
+        ids = pdf["vec_id"].to_numpy()
+        V = _np.array([_np.asarray(x, dtype=_np.float64) for x in pdf["e"]])
+        cids = ids[ids < kk]
+        C = V[ids < kk].copy()  # init: first-k corpus vectors
+        S = V[ids % sstride == 0]
+        for _ in range(_IVF_LLOYD_ROUNDS):
+            assign = _np.empty(len(S), dtype=_np.int64)
+            blk = max(1, int(2e8) // max(1, C.shape[0] * 8))
+            for s0 in range(0, len(S), blk):
+                d = _np.round(S[s0 : s0 + blk] @ C.T, 4)
+                assign[s0 : s0 + blk] = d.argmax(axis=1)
+            for j in range(len(C)):
+                m = S[assign == j]
+                if len(m):
+                    mv = m.mean(axis=0)
+                    C[j] = mv / _np.sqrt((mv * mv).sum())
+        yield _pd.DataFrame({"cid": cids, "ce": [list(r) for r in C]})
+
+    cent_t = (
+        emb.filter((F.col("vec_id") % sstride == 0) | (F.col("vec_id") < kk))
+        .repartition(1)
+        .mapInPandas(_ivf_train, schema="cid long, ce array<double>")
+        # two consumers broadcast the codebook (reps + fine join) —
+        # persist so the training task runs once
+        .persist()
     )
 
     def _argkey(idcol: str) -> str:
         return f"cast(round(d * 10000) AS bigint) * 1099511627776L - {idcol}"
-
-    for _ in range(_IVF_LLOYD_ROUNDS):
-        ta = (
-            samp.crossJoin(F.broadcast(cent_t))
-            .select("vec_id", "cid", F.round(tdot, 4).alias("d"))
-            .groupBy("vec_id")
-            .agg(F.expr(f"max_by(cid, {_argkey('cid')})").alias("cid"))
-        )
-        upd = (
-            # ta is (vec_id, cid) pairs over the SAMPLE — O(8k) rows,
-            # a few MB even at 100 TB; broadcast keeps the whole
-            # training loop shuffle-free on the corpus side
-            samp.join(F.broadcast(ta), "vec_id")
-            .select("cid", F.posexplode("e").alias("pos", "val"))
-            .groupBy("cid", "pos")
-            .agg(F.avg("val").alias("mv"))
-            .groupBy("cid")
-            .agg(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(pos, mv))), s -> s.mv)"
-                ).alias("mce")
-            )
-            # spherical k-means: the corpus is unit-norm and assignment
-            # is max-dot, so the mean update must renormalize or
-            # large-norm centroids absorb everything
-            .select(
-                "cid",
-                F.expr(
-                    "transform(mce, x -> x / sqrt(aggregate(mce, cast(0.0 AS double), "
-                    "(a, y) -> a + y * y)))"
-                ).alias("nce"),
-            )
-        )
-        cent_t = (
-            # upd is k rows of D doubles (~16 MB at k=√1e9) — broadcast
-            cent_t.join(F.broadcast(upd), "cid", "left")
-            .select("cid", F.coalesce("nce", "ce").alias("ce"))
-            .localCheckpoint(eager=False)
-        )
     cent = cent_t.select(
         "cid",
         F.expr(f"cid div {stride}").alias("g"),
