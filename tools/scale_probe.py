@@ -802,19 +802,44 @@ def main() -> int:
     if not x10:
         return 0 if worst < 10 and not dd_fail and not emb_fail and not raster_fail else 1
 
+    # pair sections share the r9 retry-on-gate-fail discipline the
+    # wall-clock ladders use: one sample per point against a hard
+    # ratio gate conflates plan cost with additive box noise (both
+    # r11 chain runs tripped a DIFFERENT single key on a one-off
+    # sample — flow_direction 16x then tpch_q6 22x — each green on
+    # re-measure); the retry pair must itself pass as measured
+    def _pair_measure(key, dirs):
+        def m():
+            times, rows = [], []
+            for sf_dir in dirs:
+                t0 = time.time()
+                rows.append(reg[key].fn(spark, sf_dir).count())
+                times.append(time.time() - t0)
+            return times, rows
+
+        return m
+
+    def _pair_gate_fails(times):
+        return times[1] / max(times[0], 1e-9) >= 10
+
+    def _pair_row(key, dirs, width=22):
+        times, rows, first = _noise_retry(_pair_measure(key, dirs), _pair_gate_fails)
+        ratio = times[1] / max(times[0], 1e-9)
+        print(f"{key:{width}s} {times[0]:8.2f}s {times[1]:8.2f}s {ratio:11.1f}x")
+        if first is not None:
+            print(
+                f"  ^ gate retry: first sample "
+                f"{' '.join(f'{t:.2f}s' for t in first)}; "
+                f"gated on the retry pair as measured"
+            )
+        return ratio
+
     x10_dir = build_x10(SFS[2][1])
     print(f"\n--x10: synthetic 10x-sf0.1 slice at {x10_dir}")
     print(f"{'key':22s} {'sf0.1':>9s} {'x10':>9s} {'x(0.1->x10)':>12s}")
     worst10 = 0.0
     for key in X10_KEYS:
-        times = []
-        for sf_dir in (SFS[2][1], x10_dir):
-            t0 = time.time()
-            reg[key].fn(spark, sf_dir).count()
-            times.append(time.time() - t0)
-        ratio = times[1] / max(times[0], 1e-9)
-        worst10 = max(worst10, ratio)
-        print(f"{key:22s} {times[0]:8.2f}s {times[1]:8.2f}s {ratio:11.1f}x")
+        worst10 = max(worst10, _pair_row(key, (SFS[2][1], x10_dir)))
     print(
         f"\nworst 0.1->x10 growth {worst10:.1f}x "
         f"({'SUB-linear everywhere' if worst10 < 10 else 'SUPER-LINEAR KEY PRESENT'})"
@@ -825,14 +850,7 @@ def main() -> int:
     print(f"{'key':26s} {'sf0.1':>9s} {'x10':>9s} {'x(0.1->x10)':>12s}")
     worst_rel = 0.0
     for key in X10_REL_KEYS:
-        times = []
-        for sf_dir in (SFS[2][1], rel_dir):
-            t0 = time.time()
-            reg[key].fn(spark, sf_dir).count()
-            times.append(time.time() - t0)
-        ratio = times[1] / max(times[0], 1e-9)
-        worst_rel = max(worst_rel, ratio)
-        print(f"{key:26s} {times[0]:8.2f}s {times[1]:8.2f}s {ratio:11.1f}x")
+        worst_rel = max(worst_rel, _pair_row(key, (SFS[2][1], rel_dir), width=26))
     print(
         f"\nworst relational 0.1->x10 growth {worst_rel:.1f}x "
         f"({'SUB-linear everywhere' if worst_rel < 10 else 'SUPER-LINEAR KEY PRESENT'})"
@@ -844,14 +862,7 @@ def main() -> int:
         print(f"{'key':26s} {'x10':>9s} {'x100':>9s} {'x(x10->x100)':>13s}")
         worst100 = 0.0
         for key in X100_REL_KEYS:
-            times = []
-            for sf_dir in (rel_dir, rel100_dir):
-                t0 = time.time()
-                reg[key].fn(spark, sf_dir).count()
-                times.append(time.time() - t0)
-            ratio = times[1] / max(times[0], 1e-9)
-            worst100 = max(worst100, ratio)
-            print(f"{key:26s} {times[0]:8.2f}s {times[1]:8.2f}s {ratio:12.1f}x")
+            worst100 = max(worst100, _pair_row(key, (rel_dir, rel100_dir), width=26))
         print(
             f"\nworst relational x10->x100 growth {worst100:.1f}x "
             f"({'SUB-linear everywhere' if worst100 < 10 else 'SUPER-LINEAR KEY PRESENT'})"
