@@ -1576,6 +1576,11 @@ def sim_ivf(spark, sf_dir):
         import pandas as _pd
 
         parts = [b for b in batches]
+        if not parts:  # empty embeddings table → empty codebook
+            yield _pd.DataFrame(
+                {"cid": _pd.Series([], dtype="int64"), "ce": _pd.Series([], dtype="object")}
+            )
+            return
         pdf = _pd.concat(parts, ignore_index=True) if len(parts) != 1 else parts[0]
         pdf = pdf.sort_values("vec_id", ignore_index=True)
         ids = pdf["vec_id"].to_numpy()
@@ -1587,7 +1592,11 @@ def sim_ivf(spark, sf_dir):
             assign = _np.empty(len(S), dtype=_np.int64)
             blk = max(1, int(2e8) // max(1, C.shape[0] * 8))
             for s0 in range(0, len(S), blk):
-                d = _np.round(S[s0 : s0 + blk] @ C.T, 4)
+                # half-AWAY-from-zero at 4dp to match DuckDB round()
+                # and Spark F.round (np.round is banker's half-to-even
+                # and could flip an argmax on an exact midpoint)
+                raw = S[s0 : s0 + blk] @ C.T
+                d = _np.copysign(_np.floor(_np.abs(raw) * 1e4 + 0.5), raw) / 1e4
                 assign[s0 : s0 + blk] = d.argmax(axis=1)
             for j in range(len(C)):
                 m = S[assign == j]

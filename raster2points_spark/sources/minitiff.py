@@ -325,11 +325,25 @@ def read_header(path: str, overview: int = 0) -> MiniTiff:
         # chain + externalized tag arrays (a few KB), so the driver
         # must not fault in a multi-GB BigTIFF's pixel body just to
         # plan the tile grid.  The mapping outlives the file handle;
-        # every slice taken below is a bytes copy, so nothing escapes.
+        # every slice taken during parse is a bytes copy, so nothing
+        # escapes — close the mapping deterministically on exit
+        # rather than relying on refcount GC (32 pooled header threads
+        # would otherwise accumulate live mappings on non-CPython or
+        # when a traceback pins the frame).  Immutable-file
+        # assumption: truncating a file under an active mapping is
+        # SIGBUS by OS contract; the fallback read() path is used
+        # where mapping fails.
         try:
             buf = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
         except (ValueError, OSError):  # empty file / unmappable fs
-            buf = f.read()
+            return _parse_header(path, f.read(), overview)
+    try:
+        return _parse_header(path, buf, overview)
+    finally:
+        buf.close()
+
+
+def _parse_header(path: str, buf, overview: int) -> MiniTiff:
     if len(buf) < 8:
         raise ValueError(f"{path}: not a TIFF (too short)")
     order = buf[:2]

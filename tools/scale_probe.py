@@ -46,6 +46,7 @@ evidence)
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 import time
@@ -579,18 +580,22 @@ def _noise_retry(measure, gate_fails):
     inherent to retry-on-fail; both samples are printed so the
     committed evidence shows it.)
 
-    Returns (times, rows, first_times): first_times is None when no
-    retry fired, else the original ladder — the caller prints it so
-    the committed evidence SHOWS the outlier instead of hiding it.
-    A rows mismatch between runs is real nondeterminism, never noise:
-    the first sample is kept and the gate fails downstream."""
+    Returns (times, rows, first_times, rows_mismatch): first_times is
+    None when no retry fired, else the original ladder — the caller
+    prints it so the committed evidence SHOWS the outlier instead of
+    hiding it.  A rows mismatch between runs is real nondeterminism,
+    never noise: rows_mismatch carries the retry's row counts (None
+    when they matched) and EVERY caller must fail its section on it
+    explicitly — r11 ADVICE: the pair sections discarded rows, so a
+    nondeterministic key would have been committed as SUPER-LINEAR
+    growth instead of as a row-count instability."""
     times, rows = measure()
     if not gate_fails(times):
-        return times, rows, None
+        return times, rows, None, None
     t2, r2 = measure()
     if r2 != rows:
-        return times, rows, None
-    return t2, rows, times
+        return times, rows, None, r2
+    return t2, rows, times, None
 
 
 def main() -> int:
@@ -650,7 +655,10 @@ def main() -> int:
                     ts.append(time.time() - t0)
                 return ts, rs
 
-            times, rows, first = _noise_retry(measure, _runtime_gate_fails)
+            times, rows, first, row_mis = _noise_retry(measure, _runtime_gate_fails)
+            if row_mis is not None:
+                dd_fail = True
+                print(f"{key:22s} ROWS CHANGED BETWEEN RUNS: {rows} vs {row_mis} — nondeterministic")
             r1 = times[1] / max(times[0], 1e-9)
             r2 = times[2] / max(times[1], 1e-9)
             # Result cardinality: copies are bijective renames, so the
@@ -720,7 +728,10 @@ def main() -> int:
                     ts.append(time.time() - t0)
                 return ts, rs
 
-            times, rows, first = _noise_retry(measure, _runtime_gate_fails)
+            times, rows, first, row_mis = _noise_retry(measure, _runtime_gate_fails)
+            if row_mis is not None:
+                emb_fail = True
+                print(f"{key:24s} ROWS CHANGED BETWEEN RUNS: {rows} vs {row_mis} — nondeterministic")
             r1 = times[1] / max(times[0], 1e-9)
             r2 = times[2] / max(times[1], 1e-9)
             rows_ok = mode != "const" or (rows[0] == rows[1] == rows[2])
@@ -769,7 +780,10 @@ def main() -> int:
                         ts.append(time.time() - t0)
                     return ts, rs
 
-                times, rows, first = _noise_retry(measure, _runtime_gate_fails)
+                times, rows, first, row_mis = _noise_retry(measure, _runtime_gate_fails)
+                if row_mis is not None:
+                    raster_fail = True
+                    print(f"{key:26s} ROWS CHANGED BETWEEN RUNS: {rows} vs {row_mis} — nondeterministic")
                 r1 = times[1] / max(times[0], 1e-9)
                 r2 = times[2] / max(times[1], 1e-9)
                 # rows track valid-pixel count (deterministic per size):
@@ -823,7 +837,13 @@ def main() -> int:
         return times[1] / max(times[0], 1e-9) >= 10
 
     def _pair_row(key, dirs, width=22):
-        times, rows, first = _noise_retry(_pair_measure(key, dirs), _pair_gate_fails)
+        times, rows, first, row_mis = _noise_retry(_pair_measure(key, dirs), _pair_gate_fails)
+        if row_mis is not None:
+            # r11 ADVICE: a rows mismatch between the two runs is a
+            # distinct failure (nondeterminism), not super-linear
+            # growth — flag it as such and fail the section via inf
+            print(f"{key:{width}s} ROWS CHANGED BETWEEN RUNS: {rows} vs {row_mis} — nondeterministic")
+            return math.inf
         ratio = times[1] / max(times[0], 1e-9)
         print(f"{key:{width}s} {times[0]:8.2f}s {times[1]:8.2f}s {ratio:11.1f}x")
         if first is not None:
