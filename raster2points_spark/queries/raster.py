@@ -219,6 +219,67 @@ def scan_geotiff_mask1bit(spark, sf_dir):
 
 
 @register(
+    "scan_geotiff_sparse",
+    oracle="""
+    SELECT lon, lat, CAST(mask AS smallint) AS mask, elev FROM (VALUES
+        (10.25, 44.75, 1, 1.0),
+        (11.25, 44.75, 1, 3.0),
+        (11.75, 44.75, 1, 4.0),
+        (10.25, 44.25, 1, 5.0),
+        (10.75, 44.25, 1, 6.0),
+        (11.75, 44.25, 1, 8.0),
+        (10.25, 43.75, 1, 9.0),
+        (10.75, 43.75, 1, 10.0),
+        (11.25, 43.75, 1, CAST(NULL AS double)),
+        (10.25, 43.25, 1, 13.0),
+        (10.75, 43.25, 1, 14.0),
+        (11.75, 43.25, 1, CAST(NULL AS double))
+    ) AS t(lon, lat, mask, elev)
+    """,
+)
+def scan_geotiff_sparse(spark, sf_dir):
+    """[r12] Sparse tiles + internal mask SubIFD, driver-checked: the
+    committed fixture (fixtures/tif/sparse_mask.tif — 4x4 tiled 2x2
+    deflate) ships BOTH remaining common COG layouts the front door
+    previously rejected: the all-nodata bottom-right tile is stored
+    SPARSE (TileOffsets=0, GDAL SPARSE_OK — synthesized as nodata with
+    ZERO bytes read), and a 1-bit FILETYPE_MASK SubIFD (tag 330, the
+    GDAL .msk-in-file convention) zeroes four pixels.  The internal
+    mask is read as its own tile band (``internal_mask=True``,
+    nodata=0 by mask contract, transform inherited from the parent
+    IFD) on the image's 2x2 grid, unioned with the image band, and the
+    standard mask-first chain runs unchanged: mask zeros DROP rows —
+    including two that fall over the sparse tile — while the surviving
+    sparse pixels stay as NULL elev.  Golden 12-point VALUES oracle
+    (fixture byte-stable via tools/make_tif.py).
+
+    reference parity: raster2df(mask, values) where the mask ships
+    inside the value file; scale shape: sparse oceans/deserts in a
+    100 TB mosaic cost no I/O at all, and the mask union adds narrow
+    tile rows joined at tile granularity (broadcastable), never a
+    per-pixel shuffle."""
+    import os as _os
+
+    from raster2points_spark.api import raster2df
+    from raster2points_spark.sources.minitiff import minitiff_to_tiles
+    from raster2points_spark.queries._util import REPO_ROOT
+
+    tif = _os.path.join(REPO_ROOT, "fixtures", "tif", "sparse_mask.tif")
+    # both bands on the image's native 2x2 grid so tile_ids co-tile
+    # (the mask SubIFD is striped; tile_size pins a common window grid)
+    mask_t = minitiff_to_tiles(
+        spark, [tif], band_ids=["mask"], tile_size=2, internal_mask=True
+    )
+    img_t = minitiff_to_tiles(spark, [tif], band_ids=["elev"], tile_size=2)
+    return raster2df(
+        spark,
+        mask_t.unionByName(img_t),
+        bands=["mask", "elev"],
+        col_names=["mask", "elev"],
+    )
+
+
+@register(
     "grid_unpivot",
     oracle=f"""
     {_PX}

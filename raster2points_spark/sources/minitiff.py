@@ -64,6 +64,7 @@ from pyspark.sql import DataFrame, SparkSession
 from raster2points_spark.sources.geotiff import TILE_SCHEMA_DDL, window_grid
 
 # TIFF tag ids
+_NEW_SUBFILE_TYPE = 254
 _W, _H = 256, 257
 _BITS, _COMPRESSION, _PHOTO = 258, 259, 262
 _FILL_ORDER = 266
@@ -71,6 +72,7 @@ _STRIP_OFFSETS, _SAMPLES_PER_PX, _ROWS_PER_STRIP, _STRIP_COUNTS = 273, 277, 278,
 _PLANAR = 284
 _PREDICTOR = 317
 _TILE_WIDTH, _TILE_LENGTH, _TILE_OFFSETS, _TILE_COUNTS = 322, 323, 324, 325
+_SUB_IFDS = 330
 _SAMPLE_FORMAT = 339
 _MODEL_PIXEL_SCALE, _MODEL_TIEPOINT = 33550, 33922
 _GDAL_NODATA = 42113
@@ -187,7 +189,9 @@ _TYPE_SIZES = {
     1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8,
     16: 8, 17: 8, 18: 8,  # BigTIFF LONG8 / SLONG8 / IFD8
 }
-_TYPE_FMT = {1: "B", 3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d", 16: "Q", 17: "q", 18: "Q"}
+# 13 = IFD (libtiff writes SubIFD pointers with it; layout-identical
+# to LONG), 18 = LONG8/IFD8 in BigTIFF
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d", 13: "I", 16: "Q", 17: "q", 18: "Q"}
 
 
 @dataclass
@@ -213,6 +217,8 @@ class MiniTiff:
     bits_per_sample: int = 8  # 1/2/4 for sub-byte, else 8*bytes_per_sample
     overview: int = 0  # which IFD this header describes (0 = full res)
     n_overviews: int = 0  # how many overview IFDs follow the first
+    has_mask: bool = False  # this IFD carries a FILETYPE_MASK SubIFD
+    is_mask: bool = False  # this header IS an internal mask IFD
 
     # --- compatibility aliases for the original strip-only surface ---
     @property
@@ -310,16 +316,25 @@ def _parse_tags(buf: bytes, bo: str, big: bool, ifd_off: int) -> dict[int, objec
     return tags
 
 
-def read_header(path: str, overview: int = 0) -> MiniTiff:
+def read_header(path: str, overview: int = 0, mask: bool = False) -> MiniTiff:
     """Parse the header of a classic or BigTIFF file — striped or
     tiled, none/LZW/deflate/PackBits-compressed, predictor 1/2/3,
-    single- or multi-band, 1-bit bilevel masks.
+    single- or multi-band, 1-bit bilevel masks, sparse tiles
+    (TileOffsets=0), internal mask SubIFDs.
 
     ``overview`` selects the IFD: 0 (default) is the full-resolution
     image, 1.. walk the COG overview pyramid.  Overview IFDs without
     their own GeoTIFF tags (the GDAL convention) inherit the
     full-resolution transform scaled by the size ratio and the
-    full-resolution nodata."""
+    full-resolution nodata.
+
+    ``mask=True`` parses the selected IFD's internal mask instead: the
+    SubIFD (tag 330) flagged FILETYPE_MASK in NewSubfileType — GDAL's
+    .msk-in-the-same-file convention.  The mask header inherits the
+    parent's transform (scaled by size ratio if the mask is reduced
+    resolution) and gets ``nodata=0.0``, so the standard unpivot →
+    nodata-filter chain drops masked-out (bit 0) pixels with no
+    special-casing downstream."""
     with open(path, "rb") as f:
         # mmap, not read(): the header pass touches only the IFD
         # chain + externalized tag arrays (a few KB), so the driver
@@ -336,14 +351,31 @@ def read_header(path: str, overview: int = 0) -> MiniTiff:
         try:
             buf = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
         except (ValueError, OSError):  # empty file / unmappable fs
-            return _parse_header(path, f.read(), overview)
+            return _parse_header(path, f.read(), overview, mask)
     try:
-        return _parse_header(path, buf, overview)
+        return _parse_header(path, buf, overview, mask)
     finally:
         buf.close()
 
 
-def _parse_header(path: str, buf, overview: int) -> MiniTiff:
+def _mask_subifd_tags(buf, bo: str, big: bool, parent_tags: dict):
+    """Resolve a parent IFD's FILETYPE_MASK SubIFD's tags, or None.
+    Tag 330 holds one offset per sub-image (type LONG or IFD); the
+    mask is the one whose NewSubfileType has bit 2 (FILETYPE_MASK=4)
+    set — TIFF 6.0 tag 254 semantics, the GDAL internal-mask layout."""
+    subs = parent_tags.get(_SUB_IFDS)
+    if not subs:
+        return None
+    for so in subs if isinstance(subs, list) else [subs]:
+        t = _parse_tags(buf, bo, big, int(so))
+        nst = t.get(_NEW_SUBFILE_TYPE, 0)
+        nst = nst[0] if isinstance(nst, list) else nst
+        if int(nst) & 4:
+            return t
+    return None
+
+
+def _parse_header(path: str, buf, overview: int, mask: bool = False) -> MiniTiff:
     if len(buf) < 8:
         raise ValueError(f"{path}: not a TIFF (too short)")
     order = buf[:2]
@@ -371,7 +403,18 @@ def _parse_header(path: str, buf, overview: int) -> MiniTiff:
             f"{len(chain) - 1} overview IFD(s))"
         )
     tags = _parse_tags(buf, bo, big, chain[overview])
-    tags0 = tags if overview == 0 else _parse_tags(buf, bo, big, chain[0])
+    has_mask = False
+    if mask:
+        mtags = _mask_subifd_tags(buf, bo, big, tags)
+        if mtags is None:
+            raise ValueError(
+                f"{path}: IFD {overview} has no FILETYPE_MASK SubIFD "
+                "(tag 330 absent or no sub-image with NewSubfileType bit 4)"
+            )
+        tags = mtags
+    else:
+        has_mask = _mask_subifd_tags(buf, bo, big, tags) is not None
+    tags0 = tags if overview == 0 and not mask else _parse_tags(buf, bo, big, chain[0])
 
     def one(tag, default=None):
         v = tags.get(tag)
@@ -501,8 +544,12 @@ def _parse_header(path: str, buf, overview: int) -> MiniTiff:
         c = x - i * sx
         f = y + j * sy
         transform = [sx, 0.0, c, 0.0, -sy, f]
-    elif overview > 0 and tags0.get(_MODEL_PIXEL_SCALE) and tags0.get(_MODEL_TIEPOINT):
-        full = read_header(path, overview=0)
+    elif (overview > 0 or mask) and tags0.get(_MODEL_PIXEL_SCALE) and tags0.get(_MODEL_TIEPOINT):
+        # inherit from the parent image: full-res for an overview, the
+        # owning IFD for a mask (itself already scale-inherited when
+        # the mask hangs off an overview); same extent, pixels scaled
+        # by the size ratio (ratio 1 for a same-size internal mask)
+        full = read_header(path, overview=overview if mask else 0)
         fw, fh = full.width, full.height
         transform = [
             full.transform[0] * fw / width,
@@ -524,6 +571,11 @@ def _parse_header(path: str, buf, overview: int) -> MiniTiff:
             nodata = float(nd.strip())
         except ValueError:
             pass
+    if mask:
+        # internal masks carry no nodata tag; bit 0 = masked-out is
+        # the FILETYPE_MASK contract, so declaring nodata=0 makes the
+        # standard nodata-filter chain drop masked pixels directly
+        nodata = 0.0
 
     return MiniTiff(
         path=os.path.abspath(path),
@@ -545,6 +597,8 @@ def _parse_header(path: str, buf, overview: int) -> MiniTiff:
         bits_per_sample=bits,
         overview=overview,
         n_overviews=len(chain) - 1,
+        has_mask=has_mask,
+        is_mask=mask,
     )
 
 
@@ -563,6 +617,20 @@ def _decode_block(hdr: MiniTiff, f, bx: int, by: int, sample: int):
     else:
         idx = plane_idx
         ch, nch = sample, hdr.samples_per_pixel
+
+    if hdr.offsets[idx] == 0:
+        # sparse block (GDAL SPARSE_OK convention): TileOffsets=0 means
+        # the block is not stored — synthesize it filled with nodata
+        # (or 0 when no nodata is declared, GDAL's fill).  No I/O at
+        # all: sparse oceans/deserts in a 100 TB COG mosaic cost zero
+        # bytes read, only this in-memory fill.
+        vr = min(hdr.block_height, hdr.height - by * hdr.block_height)
+        vc = min(hdr.block_width, hdr.width - bx * hdr.block_width)
+        np_dt = np.dtype("u1" if hdr.bits_per_sample < 8 else hdr.dtype)
+        fill = hdr.nodata
+        if fill != fill:  # no declared nodata -> zeros, GDAL's fill
+            fill = 0
+        return np.full((vr, vc), fill, dtype=np_dt)
 
     f.seek(hdr.offsets[idx])
     raw = f.read(hdr.byte_counts[idx])
@@ -711,6 +779,7 @@ def minitiff_to_tiles(
     band_ids: list | None = None,
     tile_size: int | None = None,
     overview_level: int = 0,
+    internal_mask: bool = False,
 ) -> DataFrame:
     """Distributed mini-TIFF → tile-table conversion; identical contract
     and job shape to geotiff_to_tiles (driver header pass → window-grid
@@ -727,6 +796,13 @@ def minitiff_to_tiles(
     1/4^k of the bytes, the cheap decade lever at 100 TB.  The overview
     grid carries its own (coarser) transform, so downstream affine
     coords stay correct with no special-casing.
+
+    ``internal_mask=True`` reads each file's internal FILETYPE_MASK
+    SubIFD (GDAL's .msk-in-file convention) as the band instead of the
+    image — the mask arrives as a uint8 0/1 tile band with nodata=0,
+    so unioning it with the image band and running the standard
+    mask-first chain drops masked pixels exactly like a separate mask
+    raster would.
     """
     meta = []
     if len(paths) > 1:
@@ -737,9 +813,14 @@ def minitiff_to_tiles(
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(min(32, len(paths))) as ex:
-            hdrs = list(ex.map(lambda p: read_header(p, overview=overview_level), paths))
+            hdrs = list(
+                ex.map(
+                    lambda p: read_header(p, overview=overview_level, mask=internal_mask),
+                    paths,
+                )
+            )
     else:
-        hdrs = [read_header(paths[0], overview=overview_level)]
+        hdrs = [read_header(paths[0], overview=overview_level, mask=internal_mask)]
     names = _band_names(hdrs, band_ids)
     for hdr, file_bands in zip(hdrs, names):
         if tile_size is None:
@@ -763,29 +844,30 @@ def minitiff_to_tiles(
                         hdr.transform,
                         hdr.nodata,
                         _DTYPE_NAMES[hdr.dtype.lstrip("<>")],
+                        int(hdr.is_mask),
                     )
                 )
     meta_df = spark.createDataFrame(
         meta,
         "band_id string, path string, sample int, overview int, tile_id long, "
         "col_off int, row_off int, width int, height int, transform array<double>, "
-        "nodata double, dtype string",
+        "nodata double, dtype string, msk int",
     )
 
     def read_windows(batches):
         for pdf in batches:
             data = []
-            hdr_cache: dict[tuple[str, int], MiniTiff] = {}
+            hdr_cache: dict[tuple[str, int, int], MiniTiff] = {}
             for r in pdf.itertuples(index=False):
-                hdr = hdr_cache.get((r.path, r.overview))
+                hdr = hdr_cache.get((r.path, r.overview, r.msk))
                 if hdr is None:
-                    hdr = hdr_cache[(r.path, r.overview)] = read_header(
-                        r.path, overview=r.overview
+                    hdr = hdr_cache[(r.path, r.overview, r.msk)] = read_header(
+                        r.path, overview=r.overview, mask=bool(r.msk)
                     )
                 data.append(
                     read_window(hdr, r.col_off, r.row_off, r.width, r.height, sample=r.sample)
                 )
-            out = pdf.drop(columns=["path", "sample", "overview"]).copy()
+            out = pdf.drop(columns=["path", "sample", "overview", "msk"]).copy()
             out["data"] = data
             yield out
 

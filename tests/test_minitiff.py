@@ -99,6 +99,8 @@ def _write_tiff(
     bands=None,  # list of per-band row-major lists (overrides values)
     planar=1,  # 1 chunky | 2 planar (only meaningful with >1 band)
     bigtiff=False,  # magic 43, 8-byte offsets, 20-byte IFD entries
+    sparse=False,  # all-nodata blocks -> TileOffsets=0 (GDAL SPARSE_OK)
+    mask_bits=None,  # row-major 0/1 list -> internal FILETYPE_MASK SubIFD
 ):
     import zlib
 
@@ -153,6 +155,15 @@ def _write_tiff(
             return _packbits_encode(raw)
         return raw
 
+    # sparse (GDAL SPARSE_OK): an all-nodata block is NOT stored —
+    # its offset and byte count are written as 0
+    nd_val = np_dt.type(float(nodata)) if sparse else None
+
+    def maybe_sparse(sub, blk):
+        if sparse and np.all(sub == nd_val):
+            return None
+        return encode_block(blk)
+
     planes = [stack[:, :, s : s + 1] for s in range(spp)] if planar == 2 else [stack]
     blocks = []
     if tile:
@@ -163,18 +174,22 @@ def _write_tiff(
                     blk = np.zeros((th, tw, plane.shape[2]), np_dt)
                     sub = plane[r0 : r0 + th, c0 : c0 + tw, :]
                     blk[: sub.shape[0], : sub.shape[1], :] = sub
-                    blocks.append(encode_block(blk))
+                    blocks.append(maybe_sparse(sub, blk))
     else:
         for plane in planes:
             for r0 in range(0, height, rows_per_strip):
-                blocks.append(encode_block(plane[r0 : r0 + rows_per_strip, :, :]))
+                blk = plane[r0 : r0 + rows_per_strip, :, :]
+                blocks.append(maybe_sparse(blk, blk))
 
-    # layout: header | block data | external arrays | IFD
+    # layout: header | block data | external arrays | IFD [| mask]
     off = 16 if bigtiff else 8
     block_offsets = []
     for b in blocks:
-        block_offsets.append(off)
-        off += len(b)
+        if b is None:  # sparse block: offset 0, no bytes on disk
+            block_offsets.append(0)
+        else:
+            block_offsets.append(off)
+            off += len(b)
 
     ext = b""  # external value area, appended after blocks
 
@@ -214,7 +229,7 @@ def _write_tiff(
     entry(284, 3, 1, planar)
     if predictor != 1:
         entry(317, 3, 1, predictor)
-    counts = [len(b) for b in blocks]
+    counts = [0 if b is None else len(b) for b in blocks]
     if tile:
         entry(322, 3, 1, tile[0])
         entry(323, 3, 1, tile[1])
@@ -234,6 +249,44 @@ def _write_tiff(
     if len(nd) <= vsize:
         nd += b"\x00" * (vsize + 1 - len(nd))
     entry(42113, 2, len(nd), offset=extern(f"{len(nd)}s", [nd]))
+
+    # internal mask: a 1-bit FILETYPE_MASK SubIFD appended after the
+    # main IFD, referenced from tag 330 (the GDAL .msk-in-file layout).
+    # The mask IFD is fully inline (single strip), so its offsets are
+    # computable before assembly from the fixed IFD entry sizes.
+    mask_block = b""
+    mask_ifd = b""
+    if mask_bits is not None:
+        m = np.asarray(mask_bits, dtype="u1").reshape(height, width)
+        mask_block = np.packbits((m != 0).astype("u1"), axis=1).tobytes()
+        n_main = len(entries) + 1  # + tag 330 itself
+        main_ifd_len = (8 + 20 * n_main + 8) if bigtiff else (2 + 12 * n_main + 4)
+        mask_data_off = off + len(ext) + main_ifd_len
+        mask_ifd_off = mask_data_off + len(mask_block)
+        entry(330, 4, 1, mask_ifd_off)
+        mentries = [
+            (254, 4, 1, 4),  # NewSubfileType: FILETYPE_MASK
+            (256, 3, 1, width),
+            (257, 3, 1, height),
+            (258, 3, 1, 1),  # 1-bit
+            (259, 3, 1, 1),  # uncompressed
+            (262, 3, 1, 4),  # PhotometricInterpretation: transparency mask
+            (273, 4, 1, mask_data_off),
+            (277, 3, 1, 1),
+            (278, 3, 1, height),  # one strip
+            (279, 4, 1, len(mask_block)),
+            (284, 3, 1, 1),
+            (339, 3, 1, 1),
+        ]
+        mask_ifd = struct.pack(bo + ("Q" if bigtiff else "H"), len(mentries))
+        for tag, typ, count, val in mentries:
+            e = struct.pack(bo + ("HHQ" if bigtiff else "HHI"), tag, typ, count)
+            if typ == 3:
+                v = struct.pack(bo + "H", val).ljust(vsize, b"\x00")
+            else:
+                v = struct.pack(bo + "I", val).ljust(vsize, b"\x00")
+            mask_ifd += e + v
+        mask_ifd += struct.pack(bo + ("Q" if bigtiff else "I"), 0)
 
     ifd_off = off + len(ext)
     ifd = struct.pack(bo + ("Q" if bigtiff else "H"), len(entries))
@@ -260,9 +313,12 @@ def _write_tiff(
         else:
             f.write(order_mark + struct.pack(bo + "HI", 42, ifd_off))
         for b in blocks:
-            f.write(b)
+            if b is not None:
+                f.write(b)
         f.write(ext)
         f.write(ifd)
+        f.write(mask_block)
+        f.write(mask_ifd)
 
 
 def _append_overview(
@@ -996,13 +1052,20 @@ def test_make_tif_regenerates_committed_fixtures_byte_identically(tmp_path, monk
         capture_output=True, text=True, timeout=120,
     )
     assert r.returncode == 0, r.stderr
-    for f in ("elev.tif", "slope.tif", "stack2.tif"):
+    for f in (
+        "elev.tif",
+        "slope.tif",
+        "stack2.tif",
+        "pyramid.tif",
+        "mask1.tif",
+        "sparse_mask.tif",
+    ):
         got = (work / "fixtures" / "tif" / f).read_bytes()
         want = open(os.path.join(committed, f), "rb").read()
         assert got == want, (
             f"{f}: regenerated bytes differ from the committed fixture — "
             "the golden writer changed; update fixtures/tif AND the "
-            "scan_geotiff_mini VALUES oracle together if intentional"
+            "matching scan_geotiff_* VALUES oracle together if intentional"
         )
 
 
@@ -1420,3 +1483,131 @@ def test_pooled_header_pass_preserves_order(tmp_path):
     from raster2points_spark.sources.minitiff import read_window
 
     assert [read_window(h, 0, 0, 1, 1)[0] for h in hdrs] == [float(i) for i in range(24)]
+
+
+def test_sparse_tiles_roundtrip(tmp_path):
+    """TileOffsets=0 sparse blocks (GDAL SPARSE_OK): the all-nodata
+    tile is not stored and reads back as nodata with zero I/O; a file
+    with NO nodata reads sparse blocks as zeros (GDAL's fill)."""
+    import numpy as np
+
+    from raster2points_spark.sources.minitiff import read_header, read_window
+
+    w = h = 4
+    vals = [float(r * 4 + c + 1) for r in range(h) for c in range(w)]
+    for r in (2, 3):
+        for c in (2, 3):
+            vals[r * 4 + c] = -9999.0
+    p = str(tmp_path / "sparse.tif")
+    _write_tiff(p, vals, w, h, tile=(2, 2), compression=8, sparse=True)
+    hdr = read_header(p)
+    assert hdr.offsets[3] == 0 and hdr.byte_counts[3] == 0
+    assert all(o > 0 for o in hdr.offsets[:3])
+    got = np.array(read_window(hdr, 0, 0, 4, 4)).reshape(4, 4)
+    assert got.ravel().tolist() == vals
+
+    # no GDAL_NODATA tag at all: sparse reads as zeros
+    p0 = str(tmp_path / "sparse0.tif")
+    _write_tiff(p0, vals, w, h, tile=(2, 2), sparse=True, nodata="-9999")
+    import os
+    import struct as _st
+
+    # strip the nodata tag by rewriting it as an unknown private tag,
+    # leaving layout intact (tag id only)
+    buf = bytearray(open(p0, "rb").read())
+    i = buf.find(_st.pack("<H", 42113))
+    assert i != -1
+    buf[i : i + 2] = _st.pack("<H", 65000)
+    open(p0, "wb").write(bytes(buf))
+    hdr0 = read_header(p0)
+    assert hdr0.nodata != hdr0.nodata  # NaN
+    got0 = np.array(read_window(hdr0, 2, 2, 2, 2))
+    assert got0.tolist() == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_sparse_strips_roundtrip(tmp_path):
+    """Sparse applies to striped layouts too (StripOffsets=0)."""
+    import numpy as np
+
+    from raster2points_spark.sources.minitiff import read_header, read_window
+
+    w, h = 4, 4
+    vals = [-9999.0] * 8 + [float(i) for i in range(8)]
+    p = str(tmp_path / "sparse_strip.tif")
+    _write_tiff(p, vals, w, h, rows_per_strip=2, sparse=True)
+    hdr = read_header(p)
+    assert hdr.offsets[0] == 0 and hdr.offsets[1] > 0
+    got = np.array(read_window(hdr, 0, 0, 4, 4)).ravel().tolist()
+    assert got == vals
+
+
+def test_internal_mask_subifd_roundtrip(tmp_path):
+    """The FILETYPE_MASK SubIFD (tag 330): mask=True parses the 1-bit
+    mask image with nodata=0 and the parent's transform; the parent
+    header reports has_mask; a file without one rejects loudly."""
+    import numpy as np
+
+    from raster2points_spark.sources.minitiff import read_header, read_window
+
+    w, h = 4, 2
+    vals = [float(i) for i in range(8)]
+    bits = [1, 0, 1, 1, 1, 1, 0, 1]
+    p = str(tmp_path / "masked.tif")
+    _write_tiff(p, vals, w, h, mask_bits=bits)
+    hdr = read_header(p)
+    assert hdr.has_mask and not hdr.is_mask
+    m = read_header(p, mask=True)
+    assert m.is_mask and m.bits_per_sample == 1 and m.nodata == 0.0
+    assert (m.width, m.height) == (w, h)
+    assert m.transform == hdr.transform  # same-size mask: ratio 1
+    assert read_window(m, 0, 0, w, h) == [float(b) for b in bits]
+
+    p2 = str(tmp_path / "plain.tif")
+    _write_tiff(p2, vals, w, h)
+    with pytest.raises(ValueError, match="no FILETYPE_MASK"):
+        read_header(p2, mask=True)
+
+
+def test_sparse_mask_fixture_golden():
+    """The committed sparse_mask.tif: sparse bottom-right tile reads
+    as nodata, internal mask matches tools/make_tif.SPARSE_MASK."""
+    import os
+
+    import numpy as np
+
+    from raster2points_spark.sources.minitiff import read_header, read_window
+
+    from tools.make_tif import SPARSE_MASK, SPARSE_VALS
+
+    p = os.path.join(os.path.dirname(_pyramid_path()), "sparse_mask.tif")
+    hdr = read_header(p)
+    assert hdr.tiled and hdr.offsets[3] == 0 and hdr.has_mask
+    assert read_window(hdr, 0, 0, 4, 4) == SPARSE_VALS
+    m = read_header(p, mask=True)
+    assert read_window(m, 0, 0, 4, 4) == [float(b) for b in SPARSE_MASK]
+
+
+def test_internal_mask_chain_through_raster2df(spark):
+    """End-to-end twin of the scan_geotiff_sparse key: internal mask
+    band unioned with the image band on a common window grid, the
+    standard mask-first chain drops mask zeros and keeps sparse
+    survivors as NULL."""
+    import math
+    import os
+
+    from raster2points_spark.api import raster2df
+    from raster2points_spark.sources.minitiff import minitiff_to_tiles
+
+    p = os.path.join(os.path.dirname(_pyramid_path()), "sparse_mask.tif")
+    mask_t = minitiff_to_tiles(spark, [p], band_ids=["mask"], tile_size=2, internal_mask=True)
+    img_t = minitiff_to_tiles(spark, [p], band_ids=["elev"], tile_size=2)
+    rows = raster2df(
+        spark, mask_t.unionByName(img_t), bands=["mask", "elev"], col_names=["mask", "elev"]
+    ).collect()
+    assert len(rows) == 12
+    by_coord = {(r.lon, r.lat): r.elev for r in rows}
+    assert by_coord[(10.25, 44.75)] == 1.0
+    assert by_coord[(11.25, 43.75)] is None  # sparse survivor
+    assert by_coord[(11.75, 43.25)] is None  # sparse survivor
+    assert (10.75, 44.75) not in by_coord  # mask zero dropped
+    assert (11.75, 43.75) not in by_coord  # mask zero over sparse tile

@@ -19,6 +19,11 @@ Five files exercise the mini reader's real-world layouts:
 - mask1.tif   1-bit bilevel mask (BitsPerSample=1, MSB-first,
   row-aligned), GDAL_NODATA=0 — the reference's raster #1 role as it
   commonly ships
+- sparse_mask.tif  4x4 tiled 2x2 deflate with BOTH remaining common
+  COG layouts: the bottom-right tile is all-nodata and stored SPARSE
+  (TileOffsets=0, GDAL SPARSE_OK), and an internal 1-bit
+  FILETYPE_MASK SubIFD (tag 330, the GDAL .msk-in-file convention)
+  zeroes four pixels — two in stored tiles, two over the sparse tile
 """
 
 from __future__ import annotations
@@ -56,6 +61,23 @@ PYR_OV2 = [
 # the mask-first chain shows both semantics at once
 MASK_BITS = [1, 1, 1, 0, 1, 0, 1, 1]
 
+# sparse_mask.tif: 4x4, value = row*4 + col + 1, bottom-right 2x2 tile
+# all nodata -> stored sparse; internal mask zeros at (0,1), (1,2)
+# (stored tiles -> rows DROP) and (2,3), (3,2) (over the sparse tile
+# -> those nodata pixels also drop; the surviving sparse pixels (2,2),
+# (3,3) stay as NULL values).  Golden: 12 points.
+SPARSE_W = SPARSE_H = 4
+SPARSE_VALS = [
+    float(r * 4 + c + 1) if not (r >= 2 and c >= 2) else -9999.0
+    for r in range(4)
+    for c in range(4)
+]
+SPARSE_MASK = [
+    0 if (r, c) in ((0, 1), (1, 2), (2, 3), (3, 2)) else 1
+    for r in range(4)
+    for c in range(4)
+]
+
 
 def main() -> int:
     out = os.path.join(REPO, "fixtures", "tif")
@@ -76,7 +98,24 @@ def main() -> int:
     _append_overview(pyr, PYR_OV1, 4, 2, compression=8, tile=(2, 2))
     _append_overview(pyr, PYR_OV2, 2, 1, compression=8)
     _write_tiff(os.path.join(out, "mask1.tif"), MASK_BITS, W, H, dtype="b1", nodata="0")
-    for f in ("elev.tif", "slope.tif", "stack2.tif", "pyramid.tif", "mask1.tif"):
+    _write_tiff(
+        os.path.join(out, "sparse_mask.tif"),
+        SPARSE_VALS,
+        SPARSE_W,
+        SPARSE_H,
+        tile=(2, 2),
+        compression=8,
+        sparse=True,
+        mask_bits=SPARSE_MASK,
+    )
+    for f in (
+        "elev.tif",
+        "slope.tif",
+        "stack2.tif",
+        "pyramid.tif",
+        "mask1.tif",
+        "sparse_mask.tif",
+    ):
         p = os.path.join(out, f)
         print(f"{f}: {os.path.getsize(p)} bytes")
     return 0
