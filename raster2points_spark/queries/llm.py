@@ -6776,6 +6776,66 @@ _REG["dedup_near_recall"].check = "oracle"
 
 
 @register(
+    "sim_ivf_recall",
+    oracle=None,  # set below — composes the two member oracles verbatim
+)
+def sim_ivf_recall(spark, sf_dir):
+    """[r12] IVF QUALITY made a first-class query (VERDICT r11 #6 —
+    the dedup_near_recall pattern promoted to the ANN pair): recall@5
+    of the trained-codebook IVF search (sim_ivf, nprobe=2) against the
+    exhaustive brute-force truth (sim_knn top-5) over the same probe
+    set — the accuracy/cost trade of the sub-linear ANN path measured
+    IN-ENGINE, hash-checked cross-engine, instead of pinned only in a
+    unit test.
+
+    Composes the two REGISTERED queries verbatim (identical plans to
+    the individual keys) and semi-joins their (probe, neighbor) pair
+    sets: n_true, n_found, recall.  The oracle composes the same two
+    member oracle SQLs as CTEs, so any drift in either member's twin
+    shows here too.  Scale: both members are broadcast-probe shapes;
+    the final semi-join is equi over two ≤25-row pair relations."""
+    truth = (
+        _REG["sim_knn"].fn(spark, sf_dir)
+        .filter(F.col("rn") <= 5)
+        .select("probe_id", "vec_id")
+    )
+    ivf = _REG["sim_ivf"].fn(spark, sf_dir).select(
+        F.col("probe_id").alias("ip"), F.col("vec_id").alias("iv")
+    )
+    found = truth.join(
+        ivf, (F.col("ip") == F.col("probe_id")) & (F.col("iv") == F.col("vec_id")), "left_semi"
+    )
+    n_true = truth.agg(F.count("*").cast("bigint").alias("n_true"))
+    return (
+        found.agg(F.count("*").cast("bigint").alias("n_found"))
+        .crossJoin(F.broadcast(n_true))
+        .select(
+            "n_true",
+            "n_found",
+            F.round(F.col("n_found") / F.col("n_true"), 4).alias("recall"),
+        )
+    )
+
+
+_REG["sim_ivf_recall"].oracle = f"""
+    WITH truth AS (
+      SELECT probe_id, vec_id FROM ({_REG["sim_knn"].oracle}) WHERE rn <= 5
+    ),
+    ivf AS (
+      SELECT probe_id, vec_id FROM ({_REG["sim_ivf"].oracle})
+    )
+    SELECT (SELECT cast(count(*) AS bigint) FROM truth) AS n_true,
+           cast(count(*) AS bigint) AS n_found,
+           round(count(*) * 1.0 / (SELECT count(*) FROM truth), 4) AS recall
+    FROM truth t
+    WHERE EXISTS (
+      SELECT 1 FROM ivf l WHERE l.probe_id = t.probe_id AND l.vec_id = t.vec_id
+    )
+"""
+_REG["sim_ivf_recall"].check = "oracle"
+
+
+@register(
     "pipeline_entity_resolution",
     oracle="""
     WITH RECURSIVE names AS (

@@ -582,6 +582,56 @@ def test_bpe_apply_oracle_matches_spark_on_adversarial_corpus(spark):
     assert got == want
 
 
+def test_bpe_apply_corpus_needs_at_most_emitted_passes():
+    """VERDICT r11 #5, corpus-regeneration guard: the bpe_apply oracle
+    emits replace-to-fixpoint with passes=3 per rule.  This test
+    measures, on the REAL corpus vocabulary, the number of passes each
+    word actually needs per rule (Python str.replace has the same
+    leftmost-non-overlapping, no-rescan-of-replacement semantics as
+    DuckDB replace) and fails if any word ever needs more than the
+    emitted 3 — so a future testdata regen that introduces longer
+    overlapping-adjacent runs (think 'anananananan...') breaks HERE
+    with a clear message, not silently at the driver's hash gate."""
+    import duckdb
+
+    from raster2points_spark.queries.llm import BPE_APPLY_RULES, TOKS_DUCK
+    from tests.conftest import SF001
+
+    def passes_to_fixpoint(s, a, b):
+        pat, rep = f" {a} {b} ", f" {a}{b} "
+        n = 0
+        while pat in s:
+            s = s.replace(pat, rep)
+            n += 1
+        return n, s
+
+    # the counter itself has teeth: 'banana' needs 2 passes under (a,n)
+    s0 = " " + " ".join("banana") + " "
+    n_banana, _ = passes_to_fixpoint(s0, "a", "n")
+    assert n_banana == 2
+
+    con = duckdb.connect()
+    words = [
+        w
+        for (w,) in con.execute(
+            f"SELECT DISTINCT unnest({TOKS_DUCK}) FROM "
+            f"read_parquet('{SF001}/documents.parquet')"
+        ).fetchall()
+    ]
+    assert len(words) > 10  # the corpus vocabulary actually loaded
+    worst = 0
+    for w in words:
+        s = " " + " ".join(w) + " "
+        for a, b in BPE_APPLY_RULES:
+            n, s = passes_to_fixpoint(s, a, b)
+            worst = max(worst, n)
+    assert worst <= 3, (
+        f"corpus words need {worst} replace passes to reach the merge "
+        "fixpoint but the bpe_apply oracle emits only 3 — raise "
+        "_replace_fixpoint_sql(passes=...) to cover the regenerated corpus"
+    )
+
+
 def test_hll_partial_merge_accuracy(spark, registry):
     """agg_hll_partial_merge is rows-only (no DuckDB oracle — different
     sketch algorithm), so exactness is pinned here instead: every
