@@ -20,75 +20,73 @@ SF0001 = "/root/testdata/sf0.001"
 # windows; after r10 362 of 363 then-registered keys had a driver
 # grade and no key was red.
 #
-# The r11 window (VERDICT r10 #1: grade bpe_apply, keep walking the
-# stale tail):
-# - bpe_apply FIRST — the only never-driver-graded key (landed after
-#   r10's window froze); its oracle was also rewritten this round to
-#   per-rule replace-to-fixpoint (ADVICE r10 medium), so this grade
-#   covers both,
-# - the 2 NEW r11 keys: scan_geotiff_overview (COG overview IFDs,
-#   VERDICT r10 #2) and scan_geotiff_mask1bit (1-bit masks, VERDICT
-#   r10 #3),
-# - sim_ivf, changed this round (Lloyd-trained codebook, VERDICT r10
-#   #4 — changed-key tranche rule),
-# - the 29 remaining r3-era stale keys (clears the r3 tail entirely),
-# - the 17 oldest r4-era stale keys.
-# r12+ walks the remaining r4/r5 tail (tools/evidence_audit.py is the
-# ordering source).
+# The r12 window (VERDICT r11 #1: keep walking the stale tail —
+# oldest grades first; tools/evidence_audit.py is the ordering
+# source):
+# - the 2 NEW r12 keys, never driver-graded: scan_geotiff_sparse
+#   (sparse tiles + internal mask SubIFD, VERDICT r11 #2) and
+#   sim_ivf_recall (composed ANN recall eval, VERDICT r11 #6),
+# - the 2 keys CHANGED this round (changed-key tranche rule):
+#   sim_ivf (half-away-from-zero rounding in the trained-codebook
+#   assignment, ADVICE r11) and udf_cogrouped_map (applyInPandas →
+#   applyInArrow, VERDICT r11 #4),
+# - the 30 remaining r4-era stale keys (clears the r4 tail entirely),
+# - the 16 oldest r5-era stale keys.
+# r13+ walks the remaining r5/r6 tail.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- never graded + changed/new this round ---
-    "bpe_apply",
-    "scan_geotiff_overview",
-    "scan_geotiff_mask1bit",
+    # --- never graded (new this round) + changed this round ---
+    "scan_geotiff_sparse",
+    "sim_ivf_recall",
     "sim_ivf",
-    # --- the 29 remaining r3-era stale keys ---
-    "agg_collect_sorted",
-    "mm_frame_sample",
-    "mm_resize",
-    "mm_struct",
-    "pipeline_clean_corpus",
-    "scan_json_roundtrip",
-    "scan_orc_roundtrip",
-    "set_except",
-    "set_intersect",
-    "set_union_all",
-    "set_union_distinct",
-    "sink_partitioned",
-    "sort_limit_topk",
-    "text_fingerprint",
-    "text_langid",
-    "text_langid_ngram",
-    "text_quality",
-    "text_rolling_hash",
-    "text_tfidf",
-    "tile_stats",
-    "udf_grouped_agg",
-    "udf_grouped_map",
-    "udf_pandas_scalar",
-    "udf_scalar_py",
-    "udtf_py",
-    "win_analytic",
-    "win_rank",
-    "win_running",
-    "win_topk_group",
-    # --- 17 oldest r4-era stale keys ---
-    "agg_argminmax",
-    "agg_count_distinct",
-    "agg_histogram",
-    "agg_kmv_sketch",
-    "agg_pivot",
-    "dedup_components",
-    "embed_quantize",
-    "filter_between_in",
-    "fn_bitwise",
-    "fn_date",
-    "fn_json",
-    "fn_regex",
-    "gen_range",
-    "join_asof",
-    "join_interval",
-    "merge_upsert",
-    "mm_decode",
+    "udf_cogrouped_map",
+    # --- the 30 remaining r4-era stale keys ---
+    "outlier_zscore",
+    "pipeline_dedup_full",
+    "profile_columns",
+    "sample_mixture",
+    "sample_split",
+    "scan_csv_roundtrip",
+    "scan_parquet",
+    "scd2_build",
+    "sink_compact",
+    "sink_parquet",
+    "sink_sorted",
+    "sink_zorder",
+    "stream_foreach_batch",
+    "stream_funnel",
+    "stream_session",
+    "stream_sliding",
+    "stream_tumbling",
+    "subq_exists",
+    "subq_in",
+    "subq_scalar",
+    "text_contamination",
+    "text_gopher_rules",
+    "text_ngram_counts",
+    "text_pii_scrub",
+    "text_unigram_ppl",
+    "ts_gapfill",
+    "ts_resample",
+    "udf_map_in_pandas",
+    "win_lag_lead",
+    "win_moving",
+    # --- 16 oldest r5-era stale keys ---
+    "agg_entropy",
+    "audience_overlap",
+    "cte_recursive",
+    "dedup_chunks",
+    "dedup_incremental",
+    "embed_centroids",
+    "embed_dim_stats",
+    "embed_normalize",
+    "embed_whiten",
+    "fn_collation",
+    "fn_haversine",
+    "fn_try_arith",
+    "fn_variant",
+    "funnel_latency",
+    "join_asof_forward",
+    "join_lateral",
 )
 
 
