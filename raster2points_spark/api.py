@@ -69,6 +69,52 @@ def tiles_from_rasters(
         return minitiff_to_tiles(spark, paths, tile_size=tile_size)
 
 
+def _paths_preflight(paths: list[str]) -> dict[str, str] | None:
+    """Driver-side pre-flight for GeoTIFF PATH inputs: the file
+    headers already hold everything validate_band_alignment and
+    band_dtypes would learn from three Spark jobs, and with an opaque
+    mapInPandas tile source those jobs cannot prune to metadata — each
+    one re-runs the full Python decode (measured: the eager pre-flight
+    tripled scan_geotiff_* wall-clock).  Header parses are sub-ms
+    local reads, so validation becomes free.
+
+    Returns the positional band_id → numpy-dtype-name map, or None
+    when the mini reader cannot parse a header (an exotic layout the
+    rasterio adapter might still handle) — the caller then falls back
+    to the Spark-side metadata checks.  Validation failures raise,
+    matching validate_band_alignment's contract: unequal resolutions
+    or non-co-tiling grids (different dims/transform) refuse before
+    any pixel is read."""
+    from raster2points_spark.sources.minitiff import (
+        _DTYPE_NAMES,
+        _band_names,
+        read_header,
+    )
+
+    try:
+        hdrs = [read_header(p) for p in paths]
+    except Exception:
+        return None
+    res = {(h.transform[0], h.transform[4]) for h in hdrs}
+    if len(res) > 1:
+        raise ValueError(
+            f"rasters have unequal resolutions {sorted(res)} — the "
+            "reference refuses mixed-resolution inputs"
+        )
+    geo = {(h.width, h.height, tuple(h.transform)) for h in hdrs}
+    if len(geo) > 1:
+        raise ValueError(
+            "rasters do not co-tile (differing dims/transform "
+            f"{sorted(geo)}) — bands would zip tiles from different "
+            "places; resample to a common grid first"
+        )
+    out: dict[str, str] = {}
+    for hdr, file_bands in zip(hdrs, _band_names(hdrs, None)):
+        for b in file_bands:
+            out[b] = _DTYPE_NAMES[hdr.dtype.lstrip("<>")]
+    return out
+
+
 def _as_tiles(spark: SparkSession, tiles) -> DataFrame:
     if isinstance(tiles, (list, tuple)):
         return tiles_from_rasters(spark, list(tiles))
@@ -85,13 +131,20 @@ def raster2df(
     calc_area: bool = False,
     max_block_size: int | None = None,
     validate: bool = True,
+    dtypes: dict[str, str] | None = None,
 ) -> DataFrame:
     """Convert raster bands to a point table: band 1 masks (NoData
     rows dropped), bands 2..N contribute nullable value columns,
     coordinates are pixel centers.  Lazy — compose freely before
     writing.  ``validate=True`` (default) runs the reference's eager
     pre-flight: unequal band resolutions or conflicting per-tile
-    geometry raise before any pixel is read.
+    geometry raise before any pixel is read.  For PATH inputs the
+    pre-flight AND the dtype lookup run driver-side off the file
+    headers (``_paths_preflight``) — zero Spark jobs, where the
+    Spark-side checks against an opaque decode source would each
+    re-run the full Python decode.  ``dtypes`` lets a caller that
+    built the tile table itself (and therefore knows each band's
+    source dtype) skip the metadata lookup job the same way.
 
     ``max_block_size`` keeps the reference's memory-bound knob
     (``raster2df(..., max_block_size=4096)`` bounded each processing
@@ -100,6 +153,16 @@ def raster2df(
     from the tile METADATA columns (width·height) — a pruned scan that
     never touches the data arrays.  Default None = let Spark's file
     splits decide (the right answer on a real cluster)."""
+    paths = None
+    if isinstance(tiles, (list, tuple)):
+        paths = list(tiles)
+    elif isinstance(tiles, str) and tiles.lower().endswith((".tif", ".tiff")):
+        paths = [tiles]
+    if paths is not None and dtypes is None:
+        pre = _paths_preflight(paths)  # raises on misaligned rasters
+        if pre is not None:
+            dtypes = {b: pre[b] for b in bands if b in pre}
+            validate = False  # already validated driver-side
     tdf = _as_tiles(spark, tiles)
     if validate:
         validate_band_alignment(tdf, bands)
@@ -116,10 +179,12 @@ def raster2df(
         )
         parts = max(1, math.ceil(n_px / float(max_block_size) ** 2))
         tdf = tdf.repartition(parts)
-    # metadata-only dtype lookup (None for pre-dtype tile tables) —
-    # value columns come out in each band's SOURCE numpy dtype, like
-    # the reference's pandas frames (SURVEY §1.1(5))
-    return raster2points(tdf, bands, col_names, calc_area, dtypes=band_dtypes(tdf, bands))
+    # dtype lookup (metadata-only for columnar tile tables; None for
+    # pre-dtype tables) — value columns come out in each band's SOURCE
+    # numpy dtype, like the reference's pandas frames (SURVEY §1.1(5))
+    if dtypes is None:
+        dtypes = band_dtypes(tdf, bands)
+    return raster2points(tdf, bands, col_names, calc_area, dtypes=dtypes)
 
 
 def raster2csv(

@@ -271,11 +271,17 @@ def scan_geotiff_sparse(spark, sf_dir):
         spark, [tif], band_ids=["mask"], tile_size=2, internal_mask=True
     )
     img_t = minitiff_to_tiles(spark, [tif], band_ids=["elev"], tile_size=2)
+    # both bands come from ONE file on ONE explicit grid, so co-tiling
+    # holds by construction and the source dtypes are known from the
+    # headers — skip the Spark-side metadata jobs (each would re-run
+    # the Python decode through the opaque mapInPandas source)
     return raster2df(
         spark,
         mask_t.unionByName(img_t),
         bands=["mask", "elev"],
         col_names=["mask", "elev"],
+        validate=False,
+        dtypes={"mask": "uint8", "elev": "float64"},
     )
 
 

@@ -1611,3 +1611,33 @@ def test_internal_mask_chain_through_raster2df(spark):
     assert by_coord[(11.75, 43.25)] is None  # sparse survivor
     assert (10.75, 44.75) not in by_coord  # mask zero dropped
     assert (11.75, 43.75) not in by_coord  # mask zero over sparse tile
+
+
+def test_paths_preflight_validates_driver_side(tmp_path):
+    """raster2df PATH inputs validate off the headers with zero Spark
+    jobs: misaligned rasters refuse immediately; aligned ones return
+    the positional dtype map.  (The Spark-side metadata checks cannot
+    prune through the opaque mapInPandas decode, so each one re-ran
+    the full Python decode — measured 3x the key's wall-clock.)"""
+    from raster2points_spark.api import _paths_preflight
+
+    a = str(tmp_path / "a.tif")
+    b = str(tmp_path / "b.tif")
+    _write_tiff(a, [1.0] * 8, 4, 2)
+    _write_tiff(b, [2.0] * 8, 4, 2)
+    assert _paths_preflight([a, b]) == {"b1": "float64", "b2": "float64"}
+
+    coarse = str(tmp_path / "coarse.tif")
+    _write_tiff(coarse, [1.0] * 8, 4, 2, pixel_scale=(1.0, 1.0))
+    with pytest.raises(ValueError, match="unequal resolutions"):
+        _paths_preflight([a, coarse])
+
+    shifted = str(tmp_path / "shifted.tif")
+    _write_tiff(shifted, [1.0] * 8, 4, 2, tiepoint=(0.0, 0.0, 0.0, 99.0, 45.0, 0.0))
+    with pytest.raises(ValueError, match="do not co-tile"):
+        _paths_preflight([a, shifted])
+
+    # unparseable header -> None (caller falls back to Spark-side)
+    junk = str(tmp_path / "junk.tif")
+    open(junk, "wb").write(b"not a tiff at all")
+    assert _paths_preflight([a, junk]) is None
