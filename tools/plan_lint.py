@@ -131,6 +131,9 @@ RULES: dict[str, dict[str, str]] = {
         "nature — points stream against the constant edge set",
         "dedup_near_recall": "1-row n_true aggregate broadcast onto "
         "the 1-row n_found aggregate",
+        "sim_ivf_recall": "composes sim_knn + sim_ivf verbatim (their "
+        "allowlisted probe-set/codebook broadcasts) plus the 1-row "
+        "n_true aggregate broadcast onto the 1-row n_found aggregate",
     },
     "BatchEvalPython": {
         "udf_scalar_py": "THE deliberate row-Python surface key",
