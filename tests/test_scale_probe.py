@@ -132,7 +132,8 @@ def test_noise_retry_semantics():
     is re-measured once and the retry LADDER is gated as measured (no
     cross-run per-point composite that never co-occurred); a clean
     ladder never re-measures; a rows mismatch between the two runs is
-    real nondeterminism and keeps the first (failing) sample."""
+    real nondeterminism — the first sample is kept and the mismatch is
+    returned explicitly (r11 ADVICE) for the caller to flag."""
     from scale_probe import _noise_retry, _runtime_gate_fails
 
     calls = []
@@ -146,10 +147,11 @@ def test_noise_retry_semantics():
             [1, 2, 3],
         )
 
-    times, rows, first = _noise_retry(measure_outlier, _runtime_gate_fails)
+    times, rows, first, row_mis = _noise_retry(measure_outlier, _runtime_gate_fails)
     assert len(calls) == 2
     assert first == [1.1, 29.7, 28.3]
     assert times == [1.2, 11.9, 27.0]  # the retry ladder, as measured
+    assert row_mis is None
     assert not _runtime_gate_fails(times)
 
     calls.clear()
@@ -159,10 +161,11 @@ def test_noise_retry_semantics():
         # genuinely super-linear: both ladders trip the gate
         return ([0.2, 8.0, 300.0 + len(calls)], [1, 2, 3])
 
-    times, rows, first = _noise_retry(measure_both_fail, _runtime_gate_fails)
+    times, rows, first, row_mis = _noise_retry(measure_both_fail, _runtime_gate_fails)
     assert len(calls) == 2
     assert first == [0.2, 8.0, 301.0]
     assert times == [0.2, 8.0, 302.0]  # retry ladder kept; still fails
+    assert row_mis is None
     assert _runtime_gate_fails(times)
 
     calls.clear()
@@ -171,8 +174,8 @@ def test_noise_retry_semantics():
         calls.append(1)
         return [1.0, 3.0, 9.0], [5, 6, 7]
 
-    times, rows, first = _noise_retry(measure_clean, _runtime_gate_fails)
-    assert len(calls) == 1 and first is None
+    times, rows, first, row_mis = _noise_retry(measure_clean, _runtime_gate_fails)
+    assert len(calls) == 1 and first is None and row_mis is None
 
     calls.clear()
 
@@ -180,8 +183,12 @@ def test_noise_retry_semantics():
         calls.append(1)
         return [0.2, 8.0, 320.0], [1, 2, len(calls)]
 
-    times, rows, first = _noise_retry(measure_unstable_rows, _runtime_gate_fails)
+    times, rows, first, row_mis = _noise_retry(measure_unstable_rows, _runtime_gate_fails)
     assert len(calls) == 2 and first is None
+    # r11 ADVICE: the rows mismatch is surfaced explicitly so callers
+    # flag 'rows changed between runs' instead of super-linear growth
+    assert row_mis == [1, 2, 2]
+    assert rows == [1, 2, 1]  # the first sample is what is kept
     assert _runtime_gate_fails(times)  # real failure kept
 
 
