@@ -150,10 +150,12 @@ HEADLINE = [
     "win_groups_frame",
     "agg_exact_p99_grouped",
     "join_asof_tolerance",
-    # r12 additions: the sparse/masked COG front door and the composed
-    # ANN recall eval (runs both sim members — the accuracy/cost gauge)
+    # r12 additions: the sparse/masked COG front door, the composed
+    # ANN recall eval (runs both sim members — the accuracy/cost
+    # gauge) and the distributed header catalog
     "scan_geotiff_sparse",
     "sim_ivf_recall",
+    "scan_raster_catalog",
 ]
 
 

@@ -1988,3 +1988,51 @@ def raster_mosaic_priority(spark, sf_dir):
             F.sum(F.round(F.col("value") * 1000).cast("bigint")) / 1000.0, 2
         ).alias("sum_value"),
     )
+
+
+@register(
+    "scan_raster_catalog",
+    oracle="""
+    SELECT file, CAST(width AS int) AS width, CAST(height AS int) AS height,
+           CAST(n_bands AS int) AS n_bands, dtype,
+           CAST(compression AS int) AS compression, tiled,
+           CAST(bits AS int) AS bits, CAST(n_overviews AS int) AS n_overviews,
+           has_mask, CAST(nodata AS double) AS nodata,
+           CAST(x0 AS double) AS x0, CAST(y0 AS double) AS y0,
+           CAST(x1 AS double) AS x1, CAST(y1 AS double) AS y1
+    FROM (VALUES
+      ('elev.tif',        4, 2, 1, 'float64', 8, false, 64, 0, false, -9999.0, 10.0, 44.0, 12.0, 45.0),
+      ('mask1.tif',       4, 2, 1, 'uint8',   1, false,  1, 0, false,     0.0, 10.0, 44.0, 12.0, 45.0),
+      ('pyramid.tif',     8, 4, 1, 'float64', 8, false, 64, 2, false, -9999.0, 10.0, 43.0, 14.0, 45.0),
+      ('slope.tif',       4, 2, 1, 'float64', 1, false, 64, 0, false, -9999.0, 10.0, 44.0, 12.0, 45.0),
+      ('sparse_mask.tif', 4, 4, 1, 'float64', 8, true,  64, 0, true,  -9999.0, 10.0, 43.0, 12.0, 45.0),
+      ('stack2.tif',      4, 2, 2, 'float64', 8, true,  64, 0, false, -9999.0, 10.0, 44.0, 12.0, 45.0)
+    ) AS t(file, width, height, n_bands, dtype, compression, tiled, bits,
+           n_overviews, has_mask, nodata, x0, y0, x1, y1)
+    """,
+)
+def scan_raster_catalog(spark, sf_dir):
+    """[r12] Distributed raster CATALOG — how a 100 TB COG mosaic is
+    entered: one metadata row per file (dims, bands, dtype, codec,
+    strip/tile layout, bit depth, overview count, internal-mask
+    presence, nodata, georeferenced bounds from the affine), parsed
+    EXECUTOR-side via mapInPandas over the path list so thousands of
+    per-file header reads (a few KB each — just the IFD chain)
+    parallelize instead of serializing on the driver, the same shape
+    as Spark's own parquet-footer listing.  Extent planning (which
+    files intersect a query bbox, which carry overviews, which dtypes
+    mix) then runs as ordinary relational ops on this catalog without
+    touching a single pixel.
+
+    Oracle: the 6 committed byte-stable fixtures' headers as a VALUES
+    literal — catalog parity doubles as a standing regression gate on
+    every header field the reader exposes (sparse_mask.tif proves
+    has_mask detection; pyramid.tif the overview count)."""
+    import os as _os
+
+    from raster2points_spark.sources.minitiff import minitiff_catalog
+    from raster2points_spark.queries._util import REPO_ROOT
+
+    d = _os.path.join(REPO_ROOT, "fixtures", "tif")
+    paths = [_os.path.join(d, f) for f in sorted(_os.listdir(d))]
+    return minitiff_catalog(spark, paths)

@@ -874,3 +874,69 @@ def minitiff_to_tiles(
     return meta_df.repartition("band_id", "tile_id").mapInPandas(
         read_windows, schema=TILE_SCHEMA_DDL
     )
+
+
+CATALOG_SCHEMA_DDL = (
+    "file string, width int, height int, n_bands int, dtype string, "
+    "compression int, tiled boolean, bits int, n_overviews int, "
+    "has_mask boolean, nodata double, x0 double, y0 double, x1 double, "
+    "y1 double"
+)
+
+
+def minitiff_catalog(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Distributed raster catalog: one metadata row per GeoTIFF —
+    dims, band count, dtype, codec, layout, overview/mask presence,
+    nodata and the georeferenced bounds from the affine transform.
+
+    The catalog is how a 100 TB COG mosaic is ENTERED: planning
+    (which files intersect the query extent, which carry overviews,
+    which dtypes mix) needs only headers, and at thousands-of-files
+    scale the header parses themselves are the bottleneck — so they
+    run executor-side (mapInPandas over the path list, each task
+    reading only its files' IFD chains, a few KB per file) instead of
+    serializing on the driver.  Spark's own parquet-footer listing
+    uses the same shape.  Row order is path-independent (sort
+    downstream); the `file` column is the basename so catalogs are
+    relocatable across mounts."""
+    import pandas as pd
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                h = read_header(p)
+                t = h.transform
+                rows.append(
+                    {
+                        "file": os.path.basename(p),
+                        "width": h.width,
+                        "height": h.height,
+                        "n_bands": h.samples_per_pixel,
+                        "dtype": _DTYPE_NAMES[h.dtype.lstrip("<>")],
+                        "compression": h.compression,
+                        "tiled": h.tiled,
+                        "bits": h.bits_per_sample,
+                        "n_overviews": h.n_overviews,
+                        "has_mask": h.has_mask,
+                        "nodata": h.nodata,
+                        "x0": t[2],
+                        "y0": t[5] + h.height * t[4],
+                        "x1": t[2] + h.width * t[0],
+                        "y1": t[5],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "file", "width", "height", "n_bands", "dtype",
+                    "compression", "tiled", "bits", "n_overviews",
+                    "has_mask", "nodata", "x0", "y0", "x1", "y1",
+                ],
+            )
+
+    files = spark.createDataFrame([(p,) for p in paths], "path string")
+    # ~1k header parses per task: enough files per task to amortize
+    # scheduling, enough tasks to spread thousands of COGs
+    n_parts = max(1, min(len(paths) // 1000 + 1, 256))
+    return files.repartition(n_parts).mapInPandas(parse, schema=CATALOG_SCHEMA_DDL)

@@ -1641,3 +1641,48 @@ def test_paths_preflight_validates_driver_side(tmp_path):
     junk = str(tmp_path / "junk.tif")
     open(junk, "wb").write(b"not a tiff at all")
     assert _paths_preflight([a, junk]) is None
+
+
+def test_minitiff_catalog_distributed(spark, tmp_path):
+    """minitiff_catalog parses headers executor-side into one row per
+    file: dims, band count, dtype, layout, overview/mask flags and the
+    transform-derived bounds."""
+    from raster2points_spark.sources.minitiff import minitiff_catalog
+
+    p1 = str(tmp_path / "a.tif")
+    p2 = str(tmp_path / "b.tif")
+    _write_tiff(p1, [1.0] * 8, 4, 2)
+    _write_tiff(p2, [0.0] * 16 + [1.0] * 16, 4, 8, tile=(2, 2), compression=8,
+                mask_bits=[1] * 32)
+    rows = {r.file: r for r in minitiff_catalog(spark, [p1, p2]).collect()}
+    a, b = rows["a.tif"], rows["b.tif"]
+    assert (a.width, a.height, a.n_bands, a.dtype) == (4, 2, 1, "float64")
+    assert not a.tiled and not a.has_mask and a.n_overviews == 0
+    # default transform: scale 0.5, tiepoint (10, 45)
+    assert (a.x0, a.y0, a.x1, a.y1) == (10.0, 44.0, 12.0, 45.0)
+    assert b.tiled and b.has_mask and b.height == 8
+    assert (b.x0, b.y0, b.x1, b.y1) == (10.0, 41.0, 12.0, 45.0)
+
+
+def test_bigtiff_sparse_and_mask_roundtrip(tmp_path):
+    """The sparse + internal-mask paths hold on BigTIFF layouts too
+    (8-byte offsets, 20-byte IFD entries)."""
+    import numpy as np
+
+    from raster2points_spark.sources.minitiff import read_header, read_window
+
+    w = h = 4
+    vals = [float(r * 4 + c + 1) for r in range(h) for c in range(w)]
+    for r in (2, 3):
+        for c in (2, 3):
+            vals[r * 4 + c] = -9999.0
+    bits = [0 if i in (1, 6) else 1 for i in range(16)]
+    p = str(tmp_path / "big.tif")
+    _write_tiff(p, vals, w, h, tile=(2, 2), compression=8, sparse=True,
+                mask_bits=bits, bigtiff=True)
+    hdr = read_header(p)
+    assert hdr.offsets[3] == 0 and hdr.has_mask
+    assert np.array(read_window(hdr, 0, 0, 4, 4)).tolist() == vals
+    m = read_header(p, mask=True)
+    assert m.is_mask and m.nodata == 0.0
+    assert read_window(m, 0, 0, 4, 4) == [float(b) for b in bits]
