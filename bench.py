@@ -156,6 +156,7 @@ HEADLINE = [
     "scan_geotiff_sparse",
     "sim_ivf_recall",
     "scan_raster_catalog",
+    "raster_extent_prune",
 ]
 
 

@@ -23,25 +23,27 @@ SF0001 = "/root/testdata/sf0.001"
 # The r12 window (VERDICT r11 #1: keep walking the stale tail —
 # oldest grades first; tools/evidence_audit.py is the ordering
 # source):
-# - the 3 NEW r12 keys, never driver-graded: scan_geotiff_sparse
+# - the 4 NEW r12 keys, never driver-graded: scan_geotiff_sparse
 #   (sparse tiles + internal mask SubIFD, VERDICT r11 #2),
-#   sim_ivf_recall (composed ANN recall eval, VERDICT r11 #6) and
-#   scan_raster_catalog (distributed header catalog),
+#   sim_ivf_recall (composed ANN recall eval, VERDICT r11 #6),
+#   scan_raster_catalog (distributed header catalog) and
+#   raster_extent_prune (catalog-driven bbox pruning),
 # - the 2 keys CHANGED this round (changed-key tranche rule):
 #   sim_ivf (half-away-from-zero rounding in the trained-codebook
 #   assignment, ADVICE r11) and udf_cogrouped_map (applyInPandas →
 #   applyInArrow, VERDICT r11 #4),
 # - the 30 remaining r4-era stale keys (clears the r4 tail entirely),
-# - the 15 oldest r5-era stale keys.
+# - the 14 oldest r5-era stale keys.
 # r13+ walks the remaining r5/r6 tail.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- never graded (new this round) + changed this round ---
     "scan_geotiff_sparse",
     "sim_ivf_recall",
     "scan_raster_catalog",
+    "raster_extent_prune",
     "sim_ivf",
     "udf_cogrouped_map",
-    # --- the 30 remaining r4-era stale keys (then 15 oldest r5) ---
+    # --- the 30 remaining r4-era stale keys (then 14 oldest r5) ---
     "outlier_zscore",
     "pipeline_dedup_full",
     "profile_columns",
@@ -72,7 +74,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "udf_map_in_pandas",
     "win_lag_lead",
     "win_moving",
-    # --- 15 oldest r5-era stale keys ---
+    # --- 14 oldest r5-era stale keys ---
     "agg_entropy",
     "audience_overlap",
     "cte_recursive",
@@ -87,7 +89,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "fn_try_arith",
     "fn_variant",
     "funnel_latency",
-    "join_asof_forward",
 )
 
 

@@ -2036,3 +2036,72 @@ def scan_raster_catalog(spark, sf_dir):
     d = _os.path.join(REPO_ROOT, "fixtures", "tif")
     paths = [_os.path.join(d, f) for f in sorted(_os.listdir(d))]
     return minitiff_catalog(spark, paths)
+
+
+@register(
+    "raster_extent_prune",
+    oracle="""
+    SELECT file, CAST(n_valid AS bigint) AS n_valid,
+           CAST(sum_val AS double) AS sum_val
+    FROM (VALUES
+      ('pyramid.tif', 4, 82.0),
+      ('sparse_mask.tif', 4, 46.0)
+    ) AS t(file, n_valid, sum_val)
+    """,
+)
+def raster_extent_prune(spark, sf_dir):
+    """[r12] Catalog-driven extent pruning — the 100 TB mosaic query
+    pattern end-to-end: a bbox query consults the distributed header
+    CATALOG first (bounds from transforms, zero pixel I/O), collects
+    only the SURVIVING file list to the driver (file metadata — the
+    same driver-sized listing Spark's own file index does), reads just
+    those files' tiles, and filters pixel centers to the bbox.  Here
+    the bbox (10.2, 43.1)–(11.0, 43.9) prunes 6 committed fixtures
+    down to 2 (the four 44–45° rasters never open), and the survivors
+    contribute 4 in-bbox valid pixels each.  Oracle = the golden
+    VALUES answer derivable from the fixtures' content by hand.
+
+    Scale shape: prune cost ∝ catalog (headers), read cost ∝ surviving
+    tiles ∩ bbox — the two-level pruning every raster warehouse
+    (GDAL VRT, STAC + COG) is built on, expressed as engine relational
+    ops.  Matched files here are single-band; a multi-band survivor
+    would take the positional-names path instead."""
+    import os as _os
+
+    from raster2points_spark.sources.minitiff import (
+        minitiff_catalog,
+        minitiff_to_tiles,
+    )
+    from raster2points_spark.queries._util import REPO_ROOT
+
+    d = _os.path.join(REPO_ROOT, "fixtures", "tif")
+    paths = [_os.path.join(d, f) for f in sorted(_os.listdir(d))]
+    qx0, qy0, qx1, qy1 = 10.2, 43.1, 11.0, 43.9
+    hit = [
+        r.file
+        for r in minitiff_catalog(spark, paths)
+        .filter(
+            (F.col("x0") < qx1)
+            & (F.col("x1") > qx0)
+            & (F.col("y0") < qy1)
+            & (F.col("y1") > qy0)
+        )
+        .select("file")
+        .collect()
+    ]
+    hit_paths = [_os.path.join(d, f) for f in sorted(hit)]
+    tiles = minitiff_to_tiles(spark, hit_paths, band_ids=sorted(hit))
+    px = affine_coords(nodata_filter(grid_unpivot(tiles)))
+    return (
+        px.filter(
+            (F.col("lon") >= qx0)
+            & (F.col("lon") <= qx1)
+            & (F.col("lat") >= qy0)
+            & (F.col("lat") <= qy1)
+        )
+        .groupBy(F.col("band_id").alias("file"))
+        .agg(
+            F.count("*").alias("n_valid"),
+            F.round(F.sum("value"), 3).alias("sum_val"),
+        )
+    )

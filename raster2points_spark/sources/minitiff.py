@@ -167,6 +167,7 @@ _DTYPES = {
     (1, 8): "u1",
     (1, 16): "u2",
     (1, 32): "u4",
+    (2, 8): "i1",  # GDAL Int8 (since 3.7) — SampleFormat=2, 8-bit
     (2, 16): "i2",
     (2, 32): "i4",
     (3, 32): "f4",
@@ -176,6 +177,7 @@ _DTYPES = {
 # short code -> the numpy NAME the tile table's dtype column uses
 # (operators/grid.py NUMPY_TO_SPARK_DTYPE keys)
 _DTYPE_NAMES = {
+    "i1": "int8",
     "u1": "uint8",
     "u2": "uint16",
     "u4": "uint32",
@@ -780,6 +782,7 @@ def minitiff_to_tiles(
     tile_size: int | None = None,
     overview_level: int = 0,
     internal_mask: bool = False,
+    decimation: float | None = None,
 ) -> DataFrame:
     """Distributed mini-TIFF → tile-table conversion; identical contract
     and job shape to geotiff_to_tiles (driver header pass → window-grid
@@ -803,7 +806,19 @@ def minitiff_to_tiles(
     so unioning it with the image band and running the standard
     mask-first chain drops masked pixels exactly like a separate mask
     raster would.
+
+    ``decimation=f`` selects each file's overview PER FILE via
+    :func:`pick_overview` (the coarsest level whose decimation ≤ f —
+    GDAL's rule), so a mixed mosaic where some files carry pyramids
+    and some don't still reads the cheapest valid level of each;
+    mutually exclusive with an explicit ``overview_level``.
     """
+    if decimation is not None:
+        if overview_level:
+            raise ValueError("pass overview_level OR decimation, not both")
+        levels = [pick_overview(p, decimation) for p in paths]
+    else:
+        levels = [overview_level] * len(paths)
     meta = []
     if len(paths) > 1:
         # headers are a few KB of I/O each; at thousands of COGs a
@@ -815,12 +830,12 @@ def minitiff_to_tiles(
         with ThreadPoolExecutor(min(32, len(paths))) as ex:
             hdrs = list(
                 ex.map(
-                    lambda p: read_header(p, overview=overview_level, mask=internal_mask),
-                    paths,
+                    lambda pl: read_header(pl[0], overview=pl[1], mask=internal_mask),
+                    zip(paths, levels),
                 )
             )
     else:
-        hdrs = [read_header(paths[0], overview=overview_level, mask=internal_mask)]
+        hdrs = [read_header(paths[0], overview=levels[0], mask=internal_mask)]
     names = _band_names(hdrs, band_ids)
     for hdr, file_bands in zip(hdrs, names):
         if tile_size is None:
@@ -882,6 +897,23 @@ CATALOG_SCHEMA_DDL = (
     "has_mask boolean, nodata double, x0 double, y0 double, x1 double, "
     "y1 double"
 )
+
+
+def pick_overview(path: str, factor: float) -> int:
+    """Select the COG overview level for a requested decimation
+    factor: the COARSEST IFD whose decimation (full_width /
+    level_width) does not exceed ``factor`` — GDAL's overview
+    selection rule, so a factor-4 query reads the 1/16-bytes level
+    when the pyramid has one and degrades toward full resolution when
+    it doesn't.  factor < 2 (or no overviews) → 0 (full res)."""
+    full = read_header(path, overview=0)
+    best_k, best_dec = 0, 1.0
+    for k in range(1, full.n_overviews + 1):
+        h = read_header(path, overview=k)
+        dec = full.width / h.width
+        if dec <= factor + 1e-9 and dec > best_dec:
+            best_k, best_dec = k, dec
+    return best_k
 
 
 def minitiff_catalog(spark: SparkSession, paths: list[str]) -> DataFrame:

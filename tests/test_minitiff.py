@@ -107,8 +107,8 @@ def _write_tiff(
     import numpy as np
 
     bo = byte_order
-    sample_format = {"f8": 3, "f4": 3, "i2": 2, "u1": 1, "b1": 1, "b2": 1, "b4": 1}[dtype]
-    bits = {"f8": 64, "f4": 32, "i2": 16, "u1": 8, "b1": 1, "b2": 2, "b4": 4}[dtype]
+    sample_format = {"f8": 3, "f4": 3, "i2": 2, "i1": 2, "u1": 1, "b1": 1, "b2": 1, "b4": 1}[dtype]
+    bits = {"f8": 64, "f4": 32, "i2": 16, "i1": 8, "u1": 8, "b1": 1, "b2": 2, "b4": 4}[dtype]
     bps = max(1, bits // 8)
     np_dt = np.dtype("u1") if dtype in ("b1", "b2", "b4") else np.dtype(bo + dtype)
     band_arrays = [
@@ -1686,3 +1686,67 @@ def test_bigtiff_sparse_and_mask_roundtrip(tmp_path):
     m = read_header(p, mask=True)
     assert m.is_mask and m.nodata == 0.0
     assert read_window(m, 0, 0, 4, 4) == [float(b) for b in bits]
+
+
+def test_int8_samples_roundtrip(tmp_path):
+    """GDAL Int8 (SampleFormat=2, 8-bit, GDAL >= 3.7): signed values
+    survive decode, predictor 2 included, dtype preserved as int8."""
+    import numpy as np
+
+    from raster2points_spark.sources.minitiff import read_header, read_window
+
+    vals = [-128, -1, 0, 1, 63, 127, -64, 5]
+    p = str(tmp_path / "i8.tif")
+    _write_tiff(p, vals, 4, 2, dtype="i1")
+    hdr = read_header(p)
+    assert hdr.dtype.endswith("i1") and hdr.bits_per_sample == 8
+    assert read_window(hdr, 0, 0, 4, 2) == [float(v) for v in vals]
+
+    p2 = str(tmp_path / "i8p2.tif")
+    _write_tiff(p2, vals, 4, 2, dtype="i1", compression=8, predictor=2)
+    assert read_window(read_header(p2), 0, 0, 4, 2) == [float(v) for v in vals]
+
+
+def test_pick_overview_matches_gdal_rule(tmp_path):
+    """pick_overview: coarsest level whose decimation <= the requested
+    factor; degrades to full res below 2x or with no pyramid."""
+    from raster2points_spark.sources.minitiff import pick_overview
+
+    p = str(tmp_path / "pyr.tif")
+    _write_tiff(p, [float(i) for i in range(32)], 8, 4, compression=8)
+    _append_overview(p, [0.0] * 8, 4, 2, compression=8)
+    _append_overview(p, [0.0] * 2, 2, 1, compression=8)
+    assert pick_overview(p, 1.0) == 0
+    assert pick_overview(p, 2.0) == 1
+    assert pick_overview(p, 3.9) == 1
+    assert pick_overview(p, 4.0) == 2
+    assert pick_overview(p, 100.0) == 2
+
+    flat = str(tmp_path / "flat.tif")
+    _write_tiff(flat, [0.0] * 8, 4, 2)
+    assert pick_overview(flat, 16.0) == 0
+
+
+def test_minitiff_to_tiles_decimation_per_file(spark, tmp_path):
+    """decimation=f picks each file's overview independently: a file
+    with a pyramid reads its level, a flat file stays full-res, and
+    the two coexist in one tile table with correct per-file dims."""
+    from pyspark.sql import functions as F
+
+    from raster2points_spark.sources.minitiff import minitiff_to_tiles
+
+    pyr = str(tmp_path / "pyr.tif")
+    _write_tiff(pyr, [float(i) for i in range(32)], 8, 4, compression=8)
+    _append_overview(pyr, [float(i) for i in range(8)], 4, 2, compression=8)
+    flat = str(tmp_path / "flat.tif")
+    _write_tiff(flat, [1.0] * 8, 4, 2)
+
+    tiles = minitiff_to_tiles(spark, [pyr, flat], tile_size=16, decimation=2.0)
+    px = tiles.groupBy("band_id").agg(F.sum(F.size("data")).alias("n")).collect()
+    n = {r.band_id: r.n for r in px}
+    assert n == {"b1": 8, "b2": 8}  # pyramid read at 4x2; flat at full 4x2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not both"):
+        minitiff_to_tiles(spark, [pyr], overview_level=1, decimation=2.0)
