@@ -69,7 +69,7 @@ def tiles_from_rasters(
         return minitiff_to_tiles(spark, paths, tile_size=tile_size)
 
 
-def _paths_preflight(paths: list[str]) -> dict[str, str] | None:
+def _paths_preflight(paths: list[str], validate: bool = True) -> dict[str, str] | None:
     """Driver-side pre-flight for GeoTIFF PATH inputs: the file
     headers already hold everything validate_band_alignment and
     band_dtypes would learn from three Spark jobs, and with an opaque
@@ -95,19 +95,22 @@ def _paths_preflight(paths: list[str]) -> dict[str, str] | None:
         hdrs = [read_header(p) for p in paths]
     except Exception:
         return None
-    res = {(h.transform[0], h.transform[4]) for h in hdrs}
-    if len(res) > 1:
-        raise ValueError(
-            f"rasters have unequal resolutions {sorted(res)} — the "
-            "reference refuses mixed-resolution inputs"
-        )
-    geo = {(h.width, h.height, tuple(h.transform)) for h in hdrs}
-    if len(geo) > 1:
-        raise ValueError(
-            "rasters do not co-tile (differing dims/transform "
-            f"{sorted(geo)}) — bands would zip tiles from different "
-            "places; resample to a common grid first"
-        )
+    if validate:  # validate=False still wants the dtype map, not the raises
+        res = {(h.transform[0], h.transform[4]) for h in hdrs}
+        if len(res) > 1:
+            raise ValueError(
+                f"rasters have unequal resolutions {sorted(res)} — the "
+                "reference refuses mixed-resolution inputs; resample to "
+                "a common grid first (see mosaic_mixed_resolution / "
+                "queries raster_mosaic_hetero)"
+            )
+        geo = {(h.width, h.height, tuple(h.transform)) for h in hdrs}
+        if len(geo) > 1:
+            raise ValueError(
+                "rasters do not co-tile (differing dims/transform "
+                f"{sorted(geo)}) — bands would zip tiles from different "
+                "places; resample to a common grid first"
+            )
     out: dict[str, str] = {}
     for hdr, file_bands in zip(hdrs, _band_names(hdrs, None)):
         for b in file_bands:
@@ -159,9 +162,17 @@ def raster2df(
     elif isinstance(tiles, str) and tiles.lower().endswith((".tif", ".tiff")):
         paths = [tiles]
     if paths is not None and dtypes is None:
-        pre = _paths_preflight(paths)  # raises on misaligned rasters
+        # raises on misaligned rasters ONLY when validate=True; with
+        # validate=False the headers still supply the dtype map
+        pre = _paths_preflight(paths, validate=validate)
         if pre is not None:
-            dtypes = {b: pre[b] for b in bands if b in pre}
+            unknown = [b for b in bands if b not in pre]
+            if unknown:
+                raise ValueError(
+                    f"unknown band(s) {unknown} — these files provide "
+                    f"{sorted(pre)}"
+                )
+            dtypes = {b: pre[b] for b in bands}
             validate = False  # already validated driver-side
     tdf = _as_tiles(spark, tiles)
     if validate:

@@ -189,6 +189,10 @@ _DTYPE_NAMES = {
 
 _TYPE_SIZES = {
     1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8,
+    13: 4,  # IFD — 4-byte like LONG; libtiff writes tag 330 with it, and
+    # without this entry a count>1 SubIFD array is sized 1*count ≤ 4 and
+    # misread as inline (the external offset pointer dereferenced as the
+    # first SubIFD offset)
     16: 8, 17: 8, 18: 8,  # BigTIFF LONG8 / SLONG8 / IFD8
 }
 # 13 = IFD (libtiff writes SubIFD pointers with it; layout-identical
@@ -813,12 +817,19 @@ def minitiff_to_tiles(
     and some don't still reads the cheapest valid level of each;
     mutually exclusive with an explicit ``overview_level``.
     """
-    if decimation is not None:
-        if overview_level:
-            raise ValueError("pass overview_level OR decimation, not both")
-        levels = [pick_overview(p, decimation) for p in paths]
-    else:
-        levels = [overview_level] * len(paths)
+    if decimation is not None and overview_level:
+        raise ValueError("pass overview_level OR decimation, not both")
+
+    def _resolve(p: str) -> MiniTiff:
+        # level selection + final header parse in ONE worker call:
+        # the old shape ran pick_overview serially on the driver and
+        # then re-parsed the same headers in the pool — doubling
+        # header I/O and serializing storage latency at
+        # thousands-of-COGs scale (ADVICE r12)
+        if decimation is not None:
+            return _pick_overview_header(p, decimation, mask=internal_mask)
+        return read_header(p, overview=overview_level, mask=internal_mask)
+
     meta = []
     if len(paths) > 1:
         # headers are a few KB of I/O each; at thousands of COGs a
@@ -828,14 +839,9 @@ def minitiff_to_tiles(
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(min(32, len(paths))) as ex:
-            hdrs = list(
-                ex.map(
-                    lambda pl: read_header(pl[0], overview=pl[1], mask=internal_mask),
-                    zip(paths, levels),
-                )
-            )
+            hdrs = list(ex.map(_resolve, paths))
     else:
-        hdrs = [read_header(paths[0], overview=levels[0], mask=internal_mask)]
+        hdrs = [_resolve(paths[0])]
     names = _band_names(hdrs, band_ids)
     for hdr, file_bands in zip(hdrs, names):
         if tile_size is None:
@@ -899,6 +905,24 @@ CATALOG_SCHEMA_DDL = (
 )
 
 
+def _pick_overview_header(path: str, factor: float, mask: bool = False) -> MiniTiff:
+    """Level selection AND the selected level's header in one pass:
+    parse full-res once, scan the pyramid for the coarsest level whose
+    decimation ≤ ``factor``, and return THAT level's header — reusing
+    the already-parsed header instead of a second read (the serial
+    pick-then-reparse shape doubled header I/O, ADVICE r12)."""
+    full = read_header(path, overview=0)
+    best_k, best_dec, best_h = 0, 1.0, full
+    for k in range(1, full.n_overviews + 1):
+        h = read_header(path, overview=k)
+        dec = full.width / h.width
+        if dec <= factor + 1e-9 and dec > best_dec:
+            best_k, best_dec, best_h = k, dec, h
+    if mask:  # mask SubIFD hangs off the chosen level; needs its own parse
+        return read_header(path, overview=best_k, mask=True)
+    return best_h
+
+
 def pick_overview(path: str, factor: float) -> int:
     """Select the COG overview level for a requested decimation
     factor: the COARSEST IFD whose decimation (full_width /
@@ -906,14 +930,7 @@ def pick_overview(path: str, factor: float) -> int:
     selection rule, so a factor-4 query reads the 1/16-bytes level
     when the pyramid has one and degrades toward full resolution when
     it doesn't.  factor < 2 (or no overviews) → 0 (full res)."""
-    full = read_header(path, overview=0)
-    best_k, best_dec = 0, 1.0
-    for k in range(1, full.n_overviews + 1):
-        h = read_header(path, overview=k)
-        dec = full.width / h.width
-        if dec <= factor + 1e-9 and dec > best_dec:
-            best_k, best_dec = k, dec
-    return best_k
+    return _pick_overview_header(path, factor).overview
 
 
 def minitiff_catalog(spark: SparkSession, paths: list[str]) -> DataFrame:

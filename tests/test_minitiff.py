@@ -1568,6 +1568,61 @@ def test_internal_mask_subifd_roundtrip(tmp_path):
         read_header(p2, mask=True)
 
 
+def test_subifd_type13_multi(tmp_path):
+    """Tag 330 written as field type 13 (IFD, libtiff's native type
+    for SubIFD pointers) with COUNT 2 — the real GDAL COG layout when
+    a file carries several sub-images.  Type 13 is 4 bytes like LONG;
+    before the _TYPE_SIZES entry (ADVICE r12) a count-2 array was
+    sized 2 bytes, misjudged inline, and the external offset pointer
+    was dereferenced as the first SubIFD offset.  The reader must
+    follow the external array and pick the FILETYPE_MASK sub-image
+    (deliberately placed SECOND, after a reduced-resolution one)."""
+    from raster2points_spark.sources.minitiff import read_header, read_window
+
+    w, h = 4, 2
+    vals = [float(i) for i in range(8)]
+    bits = [1, 0, 1, 1, 1, 1, 0, 1]
+    p = tmp_path / "multi_subifd.tif"
+    _write_tiff(str(p), vals, w, h, mask_bits=bits)
+    raw = bytearray(p.read_bytes())
+
+    # locate the main IFD's tag-330 entry (classic little-endian)
+    (ifd_off,) = struct.unpack_from("<I", raw, 4)
+    (n,) = struct.unpack_from("<H", raw, ifd_off)
+    e330 = mask_ifd_off = None
+    for i in range(n):
+        base = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack_from("<HHI", raw, base)
+        if tag == 330:
+            e330 = base
+            (mask_ifd_off,) = struct.unpack_from("<I", raw, base + 8)
+    assert e330 is not None and mask_ifd_off
+
+    # append a FILETYPE_REDUCEDIMAGE SubIFD (byte copy of the mask IFD
+    # with NewSubfileType rewritten 4 -> 1) + the external 2-LONG
+    # offset array [reduced, mask]; all existing offsets are absolute,
+    # so appending never invalidates them
+    (n_m,) = struct.unpack_from("<H", raw, mask_ifd_off)
+    reduced = bytearray(raw[mask_ifd_off : mask_ifd_off + 2 + 12 * n_m + 4])
+    for i in range(n_m):
+        base = 2 + 12 * i
+        tag, typ, count = struct.unpack_from("<HHI", reduced, base)
+        if tag == 254:
+            struct.pack_into("<I", reduced, base + 8, 1)
+    reduced_off = len(raw)
+    raw += bytes(reduced)
+    arr_off = len(raw)
+    raw += struct.pack("<2I", reduced_off, mask_ifd_off)
+    struct.pack_into("<HHII", raw, e330, 330, 13, 2, arr_off)
+    p.write_bytes(bytes(raw))
+
+    hdr = read_header(str(p))
+    assert hdr.has_mask
+    m = read_header(str(p), mask=True)
+    assert m.is_mask and m.bits_per_sample == 1 and m.nodata == 0.0
+    assert read_window(m, 0, 0, w, h) == [float(b) for b in bits]
+
+
 def test_sparse_mask_fixture_golden():
     """The committed sparse_mask.tif: sparse bottom-right tile reads
     as nodata, internal mask matches tools/make_tif.SPARSE_MASK."""
@@ -1641,6 +1696,36 @@ def test_paths_preflight_validates_driver_side(tmp_path):
     junk = str(tmp_path / "junk.tif")
     open(junk, "wb").write(b"not a tiff at all")
     assert _paths_preflight([a, junk]) is None
+
+    # validate=False: skip the raises but still supply the dtype map
+    # (ADVICE r12 — the documented contract is that only validate=True
+    # runs the eager pre-flight checks)
+    assert _paths_preflight([a, coarse], validate=False) == {
+        "b1": "float64",
+        "b2": "float64",
+    }
+
+
+def test_raster2df_validate_false_and_unknown_band(spark, tmp_path):
+    """raster2df honors validate=False for PATH inputs (mixed
+    resolutions no longer raise eagerly, ADVICE r12) and raises
+    eagerly on a typo'd band name instead of returning an empty
+    DataFrame."""
+    from raster2points_spark.api import raster2df
+
+    a = str(tmp_path / "a.tif")
+    coarse = str(tmp_path / "coarse.tif")
+    _write_tiff(a, [1.0] * 8, 4, 2)
+    _write_tiff(coarse, [2.0] * 8, 4, 2, pixel_scale=(1.0, 1.0))
+
+    with pytest.raises(ValueError, match="unequal resolutions"):
+        raster2df(spark, [a, coarse], ["b1", "b2"])
+    # validate=False: plan construction must not raise (semantics of
+    # zipping non-co-tiling grids are the caller's responsibility)
+    raster2df(spark, [a, coarse], ["b1", "b2"], validate=False)
+
+    with pytest.raises(ValueError, match="unknown band"):
+        raster2df(spark, [a], ["b1", "b9"])
 
 
 def test_minitiff_catalog_distributed(spark, tmp_path):
