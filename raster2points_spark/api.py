@@ -69,14 +69,87 @@ def tiles_from_rasters(
         return minitiff_to_tiles(spark, paths, tile_size=tile_size)
 
 
-def _paths_preflight(paths: list[str], validate: bool = True) -> dict[str, str] | None:
-    """Driver-side pre-flight for GeoTIFF PATH inputs: the file
-    headers already hold everything validate_band_alignment and
-    band_dtypes would learn from three Spark jobs, and with an opaque
-    mapInPandas tile source those jobs cannot prune to metadata — each
-    one re-runs the full Python decode (measured: the eager pre-flight
-    tripled scan_geotiff_* wall-clock).  Header parses are sub-ms
-    local reads, so validation becomes free.
+_PREFLIGHT_DIST_THRESHOLD = 256  # path count above which headers parse executor-side
+
+
+def _preflight_headers_distributed(spark: SparkSession, paths: list[str]):
+    """Executor-side twin of the driver header loop: mapInPandas over
+    the path list (the minitiff_catalog shape), returning lightweight
+    records with exactly the fields the pre-flight validation reads.
+    One output row per file — the same driver-sized listing Spark's
+    own file index collects."""
+    from types import SimpleNamespace
+
+    import pandas as pd
+
+    from raster2points_spark.sources.minitiff import read_header
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf["idx"], pdf["path"]):
+                h = read_header(p)
+                rows.append(
+                    {
+                        "idx": int(i),
+                        "width": h.width,
+                        "height": h.height,
+                        "transform": list(h.transform),
+                        "dtype": h.dtype,
+                        "spp": h.samples_per_pixel,
+                        "path": p,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["idx", "width", "height", "transform", "dtype", "spp", "path"],
+            )
+
+    files = spark.createDataFrame(
+        list(enumerate(paths)), "idx int, path string"
+    )
+    n_parts = max(1, min(len(paths) // 1000 + 1, 256))
+    rows = (
+        files.repartition(n_parts)
+        .mapInPandas(
+            parse,
+            "idx int, width int, height int, transform array<double>, "
+            "dtype string, spp int, path string",
+        )
+        .collect()
+    )
+    return [
+        SimpleNamespace(
+            path=r.path,
+            width=r.width,
+            height=r.height,
+            transform=list(r.transform),
+            dtype=r.dtype,
+            samples_per_pixel=r.spp,
+        )
+        for r in sorted(rows, key=lambda r: r.idx)  # restore path order
+    ]
+
+
+def _paths_preflight(
+    paths: list[str],
+    validate: bool = True,
+    spark: SparkSession | None = None,
+    dist_threshold: int = _PREFLIGHT_DIST_THRESHOLD,
+) -> dict[str, str] | None:
+    """Pre-flight for GeoTIFF PATH inputs: the file headers already
+    hold everything validate_band_alignment and band_dtypes would
+    learn from three Spark jobs, and with an opaque mapInPandas tile
+    source those jobs cannot prune to metadata — each one re-runs the
+    full Python decode (measured: the eager pre-flight tripled
+    scan_geotiff_* wall-clock).
+
+    Threshold dispatch (VERDICT r12 #4): small lists parse on the
+    driver (sub-ms local reads, zero Spark jobs — the CLI case); above
+    ``dist_threshold`` the header parses run EXECUTOR-side via
+    mapInPandas (``_preflight_headers_distributed``) so a 100k-file
+    mosaic doesn't serialize 100k reads on the driver.  Both paths
+    feed the SAME validation and dtype-map code below.
 
     Returns the positional band_id → numpy-dtype-name map, or None
     when the mini reader cannot parse a header (an exotic layout the
@@ -92,7 +165,10 @@ def _paths_preflight(paths: list[str], validate: bool = True) -> dict[str, str] 
     )
 
     try:
-        hdrs = [read_header(p) for p in paths]
+        if spark is not None and len(paths) > dist_threshold:
+            hdrs = _preflight_headers_distributed(spark, paths)
+        else:
+            hdrs = [read_header(p) for p in paths]
     except Exception:
         return None
     if validate:  # validate=False still wants the dtype map, not the raises
@@ -101,8 +177,8 @@ def _paths_preflight(paths: list[str], validate: bool = True) -> dict[str, str] 
             raise ValueError(
                 f"rasters have unequal resolutions {sorted(res)} — the "
                 "reference refuses mixed-resolution inputs; resample to "
-                "a common grid first (see mosaic_mixed_resolution / "
-                "queries raster_mosaic_hetero)"
+                "a common grid first (the raster_mosaic_hetero query is "
+                "the composed resample-then-mosaic escape hatch)"
             )
         geo = {(h.width, h.height, tuple(h.transform)) for h in hdrs}
         if len(geo) > 1:
@@ -164,7 +240,7 @@ def raster2df(
     if paths is not None and dtypes is None:
         # raises on misaligned rasters ONLY when validate=True; with
         # validate=False the headers still supply the dtype map
-        pre = _paths_preflight(paths, validate=validate)
+        pre = _paths_preflight(paths, validate=validate, spark=spark)
         if pre is not None:
             unknown = [b for b in bands if b not in pre]
             if unknown:

@@ -20,75 +20,71 @@ SF0001 = "/root/testdata/sf0.001"
 # windows; after r10 362 of 363 then-registered keys had a driver
 # grade and no key was red.
 #
-# The r12 window (VERDICT r11 #1: keep walking the stale tail —
+# The r13 window (VERDICT r12 #1: keep draining the stale ledger —
 # oldest grades first; tools/evidence_audit.py is the ordering
 # source):
-# - the 4 NEW r12 keys, never driver-graded: scan_geotiff_sparse
-#   (sparse tiles + internal mask SubIFD, VERDICT r11 #2),
-#   sim_ivf_recall (composed ANN recall eval, VERDICT r11 #6),
-#   scan_raster_catalog (distributed header catalog) and
-#   raster_extent_prune (catalog-driven bbox pruning),
-# - the 2 keys CHANGED this round (changed-key tranche rule):
-#   sim_ivf (half-away-from-zero rounding in the trained-codebook
-#   assignment, ADVICE r11) and udf_cogrouped_map (applyInPandas →
-#   applyInArrow, VERDICT r11 #4),
-# - the 30 remaining r4-era stale keys (clears the r4 tail entirely),
-# - the 14 oldest r5-era stale keys.
-# r13+ walks the remaining r5/r6 tail.
+# - the 2 NEW r13 keys, never driver-graded: raster_overview_prune
+#   (bbox + target-resolution → cheapest sufficient pyramid level per
+#   surviving file, VERDICT r12 #2) and raster_mosaic_hetero
+#   (resample-to-coarser-grid then priority mosaic — the VRT escape
+#   hatch the pre-flight error points at, VERDICT r12 #3),
+# - the 25 remaining r5-era stale keys (clears the r5 tail entirely),
+# - the 23 oldest r6-era stale keys.
+# r14+ walks the remaining r6/r7 tail (stale-<r9 after r13: ≤121).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- never graded (new this round) + changed this round ---
-    "scan_geotiff_sparse",
-    "sim_ivf_recall",
-    "scan_raster_catalog",
-    "raster_extent_prune",
-    "sim_ivf",
-    "udf_cogrouped_map",
-    # --- the 30 remaining r4-era stale keys (then 14 oldest r5) ---
-    "outlier_zscore",
-    "pipeline_dedup_full",
-    "profile_columns",
-    "sample_mixture",
-    "sample_split",
-    "scan_csv_roundtrip",
-    "scan_parquet",
-    "scd2_build",
-    "sink_compact",
-    "sink_parquet",
-    "sink_sorted",
-    "sink_zorder",
-    "stream_foreach_batch",
-    "stream_funnel",
-    "stream_session",
-    "stream_sliding",
-    "stream_tumbling",
-    "subq_exists",
-    "subq_in",
-    "subq_scalar",
-    "text_contamination",
-    "text_gopher_rules",
-    "text_ngram_counts",
-    "text_pii_scrub",
-    "text_unigram_ppl",
-    "ts_gapfill",
-    "ts_resample",
-    "udf_map_in_pandas",
-    "win_lag_lead",
-    "win_moving",
-    # --- 14 oldest r5-era stale keys ---
-    "agg_entropy",
-    "audience_overlap",
-    "cte_recursive",
-    "dedup_chunks",
-    "dedup_incremental",
-    "embed_centroids",
-    "embed_dim_stats",
-    "embed_normalize",
-    "embed_whiten",
-    "fn_collation",
-    "fn_haversine",
-    "fn_try_arith",
-    "fn_variant",
-    "funnel_latency",
+    # --- never graded (new this round) ---
+    "raster_overview_prune",
+    "raster_mosaic_hetero",
+    # --- the 25 remaining r5-era stale keys ---
+    "join_asof_forward",
+    "join_lateral",
+    "mm_features",
+    "mv_incremental",
+    "raster_band_math",
+    "raster_downsample",
+    "raster_fill_idw",
+    "raster_focal_mean",
+    "raster_slope",
+    "rfm_segments",
+    "sample_reservoir",
+    "sample_weighted",
+    "scan_binary_files",
+    "scan_pysource",
+    "scan_text_lines",
+    "sim_knn_label",
+    "source_vocab_overlap",
+    "spatial_join_grid",
+    "stream_join_static",
+    "stream_stream_join",
+    "text_heavy_hitters",
+    "text_url_domain",
+    "tpch_q18",
+    "win_ntile",
+    "win_rolling_z",
+    # --- the 23 oldest r6-era stale keys ---
+    "agg_any_all",
+    "agg_approx_percentile",
+    "agg_bitmap_distinct",
+    "agg_corr",
+    "agg_decimal_exact",
+    "agg_hll_partial_merge",
+    "agg_mode",
+    "agg_regression",
+    "agg_salted_twophase",
+    "agg_session_window",
+    "agg_weighted_avg",
+    "anomaly_mad",
+    "attribution_first_touch",
+    "basket_pairs",
+    "basket_rules",
+    "cohort_retention",
+    "concurrency_peak",
+    "dedup_edit_distance",
+    "dedup_url_canonical",
+    "embed_gram_matrix",
+    "fn_binary",
+    "fn_map",
+    "funnel_batch",
 )
 
 

@@ -2105,3 +2105,180 @@ def raster_extent_prune(spark, sf_dir):
             F.round(F.sum("value"), 3).alias("sum_val"),
         )
     )
+
+
+@register(
+    "raster_overview_prune",
+    oracle="""
+    SELECT file, CAST(level AS int) AS level,
+           CAST(n_valid AS bigint) AS n_valid,
+           CAST(sum_val AS double) AS sum_val
+    FROM (VALUES
+      ('pyramid.tif', 1, 1, 20.5),
+      ('sparse_mask.tif', 0, 4, 46.0)
+    ) AS t(file, level, n_valid, sum_val)
+    """,
+)
+def raster_overview_prune(spark, sf_dir):
+    """[r13] Overview-aware extent pruning — the full STAC+COG serving
+    pattern (VERDICT r12 #2): a bbox + TARGET-RESOLUTION query (a) consults
+    the distributed header catalog to drop files outside the bbox (zero
+    pixel I/O), then (b) picks, PER SURVIVING FILE, the cheapest pyramid
+    level whose decimation still satisfies the target resolution (GDAL's
+    overview rule via pick_overview; the decimation factor is computed
+    from each file's CATALOG-recorded native resolution, so mixed-res
+    mosaics get per-file levels), and (c) reads only those levels' tiles
+    — 1/4^k of the bytes per level step.  Here the bbox
+    (10.2, 43.1)-(11.0, 43.9) at target 1.0 deg/px prunes 6 fixtures to
+    2: pyramid.tif (native 0.5, factor 2) reads its level-1 overview
+    (one in-bbox pixel, the 2x2 box mean 20.5), sparse_mask.tif has no
+    pyramid and degrades to full res (4 pixels, sum 46).  Oracle = the
+    golden VALUES answer derivable from the committed fixtures by hand.
+
+    Scale shape: catalog prune ∝ headers; level pick ∝ surviving
+    headers (pooled reads); pixel I/O ∝ surviving tiles at the CHOSEN
+    level ∩ bbox — the two-level prune of raster_extent_prune with the
+    pyramid as a third, multiplicative lever."""
+    import os as _os
+
+    from raster2points_spark.sources.minitiff import (
+        minitiff_catalog,
+        minitiff_to_tiles,
+        pick_overview,
+    )
+    from raster2points_spark.queries._util import REPO_ROOT
+
+    d = _os.path.join(REPO_ROOT, "fixtures", "tif")
+    paths = [_os.path.join(d, f) for f in sorted(_os.listdir(d))]
+    qx0, qy0, qx1, qy1 = 10.2, 43.1, 11.0, 43.9
+    target_res = 1.0  # deg/px the consumer actually needs
+    # (a) bbox prune off the catalog; keep native res for the factor
+    hit = (
+        minitiff_catalog(spark, paths)
+        .filter(
+            (F.col("x0") < qx1)
+            & (F.col("x1") > qx0)
+            & (F.col("y0") < qy1)
+            & (F.col("y1") > qy0)
+        )
+        .select("file", ((F.col("x1") - F.col("x0")) / F.col("width")).alias("res"))
+        .collect()
+    )
+    # (b) cheapest sufficient level per survivor (header-only I/O)
+    levels = {
+        r.file: pick_overview(_os.path.join(d, r.file), target_res / r.res)
+        for r in hit
+    }
+    # (c) one tile read per distinct level, union — each branch reads
+    # only that level's blocks and tags rows with the level it chose
+    out = None
+    for lvl in sorted(set(levels.values())):
+        files = sorted(f for f, k in levels.items() if k == lvl)
+        tiles = minitiff_to_tiles(
+            spark,
+            [_os.path.join(d, f) for f in files],
+            band_ids=files,
+            overview_level=lvl,
+        )
+        px = affine_coords(nodata_filter(grid_unpivot(tiles))).withColumn(
+            "level", F.lit(lvl)
+        )
+        out = px if out is None else out.unionByName(px)
+    return (
+        out.filter(
+            (F.col("lon") >= qx0)
+            & (F.col("lon") <= qx1)
+            & (F.col("lat") >= qy0)
+            & (F.col("lat") <= qy1)
+        )
+        .groupBy(F.col("band_id").alias("file"), "level")
+        .agg(
+            F.count("*").alias("n_valid"),
+            F.round(F.sum("value"), 3).alias("sum_val"),
+        )
+    )
+
+
+@register(
+    "raster_mosaic_hetero",
+    oracle="""
+    SELECT CAST(lon AS double) AS lon, CAST(lat AS double) AS lat,
+           CAST(value AS double) AS value, src
+    FROM (VALUES
+      (10.5, 45.5, 100.0, 'coarse'), (11.5, 45.5, 101.0, 'coarse'),
+      (12.5, 45.5, 102.0, 'coarse'), (13.5, 45.5, 103.0, 'coarse'),
+      (10.5, 44.5,   3.5, 'fine'),   (11.5, 44.5, 105.0, 'coarse'),
+      (12.5, 44.5, 106.0, 'coarse'), (13.5, 44.5, 107.0, 'coarse'),
+      (10.5, 43.5,  11.5, 'fine'),   (11.5, 43.5,  13.5, 'fine'),
+      (12.5, 43.5, 110.0, 'coarse'), (13.5, 43.5, 111.0, 'coarse'),
+      (10.5, 42.5, 112.0, 'coarse'), (11.5, 42.5, 113.0, 'coarse'),
+      (12.5, 42.5, 114.0, 'coarse'), (13.5, 42.5, 115.0, 'coarse')
+    ) AS t(lon, lat, value, src)
+    """,
+)
+def raster_mosaic_hetero(spark, sf_dir):
+    """[r13] Heterogeneous-resolution mosaic — the GDAL VRT shape
+    (VERDICT r12 #3): the eager pre-flight refuses mixed-resolution
+    inputs (reference parity, api._paths_preflight); THIS key is the
+    composed escape hatch it points at.  (a) the finer raster is
+    resampled to the coarser grid by inverse-affine bucketing (floor
+    to target cell + box MEAN of valid source pixels — GDAL 'average',
+    nodata excluded, exactly raster_downsample's shape on a foreign
+    grid), then (b) priority mosaic: fine-resampled wins wherever it
+    produced a cell, the coarse value fills everywhere else
+    (raster_mosaic_priority's coalesce).  Over the committed
+    fixtures/tif_mixed pair (fine 4x4 @0.5 deg with one all-nodata 2x2
+    block; coarse 4x4 @1.0 deg, larger extent) the output is the full
+    16-cell coarse grid: 3 fine box means win, the nodata block and
+    the 12 never-covered cells fall through to coarse.  Oracle = the
+    hand-derived golden VALUES.
+
+    Scale shape: one pass over each raster's pixels, one groupBy on
+    target cell (partial-agg'd box means), one equi-join on cell id —
+    no resolution pair changes the plan; the target grid's origin/res
+    come from the coarse header (driver-side metadata, zero pixel
+    I/O)."""
+    import os as _os
+
+    from raster2points_spark.sources.minitiff import (
+        minitiff_to_tiles,
+        read_header,
+    )
+    from raster2points_spark.queries._util import REPO_ROOT
+
+    d = _os.path.join(REPO_ROOT, "fixtures", "tif_mixed")
+    coarse_p = _os.path.join(d, "coarse.tif")
+    fine_p = _os.path.join(d, "fine.tif")
+    # target grid = the coarse raster's (header-only driver read)
+    ch = read_header(coarse_p)
+    x0, res = ch.transform[2], ch.transform[0]
+    y0 = ch.transform[5]
+
+    tiles = minitiff_to_tiles(
+        spark, [coarse_p, fine_p], band_ids=["coarse", "fine"]
+    )
+    px = affine_coords(nodata_filter(grid_unpivot(tiles)))
+    cell = px.withColumn(
+        "tc", F.floor((F.col("lon") - F.lit(x0)) / F.lit(res)).cast("int")
+    ).withColumn(
+        "tr", F.floor((F.lit(y0) - F.col("lat")) / F.lit(res)).cast("int")
+    )
+    fine_cells = (
+        cell.filter(F.col("band_id") == "fine")
+        .groupBy("tr", "tc")
+        .agg(F.avg("value").alias("fine_val"))
+    )
+    coarse_cells = cell.filter(F.col("band_id") == "coarse").select(
+        "tr", "tc", F.col("value").alias("coarse_val")
+    )
+    return (
+        coarse_cells.join(fine_cells, ["tr", "tc"], "left")
+        .select(
+            (F.lit(x0) + (F.col("tc") + 0.5) * F.lit(res)).alias("lon"),
+            (F.lit(y0) - (F.col("tr") + 0.5) * F.lit(res)).alias("lat"),
+            F.round(F.coalesce("fine_val", "coarse_val"), 3).alias("value"),
+            F.when(F.col("fine_val").isNotNull(), F.lit("fine"))
+            .otherwise(F.lit("coarse"))
+            .alias("src"),
+        )
+    )

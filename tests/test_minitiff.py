@@ -1067,6 +1067,14 @@ def test_make_tif_regenerates_committed_fixtures_byte_identically(tmp_path, monk
             "the golden writer changed; update fixtures/tif AND the "
             "matching scan_geotiff_* VALUES oracle together if intentional"
         )
+    for f in ("fine.tif", "coarse.tif"):
+        got = (work / "fixtures" / "tif_mixed" / f).read_bytes()
+        want = open(os.path.join(repo, "fixtures", "tif_mixed", f), "rb").read()
+        assert got == want, (
+            f"tif_mixed/{f}: regenerated bytes differ from the committed "
+            "fixture — update fixtures/tif_mixed AND the "
+            "raster_mosaic_hetero VALUES oracle together if intentional"
+        )
 
 
 def test_packbits_known_stream_decodes():
@@ -1704,6 +1712,34 @@ def test_paths_preflight_validates_driver_side(tmp_path):
         "b1": "float64",
         "b2": "float64",
     }
+
+
+def test_paths_preflight_threshold_dispatch(spark, tmp_path):
+    """Driver-serial and executor-side preflight produce IDENTICAL
+    validation outcomes and dtype maps (VERDICT r12 #4): dist_threshold=0
+    forces every call through the mapInPandas path."""
+    from raster2points_spark.api import _paths_preflight
+
+    a = str(tmp_path / "a.tif")
+    b2 = str(tmp_path / "b2.tif")  # two-band file: positional naming must hold
+    _write_tiff(a, [1.0] * 8, 4, 2)
+    _write_tiff(b2, None, 4, 2, bands=[[2.0] * 8, [3.0] * 8], tile=(4, 4))
+    want = _paths_preflight([a, b2])
+    assert want == {"b1": "float64", "b2": "float64", "b3": "float64"}
+    assert _paths_preflight([a, b2], spark=spark, dist_threshold=0) == want
+
+    coarse = str(tmp_path / "coarse.tif")
+    _write_tiff(coarse, [1.0] * 8, 4, 2, pixel_scale=(1.0, 1.0))
+    with pytest.raises(ValueError, match="unequal resolutions"):
+        _paths_preflight([a, coarse], spark=spark, dist_threshold=0)
+    assert _paths_preflight(
+        [a, coarse], validate=False, spark=spark, dist_threshold=0
+    ) == _paths_preflight([a, coarse], validate=False)
+
+    # executor-side parse failure -> None, same as the driver path
+    junk = str(tmp_path / "junk.tif")
+    open(junk, "wb").write(b"nope")
+    assert _paths_preflight([a, junk], spark=spark, dist_threshold=0) is None
 
 
 def test_raster2df_validate_false_and_unknown_band(spark, tmp_path):

@@ -79,6 +79,23 @@ SPARSE_MASK = [
 ]
 
 
+# mixed-resolution pair (fixtures/tif_mixed/, SEPARATE dir so the
+# catalog/extent-prune goldens over fixtures/tif stay stable):
+# - fine.tif    4x4 @ 0.5 deg covering (10,43)-(12,45), value r*4+c+1,
+#               the top-right 2x2 block all nodata (so the coarse
+#               raster shows through INSIDE fine's extent)
+# - coarse.tif  4x4 @ 1.0 deg covering (10,42)-(14,46), value 100+r*4+c
+# Golden mosaic on the coarse grid (raster_mosaic_hetero): fine box
+# means 3.5 / 11.5 / 13.5 win at (10.5,44.5), (10.5,43.5), (11.5,43.5);
+# every other cell (incl. (11.5,44.5), fine's nodata block) is coarse.
+FINE_VALS = [
+    -9999.0 if (r < 2 and c >= 2) else float(r * 4 + c + 1)
+    for r in range(4)
+    for c in range(4)
+]
+COARSE_VALS = [float(100 + r * 4 + c) for r in range(4) for c in range(4)]
+
+
 def main() -> int:
     out = os.path.join(REPO, "fixtures", "tif")
     os.makedirs(out, exist_ok=True)
@@ -108,6 +125,18 @@ def main() -> int:
         sparse=True,
         mask_bits=SPARSE_MASK,
     )
+    mixed = os.path.join(REPO, "fixtures", "tif_mixed")
+    os.makedirs(mixed, exist_ok=True)
+    _write_tiff(os.path.join(mixed, "fine.tif"), FINE_VALS, 4, 4, compression=8)
+    _write_tiff(
+        os.path.join(mixed, "coarse.tif"),
+        COARSE_VALS,
+        4,
+        4,
+        pixel_scale=(1.0, 1.0),
+        tiepoint=(0.0, 0.0, 0.0, 10.0, 46.0, 0.0),
+        compression=8,
+    )
     for f in (
         "elev.tif",
         "slope.tif",
@@ -118,6 +147,9 @@ def main() -> int:
     ):
         p = os.path.join(out, f)
         print(f"{f}: {os.path.getsize(p)} bytes")
+    for f in ("fine.tif", "coarse.tif"):
+        p = os.path.join(mixed, f)
+        print(f"tif_mixed/{f}: {os.path.getsize(p)} bytes")
     return 0
 
 
