@@ -4248,10 +4248,18 @@ def ml_kmeans_lloyd(spark, sf_dir):
     LEARNED from geometry, deterministically seeded from the first 8
     vectors.
 
-    Per iteration: (1) ASSIGN — corpus crossJoin the 8-row broadcast
-    centroid relation, squared-L2 via an in-row zip_with/aggregate
-    fold (ascending dim order, matching the oracle's generate_series
-    fold), argmin by a (dist, cid)-ordered row_number; (2) UPDATE —
+    Per iteration: (1) ASSIGN — the centroid relation is collapsed to
+    a ONE-ROW array-of-structs and broadcast, so each corpus row
+    computes its argmin entirely in-row: transform the centroid array
+    to struct(dist, cid) (squared-L2 via a zip_with/aggregate fold in
+    ascending dim order, matching the oracle's generate_series fold)
+    and take array_min — lexicographic struct comparison IS the
+    (dist, cid) total-ordered argmin.  ZERO shuffle, zero row fan-out:
+    the r12 form (8-row crossJoin + row_number window) shuffled and
+    sorted 8×|corpus| rows per round and then JOINED the assignment
+    back to the corpus for the update; carrying v through the in-row
+    argmin removes the window sort and the join-back entirely
+    (measured 2.9 s → ~1.1 s at sf0.1, identical hash).  (2) UPDATE —
     posexplode members, ONE map-side-combined groupBy(cid, pos), and
     re-assemble each centroid with sort_array(collect_list(struct)).
     The centroid relation is localCheckpoint'ed each round: it is k×D
@@ -4277,8 +4285,6 @@ def ml_kmeans_lloyd(spark, sf_dir):
     centroids equidistant to ~1e-13 relative — vanishing for
     continuous embeddings.
     """
-    from pyspark.sql import Window
-
     ev = (
         t_fanout(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
@@ -4287,20 +4293,25 @@ def ml_kmeans_lloyd(spark, sf_dir):
     cent = ev.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("c")
     )
-    sqdist = F.expr(
-        "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), "
-        "cast(0.0 AS double), (acc, z) -> acc + z)"
+    # In-row argmin over the broadcast centroid ARRAY: struct(dist,
+    # cid) compares lexicographically, so array_min is exactly the
+    # (dist, cid)-ordered argmin the oracle's row_number states.
+    best = F.expr(
+        "array_min(transform(cents, s -> struct("
+        "aggregate(zip_with(v, s.c, (x, y) -> (x - y) * (x - y)), "
+        "cast(0.0 AS double), (acc, z) -> acc + z) AS dist, s.cid AS cid)))"
     )
     assign = None
     for _ in range(_KM_ITERS):
-        d = ev.crossJoin(F.broadcast(cent)).withColumn("dist", sqdist)
-        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-        assign = (
-            d.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cid")
+        cent_arr = cent.agg(
+            F.expr("sort_array(collect_list(struct(cid, c)))").alias("cents")
         )
-        members = assign.join(ev, "vec_id").select(
+        assigned = (
+            ev.crossJoin(F.broadcast(cent_arr))
+            .select("vec_id", best.getField("cid").alias("cid"), "v")
+        )
+        assign = assigned.select("vec_id", "cid")
+        members = assigned.select(
             "cid", F.posexplode("v").alias("pos0", "val")
         )
         cent = (
@@ -6334,8 +6345,6 @@ def ml_naive_bayes(spark, sf_dir):
     argmax, ties broken by lang asc — the argmax is engine-exact
     (R1/R2).
     """
-    from pyspark.sql import Window
-
     docs = t_fanout(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", "lang", F.explode(F.expr(TOKS_SPARK)).alias("w")
@@ -6367,42 +6376,82 @@ def ml_naive_bayes(spark, sf_dir):
         .crossJoin(F.broadcast(n_docs))
         .select("p_lang", F.log(F.col("nl") / F.col("nd")).alias("prior"))
     )
-    cand = (
-        doc_tf.crossJoin(F.broadcast(totals))
-        .crossJoin(F.broadcast(vocab))
-        .join(F.broadcast(priors), F.col("p_lang") == F.col("t_lang"))
-        .join(
-            model,
-            (F.col("m_lang") == F.col("t_lang")) & (F.col("m_w") == F.col("w")),
-            "left",
+    # The model is re-keyed per WORD as a lang→count map, and the lang
+    # axis (tot, prior per lang, sorted) is collapsed to a broadcast
+    # ONE-ROW array (r13): doc_tf then joins the model ONCE at 1×
+    # volume, and the |langs|× candidate fan-out happens IN-ROW after
+    # the join — the r12 form crossJoined doc_tf with totals first, so
+    # the model join shuffled 5×|doc_tf| rows.  Both joins are
+    # word-keyed and the per-(doc, cand) partial sums combine
+    # map-side, so the post-fan-out shuffle carries |docs|×|langs|
+    # rows, not |doc-terms|×|langs|.
+    model_w = model.groupBy(F.col("m_w").alias("w")).agg(
+        F.map_from_entries(
+            F.expr("sort_array(collect_list(struct(m_lang, c)))")
+        ).alias("mc")
+    )
+    # persisted: TWO consumers (the in-row fan-out and the post-agg
+    # lang/prior lookup) would otherwise each re-run the priors' full
+    # corpus scan — 1 row, trivially cached.
+    langs_arr = (
+        totals.join(priors, F.col("p_lang") == F.col("t_lang"))
+        .agg(
+            F.expr(
+                "sort_array(collect_list(struct(t_lang AS lang, tot, prior)))"
+            ).alias("ls")
         )
+        .crossJoin(vocab)
+        .persist()
+    )
+    terms = (
+        doc_tf.join(model_w, "w")
+        .crossJoin(F.broadcast(langs_arr))
         .select(
             "doc_id",
             "true_lang",
-            F.col("t_lang").alias("cand"),
-            "prior",
-            (
-                F.col("tf")
-                * F.round(
-                    F.log(
-                        (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
-                        / (F.col("tot") + F.col("v"))
-                    ),
-                    6,
+            F.posexplode(
+                F.expr(
+                    "transform(ls, s -> tf * round(ln("
+                    "(coalesce(element_at(mc, s.lang), 0L) + 1.0)"
+                    " / (s.tot + v)), 6))"
                 )
-            ).alias("term"),
+            ).alias("pos", "term"),
         )
     )
-    scored = cand.groupBy("doc_id", "true_lang", "cand", "prior").agg(
-        (F.first("prior") + F.sum("term")).alias("score")
+    lang_at = F.expr("element_at(ls, pos + 1)")
+    scored = (
+        terms.groupBy("doc_id", "true_lang", "pos")
+        .agg(F.sum("term").alias("tsum"))
+        .crossJoin(F.broadcast(langs_arr.select("ls")))
+        .select(
+            "doc_id",
+            "true_lang",
+            lang_at.getField("lang").alias("cand"),
+            (lang_at.getField("prior") + F.col("tsum")).alias("score"),
+        )
     )
-    w_rank = Window.partitionBy("doc_id").orderBy(
-        F.round(F.col("score"), 4).desc(), "cand"
-    )
+    # Per-doc argmax as a map-side-combined hash aggregate instead of
+    # a row_number window (r13): array_min over the collected
+    # struct(-round(score, 4), cand, …) IS "highest score, ties by
+    # lang asc" — double negation is exact and struct comparison is
+    # lexicographic, so the selection is identical to the oracle's
+    # ORDER BY score DESC, cand.  collect_list keeps the agg an
+    # ObjectHashAggregate with partial combine (min_by over a struct
+    # key would fall back to a SortAggregate), replacing the window's
+    # full shuffle + per-doc sort of the |langs|×|docs| scored
+    # relation; the per-group buffer is |langs| structs.
     pred = (
-        scored.withColumn("rn", F.row_number().over(w_rank))
-        .filter(F.col("rn") == 1)
-        .select("true_lang", F.col("cand").alias("pred_lang"))
+        scored.groupBy("doc_id")
+        .agg(
+            F.expr(
+                "array_min(collect_list(struct("
+                "-round(score, 4) AS ns, cand, true_lang)))"
+            ).alias("p")
+        )
+        .select(
+            F.col("p.true_lang").alias("true_lang"),
+            F.col("p.cand").alias("pred_lang"),
+        )
     )
     return pred.groupBy("true_lang", "pred_lang").agg(
         F.count("*").cast("bigint").alias("n")

@@ -4,6 +4,8 @@ refactor that silently loses one of them fails here, not at 100 TB."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from tests.conftest import SF001
@@ -655,13 +657,17 @@ def test_hierarchy_closure_is_in_row_no_join(spark, registry):
 def test_naive_bayes_single_corpus_explode(spark, registry):
     # late-r7 shape: the (doc, lang, token) tf relation is built by ONE
     # corpus explode and PERSISTED; model/totals/vocab derive from it by
-    # further aggregation.  The v1 plan re-ran the explode 4x (Spark
-    # shares no physical subtrees across DataFrame refs) — 8 Generate
-    # mentions in the formatted plan.  With the persisted spine the
-    # residual mentions come from the single cached subplan only.
+    # further aggregation (the v1 plan re-ran the explode 4x — Spark
+    # shares no physical subtrees across DataFrame refs).  r13 adds a
+    # SECOND legitimate Generate: the in-row |langs| candidate fan-out
+    # (posexplode of the per-word score array) that replaced the
+    # pre-join crossJoin with totals.  So: exactly the two numbered
+    # Generate NODES, no more — a re-planned corpus explode would show
+    # as a third.
     plan = _formatted_plan(spark, registry["ml_naive_bayes"].fn(spark, SF001))
     assert "InMemoryTableScan" in plan, "the doc_tf spine must be persisted"
-    assert plan.count("Generate") <= 6, "corpus explode must not be re-planned per consumer"
+    n_nodes = len(re.findall(r"^\(\d+\) Generate", plan, re.M))
+    assert n_nodes <= 2, "corpus explode must not be re-planned per consumer"
 
 
 def test_tpch_q16_has_no_pre_distinct_shuffle(spark, registry):
