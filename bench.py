@@ -157,6 +157,11 @@ HEADLINE = [
     "sim_ivf_recall",
     "scan_raster_catalog",
     "raster_extent_prune",
+    # r13 additions: overview-aware prune, the VRT-shape mixed-res
+    # mosaic, and the distributed GeoTIFF write+readback roundtrip
+    "raster_overview_prune",
+    "raster_mosaic_hetero",
+    "sink_geotiff",
 ]
 
 

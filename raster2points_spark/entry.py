@@ -30,12 +30,13 @@ SF0001 = "/root/testdata/sf0.001"
 #   hatch the pre-flight error points at, VERDICT r12 #3),
 # - the 2 keys whose plans changed this round (kmeans/NB, VERDICT #7),
 # - the 25 remaining r5-era stale keys (clears the r5 tail entirely),
-# - the 21 oldest r6-era stale keys.
-# r14+ walks the remaining r6/r7 tail (stale-<r9 after r13: ≤123).
+# - the 20 oldest r6-era stale keys.
+# r14+ walks the remaining r6/r7 tail (stale-<r9 after r13: ≤124).
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- never graded (new this round) ---
     "raster_overview_prune",
     "raster_mosaic_hetero",
+    "sink_geotiff",
     # --- changed this round (iterative-loop shave, VERDICT r12 #7) ---
     "ml_kmeans_lloyd",
     "ml_naive_bayes",
@@ -86,7 +87,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_edit_distance",
     "dedup_url_canonical",
     "embed_gram_matrix",
-    "fn_binary",
 )
 
 

@@ -2282,3 +2282,106 @@ def raster_mosaic_hetero(spark, sf_dir):
             .alias("src"),
         )
     )
+
+
+@register(
+    "sink_geotiff",
+    oracle="""
+    WITH px AS (
+      SELECT f.f, r.r, c.c, CAST(f.f * 10000 + r.r * 32 + c.c AS DOUBLE) AS v
+      FROM generate_series(0, 1) f(f),
+           generate_series(0, 31) r(r),
+           generate_series(0, 31) c(c)
+      WHERE NOT (f.f = 1 AND r.r < 16 AND c.c < 16)
+        AND (r.r * 32 + c.c) % 37 <> 0
+    )
+    SELECT 't' || f AS file, CAST(count(*) AS bigint) AS n_valid,
+           round(sum(v), 3) AS sum_val,
+           min(10 + 20 * f + (c + 0.5) * 0.5) AS lon_min,
+           max(45 - (r + 0.5) * 0.5) AS lat_max
+    FROM px GROUP BY 1
+    """,
+)
+def sink_geotiff(spark, sf_dir):
+    """[r13] Distributed GeoTIFF SINK + hash-gated roundtrip — the
+    write half of the raster story (sources/minitiff.py is the read
+    half): a deterministic 2-file x 32x32 pixel relation (value =
+    file*10000 + row*32 + col; every 37th cell absent, and file t1's
+    whole top-left 16x16 quadrant absent so its tile stores SPARSE) is
+    written as tiled (16x16) deflate GeoTIFFs with GDAL_NODATA and
+    per-file geo tags via sinks.geotiff.write_geotiffs — ONE shuffle
+    (groupBy file_id), each task assembling, zlib-encoding and
+    atomically writing its own file, the parquet-task write pattern
+    applied to COGs.  The files are then re-read through the standard
+    minitiff -> unpivot -> nodata -> affine chain and aggregated per
+    file; the oracle REGENERATES the same relation arithmetically in
+    DuckDB — a full encode->decode->points hash gate covering tiling,
+    padding, sparse tiles, nodata and the geo transform.
+
+    At 100 TB: the writer's per-task state is ONE file's raster (the
+    caller shards the target grid into file_ids); the manifest it
+    returns is the audit relation a catalog ingests
+    (scan_raster_catalog reads these files' headers right back).
+    Absent cells and NaNs encode as nodata — the write twin of the
+    reader's mask-first semantics."""
+    import os as _os
+
+    from raster2points_spark.queries._util import SCRATCH
+    from raster2points_spark.sinks.geotiff import write_geotiffs
+    from raster2points_spark.sources.minitiff import minitiff_to_tiles
+
+    w = h = 32
+    ids = F.col("id")
+    pixels = (
+        spark.range(2 * w * h)
+        .select(
+            (ids / (w * h)).cast("int").alias("f"),
+            ((ids % (w * h)) / w).cast("int").alias("row"),
+            (ids % w).cast("int").alias("col"),
+        )
+        .filter(
+            ~((F.col("f") == 1) & (F.col("row") < 16) & (F.col("col") < 16))
+            & ((F.col("row") * w + F.col("col")) % 37 != 0)
+        )
+        .select(
+            F.concat(F.lit("t"), F.col("f")).alias("file_id"),
+            F.lit(1).alias("band"),
+            "row",
+            "col",
+            (F.col("f") * 10000 + F.col("row") * w + F.col("col"))
+            .cast("double")
+            .alias("value"),
+        )
+    )
+    origins = spark.range(2).select(
+        F.concat(F.lit("t"), F.col("id")).alias("file_id"),
+        (10.0 + 20 * F.col("id")).cast("double").alias("lon0"),
+        F.lit(45.0).alias("lat0"),
+    )
+    out_dir = _os.path.join(SCRATCH, "sink_geotiff")
+    manifest = write_geotiffs(
+        pixels,
+        out_dir,
+        width=w,
+        height=h,
+        pixel_scale=(0.5, 0.5),
+        origins=origins,
+        nodata=-9999.0,
+        dtype="f8",
+        tile=(16, 16),
+        sparse=True,
+    )
+    # the write IS an action (sink semantics, like sink_parquet's
+    # write_parquet): materialize the manifest once, then re-read
+    manifest.write.format("noop").mode("overwrite").save()
+    files = ["t0", "t1"]
+    tiles = minitiff_to_tiles(
+        spark, [_os.path.join(out_dir, f + ".tif") for f in files], band_ids=files
+    )
+    px = affine_coords(nodata_filter(grid_unpivot(tiles)))
+    return px.groupBy(F.col("band_id").alias("file")).agg(
+        F.count("*").alias("n_valid"),
+        F.round(F.sum("value"), 3).alias("sum_val"),
+        F.min("lon").alias("lon_min"),
+        F.max("lat").alias("lat_max"),
+    )

@@ -1,0 +1,303 @@
+"""GeoTIFF sink — distributed tiled-COG-style writes from a pixel relation.
+
+The reference pipeline is read-only (GeoTIFF in, CSV/DataFrame out);
+a 100 TB raster platform also needs the WRITE half: model outputs,
+resampled mosaics and derived indices land back on object storage as
+tiled GeoTIFFs, one file per task.  This module provides
+
+* :func:`encode_geotiff` — a dependency-free (struct + zlib + numpy)
+  encoder producing a classic little-endian TIFF: tiled layout,
+  deflate compression, multi-band chunky interleave, GeoTIFF
+  ModelPixelScale/ModelTiepoint geo tags, GDAL_NODATA, and optional
+  GDAL SPARSE_OK sparse tiles (all-nodata tiles stored with
+  TileOffsets=0 — zero bytes on disk, exactly what
+  ``sources/minitiff.py`` synthesizes back on read).  Byte-stable by
+  construction: fixed tag order, zlib level 6, no timestamps — the
+  same pixels always encode to the same bytes, so written files can
+  be golden-pinned like the committed fixtures.
+
+* :func:`write_geotiffs` — the distributed sink: a pixel relation
+  ``(file_id, band, row, col, value)`` grouped by ``file_id``, each
+  group assembled and encoded EXECUTOR-side via ``applyInPandas`` and
+  written as ``<out_dir>/<file_id>.tif``.  One output file per task is
+  the same contract as Spark's own parquet sink; per-file state is
+  bounded by the file's raster (shard the target grid into as many
+  file_ids as you like — the dataset never has to fit anywhere).
+  Returns the write MANIFEST as a DataFrame (path, dims, tile/sparse
+  counts, valid-pixel count, byte size) — the audit relation a
+  catalog ingests (see ``scan_raster_catalog``).
+
+Absent pixels and NaNs encode as ``nodata`` — the write twin of the
+reader's mask-first semantics.  The encoder intentionally supports
+the PRODUCTION subset (tiled + deflate + chunky), not every layout
+the fixture generator ``tests/test_minitiff.py::_write_tiff`` can
+produce for reader torture tests; both encoders are exercised against
+the same reader.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+
+# TIFF 6.0 field types
+_T_SHORT, _T_LONG, _T_ASCII, _T_DOUBLE = 3, 4, 2, 12
+
+_DTYPES = {
+    # dtype -> (bits, SampleFormat, numpy dtype)
+    "f8": (64, 3, "<f8"),
+    "f4": (32, 3, "<f4"),
+    "i2": (16, 2, "<i2"),
+    "u1": (8, 1, "u1"),
+}
+
+
+def encode_geotiff(
+    bands,
+    width,
+    height,
+    *,
+    pixel_scale=(0.5, 0.5),
+    tiepoint=(0.0, 0.0, 0.0, 10.0, 45.0, 0.0),
+    nodata=-9999.0,
+    dtype="f8",
+    tile=(256, 256),
+    sparse=False,
+):
+    """Encode band arrays as classic tiled deflate GeoTIFF bytes.
+
+    ``bands`` — list of row-major numpy-coercible arrays (length
+    width*height each); ``tile`` — (tile_width, tile_height), must be
+    multiples of 16 per the TIFF spec; ``sparse`` — store all-nodata
+    tiles with TileOffsets=0 (GDAL SPARSE_OK).
+    """
+    import numpy as np
+
+    if dtype not in _DTYPES:
+        raise ValueError(f"unsupported dtype {dtype!r}; one of {sorted(_DTYPES)}")
+    tw, th = tile
+    if tw % 16 or th % 16:
+        raise ValueError(f"tile dims must be multiples of 16, got {tile}")
+    bits, sample_format, np_dt = _DTYPES[dtype]
+    spp = len(bands)
+    arrs = [np.asarray(b, dtype=np_dt).reshape(height, width) for b in bands]
+    stack = np.stack(arrs, axis=-1)  # (h, w, spp) chunky interleave
+
+    tiles_across = -(-width // tw)
+    tiles_down = -(-height // th)
+    n_tiles = tiles_across * tiles_down
+
+    # encode tile payloads (row-major tile order, spec-padded with
+    # nodata to full tile size)
+    payloads: list[bytes] = []
+    n_sparse = 0
+    for ty in range(tiles_down):
+        for tx in range(tiles_across):
+            block = np.full((th, tw, spp), nodata, dtype=np_dt)
+            ys, xs = ty * th, tx * tw
+            sub = stack[ys : min(ys + th, height), xs : min(xs + tw, width), :]
+            block[: sub.shape[0], : sub.shape[1], :] = sub
+            if sparse and bool(np.all(block == nodata)):
+                payloads.append(b"")
+                n_sparse += 1
+            else:
+                payloads.append(zlib.compress(block.tobytes(), 6))
+
+    nodata_ascii = _gdal_nodata_ascii(nodata, dtype)
+
+    # ---- assemble: header | IFD | external arrays | tile data ----
+    entries: list[tuple[int, int, int, object]] = [
+        (256, _T_LONG, 1, width),
+        (257, _T_LONG, 1, height),
+        (258, _T_SHORT, spp, [bits] * spp),
+        (259, _T_SHORT, 1, 8),  # deflate
+        (262, _T_SHORT, 1, 1),  # BlackIsZero
+        (277, _T_SHORT, 1, spp),
+        (284, _T_SHORT, 1, 1),  # chunky
+        (322, _T_LONG, 1, tw),
+        (323, _T_LONG, 1, th),
+        (324, _T_LONG, n_tiles, "OFFSETS"),
+        (325, _T_LONG, n_tiles, [len(p) for p in payloads]),
+        (339, _T_SHORT, spp, [sample_format] * spp),
+        (33550, _T_DOUBLE, 3, [pixel_scale[0], pixel_scale[1], 0.0]),
+        (33922, _T_DOUBLE, 6, list(tiepoint)),
+        (42113, _T_ASCII, len(nodata_ascii), nodata_ascii),
+    ]
+    entries.sort(key=lambda e: e[0])  # spec: ascending tag order
+
+    ifd_off = 8
+    ifd_size = 2 + 12 * len(entries) + 4
+    ext_off = ifd_off + ifd_size
+
+    # lay out external (value > 4 bytes) arrays, then tile data
+    ext_chunks: list[bytes] = []
+    ext_pos: dict[int, int] = {}
+    cur = ext_off
+
+    def _ext(tag: int, raw: bytes) -> None:
+        nonlocal cur
+        if len(raw) % 2:  # spec: word-align external values
+            raw += b"\x00"
+        ext_pos[tag] = cur
+        ext_chunks.append(raw)
+        cur += len(raw)
+
+    type_pack = {_T_SHORT: ("H", 2), _T_LONG: ("I", 4), _T_DOUBLE: ("d", 8)}
+    for tag, typ, count, val in entries:
+        if typ == _T_ASCII:
+            if count > 4:
+                _ext(tag, val)
+        elif val != "OFFSETS":
+            fmt, sz = type_pack[typ]
+            if count * sz > 4:
+                vals = val if isinstance(val, list) else [val]
+                _ext(tag, struct.pack(f"<{count}{fmt}", *vals))
+    data_off = cur
+    offsets: list[int] = []
+    for p in payloads:
+        offsets.append(0 if not p else data_off)  # 0 = sparse tile
+        data_off += len(p)
+    if n_tiles * 4 > 4:
+        _ext(324, struct.pack(f"<{n_tiles}I", *offsets))
+        data_off = cur  # _ext moved cur; recompute tile base
+        offsets = []
+        for p in payloads:
+            offsets.append(0 if not p else data_off)
+            data_off += len(p)
+        ext_chunks[-1] = struct.pack(f"<{n_tiles}I", *offsets)
+
+    out = bytearray()
+    out += struct.pack("<2sHI", b"II", 42, ifd_off)
+    out += struct.pack("<H", len(entries))
+    for tag, typ, count, val in entries:
+        if typ == _T_ASCII:
+            inline = val.ljust(4, b"\x00") if count <= 4 else struct.pack("<I", ext_pos[tag])
+            out += struct.pack("<HHI", tag, typ, count) + inline
+            continue
+        fmt, sz = type_pack[typ]
+        if tag == 324 and n_tiles * 4 > 4:
+            payload = struct.pack("<I", ext_pos[324])
+        elif tag == 324:
+            payload = struct.pack("<I", offsets[0])
+        elif count * sz > 4:
+            payload = struct.pack("<I", ext_pos[tag])
+        else:
+            vals = val if isinstance(val, list) else [val]
+            payload = struct.pack(f"<{count}{fmt}", *vals).ljust(4, b"\x00")
+        out += struct.pack("<HHI", tag, typ, count) + payload
+    out += struct.pack("<I", 0)  # next-IFD pointer: none
+    for chunk in ext_chunks:
+        out += chunk
+    for p in payloads:
+        out += p
+    return bytes(out), n_sparse
+
+
+def _gdal_nodata_ascii(nodata, dtype: str) -> bytes:
+    # GDAL writes the repr it parses back; integers without a point
+    if dtype in ("i2", "u1") or float(nodata) == int(nodata):
+        s = str(int(nodata))
+    else:
+        s = repr(float(nodata))
+    return s.encode("ascii") + b"\x00"
+
+
+def write_geotiffs(
+    pixels,
+    out_dir: str,
+    *,
+    width: int,
+    height: int,
+    pixel_scale=(0.5, 0.5),
+    origins=None,
+    nodata=-9999.0,
+    dtype="f8",
+    tile=(256, 256),
+    sparse=False,
+):
+    """Distributed GeoTIFF sink: one tiled file per ``file_id`` group.
+
+    ``pixels`` — DataFrame with columns (file_id: str, band: int,
+    row: int, col: int, value: double); absent (file_id, band, row,
+    col) cells encode as ``nodata``.  ``origins`` — optional DataFrame
+    (file_id, lon0, lat0) giving each file's tiepoint (upper-left
+    corner); files missing from it anchor at (0, 0).  All files share
+    ``width``×``height`` dims and the band set of their own rows.
+
+    Scale shape: ONE shuffle (groupBy file_id), then each task
+    assembles and zlib-encodes its own file and writes it directly —
+    the parquet-task write pattern applied to COGs.  Per-task memory
+    is one file's raster, set by how finely the caller shards the
+    target grid into file_ids.  Returns the manifest DataFrame; the
+    write happens when the manifest is materialized (sink semantics —
+    same as ``df.write``, one action runs the job once).
+    """
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    if origins is not None:
+        pixels = pixels.join(F.broadcast(origins), "file_id", "left")
+    else:
+        pixels = pixels.withColumn("lon0", F.lit(0.0)).withColumn("lat0", F.lit(0.0))
+
+    schema = (
+        "file_id string, path string, width int, height int, n_bands int, "
+        "n_tiles int, n_sparse int, n_valid bigint, n_bytes bigint"
+    )
+
+    def _write_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        fid = str(pdf["file_id"].iloc[0])
+        lon0 = float(pdf["lon0"].iloc[0]) if pd.notna(pdf["lon0"].iloc[0]) else 0.0
+        lat0 = float(pdf["lat0"].iloc[0]) if pd.notna(pdf["lat0"].iloc[0]) else 0.0
+        band_ids = sorted(int(b) for b in pdf["band"].unique())
+        bands = []
+        n_valid = 0
+        for b in band_ids:
+            arr = np.full(height * width, nodata, dtype="f8")
+            sel = pdf[pdf["band"] == b]
+            vals = sel["value"].to_numpy(dtype="f8")
+            ok = ~np.isnan(vals)  # NaN values encode as nodata
+            idx = sel["row"].to_numpy(dtype="i8") * width + sel["col"].to_numpy(dtype="i8")
+            arr[idx[ok]] = vals[ok]
+            n_valid += int(ok.sum())
+            bands.append(arr)
+        data, n_sparse = encode_geotiff(
+            bands,
+            width,
+            height,
+            pixel_scale=pixel_scale,
+            tiepoint=(0.0, 0.0, 0.0, lon0, lat0, 0.0),
+            nodata=nodata,
+            dtype=dtype,
+            tile=tile,
+            sparse=sparse,
+        )
+        path = os.path.join(out_dir, f"{fid}.tif")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:  # write-then-rename: no torn files
+            f.write(data)
+        os.replace(tmp, path)
+        tw, th = tile
+        n_tiles = (-(-width // tw)) * (-(-height // th))
+        return pd.DataFrame(
+            [
+                {
+                    "file_id": fid,
+                    "path": path,
+                    "width": width,
+                    "height": height,
+                    "n_bands": len(band_ids),
+                    "n_tiles": n_tiles,
+                    "n_sparse": n_sparse,
+                    "n_valid": n_valid,
+                    "n_bytes": len(data),
+                }
+            ]
+        )
+
+    return pixels.groupBy("file_id").applyInPandas(_write_one, schema)

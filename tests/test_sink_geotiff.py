@@ -1,0 +1,176 @@
+"""sinks/geotiff.py — encoder + distributed sink contract.
+
+The encoder is verified against the INDEPENDENT reader
+(sources/minitiff.py, itself pinned by the committed golden fixtures
+and tests/test_minitiff.py's separate fixture writer), so a bug would
+have to be mirrored across two implementations written against the
+TIFF 6.0 spec from opposite directions to slip through.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from raster2points_spark.sinks.geotiff import encode_geotiff, write_geotiffs
+from raster2points_spark.sources.minitiff import read_header, read_window
+
+W, H = 20, 18  # deliberately NOT tile-aligned: right/bottom padding
+VALS = [float(r * W + c) if (r * W + c) % 7 else -9999.0 for r in range(H) for c in range(W)]
+
+
+def _write(tmp_path, name="a.tif", **kw):
+    data, n_sparse = encode_geotiff([VALS], W, H, tile=(16, 16), **kw)
+    p = str(tmp_path / name)
+    with open(p, "wb") as f:
+        f.write(data)
+    return p, data, n_sparse
+
+
+def test_encode_is_byte_stable(tmp_path):
+    d1, _ = encode_geotiff([VALS], W, H, tile=(16, 16))
+    d2, _ = encode_geotiff([VALS], W, H, tile=(16, 16))
+    assert d1 == d2
+
+
+def test_roundtrip_values_transform_nodata(tmp_path):
+    p, _, n_sparse = _write(tmp_path, pixel_scale=(0.25, 0.5), tiepoint=(0, 0, 0, -3.0, 52.0, 0))
+    assert n_sparse == 0
+    hdr = read_header(p)
+    assert (hdr.width, hdr.height) == (W, H)
+    assert hdr.tiled and (hdr.block_width, hdr.block_height) == (16, 16)
+    assert hdr.compression == 8 and hdr.samples_per_pixel == 1
+    assert hdr.nodata == -9999.0
+    # GDAL affine from pixel scale + tiepoint: a=sx, e=-sy, c/f=origin
+    assert hdr.transform == [0.25, 0.0, -3.0, 0.0, -0.5, 52.0]
+    assert read_window(hdr, 0, 0, W, H) == VALS
+
+
+def test_sparse_tiles_offset_zero_and_synthesized(tmp_path):
+    # bottom-right 16x16-padded tile region all nodata -> stored sparse
+    vals = [
+        -9999.0 if (r >= 16 and c >= 16) else float(r * W + c)
+        for r in range(H)
+        for c in range(W)
+    ]
+    data, n_sparse = encode_geotiff([vals], W, H, tile=(16, 16), sparse=True)
+    assert n_sparse == 1
+    p = str(tmp_path / "sp.tif")
+    with open(p, "wb") as f:
+        f.write(data)
+    hdr = read_header(p)
+    assert hdr.offsets.count(0) == 1 and hdr.byte_counts.count(0) == 1
+    assert read_window(hdr, 0, 0, W, H) == vals
+    # the sparse variant must be strictly smaller than the dense one
+    dense, _ = encode_geotiff([vals], W, H, tile=(16, 16), sparse=False)
+    assert len(data) < len(dense)
+
+
+def test_multiband_chunky_roundtrip(tmp_path):
+    b2 = [v * 2.0 if v != -9999.0 else -9999.0 for v in VALS]
+    data, _ = encode_geotiff([VALS, b2], W, H, tile=(16, 16))
+    p = str(tmp_path / "mb.tif")
+    with open(p, "wb") as f:
+        f.write(data)
+    hdr = read_header(p)
+    assert hdr.samples_per_pixel == 2 and hdr.planar_config == 1
+    assert read_window(hdr, 0, 0, W, H, sample=0) == VALS
+    assert read_window(hdr, 0, 0, W, H, sample=1) == b2
+
+
+def test_dtypes_roundtrip(tmp_path):
+    for dtype, vals in [
+        ("f4", [float(i) for i in range(W * H)]),
+        ("i2", [float(i - 100) for i in range(W * H)]),
+        ("u1", [float(i % 251) for i in range(W * H)]),
+    ]:
+        data, _ = encode_geotiff([vals], W, H, dtype=dtype, nodata=0, tile=(16, 16))
+        p = str(tmp_path / f"{dtype}.tif")
+        with open(p, "wb") as f:
+            f.write(data)
+        hdr = read_header(p)
+        assert read_window(hdr, 0, 0, W, H) == vals, dtype
+
+
+def test_rejects_bad_tile_and_dtype():
+    with pytest.raises(ValueError, match="multiples of 16"):
+        encode_geotiff([VALS], W, H, tile=(10, 16))
+    with pytest.raises(ValueError, match="unsupported dtype"):
+        encode_geotiff([VALS], W, H, dtype="c16")
+
+
+def test_classic_header_magic():
+    data, _ = encode_geotiff([VALS], W, H, tile=(16, 16))
+    assert data[:4] == b"II\x2a\x00"
+    (ifd_off,) = struct.unpack("<I", data[4:8])
+    (n_entries,) = struct.unpack("<H", data[ifd_off : ifd_off + 2])
+    tags = [
+        struct.unpack("<H", data[ifd_off + 2 + 12 * i : ifd_off + 4 + 12 * i])[0]
+        for i in range(n_entries)
+    ]
+    assert tags == sorted(tags), "spec: IFD entries in ascending tag order"
+
+
+def test_distributed_sink_manifest_and_scan(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from raster2points_spark.sources.minitiff import minitiff_catalog
+
+    w = h = 32
+    pixels = (
+        spark.range(2 * w * h)
+        .select(
+            F.concat(F.lit("t"), (F.col("id") / (w * h)).cast("int")).alias("file_id"),
+            F.lit(1).alias("band"),
+            ((F.col("id") % (w * h)) / w).cast("int").alias("row"),
+            (F.col("id") % w).cast("int").alias("col"),
+            (F.col("id") % 1000).cast("double").alias("value"),
+        )
+        # t1's top-left quadrant absent -> one sparse tile
+        .filter(
+            ~(
+                (F.col("file_id") == "t1")
+                & (F.col("row") < 16)
+                & (F.col("col") < 16)
+            )
+        )
+    )
+    out = str(tmp_path / "sink")
+    rows = {
+        r.file_id: r
+        for r in write_geotiffs(
+            pixels, out, width=w, height=h, tile=(16, 16), sparse=True
+        ).collect()
+    }
+    assert set(rows) == {"t0", "t1"}
+    for fid, r in rows.items():
+        assert os.path.getsize(r.path) == r.n_bytes
+        assert (r.width, r.height, r.n_bands, r.n_tiles) == (w, h, 1, 4)
+    assert rows["t0"].n_sparse == 0 and rows["t1"].n_sparse == 1
+    assert rows["t0"].n_valid == w * h and rows["t1"].n_valid == w * h - 256
+    # the written files feed straight back into the catalog scan
+    cat = {r.file: r for r in minitiff_catalog(spark, [rows[f].path for f in rows]).collect()}
+    assert cat["t0.tif"].width == w and cat["t1.tif"].compression == 8
+
+
+def test_nan_values_encode_as_nodata(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    pixels = spark.range(16 * 16).select(
+        F.lit("z").alias("file_id"),
+        F.lit(1).alias("band"),
+        (F.col("id") / 16).cast("int").alias("row"),
+        (F.col("id") % 16).cast("int").alias("col"),
+        F.when(F.col("id") == 5, float("nan")).otherwise(F.col("id").cast("double")).alias("value"),
+    )
+    out = str(tmp_path / "nan")
+    (m,) = write_geotiffs(pixels, out, width=16, height=16, tile=(16, 16)).collect()
+    assert m.n_valid == 255
+    hdr = read_header(m.path)
+    got = read_window(hdr, 0, 0, 16, 16)
+    assert got[5] == -9999.0 and got[6] == 6.0
+    assert not any(math.isnan(v) for v in got)
