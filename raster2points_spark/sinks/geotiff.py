@@ -41,8 +41,8 @@ import os
 import struct
 import zlib
 
-# TIFF 6.0 field types
-_T_SHORT, _T_LONG, _T_ASCII, _T_DOUBLE = 3, 4, 2, 12
+# TIFF 6.0 / BigTIFF field types
+_T_SHORT, _T_LONG, _T_ASCII, _T_DOUBLE, _T_LONG8 = 3, 4, 2, 12, 16
 
 _DTYPES = {
     # dtype -> (bits, SampleFormat, numpy dtype)
@@ -64,13 +64,18 @@ def encode_geotiff(
     dtype="f8",
     tile=(256, 256),
     sparse=False,
+    bigtiff=False,
 ):
-    """Encode band arrays as classic tiled deflate GeoTIFF bytes.
+    """Encode band arrays as tiled deflate GeoTIFF bytes.
 
     ``bands`` — list of row-major numpy-coercible arrays (length
     width*height each); ``tile`` — (tile_width, tile_height), must be
     multiples of 16 per the TIFF spec; ``sparse`` — store all-nodata
-    tiles with TileOffsets=0 (GDAL SPARSE_OK).
+    tiles with TileOffsets=0 (GDAL SPARSE_OK); ``bigtiff`` — BigTIFF
+    layout (magic 43, 8-byte offsets, LONG8 tile arrays) for files
+    that can exceed 4 GB — at 100 TB most production COGs are written
+    BigTIFF regardless of size so appends/mosaics never hit the
+    classic 32-bit offset wall.
     """
     import numpy as np
 
@@ -107,6 +112,11 @@ def encode_geotiff(
     nodata_ascii = _gdal_nodata_ascii(nodata, dtype)
 
     # ---- assemble: header | IFD | external arrays | tile data ----
+    # classic vs BigTIFF geometry: inline-value capacity, entry and
+    # count widths, and the offset integer width all double
+    t_off = _T_LONG8 if bigtiff else _T_LONG
+    inline_cap = 8 if bigtiff else 4
+    off_fmt = "Q" if bigtiff else "I"
     entries: list[tuple[int, int, int, object]] = [
         (256, _T_LONG, 1, width),
         (257, _T_LONG, 1, height),
@@ -117,8 +127,8 @@ def encode_geotiff(
         (284, _T_SHORT, 1, 1),  # chunky
         (322, _T_LONG, 1, tw),
         (323, _T_LONG, 1, th),
-        (324, _T_LONG, n_tiles, "OFFSETS"),
-        (325, _T_LONG, n_tiles, [len(p) for p in payloads]),
+        (324, t_off, n_tiles, "OFFSETS"),
+        (325, t_off, n_tiles, [len(p) for p in payloads]),
         (339, _T_SHORT, spp, [sample_format] * spp),
         (33550, _T_DOUBLE, 3, [pixel_scale[0], pixel_scale[1], 0.0]),
         (33922, _T_DOUBLE, 6, list(tiepoint)),
@@ -126,11 +136,12 @@ def encode_geotiff(
     ]
     entries.sort(key=lambda e: e[0])  # spec: ascending tag order
 
-    ifd_off = 8
-    ifd_size = 2 + 12 * len(entries) + 4
+    ifd_off = 16 if bigtiff else 8
+    entry_sz = 20 if bigtiff else 12
+    ifd_size = (8 + entry_sz * len(entries) + 8) if bigtiff else (2 + entry_sz * len(entries) + 4)
     ext_off = ifd_off + ifd_size
 
-    # lay out external (value > 4 bytes) arrays, then tile data
+    # lay out external (value > inline capacity) arrays, then tile data
     ext_chunks: list[bytes] = []
     ext_pos: dict[int, int] = {}
     cur = ext_off
@@ -143,50 +154,58 @@ def encode_geotiff(
         ext_chunks.append(raw)
         cur += len(raw)
 
-    type_pack = {_T_SHORT: ("H", 2), _T_LONG: ("I", 4), _T_DOUBLE: ("d", 8)}
+    type_pack = {_T_SHORT: ("H", 2), _T_LONG: ("I", 4), _T_DOUBLE: ("d", 8), _T_LONG8: ("Q", 8)}
     for tag, typ, count, val in entries:
         if typ == _T_ASCII:
-            if count > 4:
+            if count > inline_cap:
                 _ext(tag, val)
         elif val != "OFFSETS":
             fmt, sz = type_pack[typ]
-            if count * sz > 4:
+            if count * sz > inline_cap:
                 vals = val if isinstance(val, list) else [val]
                 _ext(tag, struct.pack(f"<{count}{fmt}", *vals))
+    off_sz = 8 if bigtiff else 4
+    offsets_external = n_tiles * off_sz > inline_cap
+    if offsets_external:
+        _ext(324, b"\x00" * (n_tiles * off_sz))  # placeholder, patched below
     data_off = cur
     offsets: list[int] = []
     for p in payloads:
         offsets.append(0 if not p else data_off)  # 0 = sparse tile
         data_off += len(p)
-    if n_tiles * 4 > 4:
-        _ext(324, struct.pack(f"<{n_tiles}I", *offsets))
-        data_off = cur  # _ext moved cur; recompute tile base
-        offsets = []
-        for p in payloads:
-            offsets.append(0 if not p else data_off)
-            data_off += len(p)
-        ext_chunks[-1] = struct.pack(f"<{n_tiles}I", *offsets)
+    if offsets_external:
+        ext_chunks[-1] = struct.pack(f"<{n_tiles}{off_fmt}", *offsets)
 
     out = bytearray()
-    out += struct.pack("<2sHI", b"II", 42, ifd_off)
-    out += struct.pack("<H", len(entries))
+    if bigtiff:
+        out += struct.pack("<2sHHHQ", b"II", 43, 8, 0, ifd_off)
+        out += struct.pack("<Q", len(entries))
+    else:
+        out += struct.pack("<2sHI", b"II", 42, ifd_off)
+        out += struct.pack("<H", len(entries))
     for tag, typ, count, val in entries:
         if typ == _T_ASCII:
-            inline = val.ljust(4, b"\x00") if count <= 4 else struct.pack("<I", ext_pos[tag])
-            out += struct.pack("<HHI", tag, typ, count) + inline
+            inline = (
+                val.ljust(inline_cap, b"\x00")
+                if count <= inline_cap
+                else struct.pack(f"<{off_fmt}", ext_pos[tag])
+            )
+            out += struct.pack(f"<HH{off_fmt}", tag, typ, count) + inline
             continue
         fmt, sz = type_pack[typ]
-        if tag == 324 and n_tiles * 4 > 4:
-            payload = struct.pack("<I", ext_pos[324])
-        elif tag == 324:
-            payload = struct.pack("<I", offsets[0])
-        elif count * sz > 4:
-            payload = struct.pack("<I", ext_pos[tag])
+        if tag == 324:
+            payload = (
+                struct.pack(f"<{off_fmt}", ext_pos[324])
+                if offsets_external
+                else struct.pack(f"<{n_tiles}{fmt}", *offsets).ljust(inline_cap, b"\x00")
+            )
+        elif count * sz > inline_cap:
+            payload = struct.pack(f"<{off_fmt}", ext_pos[tag])
         else:
             vals = val if isinstance(val, list) else [val]
-            payload = struct.pack(f"<{count}{fmt}", *vals).ljust(4, b"\x00")
-        out += struct.pack("<HHI", tag, typ, count) + payload
-    out += struct.pack("<I", 0)  # next-IFD pointer: none
+            payload = struct.pack(f"<{count}{fmt}", *vals).ljust(inline_cap, b"\x00")
+        out += struct.pack(f"<HH{off_fmt}", tag, typ, count) + payload
+    out += struct.pack(f"<{off_fmt}", 0)  # next-IFD pointer: none
     for chunk in ext_chunks:
         out += chunk
     for p in payloads:
@@ -215,6 +234,7 @@ def write_geotiffs(
     dtype="f8",
     tile=(256, 256),
     sparse=False,
+    bigtiff=False,
 ):
     """Distributed GeoTIFF sink: one tiled file per ``file_id`` group.
 
@@ -276,6 +296,7 @@ def write_geotiffs(
             dtype=dtype,
             tile=tile,
             sparse=sparse,
+            bigtiff=bigtiff,
         )
         path = os.path.join(out_dir, f"{fid}.tif")
         tmp = path + ".tmp"

@@ -13,7 +13,6 @@ import math
 import os
 import struct
 
-import numpy as np
 import pytest
 
 from raster2points_spark.sinks.geotiff import encode_geotiff, write_geotiffs
@@ -174,3 +173,32 @@ def test_nan_values_encode_as_nodata(spark, tmp_path):
     got = read_window(hdr, 0, 0, 16, 16)
     assert got[5] == -9999.0 and got[6] == 6.0
     assert not any(math.isnan(v) for v in got)
+
+
+def test_bigtiff_roundtrip(tmp_path):
+    data, n_sparse = encode_geotiff(
+        [VALS], W, H, tile=(16, 16), bigtiff=True, sparse=True
+    )
+    assert data[:4] == b"II\x2b\x00" and data[4:8] == b"\x08\x00\x00\x00"
+    p = str(tmp_path / "big.tif")
+    with open(p, "wb") as f:
+        f.write(data)
+    hdr = read_header(p)
+    assert (hdr.width, hdr.height) == (W, H)
+    assert read_window(hdr, 0, 0, W, H) == VALS
+    # classic and BigTIFF must decode identically
+    classic, _ = encode_geotiff([VALS], W, H, tile=(16, 16))
+    p2 = str(tmp_path / "classic.tif")
+    with open(p2, "wb") as f:
+        f.write(classic)
+    assert read_window(read_header(p2), 0, 0, W, H) == VALS
+
+
+def test_bigtiff_single_tile_inline_offsets(tmp_path):
+    # 16x16 image = ONE tile: offsets/counts fit the 8-byte inline slot
+    vals = [float(i) for i in range(256)]
+    data, _ = encode_geotiff([vals], 16, 16, tile=(16, 16), bigtiff=True)
+    p = str(tmp_path / "one.tif")
+    with open(p, "wb") as f:
+        f.write(data)
+    assert read_window(read_header(p), 0, 0, 16, 16) == vals
