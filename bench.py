@@ -162,6 +162,7 @@ HEADLINE = [
     "raster_overview_prune",
     "raster_mosaic_hetero",
     "sink_geotiff",
+    "sink_geotiff_pyramid",
 ]
 
 

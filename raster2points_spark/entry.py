@@ -23,20 +23,19 @@ SF0001 = "/root/testdata/sf0.001"
 # The r13 window (VERDICT r12 #1: keep draining the stale ledger —
 # oldest grades first; tools/evidence_audit.py is the ordering
 # source):
-# - the 2 NEW r13 keys, never driver-graded: raster_overview_prune
-#   (bbox + target-resolution → cheapest sufficient pyramid level per
-#   surviving file, VERDICT r12 #2) and raster_mosaic_hetero
-#   (resample-to-coarser-grid then priority mosaic — the VRT escape
-#   hatch the pre-flight error points at, VERDICT r12 #3),
+# - the 4 NEW r13 keys, never driver-graded: raster_overview_prune
+#   (VERDICT r12 #2), raster_mosaic_hetero (VERDICT r12 #3), and the
+#   GeoTIFF write path sink_geotiff / sink_geotiff_pyramid,
 # - the 2 keys whose plans changed this round (kmeans/NB, VERDICT #7),
 # - the 25 remaining r5-era stale keys (clears the r5 tail entirely),
-# - the 20 oldest r6-era stale keys.
-# r14+ walks the remaining r6/r7 tail (stale-<r9 after r13: ≤124).
+# - the 19 oldest r6-era stale keys.
+# r14+ walks the remaining r6/r7 tail (stale-<r9 after r13: ≤125).
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- never graded (new this round) ---
     "raster_overview_prune",
     "raster_mosaic_hetero",
     "sink_geotiff",
+    "sink_geotiff_pyramid",
     # --- changed this round (iterative-loop shave, VERDICT r12 #7) ---
     "ml_kmeans_lloyd",
     "ml_naive_bayes",
@@ -66,7 +65,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q18",
     "win_ntile",
     "win_rolling_z",
-    # --- the 23 oldest r6-era stale keys ---
+    # --- the 19 oldest r6-era stale keys ---
     "agg_any_all",
     "agg_approx_percentile",
     "agg_bitmap_distinct",
@@ -86,7 +85,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "concurrency_peak",
     "dedup_edit_distance",
     "dedup_url_canonical",
-    "embed_gram_matrix",
 )
 
 

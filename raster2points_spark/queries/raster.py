@@ -2385,3 +2385,95 @@ def sink_geotiff(spark, sf_dir):
         F.min("lon").alias("lon_min"),
         F.max("lat").alias("lat_max"),
     )
+
+
+@register(
+    "sink_geotiff_pyramid",
+    oracle="""
+    WITH px AS (
+      SELECT r.r, c.c, CAST(r.r * 32 + c.c AS DOUBLE) AS v
+      FROM generate_series(0, 31) r(r), generate_series(0, 31) c(c)
+      WHERE NOT (r.r < 16 AND c.c < 16) AND (r.r * 32 + c.c) % 37 <> 0
+    ),
+    ov AS (
+      SELECT r // 2 AS orow, c // 2 AS ocol, avg(v) AS value
+      FROM px GROUP BY 1, 2
+    )
+    SELECT 10 + (ocol + 0.5) * 1.0 AS lon, 45 - (orow + 0.5) * 1.0 AS lat,
+           round(value, 6) AS value
+    FROM ov
+    """,
+)
+def sink_geotiff_pyramid(spark, sf_dir):
+    """[r13] COG pyramid WRITE + overview readback — closes the loop
+    with raster_overview_prune (which SERVES pyramid levels, and can
+    now serve levels this engine wrote): the sink_geotiff pixel
+    relation (32x32, top-left 16x16 quadrant absent -> a sparse tile,
+    every 37th cell absent) is written with ``overviews=1`` — the
+    writer derives the level-1 image as 2x2 NODATA-EXCLUDING box means
+    (GDAL's "average" resampling) and appends it as a chained IFD with
+    no geo tags, per the GDAL convention — then the LEVEL-1 image is
+    read back via minitiff_to_tiles(overview_level=1) through the
+    standard unpivot->nodata->affine chain.  The oracle regenerates
+    the full-res pixels arithmetically and aggregates the same
+    2x2 box means in SQL: a hash gate proving write-side pyramid
+    math, IFD chaining, transform inheritance+scaling and
+    nodata-propagation (all-absent quads -> nodata -> dropped) agree
+    with an independent engine.  All values are small integers, so
+    sum/count means are exact in f8 and the comparison is
+    engine-exact at 6 dp.
+
+    At 100 TB: overview generation at WRITE time is what makes the
+    raster_overview_prune serving pattern possible at all — each
+    write task derives its own file's pyramid in-memory (bounded by
+    the file, never the dataset) instead of a separate full-dataset
+    downsample job."""
+    import os as _os
+
+    from raster2points_spark.queries._util import SCRATCH
+    from raster2points_spark.sinks.geotiff import write_geotiffs
+    from raster2points_spark.sources.minitiff import minitiff_to_tiles
+
+    w = h = 32
+    ids = F.col("id")
+    pixels = (
+        spark.range(w * h)
+        .select(
+            (ids / w).cast("int").alias("row"),
+            (ids % w).cast("int").alias("col"),
+        )
+        .filter(
+            ~((F.col("row") < 16) & (F.col("col") < 16))
+            & ((F.col("row") * w + F.col("col")) % 37 != 0)
+        )
+        .select(
+            F.lit("p0").alias("file_id"),
+            F.lit(1).alias("band"),
+            "row",
+            "col",
+            (F.col("row") * w + F.col("col")).cast("double").alias("value"),
+        )
+    )
+    origins = spark.range(1).select(
+        F.lit("p0").alias("file_id"),
+        F.lit(10.0).alias("lon0"),
+        F.lit(45.0).alias("lat0"),
+    )
+    out_dir = _os.path.join(SCRATCH, "sink_geotiff_pyramid")
+    manifest = write_geotiffs(
+        pixels,
+        out_dir,
+        width=w,
+        height=h,
+        pixel_scale=(0.5, 0.5),
+        origins=origins,
+        tile=(16, 16),
+        sparse=True,
+        overviews=1,
+    )
+    manifest.write.format("noop").mode("overwrite").save()
+    tiles = minitiff_to_tiles(
+        spark, [_os.path.join(out_dir, "p0.tif")], band_ids=["p0"], overview_level=1
+    )
+    px = affine_coords(nodata_filter(grid_unpivot(tiles)))
+    return px.select("lon", "lat", F.round("value", 6).alias("value"))

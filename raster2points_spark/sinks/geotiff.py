@@ -53,53 +53,20 @@ _DTYPES = {
 }
 
 
-def encode_geotiff(
-    bands,
-    width,
-    height,
-    *,
-    pixel_scale=(0.5, 0.5),
-    tiepoint=(0.0, 0.0, 0.0, 10.0, 45.0, 0.0),
-    nodata=-9999.0,
-    dtype="f8",
-    tile=(256, 256),
-    sparse=False,
-    bigtiff=False,
-):
-    """Encode band arrays as tiled deflate GeoTIFF bytes.
+_TYPE_PACK = {_T_SHORT: ("H", 2), _T_LONG: ("I", 4), _T_DOUBLE: ("d", 8), _T_LONG8: ("Q", 8)}
 
-    ``bands`` — list of row-major numpy-coercible arrays (length
-    width*height each); ``tile`` — (tile_width, tile_height), must be
-    multiples of 16 per the TIFF spec; ``sparse`` — store all-nodata
-    tiles with TileOffsets=0 (GDAL SPARSE_OK); ``bigtiff`` — BigTIFF
-    layout (magic 43, 8-byte offsets, LONG8 tile arrays) for files
-    that can exceed 4 GB — at 100 TB most production COGs are written
-    BigTIFF regardless of size so appends/mosaics never hit the
-    classic 32-bit offset wall.
-    """
+
+def _tile_payloads(stack, width, height, tw, th, nodata, np_dt, sparse):
+    """Deflate-encode one sub-image's tiles (row-major tile order,
+    spec-padded with nodata to full tile size).  Sparse all-nodata
+    tiles encode as b"" (TileOffsets=0 on disk)."""
     import numpy as np
 
-    if dtype not in _DTYPES:
-        raise ValueError(f"unsupported dtype {dtype!r}; one of {sorted(_DTYPES)}")
-    tw, th = tile
-    if tw % 16 or th % 16:
-        raise ValueError(f"tile dims must be multiples of 16, got {tile}")
-    bits, sample_format, np_dt = _DTYPES[dtype]
-    spp = len(bands)
-    arrs = [np.asarray(b, dtype=np_dt).reshape(height, width) for b in bands]
-    stack = np.stack(arrs, axis=-1)  # (h, w, spp) chunky interleave
-
-    tiles_across = -(-width // tw)
-    tiles_down = -(-height // th)
-    n_tiles = tiles_across * tiles_down
-
-    # encode tile payloads (row-major tile order, spec-padded with
-    # nodata to full tile size)
     payloads: list[bytes] = []
     n_sparse = 0
-    for ty in range(tiles_down):
-        for tx in range(tiles_across):
-            block = np.full((th, tw, spp), nodata, dtype=np_dt)
+    for ty in range(-(-height // th)):
+        for tx in range(-(-width // tw)):
+            block = np.full((th, tw, stack.shape[2]), nodata, dtype=np_dt)
             ys, xs = ty * th, tx * tw
             sub = stack[ys : min(ys + th, height), xs : min(xs + tw, width), :]
             block[: sub.shape[0], : sub.shape[1], :] = sub
@@ -108,43 +75,40 @@ def encode_geotiff(
                 n_sparse += 1
             else:
                 payloads.append(zlib.compress(block.tobytes(), 6))
+    return payloads, n_sparse
 
-    nodata_ascii = _gdal_nodata_ascii(nodata, dtype)
 
-    # ---- assemble: header | IFD | external arrays | tile data ----
-    # classic vs BigTIFF geometry: inline-value capacity, entry and
-    # count widths, and the offset integer width all double
-    t_off = _T_LONG8 if bigtiff else _T_LONG
+def _segment_size(entries, payloads, bigtiff):
+    """Byte size of one IFD segment (IFD + external arrays + tile
+    data) — offset-independent, so segments can be laid out in one
+    pass before any absolute position is known."""
+    inline_cap = 8 if bigtiff else 4
+    entry_sz = 20 if bigtiff else 12
+    size = (8 + entry_sz * len(entries) + 8) if bigtiff else (2 + entry_sz * len(entries) + 4)
+    for tag, typ, count, val in entries:
+        n = count if typ == _T_ASCII else count * _TYPE_PACK[typ][1]
+        if n > inline_cap and val != "OFFSETS":
+            size += n + (n % 2)
+    n_off = len(payloads) * (8 if bigtiff else 4)
+    if n_off > inline_cap:
+        size += n_off  # offsets array (always even)
+    return size + sum(len(p) for p in payloads)
+
+
+def _emit_segment(entries, payloads, base, next_off, bigtiff):
+    """Emit one IFD segment at absolute offset ``base``, chaining its
+    next-IFD pointer to ``next_off`` (0 terminates)."""
     inline_cap = 8 if bigtiff else 4
     off_fmt = "Q" if bigtiff else "I"
-    entries: list[tuple[int, int, int, object]] = [
-        (256, _T_LONG, 1, width),
-        (257, _T_LONG, 1, height),
-        (258, _T_SHORT, spp, [bits] * spp),
-        (259, _T_SHORT, 1, 8),  # deflate
-        (262, _T_SHORT, 1, 1),  # BlackIsZero
-        (277, _T_SHORT, 1, spp),
-        (284, _T_SHORT, 1, 1),  # chunky
-        (322, _T_LONG, 1, tw),
-        (323, _T_LONG, 1, th),
-        (324, t_off, n_tiles, "OFFSETS"),
-        (325, t_off, n_tiles, [len(p) for p in payloads]),
-        (339, _T_SHORT, spp, [sample_format] * spp),
-        (33550, _T_DOUBLE, 3, [pixel_scale[0], pixel_scale[1], 0.0]),
-        (33922, _T_DOUBLE, 6, list(tiepoint)),
-        (42113, _T_ASCII, len(nodata_ascii), nodata_ascii),
-    ]
-    entries.sort(key=lambda e: e[0])  # spec: ascending tag order
-
-    ifd_off = 16 if bigtiff else 8
+    t_off = _T_LONG8 if bigtiff else _T_LONG
+    n_tiles = len(payloads)
+    entries = sorted(entries, key=lambda e: e[0])  # spec: ascending tags
     entry_sz = 20 if bigtiff else 12
     ifd_size = (8 + entry_sz * len(entries) + 8) if bigtiff else (2 + entry_sz * len(entries) + 4)
-    ext_off = ifd_off + ifd_size
 
-    # lay out external (value > inline capacity) arrays, then tile data
     ext_chunks: list[bytes] = []
     ext_pos: dict[int, int] = {}
-    cur = ext_off
+    cur = base + ifd_size
 
     def _ext(tag: int, raw: bytes) -> None:
         nonlocal cur
@@ -154,13 +118,12 @@ def encode_geotiff(
         ext_chunks.append(raw)
         cur += len(raw)
 
-    type_pack = {_T_SHORT: ("H", 2), _T_LONG: ("I", 4), _T_DOUBLE: ("d", 8), _T_LONG8: ("Q", 8)}
     for tag, typ, count, val in entries:
         if typ == _T_ASCII:
             if count > inline_cap:
                 _ext(tag, val)
         elif val != "OFFSETS":
-            fmt, sz = type_pack[typ]
+            fmt, sz = _TYPE_PACK[typ]
             if count * sz > inline_cap:
                 vals = val if isinstance(val, list) else [val]
                 _ext(tag, struct.pack(f"<{count}{fmt}", *vals))
@@ -178,10 +141,8 @@ def encode_geotiff(
 
     out = bytearray()
     if bigtiff:
-        out += struct.pack("<2sHHHQ", b"II", 43, 8, 0, ifd_off)
         out += struct.pack("<Q", len(entries))
     else:
-        out += struct.pack("<2sHI", b"II", 42, ifd_off)
         out += struct.pack("<H", len(entries))
     for tag, typ, count, val in entries:
         if typ == _T_ASCII:
@@ -192,7 +153,7 @@ def encode_geotiff(
             )
             out += struct.pack(f"<HH{off_fmt}", tag, typ, count) + inline
             continue
-        fmt, sz = type_pack[typ]
+        fmt, sz = _TYPE_PACK[typ]
         if tag == 324:
             payload = (
                 struct.pack(f"<{off_fmt}", ext_pos[324])
@@ -205,12 +166,135 @@ def encode_geotiff(
             vals = val if isinstance(val, list) else [val]
             payload = struct.pack(f"<{count}{fmt}", *vals).ljust(inline_cap, b"\x00")
         out += struct.pack(f"<HH{off_fmt}", tag, typ, count) + payload
-    out += struct.pack(f"<{off_fmt}", 0)  # next-IFD pointer: none
+    out += struct.pack(f"<{off_fmt}", next_off)
     for chunk in ext_chunks:
         out += chunk
     for p in payloads:
         out += p
+    assert len(out) == _segment_size(entries, payloads, bigtiff), "layout accounting drift"
+    return bytes(out), t_off  # t_off returned for callers building entries
+
+
+def encode_geotiff(
+    bands,
+    width,
+    height,
+    *,
+    pixel_scale=(0.5, 0.5),
+    tiepoint=(0.0, 0.0, 0.0, 10.0, 45.0, 0.0),
+    nodata=-9999.0,
+    dtype="f8",
+    tile=(256, 256),
+    sparse=False,
+    bigtiff=False,
+    overviews=0,
+):
+    """Encode band arrays as tiled deflate GeoTIFF bytes.
+
+    ``bands`` — list of row-major numpy-coercible arrays (length
+    width*height each); ``tile`` — (tile_width, tile_height), must be
+    multiples of 16 per the TIFF spec; ``sparse`` — store all-nodata
+    tiles with TileOffsets=0 (GDAL SPARSE_OK); ``bigtiff`` — BigTIFF
+    layout (magic 43, 8-byte offsets, LONG8 tile arrays) for files
+    that can exceed 4 GB — at 100 TB most production COGs are written
+    BigTIFF regardless of size so appends/mosaics never hit the
+    classic 32-bit offset wall.
+
+    ``overviews=k`` appends k pyramid levels as chained IFDs, each a
+    2×2 box-mean (nodata-excluding, GDAL "average") of the previous
+    level with ceil-halved dims — the full COG layout
+    ``raster_overview_prune`` serves from.  Overview IFDs follow the
+    GDAL convention: NewSubfileType=FILETYPE_REDUCEDIMAGE and NO geo
+    tags (readers inherit and scale the full-res transform).
+    """
+    import numpy as np
+
+    if dtype not in _DTYPES:
+        raise ValueError(f"unsupported dtype {dtype!r}; one of {sorted(_DTYPES)}")
+    tw, th = tile
+    if tw % 16 or th % 16:
+        raise ValueError(f"tile dims must be multiples of 16, got {tile}")
+    bits, sample_format, np_dt = _DTYPES[dtype]
+    spp = len(bands)
+    arrs = [np.asarray(b, dtype=np_dt).reshape(height, width) for b in bands]
+    stack = np.stack(arrs, axis=-1)  # (h, w, spp) chunky interleave
+    t_off = _T_LONG8 if bigtiff else _T_LONG
+    nodata_ascii = _gdal_nodata_ascii(nodata, dtype)
+
+    def _common(w, h, n_tiles, counts):
+        return [
+            (256, _T_LONG, 1, w),
+            (257, _T_LONG, 1, h),
+            (258, _T_SHORT, spp, [bits] * spp),
+            (259, _T_SHORT, 1, 8),  # deflate
+            (262, _T_SHORT, 1, 1),  # BlackIsZero
+            (277, _T_SHORT, 1, spp),
+            (284, _T_SHORT, 1, 1),  # chunky
+            (322, _T_LONG, 1, tw),
+            (323, _T_LONG, 1, th),
+            (324, t_off, n_tiles, "OFFSETS"),
+            (325, t_off, n_tiles, counts),
+            (339, _T_SHORT, spp, [sample_format] * spp),
+        ]
+
+    # ---- build every sub-image's entries + payloads ----
+    segments: list[tuple[list, list]] = []
+    payloads, n_sparse = _tile_payloads(stack, width, height, tw, th, nodata, np_dt, sparse)
+    full_entries = _common(width, height, len(payloads), [len(p) for p in payloads]) + [
+        (33550, _T_DOUBLE, 3, [pixel_scale[0], pixel_scale[1], 0.0]),
+        (33922, _T_DOUBLE, 6, list(tiepoint)),
+        (42113, _T_ASCII, len(nodata_ascii), nodata_ascii),
+    ]
+    segments.append((full_entries, payloads))
+    lvl_stack, lw, lh = stack, width, height
+    for _ in range(overviews):
+        lvl_stack, lw, lh = _box_mean_2x2(lvl_stack, lw, lh, nodata, np_dt)
+        pl, ns = _tile_payloads(lvl_stack, lw, lh, tw, th, nodata, np_dt, sparse)
+        n_sparse += ns
+        segments.append(
+            (
+                _common(lw, lh, len(pl), [len(p) for p in pl])
+                + [(254, _T_LONG, 1, 1)],  # FILETYPE_REDUCEDIMAGE
+                pl,
+            )
+        )
+
+    # ---- lay out: header | seg0 | seg1 | ... (sizes known up front) ----
+    header_sz = 16 if bigtiff else 8
+    bases = [header_sz]
+    for entries, pl in segments[:-1]:
+        bases.append(bases[-1] + _segment_size(sorted(entries), pl, bigtiff))
+
+    out = bytearray()
+    if bigtiff:
+        out += struct.pack("<2sHHHQ", b"II", 43, 8, 0, bases[0])
+    else:
+        out += struct.pack("<2sHI", b"II", 42, bases[0])
+    for i, (entries, pl) in enumerate(segments):
+        next_off = bases[i + 1] if i + 1 < len(segments) else 0
+        seg, _ = _emit_segment(entries, pl, bases[i], next_off, bigtiff)
+        out += seg
     return bytes(out), n_sparse
+
+
+def _box_mean_2x2(stack, width, height, nodata, np_dt):
+    """One GDAL-"average" pyramid step: 2×2 nodata-excluding box mean,
+    ceil-halved dims; cells whose 4 parents are all nodata stay
+    nodata.  Odd edges average the 1–2 parents that exist."""
+    import numpy as np
+
+    ow, oh = -(-width // 2), -(-height // 2)
+    spp = stack.shape[2]
+    pad = np.full((oh * 2, ow * 2, spp), np.nan, dtype="f8")
+    pad[:height, :width, :] = stack.astype("f8")
+    pad[pad == nodata] = np.nan
+    quads = pad.reshape(oh, 2, ow, 2, spp)
+    # manual nan-excluding mean: np.nanmean warns on all-NaN quads
+    # (the legitimate "4 nodata parents" case)
+    cnt = np.count_nonzero(~np.isnan(quads), axis=(1, 3))
+    tot = np.nansum(quads, axis=(1, 3))
+    means = np.where(cnt > 0, tot / np.maximum(cnt, 1), float(nodata))
+    return means.astype(np_dt), ow, oh
 
 
 def _gdal_nodata_ascii(nodata, dtype: str) -> bytes:
@@ -235,6 +319,7 @@ def write_geotiffs(
     tile=(256, 256),
     sparse=False,
     bigtiff=False,
+    overviews=0,
 ):
     """Distributed GeoTIFF sink: one tiled file per ``file_id`` group.
 
@@ -297,6 +382,7 @@ def write_geotiffs(
             tile=tile,
             sparse=sparse,
             bigtiff=bigtiff,
+            overviews=overviews,
         )
         path = os.path.join(out_dir, f"{fid}.tif")
         tmp = path + ".tmp"

@@ -202,3 +202,49 @@ def test_bigtiff_single_tile_inline_offsets(tmp_path):
     with open(p, "wb") as f:
         f.write(data)
     assert read_window(read_header(p), 0, 0, 16, 16) == vals
+
+
+def test_overview_pyramid_roundtrip(tmp_path):
+    # 8x4 full res, values 0..31 -> level-1 2x2 box means must equal
+    # the pyramid.tif fixture convention (GDAL "average")
+    pw, ph = 8, 4
+    vals = [float(i) for i in range(pw * ph)]
+    data, _ = encode_geotiff(
+        [vals], pw, ph, tile=(16, 16), overviews=2, pixel_scale=(0.5, 0.5)
+    )
+    p = str(tmp_path / "pyr.tif")
+    with open(p, "wb") as f:
+        f.write(data)
+    full = read_header(p)
+    assert full.n_overviews == 2
+    assert read_window(full, 0, 0, pw, ph) == vals
+    ov1 = read_header(p, overview=1)
+    assert (ov1.width, ov1.height) == (4, 2)
+    # overview inherits + scales the full-res transform (no geo tags)
+    assert ov1.transform[0] == full.transform[0] * 2
+    assert ov1.transform[4] == full.transform[4] * 2
+    want1 = [
+        sum(vals[(2 * r + dr) * pw + 2 * c + dc] for dr in (0, 1) for dc in (0, 1)) / 4.0
+        for r in range(2)
+        for c in range(4)
+    ]
+    assert read_window(ov1, 0, 0, 4, 2) == want1
+    ov2 = read_header(p, overview=2)
+    assert (ov2.width, ov2.height) == (2, 1)
+
+
+def test_overview_nodata_excluding_mean_and_odd_dims(tmp_path):
+    # 3x3 (odd: ceil-halved 2x2 overview), one all-nodata 2x2 quad
+    vals = [
+        -9999.0, -9999.0, 3.0,
+        -9999.0, -9999.0, 6.0,
+        7.0, 8.0, 9.0,
+    ]
+    data, _ = encode_geotiff([vals], 3, 3, tile=(16, 16), overviews=1)
+    p = str(tmp_path / "odd.tif")
+    with open(p, "wb") as f:
+        f.write(data)
+    ov = read_header(p, overview=1)
+    assert (ov.width, ov.height) == (2, 2)
+    # quads: TL all nodata -> nodata; TR mean(3,6); BL mean(7,8); BR 9
+    assert read_window(ov, 0, 0, 2, 2) == [-9999.0, 4.5, 7.5, 9.0]
