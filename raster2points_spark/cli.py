@@ -17,6 +17,15 @@ Parquet directory out:
     python -m raster2points_spark.cli in1.tif in2.tif OUT_DIR \
         [--col-names elev slope] ...    # bands default to b1..bN
                                         # across files AND samples
+
+``--format geotiff`` COG-ifies instead: each selected band is
+re-written as its own tiled deflate GeoTIFF (optional write-time
+pyramid via --overviews, sparse tiles via --sparse, BigTIFF via
+--bigtiff) — gdal_translate's COG path, distributed one write task
+per output file:
+
+    python -m raster2points_spark.cli in1.tif in2.tif OUT_DIR \
+        --format geotiff --tile-size 256 --overviews 2 --sparse
 """
 
 from __future__ import annotations
@@ -40,7 +49,27 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--col-names", nargs="+", default=None)
     ap.add_argument("--separator", default=",", choices=[",", ";", "t"])
     ap.add_argument("--calc-area", action="store_true")
-    ap.add_argument("--format", default="csv", choices=["csv", "parquet"])
+    ap.add_argument("--format", default="csv", choices=["csv", "parquet", "geotiff"])
+    ap.add_argument(
+        "--tile-size",
+        type=int,
+        default=256,
+        help="output tile edge for --format geotiff (multiple of 16)",
+    )
+    ap.add_argument(
+        "--overviews",
+        type=int,
+        default=0,
+        help="pyramid levels to derive at write time (--format geotiff)",
+    )
+    ap.add_argument(
+        "--nodata-out",
+        type=float,
+        default=-9999.0,
+        help="nodata sentinel written to the output (--format geotiff)",
+    )
+    ap.add_argument("--sparse", action="store_true", help="store all-nodata tiles sparse")
+    ap.add_argument("--bigtiff", action="store_true", help="BigTIFF output (>4 GB files)")
     ap.add_argument(
         "--max-block-size",
         type=int,
@@ -84,12 +113,66 @@ def main(argv: list[str] | None = None) -> int:
             col_names=args.col_names, calc_area=args.calc_area, separator=sep,
             max_block_size=args.max_block_size,
         )
-    else:
+    elif args.format == "parquet":
         df = raster2df(
             spark, tiles, bands, col_names=args.col_names,
             calc_area=args.calc_area, max_block_size=args.max_block_size,
         )
         df.write.mode("overwrite").parquet(args.output)
+    else:
+        # COG-ify: re-write each selected band as its own tiled
+        # (+ optional pyramid) GeoTIFF — gdal_translate's COG path,
+        # distributed (one write task per band/file)
+        from raster2points_spark.operators.grid import grid_unpivot
+        from raster2points_spark.sinks.geotiff import write_geotiffs
+
+        tiles_df = _as_tiles(spark, tiles).filter(F.col("band_id").isin(bands))
+        names = dict(zip(bands, args.col_names)) if args.col_names else {}
+        meta = tiles_df.groupBy("band_id").agg(
+            F.max(F.col("col_off") + F.col("width")).alias("w"),
+            F.max(
+                F.col("row_off") + (F.size("data") / F.col("width")).cast("int")
+            ).alias("h"),
+            F.first("transform").alias("t"),
+        ).collect()
+        width = max(r.w for r in meta)
+        height = max(r.h for r in meta)
+        a, e = meta[0].t[0], meta[0].t[4]
+        origins = spark.createDataFrame(
+            [(names.get(r.band_id, r.band_id), float(r.t[2]), float(r.t[5])) for r in meta],
+            "file_id string, lon0 double, lat0 double",
+        )
+        px = grid_unpivot(tiles_df).filter(F.col("value").isNotNull())
+        if names:
+            mapping = F.create_map(*[F.lit(x) for kv in names.items() for x in kv])
+            file_col = F.coalesce(mapping[F.col("band_id")], F.col("band_id"))
+        else:
+            file_col = F.col("band_id")
+        pixels = px.select(
+            file_col.alias("file_id"),
+            F.lit(1).alias("band"),
+            "row",
+            "col",
+            F.col("value").cast("double").alias("value"),
+        )
+        manifest = write_geotiffs(
+            pixels,
+            args.output,
+            width=int(width),
+            height=int(height),
+            pixel_scale=(float(a), float(-e)),
+            origins=origins,
+            nodata=args.nodata_out,
+            tile=(args.tile_size, args.tile_size),
+            sparse=args.sparse,
+            bigtiff=args.bigtiff,
+            overviews=args.overviews,
+        )
+        for r in sorted(manifest.collect(), key=lambda r: r.file_id):
+            print(
+                f"{r.path}: {r.width}x{r.height}, {r.n_valid} valid px, "
+                f"{r.n_tiles} tiles ({r.n_sparse} sparse), {r.n_bytes} bytes"
+            )
     return 0
 
 

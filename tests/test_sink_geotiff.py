@@ -248,3 +248,37 @@ def test_overview_nodata_excluding_mean_and_odd_dims(tmp_path):
     assert (ov.width, ov.height) == (2, 2)
     # quads: TL all nodata -> nodata; TR mean(3,6); BL mean(7,8); BR 9
     assert read_window(ov, 0, 0, 2, 2) == [-9999.0, 4.5, 7.5, 9.0]
+
+
+def test_cli_cogify_roundtrips_points(spark, tmp_path):
+    """--format geotiff re-writes each input band as its own tiled
+    COG; running the CSV pipeline over the REWRITTEN files must yield
+    exactly the original fixtures' golden point table (FIXTURES.md:
+    7 points, band-1 nodata masks one pixel, band-2 nodata -> empty)."""
+    import glob
+
+    from raster2points_spark.cli import main
+
+    cog_dir = str(tmp_path / "cogs")
+    rc = main(
+        ["fixtures/tif/elev.tif", "fixtures/tif/slope.tif", cog_dir,
+         "--format", "geotiff", "--tile-size", "16", "--overviews", "1"]
+    )
+    assert rc == 0
+    from raster2points_spark.sources.minitiff import read_header
+
+    hdr = read_header(os.path.join(cog_dir, "b1.tif"))
+    assert hdr.n_overviews == 1 and hdr.tiled
+    out = str(tmp_path / "csv")
+    rc = main(
+        [os.path.join(cog_dir, "b1.tif"), os.path.join(cog_dir, "b2.tif"), out,
+         "--col-names", "elev", "slope", "--separator", ";"]
+    )
+    assert rc == 0
+    lines = sorted(
+        l for f in glob.glob(f"{out}/part-*.csv") for l in open(f).read().splitlines() if l
+    )
+    data = [l for l in lines if not l.startswith("lon")]
+    assert len(data) == 7
+    assert "10.25;44.75;1.0;10.0" in data
+    assert "10.75;44.75;2.0;" in data  # band-2 nodata survives as NULL
