@@ -246,9 +246,12 @@ def encode_geotiff(
         (42113, _T_ASCII, len(nodata_ascii), nodata_ascii),
     ]
     segments.append((full_entries, payloads))
-    lvl_stack, lw, lh = stack, width, height
-    for _ in range(overviews):
-        lvl_stack, lw, lh = _box_mean_2x2(lvl_stack, lw, lh, nodata, np_dt)
+    for k in range(1, overviews + 1):
+        # each level derives from the FULL-RES image (2^k box means),
+        # the gdaladdo semantic — successive halving would weight odd
+        # edges and nodata-holed quads differently (mean-of-means !=
+        # mean)
+        lvl_stack, lw, lh = _box_mean(stack, width, height, 2**k, nodata, np_dt)
         pl, ns = _tile_payloads(lvl_stack, lw, lh, tw, th, nodata, np_dt, sparse)
         n_sparse += ns
         segments.append(
@@ -277,18 +280,19 @@ def encode_geotiff(
     return bytes(out), n_sparse
 
 
-def _box_mean_2x2(stack, width, height, nodata, np_dt):
-    """One GDAL-"average" pyramid step: 2×2 nodata-excluding box mean,
-    ceil-halved dims; cells whose 4 parents are all nodata stay
-    nodata.  Odd edges average the 1–2 parents that exist."""
+def _box_mean(stack, width, height, factor, nodata, np_dt):
+    """One GDAL-"average" pyramid level: factor×factor nodata-excluding
+    box mean of the FULL-RES image, ceil-divided dims; cells whose
+    parents are all nodata stay nodata.  Odd edges average the parents
+    that exist."""
     import numpy as np
 
-    ow, oh = -(-width // 2), -(-height // 2)
+    ow, oh = -(-width // factor), -(-height // factor)
     spp = stack.shape[2]
-    pad = np.full((oh * 2, ow * 2, spp), np.nan, dtype="f8")
+    pad = np.full((oh * factor, ow * factor, spp), np.nan, dtype="f8")
     pad[:height, :width, :] = stack.astype("f8")
     pad[pad == nodata] = np.nan
-    quads = pad.reshape(oh, 2, ow, 2, spp)
+    quads = pad.reshape(oh, factor, ow, factor, spp)
     # manual nan-excluding mean: np.nanmean warns on all-NaN quads
     # (the legitimate "4 nodata parents" case)
     cnt = np.count_nonzero(~np.isnan(quads), axis=(1, 3))

@@ -282,3 +282,79 @@ def test_cli_cogify_roundtrips_points(spark, tmp_path):
     assert len(data) == 7
     assert "10.25;44.75;1.0;10.0" in data
     assert "10.75;44.75;2.0;" in data  # band-2 nodata survives as NULL
+
+
+# ---- property sweep: encode->decode identity over the writer's whole
+# option space (hypothesis; pure encoder + reader, no Spark) ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    width=st.integers(min_value=1, max_value=40),
+    height=st.integers(min_value=1, max_value=40),
+    tile_edge=st.sampled_from([16, 32]),
+    dtype=st.sampled_from(["f8", "f4", "i2", "u1"]),
+    sparse=st.booleans(),
+    bigtiff=st.booleans(),
+    n_overviews=st.integers(min_value=0, max_value=2),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_encode_decode_identity_property(
+    tmp_path_factory, width, height, tile_edge, dtype, sparse, bigtiff, n_overviews, seed
+):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    nodata = 0 if dtype == "u1" else -99
+    if dtype in ("f8", "f4"):
+        vals = rng.integers(-50, 200, size=width * height).astype("f8")
+    elif dtype == "i2":
+        vals = rng.integers(-50, 200, size=width * height).astype("f8")
+    else:
+        vals = rng.integers(1, 200, size=width * height).astype("f8")
+    # scatter nodata (sometimes whole raster — the all-sparse edge)
+    mask = rng.random(width * height) < rng.choice([0.1, 0.9, 1.0])
+    vals[mask] = nodata
+    if dtype == "f4":
+        vals = vals.astype("f4").astype("f8")  # representable in f4
+    data, n_sparse = encode_geotiff(
+        [list(vals)],
+        width,
+        height,
+        dtype=dtype,
+        nodata=nodata,
+        tile=(tile_edge, tile_edge),
+        sparse=sparse,
+        bigtiff=bigtiff,
+        overviews=n_overviews,
+    )
+    p = str(tmp_path_factory.mktemp("prop") / "x.tif")
+    with open(p, "wb") as f:
+        f.write(data)
+    hdr = read_header(p)
+    assert (hdr.width, hdr.height) == (width, height)
+    assert hdr.n_overviews == n_overviews
+    assert read_window(hdr, 0, 0, width, height) == list(vals)
+    if not sparse:
+        assert n_sparse == 0 and 0 not in hdr.offsets
+    for k in range(1, n_overviews + 1):
+        ov = read_header(p, overview=k)
+        assert ov.width == -(-width // (2**k)) and ov.height == -(-height // (2**k))
+        got = read_window(ov, 0, 0, ov.width, ov.height)
+        assert len(got) == ov.width * ov.height
+        if dtype in ("f8", "i2"):  # integer-valued means, exactly checkable
+            full = np.full((ov.height * 2**k, ov.width * 2**k), np.nan)
+            full[:height, :width] = np.where(
+                vals.reshape(height, width) == nodata, np.nan, vals.reshape(height, width)
+            )
+            q = full.reshape(ov.height, 2**k, ov.width, 2**k)
+            cnt = np.count_nonzero(~np.isnan(q), axis=(1, 3))
+            tot = np.nansum(q, axis=(1, 3))
+            want = np.where(cnt > 0, tot / np.maximum(cnt, 1), float(nodata))
+            got_arr = np.array(got).reshape(ov.height, ov.width)
+            if dtype == "i2":
+                want = want.astype("<i2").astype("f8")
+            assert np.array_equal(got_arr, want)
