@@ -6336,14 +6336,16 @@ def ml_naive_bayes(spark, sf_dir):
     the model (per-(lang, token) counts), per-lang totals, and vocab
     size are all DERIVED from it by further aggregation of the
     already-collapsed relation, never by re-scanning the corpus.  The
-    model is |langs|×|vocab|, joined back UNHINTED (AQE broadcasts a
-    small model; a 100 TB-corpus vocabulary stays a shuffle join, the
-    text_tfidf discipline).  Scoring fans each doc-term row out over
-    |langs| (5×) candidates, never over vocab; unseen terms fall back
-    to the smoothing floor via LEFT join + coalesce.  Determinism:
-    logp rounded 6 dp at MODEL time and scores 4 dp before the
-    argmax, ties broken by lang asc — the argmax is engine-exact
-    (R1/R2).
+    model is re-keyed per WORD as a lang→count map and joined back
+    UNHINTED at 1× doc-term volume (AQE broadcasts a small model; a
+    100 TB-corpus vocabulary stays a shuffle join, the text_tfidf
+    discipline); the |langs| candidate fan-out happens IN-ROW after
+    the join (r13 — the earlier shape crossJoined totals first and
+    shuffled |langs|× the volume into the model join), never over
+    vocab; unseen terms fall back to the smoothing floor via
+    element_at + coalesce.  Determinism: logp rounded 6 dp at MODEL
+    time and scores 4 dp before the argmax, ties broken by lang asc —
+    the argmax is engine-exact (R1/R2).
     """
     docs = t_fanout(spark, sf_dir, "documents")
     tok = docs.select(
