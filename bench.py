@@ -400,6 +400,37 @@ def main() -> int:
         )
     detail_path = os.path.join(repo, "reports", f"bench_{rnd}_detail.json")
     os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+    # Same-day sample history (VERDICT r12 #5): every run of this
+    # round APPENDS its summary to the detail's "same_day_samples"
+    # list instead of silently replacing the prior sample, so the
+    # committed detail, BASELINE.md's row and the driver's own
+    # end-of-round BENCH_r{N}.json all describe the same recorded set
+    # no matter which run happens to be written last.
+    samples: list[dict] = []
+    try:
+        with open(detail_path) as fh:
+            prev = json.load(fh)
+        samples = list(prev.get("same_day_samples") or [])
+        samples.append(
+            {
+                "sequential_sec": prev.get("value"),
+                "batched_passes": prev.get("batched_passes"),
+                "duck_total_sec": (prev.get("comparator") or {}).get("total_sec"),
+                "duck_batched_passes": (prev.get("comparator") or {}).get(
+                    "batched_passes"
+                ),
+            }
+        )
+    except (OSError, ValueError):
+        pass
+    samples.append(
+        {
+            "sequential_sec": round(total, 3),
+            "batched_passes": batched_passes,
+            "duck_total_sec": round(sum(duck_timings.values()), 3),
+            "duck_batched_passes": duck_batched_passes,
+        }
+    )
     with open(detail_path, "w") as fh:
         json.dump(
             {
@@ -426,6 +457,8 @@ def main() -> int:
                     "batched_passes": duck_batched_passes,
                     "queries": duck_timings,
                 },
+                # every same-round sample incl. this one, oldest first
+                "same_day_samples": samples,
             },
             fh,
             indent=1,
