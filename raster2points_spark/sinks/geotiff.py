@@ -371,7 +371,18 @@ def write_geotiffs(
             sel = pdf[pdf["band"] == b]
             vals = sel["value"].to_numpy(dtype="f8")
             ok = ~np.isnan(vals)  # NaN values encode as nodata
-            idx = sel["row"].to_numpy(dtype="i8") * width + sel["col"].to_numpy(dtype="i8")
+            rr = sel["row"].to_numpy(dtype="i8")
+            cc = sel["col"].to_numpy(dtype="i8")
+            if len(rr) and (
+                rr.min() < 0 or rr.max() >= height or cc.min() < 0 or cc.max() >= width
+            ):
+                raise ValueError(
+                    f"{fid}: pixel indices out of range for {width}x{height} "
+                    f"(rows {rr.min()}..{rr.max()}, cols {cc.min()}..{cc.max()}) — "
+                    "wrong width/height, or the pixel relation carries "
+                    "another file's coordinates"
+                )
+            idx = rr * width + cc
             arr[idx[ok]] = vals[ok]
             n_valid += int(ok.sum())
             bands.append(arr)

@@ -358,3 +358,19 @@ def test_encode_decode_identity_property(
             if dtype == "i2":
                 want = want.astype("<i2").astype("f8")
             assert np.array_equal(got_arr, want)
+
+
+def test_out_of_range_pixels_raise_clearly(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    pixels = spark.range(4).select(
+        F.lit("bad").alias("file_id"),
+        F.lit(1).alias("band"),
+        (F.col("id") + 15).cast("int").alias("row"),  # rows 15..18 > 15
+        F.lit(0).alias("col"),
+        F.col("id").cast("double").alias("value"),
+    )
+    with pytest.raises(Exception, match="out of range for 16x16"):
+        write_geotiffs(
+            pixels, str(tmp_path / "bad"), width=16, height=16, tile=(16, 16)
+        ).collect()
