@@ -411,16 +411,18 @@ def main() -> int:
         with open(detail_path) as fh:
             prev = json.load(fh)
         samples = list(prev.get("same_day_samples") or [])
-        samples.append(
-            {
-                "sequential_sec": prev.get("value"),
-                "batched_passes": prev.get("batched_passes"),
-                "duck_total_sec": (prev.get("comparator") or {}).get("total_sec"),
-                "duck_batched_passes": (prev.get("comparator") or {}).get(
-                    "batched_passes"
-                ),
-            }
-        )
+        prev_summary = {
+            "sequential_sec": prev.get("value"),
+            "batched_passes": prev.get("batched_passes"),
+            "duck_total_sec": (prev.get("comparator") or {}).get("total_sec"),
+            "duck_batched_passes": (prev.get("comparator") or {}).get(
+                "batched_passes"
+            ),
+        }
+        # the prior file's own summary may already close its list
+        # (it appended itself on write) — don't record it twice
+        if prev_summary not in samples:
+            samples.append(prev_summary)
     except (OSError, ValueError):
         pass
     samples.append(
