@@ -56,10 +56,13 @@ _DTYPES = {
 _TYPE_PACK = {_T_SHORT: ("H", 2), _T_LONG: ("I", 4), _T_DOUBLE: ("d", 8), _T_LONG8: ("Q", 8)}
 
 
-def _tile_payloads(stack, width, height, tw, th, nodata, np_dt, sparse):
+def _tile_payloads(stack, width, height, tw, th, nodata, np_dt, sparse, predictor=1):
     """Deflate-encode one sub-image's tiles (row-major tile order,
     spec-padded with nodata to full tile size).  Sparse all-nodata
-    tiles encode as b"" (TileOffsets=0 on disk)."""
+    tiles encode as b"" (TileOffsets=0 on disk).  predictor=2 applies
+    per-row horizontal differencing (ints), predictor=3 the float
+    byte shuffle (plane-major big-endian bytes, byte-diffed) — both
+    exactly inverse to sources/minitiff._decode_block."""
     import numpy as np
 
     payloads: list[bytes] = []
@@ -73,8 +76,28 @@ def _tile_payloads(stack, width, height, tw, th, nodata, np_dt, sparse):
             if sparse and bool(np.all(block == nodata)):
                 payloads.append(b"")
                 n_sparse += 1
+                continue
+            if predictor == 2:
+                d = block.copy()
+                d[:, 1:, :] = block[:, 1:, :] - block[:, :-1, :]  # modular per dtype
+                raw = np.ascontiguousarray(d).tobytes()
+            elif predictor == 3:
+                rows_, cols_, nch_ = block.shape
+                row_vals = cols_ * nch_
+                bps = block.dtype.itemsize
+                be = np.frombuffer(
+                    np.ascontiguousarray(block.astype(">" + block.dtype.str[1:])).tobytes(),
+                    "u1",
+                ).reshape(rows_, row_vals, bps)
+                planes = np.ascontiguousarray(be.transpose(0, 2, 1)).reshape(
+                    rows_, row_vals * bps
+                )
+                d = planes.copy()
+                d[:, 1:] = planes[:, 1:] - planes[:, :-1]  # u1 modular diff
+                raw = d.tobytes()
             else:
-                payloads.append(zlib.compress(block.tobytes(), 6))
+                raw = block.tobytes()
+            payloads.append(zlib.compress(raw, 6))
     return payloads, n_sparse
 
 
@@ -188,6 +211,7 @@ def encode_geotiff(
     sparse=False,
     bigtiff=False,
     overviews=0,
+    predictor=1,
 ):
     """Encode band arrays as tiled deflate GeoTIFF bytes.
 
@@ -214,6 +238,12 @@ def encode_geotiff(
     tw, th = tile
     if tw % 16 or th % 16:
         raise ValueError(f"tile dims must be multiples of 16, got {tile}")
+    if predictor not in (1, 2, 3):
+        raise ValueError(f"unsupported predictor {predictor}; 1, 2 or 3")
+    if predictor == 2 and dtype not in ("i2", "u1"):
+        raise ValueError("predictor 2 (horizontal diff) is for integer dtypes")
+    if predictor == 3 and dtype not in ("f8", "f4"):
+        raise ValueError("predictor 3 (byte shuffle) is for float dtypes")
     bits, sample_format, np_dt = _DTYPES[dtype]
     spp = len(bands)
     arrs = [np.asarray(b, dtype=np_dt).reshape(height, width) for b in bands]
@@ -232,6 +262,7 @@ def encode_geotiff(
             (284, _T_SHORT, 1, 1),  # chunky
             (322, _T_LONG, 1, tw),
             (323, _T_LONG, 1, th),
+            *([(317, _T_SHORT, 1, predictor)] if predictor != 1 else []),
             (324, t_off, n_tiles, "OFFSETS"),
             (325, t_off, n_tiles, counts),
             (339, _T_SHORT, spp, [sample_format] * spp),
@@ -239,7 +270,9 @@ def encode_geotiff(
 
     # ---- build every sub-image's entries + payloads ----
     segments: list[tuple[list, list]] = []
-    payloads, n_sparse = _tile_payloads(stack, width, height, tw, th, nodata, np_dt, sparse)
+    payloads, n_sparse = _tile_payloads(
+        stack, width, height, tw, th, nodata, np_dt, sparse, predictor
+    )
     full_entries = _common(width, height, len(payloads), [len(p) for p in payloads]) + [
         (33550, _T_DOUBLE, 3, [pixel_scale[0], pixel_scale[1], 0.0]),
         (33922, _T_DOUBLE, 6, list(tiepoint)),
@@ -252,7 +285,7 @@ def encode_geotiff(
         # edges and nodata-holed quads differently (mean-of-means !=
         # mean)
         lvl_stack, lw, lh = _box_mean(stack, width, height, 2**k, nodata, np_dt)
-        pl, ns = _tile_payloads(lvl_stack, lw, lh, tw, th, nodata, np_dt, sparse)
+        pl, ns = _tile_payloads(lvl_stack, lw, lh, tw, th, nodata, np_dt, sparse, predictor)
         n_sparse += ns
         segments.append(
             (

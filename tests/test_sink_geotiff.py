@@ -374,3 +374,51 @@ def test_out_of_range_pixels_raise_clearly(spark, tmp_path):
         write_geotiffs(
             pixels, str(tmp_path / "bad"), width=16, height=16, tile=(16, 16)
         ).collect()
+
+
+def test_predictor_roundtrip(tmp_path):
+    # predictor 3 (float byte shuffle) must decode identically via the
+    # reader's predictor path (compression wins only show on realistic
+    # block sizes, so size is not asserted at fixture scale)
+    smooth = [float(r + c) * 0.25 for r in range(H) for c in range(W)]
+    shuf, _ = encode_geotiff([smooth], W, H, tile=(16, 16), predictor=3)
+    p = str(tmp_path / "p3.tif")
+    with open(p, "wb") as f:
+        f.write(shuf)
+    hdr = read_header(p)
+    assert hdr.predictor == 3
+    assert read_window(hdr, 0, 0, W, H) == smooth
+    # predictor 2 (horizontal diff) on a smooth integer band
+    ints = [float((r + c) % 120) for r in range(H) for c in range(W)]
+    d2, _ = encode_geotiff([ints], W, H, dtype="i2", nodata=-1, tile=(16, 16), predictor=2)
+    p2 = str(tmp_path / "p2.tif")
+    with open(p2, "wb") as f:
+        f.write(d2)
+    hdr2 = read_header(p2)
+    assert hdr2.predictor == 2
+    assert read_window(hdr2, 0, 0, W, H) == ints
+    # validation: wrong dtype/predictor pairings rejected eagerly
+    with pytest.raises(ValueError, match="integer dtypes"):
+        encode_geotiff([smooth], W, H, predictor=2)
+    with pytest.raises(ValueError, match="float dtypes"):
+        encode_geotiff([ints], W, H, dtype="i2", nodata=-1, predictor=3)
+
+
+def test_predictor_with_overviews_and_sparse(tmp_path):
+    vals = [
+        -9999.0 if (r >= 16 and c >= 16) else float(r * W + c) * 0.5
+        for r in range(H)
+        for c in range(W)
+    ]
+    data, n_sparse = encode_geotiff(
+        [vals], W, H, tile=(16, 16), predictor=3, sparse=True, overviews=1
+    )
+    assert n_sparse == 1
+    p = str(tmp_path / "p3ov.tif")
+    with open(p, "wb") as f:
+        f.write(data)
+    hdr = read_header(p)
+    assert read_window(hdr, 0, 0, W, H) == vals
+    ov = read_header(p, overview=1)
+    assert ov.predictor == 3 and (ov.width, ov.height) == (10, 9)
+    assert len(read_window(ov, 0, 0, 10, 9)) == 90
