@@ -71,6 +71,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--sparse", action="store_true", help="store all-nodata tiles sparse")
     ap.add_argument("--bigtiff", action="store_true", help="BigTIFF output (>4 GB files)")
     ap.add_argument(
+        "--predictor",
+        type=int,
+        default=1,
+        choices=[1, 2, 3],
+        help="deflate predictor for --format geotiff: 1 none, "
+        "2 horizontal diff (ints), 3 float byte shuffle",
+    )
+    ap.add_argument(
         "--max-block-size",
         type=int,
         default=None,
@@ -167,6 +175,7 @@ def main(argv: list[str] | None = None) -> int:
             sparse=args.sparse,
             bigtiff=args.bigtiff,
             overviews=args.overviews,
+            predictor=args.predictor,
         )
         for r in sorted(manifest.collect(), key=lambda r: r.file_id):
             print(

@@ -357,6 +357,7 @@ def write_geotiffs(
     sparse=False,
     bigtiff=False,
     overviews=0,
+    predictor=1,
 ):
     """Distributed GeoTIFF sink: one tiled file per ``file_id`` group.
 
@@ -431,6 +432,7 @@ def write_geotiffs(
             sparse=sparse,
             bigtiff=bigtiff,
             overviews=overviews,
+            predictor=predictor,
         )
         path = os.path.join(out_dir, f"{fid}.tif")
         tmp = path + ".tmp"
