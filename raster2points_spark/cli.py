@@ -146,6 +146,16 @@ def main(argv: list[str] | None = None) -> int:
         width = max(r.w for r in meta)
         height = max(r.h for r in meta)
         a, e = meta[0].t[0], meta[0].t[4]
+        # all output files share ONE pixel scale; mixed-resolution
+        # inputs would silently get band 1's grid — refuse, like the
+        # raster2df pre-flight (COG-ify each resolution group alone,
+        # or resample first: raster_mosaic_hetero shows the pattern)
+        mixed = [r.band_id for r in meta if (r.t[0], r.t[4]) != (a, e)]
+        if mixed:
+            ap.error(
+                f"mixed pixel scales across bands ({mixed} differ from "
+                f"{(a, -e)}); COG-ify each resolution group separately"
+            )
         origins = spark.createDataFrame(
             [(names.get(r.band_id, r.band_id), float(r.t[2]), float(r.t[5])) for r in meta],
             "file_id string, lon0 double, lat0 double",

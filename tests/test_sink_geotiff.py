@@ -422,3 +422,14 @@ def test_predictor_with_overviews_and_sparse(tmp_path):
     ov = read_header(p, overview=1)
     assert ov.predictor == 3 and (ov.width, ov.height) == (10, 9)
     assert len(read_window(ov, 0, 0, 10, 9)) == 90
+
+
+def test_cli_cogify_rejects_mixed_resolution(spark, capsys):
+    from raster2points_spark.cli import main
+
+    with pytest.raises(SystemExit):
+        main(
+            ["fixtures/tif_mixed/fine.tif", "fixtures/tif_mixed/coarse.tif",
+             "/tmp/never_written", "--format", "geotiff"]
+        )
+    assert "mixed pixel scales" in capsys.readouterr().err
