@@ -364,9 +364,13 @@ def write_geotiffs(
     ``pixels`` — DataFrame with columns (file_id: str, band: int,
     row: int, col: int, value: double); absent (file_id, band, row,
     col) cells encode as ``nodata``.  ``origins`` — optional DataFrame
-    (file_id, lon0, lat0) giving each file's tiepoint (upper-left
-    corner); files missing from it anchor at (0, 0).  All files share
-    ``width``×``height`` dims and the band set of their own rows.
+    (file_id, lon0, lat0[, width, height]) giving each file's
+    tiepoint (upper-left corner) and, when the optional dim columns
+    are present, PER-FILE raster dims (a real mosaic's files rarely
+    share a grid — the header catalog records per-file dims for the
+    same reason); files missing from it anchor at (0, 0) and take the
+    ``width``×``height`` defaults.  Each file's band set is whatever
+    its own rows carry.
 
     Scale shape: ONE shuffle (groupBy file_id), then each task
     assembles and zlib-encodes its own file and writes it directly —
@@ -382,6 +386,9 @@ def write_geotiffs(
 
     os.makedirs(out_dir, exist_ok=True)
     if origins is not None:
+        for c in ("width", "height"):
+            if c in origins.columns:
+                origins = origins.withColumnRenamed(c, f"f_{c}")
         pixels = pixels.join(F.broadcast(origins), "file_id", "left")
     else:
         pixels = pixels.withColumn("lon0", F.lit(0.0)).withColumn("lat0", F.lit(0.0))
@@ -397,33 +404,40 @@ def write_geotiffs(
         fid = str(pdf["file_id"].iloc[0])
         lon0 = float(pdf["lon0"].iloc[0]) if pd.notna(pdf["lon0"].iloc[0]) else 0.0
         lat0 = float(pdf["lat0"].iloc[0]) if pd.notna(pdf["lat0"].iloc[0]) else 0.0
+
+        def _dim(col, default):
+            if col in pdf.columns and pd.notna(pdf[col].iloc[0]):
+                return int(pdf[col].iloc[0])
+            return default
+
+        fw, fh = _dim("f_width", width), _dim("f_height", height)
         band_ids = sorted(int(b) for b in pdf["band"].unique())
         bands = []
         n_valid = 0
         for b in band_ids:
-            arr = np.full(height * width, nodata, dtype="f8")
+            arr = np.full(fh * fw, nodata, dtype="f8")
             sel = pdf[pdf["band"] == b]
             vals = sel["value"].to_numpy(dtype="f8")
             ok = ~np.isnan(vals)  # NaN values encode as nodata
             rr = sel["row"].to_numpy(dtype="i8")
             cc = sel["col"].to_numpy(dtype="i8")
             if len(rr) and (
-                rr.min() < 0 or rr.max() >= height or cc.min() < 0 or cc.max() >= width
+                rr.min() < 0 or rr.max() >= fh or cc.min() < 0 or cc.max() >= fw
             ):
                 raise ValueError(
-                    f"{fid}: pixel indices out of range for {width}x{height} "
+                    f"{fid}: pixel indices out of range for {fw}x{fh} "
                     f"(rows {rr.min()}..{rr.max()}, cols {cc.min()}..{cc.max()}) — "
                     "wrong width/height, or the pixel relation carries "
                     "another file's coordinates"
                 )
-            idx = rr * width + cc
+            idx = rr * fw + cc
             arr[idx[ok]] = vals[ok]
             n_valid += int(ok.sum())
             bands.append(arr)
         data, n_sparse = encode_geotiff(
             bands,
-            width,
-            height,
+            fw,
+            fh,
             pixel_scale=pixel_scale,
             tiepoint=(0.0, 0.0, 0.0, lon0, lat0, 0.0),
             nodata=nodata,
@@ -440,14 +454,14 @@ def write_geotiffs(
             f.write(data)
         os.replace(tmp, path)
         tw, th = tile
-        n_tiles = (-(-width // tw)) * (-(-height // th))
+        n_tiles = (-(-fw // tw)) * (-(-fh // th))
         return pd.DataFrame(
             [
                 {
                     "file_id": fid,
                     "path": path,
-                    "width": width,
-                    "height": height,
+                    "width": fw,
+                    "height": fh,
                     "n_bands": len(band_ids),
                     "n_tiles": n_tiles,
                     "n_sparse": n_sparse,

@@ -433,3 +433,39 @@ def test_cli_cogify_rejects_mixed_resolution(spark, capsys):
              "/tmp/never_written", "--format", "geotiff"]
         )
     assert "mixed pixel scales" in capsys.readouterr().err
+
+
+def test_per_file_dims_from_origins(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    # two files with DIFFERENT grids: a (16x16) and b (32x16)
+    px_a = spark.range(16 * 16).select(
+        F.lit("a").alias("file_id"), F.lit(1).alias("band"),
+        (F.col("id") / 16).cast("int").alias("row"),
+        (F.col("id") % 16).cast("int").alias("col"),
+        F.col("id").cast("double").alias("value"),
+    )
+    px_b = spark.range(16 * 32).select(
+        F.lit("b").alias("file_id"), F.lit(1).alias("band"),
+        (F.col("id") / 32).cast("int").alias("row"),
+        (F.col("id") % 32).cast("int").alias("col"),
+        (F.col("id") + 10000).cast("double").alias("value"),
+    )
+    origins = spark.createDataFrame(
+        [("a", 10.0, 45.0, 16, 16), ("b", 20.0, 45.0, 32, 16)],
+        "file_id string, lon0 double, lat0 double, width int, height int",
+    )
+    rows = {
+        r.file_id: r
+        for r in write_geotiffs(
+            px_a.union(px_b), str(tmp_path / "pf"),
+            width=8, height=8,  # defaults must be OVERRIDDEN per file
+            origins=origins, tile=(16, 16),
+        ).collect()
+    }
+    assert (rows["a"].width, rows["a"].height) == (16, 16)
+    assert (rows["b"].width, rows["b"].height) == (32, 16)
+    ha, hb = read_header(rows["a"].path), read_header(rows["b"].path)
+    assert (ha.width, hb.width) == (16, 32)
+    assert read_window(hb, 0, 0, 32, 16) == [float(i + 10000) for i in range(512)]
+    assert hb.transform[2] == 20.0
