@@ -163,6 +163,7 @@ HEADLINE = [
     "raster_mosaic_hetero",
     "sink_geotiff",
     "sink_geotiff_pyramid",
+    "raster_tile_zonemap",
 ]
 
 

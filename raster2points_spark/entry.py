@@ -23,19 +23,21 @@ SF0001 = "/root/testdata/sf0.001"
 # The r13 window (VERDICT r12 #1: keep draining the stale ledger —
 # oldest grades first; tools/evidence_audit.py is the ordering
 # source):
-# - the 4 NEW r13 keys, never driver-graded: raster_overview_prune
-#   (VERDICT r12 #2), raster_mosaic_hetero (VERDICT r12 #3), and the
-#   GeoTIFF write path sink_geotiff / sink_geotiff_pyramid,
+# - the 5 NEW r13 keys, never driver-graded: raster_overview_prune
+#   (VERDICT r12 #2), raster_mosaic_hetero (VERDICT r12 #3), the
+#   GeoTIFF write path sink_geotiff / sink_geotiff_pyramid, and the
+#   tile zone-map prune raster_tile_zonemap,
 # - the 2 keys whose plans changed this round (kmeans/NB, VERDICT #7),
 # - the 25 remaining r5-era stale keys (clears the r5 tail entirely),
-# - the 19 oldest r6-era stale keys.
-# r14+ walks the remaining r6/r7 tail (stale-<r9 after r13: ≤125).
+# - the 18 oldest r6-era stale keys.
+# r14+ walks the remaining r6/r7 tail (stale-<r9 after r13: ≤126).
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- never graded (new this round) ---
     "raster_overview_prune",
     "raster_mosaic_hetero",
     "sink_geotiff",
     "sink_geotiff_pyramid",
+    "raster_tile_zonemap",
     # --- changed this round (iterative-loop shave, VERDICT r12 #7) ---
     "ml_kmeans_lloyd",
     "ml_naive_bayes",
@@ -65,7 +67,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q18",
     "win_ntile",
     "win_rolling_z",
-    # --- the 19 oldest r6-era stale keys ---
+    # --- the 18 oldest r6-era stale keys ---
     "agg_any_all",
     "agg_approx_percentile",
     "agg_bitmap_distinct",
@@ -84,7 +86,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "cohort_retention",
     "concurrency_peak",
     "dedup_edit_distance",
-    "dedup_url_canonical",
 )
 
 

@@ -2477,3 +2477,73 @@ def sink_geotiff_pyramid(spark, sf_dir):
     )
     px = affine_coords(nodata_filter(grid_unpivot(tiles)))
     return px.select("lon", "lat", F.round("value", 6).alias("value"))
+
+
+@register(
+    "raster_tile_zonemap",
+    oracle="""
+    WITH px AS (
+      SELECT r.r, c.c, (r.r + c.c) * 0.25 AS v
+      FROM generate_series(0, 63) r(r), generate_series(0, 63) c(c)
+      WHERE (r.r * 64 + c.c) % 13 <> 0
+    )
+    SELECT CAST(count(*) AS bigint) AS n,
+           round(sum(v), 2) AS sum_v, round(min(v), 2) AS min_v
+    FROM px WHERE v >= 25.0
+    """,
+)
+def raster_tile_zonemap(spark, sf_dir):
+    """[r13] Tile-level ZONE MAP pruning — parquet row-group min/max
+    statistics applied to the raster tile table: a value predicate
+    (v >= 25) consults per-tile max-of-valid stats FIRST (array_max
+    over the packed payload — no explode, no Python) and only the
+    surviving tiles are unpivoted and filtered per pixel.  On the
+    synthetic 64x64 gradient (value = (row+col)/4, every 13th cell
+    nodata; 16 tiles of 16x16) the zone map prunes 16 -> 3 tiles, so
+    the 256x-amplifying posexplode runs on 3/16 of the data; the
+    oracle regenerates the pixels arithmetically and aggregates the
+    same predicate over ALL of them — a hash match proves the skip
+    lost nothing.  Quarters and integer counts keep every comparison
+    engine-exact.
+
+    At 100 TB the stats relation is a PERSISTED sidecar computed once
+    at ingest (exactly how parquet footers carry row-group min/max
+    and how scan_raster_catalog carries per-file bounds); predicate
+    queries then read stats ∝ tiles but pixels ∝ selectivity — the
+    third pruning level under the catalog's file-level bbox prune
+    (raster_extent_prune) and the pyramid's resolution prune
+    (raster_overview_prune): extent, resolution, VALUE."""
+    W, TW, ND, T = 64, 16, -9999.0, 25.0
+    n_across = W // TW
+    tiles = (
+        spark.range(n_across * n_across)
+        .select(
+            F.col("id").alias("tile_id"),
+            ((F.col("id") / n_across).cast("int") * TW).alias("row_off"),
+            ((F.col("id") % n_across).cast("int") * TW).alias("col_off"),
+        )
+        .withColumn(
+            "data",
+            F.expr(
+                f"transform(sequence(0, {TW * TW - 1}), p -> "
+                f"CASE WHEN ((row_off + p div {TW}) * {W} + col_off + p % {TW}) % 13 = 0 "
+                f"THEN CAST({ND} AS double) "
+                f"ELSE ((row_off + p div {TW}) + (col_off + p % {TW})) * 0.25 END)"
+            ),
+        )
+    )
+    # the zone map: per-tile max of VALID values, computed on the
+    # packed array (at scale: a persisted sidecar, like parquet
+    # row-group stats) — tiles whose max can't satisfy the predicate
+    # are never exploded
+    pruned = tiles.withColumn(
+        "vmax", F.array_max(F.filter("data", lambda v: v != F.lit(ND)))
+    ).filter(F.col("vmax") >= T)
+    px = pruned.select(
+        F.posexplode("data").alias("pos", "v"),
+    ).filter((F.col("v") != ND) & (F.col("v") >= T))
+    return px.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.sum("v"), 2).alias("sum_v"),
+        F.round(F.min("v"), 2).alias("min_v"),
+    )

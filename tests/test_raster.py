@@ -233,3 +233,24 @@ def test_geotiff_requires_rasterio(spark):
         pass
     with pytest.raises(ImportError, match="rasterio"):
         geotiff_to_tiles(spark, ["/nonexistent.tif"])
+
+
+def test_zonemap_prunes_tiles_before_explode(spark, registry):
+    # the zone map must drop 13 of 16 tiles BEFORE the posexplode:
+    # only tiles whose valid-max can satisfy v >= 25 survive
+    import re
+
+    from raster2points_spark.plans import explain_formatted
+
+    df = registry["raster_tile_zonemap"].fn(spark, "/root/testdata/sf0.001")
+    plan = explain_formatted(df)
+    assert re.search(r"^\(\d+\) Generate", plan, re.M), "explode must exist"
+    # the tile-level skip is the array_max(filter(...)) >= 25 FILTER —
+    # it must run on the packed tile relation (below the Generate):
+    # in the formatted tree the Generate's Input carries vmax only if
+    # the filter already happened, and no per-pixel column exists yet
+    m = re.search(r"\(\d+\) Filter[^\n]*\n(?:[^\n]*\n)*?Condition[^\n]*array_max", plan)
+    assert "array_max" in plan, "zone-map stat must be in-plan"
+    (row,) = df.collect()
+    # golden: 3 surviving tiles x 256 px minus nodata/below-threshold
+    assert row.n == 348 and float(row.min_v) == 25.0
