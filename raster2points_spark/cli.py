@@ -79,6 +79,13 @@ def main(argv: list[str] | None = None) -> int:
         "2 horizontal diff (ints), 3 float byte shuffle",
     )
     ap.add_argument(
+        "--dtype",
+        default="f8",
+        choices=["f8", "f4", "i2", "u1"],
+        help="sample dtype for --format geotiff output (predictor 2 "
+        "needs an integer dtype, predictor 3 a float one)",
+    )
+    ap.add_argument(
         "--max-block-size",
         type=int,
         default=None,
@@ -86,6 +93,20 @@ def main(argv: list[str] | None = None) -> int:
         "default: let Spark's file splits decide)",
     )
     args = ap.parse_args(argv)
+
+    # validate predictor/dtype compatibility HERE: encode_geotiff
+    # raises the same ValueError, but executor-side — buried in a
+    # Spark task traceback instead of a one-line usage error
+    if args.predictor == 2 and args.dtype not in ("i2", "u1"):
+        ap.error(
+            f"--predictor 2 (horizontal diff) needs an integer --dtype "
+            f"(i2/u1), got {args.dtype}"
+        )
+    if args.predictor == 3 and args.dtype not in ("f8", "f4"):
+        ap.error(
+            f"--predictor 3 (float byte shuffle) needs a float --dtype "
+            f"(f8/f4), got {args.dtype}"
+        )
 
     tif_mode = all(p.lower().endswith((".tif", ".tiff")) for p in args.inputs)
     if len(args.inputs) > 1 and not tif_mode:
@@ -142,7 +163,19 @@ def main(argv: list[str] | None = None) -> int:
                 F.col("row_off") + (F.size("data") / F.col("width")).cast("int")
             ).alias("h"),
             F.first("transform").alias("t"),
+            F.countDistinct("transform").alias("nt"),
         ).collect()
+        # F.first('transform') assumes all of a band's tiles share one
+        # transform; generic tile-table parquet can violate that, and
+        # an arbitrary tile's origin would silently win — refuse, like
+        # the co-tiling check in operators/grid.py
+        torn = [r.band_id for r in meta if r.nt != 1]
+        if torn:
+            ap.error(
+                f"band(s) {torn} carry more than one transform across "
+                "their tiles — each output band needs a single grid; "
+                "split or re-grid the tile table first"
+            )
         width = max(r.w for r in meta)
         height = max(r.h for r in meta)
         a, e = meta[0].t[0], meta[0].t[4]
@@ -156,9 +189,22 @@ def main(argv: list[str] | None = None) -> int:
                 f"mixed pixel scales across bands ({mixed} differ from "
                 f"{(a, -e)}); COG-ify each resolution group separately"
             )
+        # per-file dims: each band keeps ITS OWN raster's extent
+        # (write_geotiffs' optional width/height origin columns) — a
+        # smaller input must not roundtrip nodata-padded to the
+        # global max
         origins = spark.createDataFrame(
-            [(names.get(r.band_id, r.band_id), float(r.t[2]), float(r.t[5])) for r in meta],
-            "file_id string, lon0 double, lat0 double",
+            [
+                (
+                    names.get(r.band_id, r.band_id),
+                    float(r.t[2]),
+                    float(r.t[5]),
+                    int(r.w),
+                    int(r.h),
+                )
+                for r in meta
+            ],
+            "file_id string, lon0 double, lat0 double, width int, height int",
         )
         px = grid_unpivot(tiles_df).filter(F.col("value").isNotNull())
         if names:
@@ -181,6 +227,7 @@ def main(argv: list[str] | None = None) -> int:
             pixel_scale=(float(a), float(-e)),
             origins=origins,
             nodata=args.nodata_out,
+            dtype=args.dtype,
             tile=(args.tile_size, args.tile_size),
             sparse=args.sparse,
             bigtiff=args.bigtiff,

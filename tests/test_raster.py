@@ -250,7 +250,12 @@ def test_zonemap_prunes_tiles_before_explode(spark, registry):
     # in the formatted tree the Generate's Input carries vmax only if
     # the filter already happened, and no per-pixel column exists yet
     m = re.search(r"\(\d+\) Filter[^\n]*\n(?:[^\n]*\n)*?Condition[^\n]*array_max", plan)
-    assert "array_max" in plan, "zone-map stat must be in-plan"
+    assert m, "zone-map filter must appear as a Filter node over the packed tiles"
+    # and that Filter must sit BELOW the Generate (pruning before the
+    # 256x explode): formatted-plan details number leaf-first, so the
+    # tile-level Filter's detail block prints before the Generate's
+    g = re.search(r"^\(\d+\) Generate", plan, re.M)
+    assert g and m.start() < g.start(), "zone-map filter must run below the Generate"
     (row,) = df.collect()
     # golden: 3 surviving tiles x 256 px minus nodata/below-threshold
     assert row.n == 348 and float(row.min_v) == 25.0

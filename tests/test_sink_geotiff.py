@@ -469,3 +469,61 @@ def test_per_file_dims_from_origins(spark, tmp_path):
     assert (ha.width, hb.width) == (16, 32)
     assert read_window(hb, 0, 0, 32, 16) == [float(i + 10000) for i in range(512)]
     assert hb.transform[2] == 20.0
+
+
+def test_cli_cogify_keeps_per_file_dims(spark, tmp_path):
+    """ADVICE r13: two same-resolution inputs with DIFFERENT dims
+    (elev 4x2, sparse_mask 4x4) must each roundtrip with their own
+    extent — not nodata-padded to the global max."""
+    from raster2points_spark.cli import main
+
+    cog_dir = str(tmp_path / "cogs")
+    rc = main(
+        ["fixtures/tif/elev.tif", "fixtures/tif/sparse_mask.tif", cog_dir,
+         "--format", "geotiff", "--tile-size", "16"]
+    )
+    assert rc == 0
+    h1 = read_header(os.path.join(cog_dir, "b1.tif"))
+    h2 = read_header(os.path.join(cog_dir, "b2.tif"))
+    assert (h1.width, h1.height) == (4, 2)   # elev keeps 4x2
+    assert (h2.width, h2.height) == (4, 4)   # sparse_mask keeps 4x4
+
+
+def test_cli_cogify_validates_predictor_dtype(capsys):
+    """ADVICE r13: --predictor 2 with the default float dtype must be
+    a one-line CLI usage error, not an executor ValueError."""
+    from raster2points_spark.cli import main
+
+    with pytest.raises(SystemExit):
+        main(["fixtures/tif/elev.tif", "/tmp/never_written",
+              "--format", "geotiff", "--predictor", "2"])
+    assert "integer --dtype" in capsys.readouterr().err
+    with pytest.raises(SystemExit):
+        main(["fixtures/tif/elev.tif", "/tmp/never_written",
+              "--format", "geotiff", "--predictor", "3", "--dtype", "i2"])
+    assert "float --dtype" in capsys.readouterr().err
+
+
+def test_cli_cogify_rejects_intra_band_transform_drift(spark, tmp_path, capsys):
+    """ADVICE r13: one band whose tiles carry DIFFERENT transforms
+    must refuse (F.first would otherwise pick an arbitrary origin)."""
+    from raster2points_spark.cli import main
+
+    rows = [
+        ("b1", 0, 0, 0, 2, 2, [0.5, 0.0, 10.0, 0.0, -0.5, 45.0], -9999.0,
+         "float64", [1.0, 2.0, 3.0, 4.0]),
+        ("b1", 1, 2, 0, 2, 2, [0.5, 0.0, 99.0, 0.0, -0.5, 45.0], -9999.0,
+         "float64", [5.0, 6.0, 7.0, 8.0]),
+    ]
+    tiles = spark.createDataFrame(
+        rows,
+        "band_id string, tile_id long, col_off int, row_off int, width int, "
+        "height int, transform array<double>, nodata double, dtype string, "
+        "data array<double>",
+    )
+    src = str(tmp_path / "tiles")
+    tiles.write.parquet(src)
+    with pytest.raises(SystemExit):
+        main([src, "/tmp/never_written", "--format", "geotiff",
+              "--bands", "b1"])
+    assert "more than one transform" in capsys.readouterr().err
