@@ -97,12 +97,16 @@ def _preflight_headers_distributed(spark: SparkSession, paths: list[str]):
                         "transform": list(h.transform),
                         "dtype": h.dtype,
                         "spp": h.samples_per_pixel,
+                        "crs": h.crs,
                         "path": p,
                     }
                 )
             yield pd.DataFrame(
                 rows,
-                columns=["idx", "width", "height", "transform", "dtype", "spp", "path"],
+                columns=[
+                    "idx", "width", "height", "transform", "dtype", "spp",
+                    "crs", "path",
+                ],
             )
 
     files = spark.createDataFrame(
@@ -114,7 +118,7 @@ def _preflight_headers_distributed(spark: SparkSession, paths: list[str]):
         .mapInPandas(
             parse,
             "idx int, width int, height int, transform array<double>, "
-            "dtype string, spp int, path string",
+            "dtype string, spp int, crs string, path string",
         )
         .collect()
     )
@@ -126,6 +130,7 @@ def _preflight_headers_distributed(spark: SparkSession, paths: list[str]):
             transform=list(r.transform),
             dtype=r.dtype,
             samples_per_pixel=r.spp,
+            crs=r.crs,
         )
         for r in sorted(rows, key=lambda r: r.idx)  # restore path order
     ]
@@ -172,6 +177,19 @@ def _paths_preflight(
     except Exception:
         return None
     if validate:  # validate=False still wants the dtype map, not the raises
+        # mixed CRS refuses like mixed resolution: pixel (row, col)
+        # grids in different reference systems never co-tile, and a
+        # silent zip would join coordinates from different datums.
+        # Files WITHOUT a geokey directory (crs None) pass — the
+        # pre-geokey layout is CRS-unknown, not CRS-conflicting.
+        crss = {h.crs for h in hdrs if h.crs is not None}
+        if len(crss) > 1:
+            raise ValueError(
+                f"rasters carry different CRSs {sorted(crss)} — bands "
+                "would zip pixels from different reference systems; "
+                "reproject to a common CRS first (raster_reproject_nn "
+                "is the in-engine resampler)"
+            )
         res = {(h.transform[0], h.transform[4]) for h in hdrs}
         if len(res) > 1:
             raise ValueError(

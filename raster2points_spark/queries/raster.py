@@ -1997,25 +1997,28 @@ def raster_mosaic_priority(spark, sf_dir):
            CAST(n_bands AS int) AS n_bands, dtype,
            CAST(compression AS int) AS compression, tiled,
            CAST(bits AS int) AS bits, CAST(n_overviews AS int) AS n_overviews,
-           has_mask, CAST(nodata AS double) AS nodata,
+           has_mask, CAST(crs AS varchar) AS crs,
+           CAST(nodata AS double) AS nodata,
            CAST(x0 AS double) AS x0, CAST(y0 AS double) AS y0,
            CAST(x1 AS double) AS x1, CAST(y1 AS double) AS y1
     FROM (VALUES
-      ('elev.tif',        4, 2, 1, 'float64', 8, false, 64, 0, false, -9999.0, 10.0, 44.0, 12.0, 45.0),
-      ('mask1.tif',       4, 2, 1, 'uint8',   1, false,  1, 0, false,     0.0, 10.0, 44.0, 12.0, 45.0),
-      ('pyramid.tif',     8, 4, 1, 'float64', 8, false, 64, 2, false, -9999.0, 10.0, 43.0, 14.0, 45.0),
-      ('slope.tif',       4, 2, 1, 'float64', 1, false, 64, 0, false, -9999.0, 10.0, 44.0, 12.0, 45.0),
-      ('sparse_mask.tif', 4, 4, 1, 'float64', 8, true,  64, 0, true,  -9999.0, 10.0, 43.0, 12.0, 45.0),
-      ('stack2.tif',      4, 2, 2, 'float64', 8, true,  64, 0, false, -9999.0, 10.0, 44.0, 12.0, 45.0)
+      ('elev.tif',        4, 2, 1, 'float64', 8, false, 64, 0, false, 'EPSG:4326', -9999.0, 10.0, 44.0, 12.0, 45.0),
+      ('mask1.tif',       4, 2, 1, 'uint8',   1, false,  1, 0, false, 'EPSG:4326',     0.0, 10.0, 44.0, 12.0, 45.0),
+      ('pyramid.tif',     8, 4, 1, 'float64', 8, false, 64, 2, false, 'EPSG:4326', -9999.0, 10.0, 43.0, 14.0, 45.0),
+      ('slope.tif',       4, 2, 1, 'float64', 1, false, 64, 0, false, NULL,        -9999.0, 10.0, 44.0, 12.0, 45.0),
+      ('sparse_mask.tif', 4, 4, 1, 'float64', 8, true,  64, 0, true,  'EPSG:4326', -9999.0, 10.0, 43.0, 12.0, 45.0),
+      ('stack2.tif',      4, 2, 2, 'float64', 8, true,  64, 0, false, 'EPSG:4326', -9999.0, 10.0, 44.0, 12.0, 45.0)
     ) AS t(file, width, height, n_bands, dtype, compression, tiled, bits,
-           n_overviews, has_mask, nodata, x0, y0, x1, y1)
+           n_overviews, has_mask, crs, nodata, x0, y0, x1, y1)
     """,
 )
 def scan_raster_catalog(spark, sf_dir):
     """[r12] Distributed raster CATALOG — how a 100 TB COG mosaic is
     entered: one metadata row per file (dims, bands, dtype, codec,
     strip/tile layout, bit depth, overview count, internal-mask
-    presence, nodata, georeferenced bounds from the affine), parsed
+    presence, CRS from the geokey directory — NULL for pre-geokey
+    files, the absent path slope.tif pins — nodata, georeferenced
+    bounds from the affine), parsed
     EXECUTOR-side via mapInPandas over the path list so thousands of
     per-file header reads (a few KB each — just the IFD chain)
     parallelize instead of serializing on the driver, the same shape
@@ -2107,6 +2110,35 @@ def raster_extent_prune(spark, sf_dir):
     )
 
 
+_LEVEL_PICK_DIST_THRESHOLD = 256  # survivor count above which level picks run executor-side
+
+
+def _pick_levels(spark, path_factors, dist_threshold=_LEVEL_PICK_DIST_THRESHOLD):
+    """Per-file overview-level picks for a survivor list, threshold-
+    dispatched (VERDICT r13 #4, mirroring api._paths_preflight): at or
+    below ``dist_threshold`` survivors the picks run as a driver loop
+    (sub-ms local header reads, zero Spark jobs); above it they run
+    executor-side via pick_overviews_distributed so a 100k-survivor
+    mosaic parallelizes its header I/O.  Both paths share
+    _pick_overview_header, so level choices are identical by
+    construction (pinned by test_overview_prune_dispatch_parity).
+    Returns {basename: level}."""
+    import os as _os
+
+    from raster2points_spark.sources.minitiff import (
+        pick_overview,
+        pick_overviews_distributed,
+    )
+
+    pairs = list(path_factors)
+    if len(pairs) > dist_threshold:
+        return {
+            _os.path.basename(r.path): r.level
+            for r in pick_overviews_distributed(spark, pairs).collect()
+        }
+    return {_os.path.basename(p): pick_overview(p, f) for p, f in pairs}
+
+
 @register(
     "raster_overview_prune",
     oracle="""
@@ -2144,7 +2176,6 @@ def raster_overview_prune(spark, sf_dir):
     from raster2points_spark.sources.minitiff import (
         minitiff_catalog,
         minitiff_to_tiles,
-        pick_overview,
     )
     from raster2points_spark.queries._util import REPO_ROOT
 
@@ -2164,11 +2195,12 @@ def raster_overview_prune(spark, sf_dir):
         .select("file", ((F.col("x1") - F.col("x0")) / F.col("width")).alias("res"))
         .collect()
     )
-    # (b) cheapest sufficient level per survivor (header-only I/O)
-    levels = {
-        r.file: pick_overview(_os.path.join(d, r.file), target_res / r.res)
-        for r in hit
-    }
+    # (b) cheapest sufficient level per survivor (header-only I/O) —
+    # threshold-dispatched like api._paths_preflight: small survivor
+    # lists pick on the driver, large ones executor-side
+    levels = _pick_levels(
+        spark, [(_os.path.join(d, r.file), target_res / r.res) for r in hit]
+    )
     # (c) one tile read per distinct level, union — each branch reads
     # only that level's blocks and tags rows with the level it chose
     out = None

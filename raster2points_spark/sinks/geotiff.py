@@ -212,6 +212,7 @@ def encode_geotiff(
     bigtiff=False,
     overviews=0,
     predictor=1,
+    crs_epsg=4326,
 ):
     """Encode band arrays as tiled deflate GeoTIFF bytes.
 
@@ -230,6 +231,17 @@ def encode_geotiff(
     ``raster_overview_prune`` serves from.  Overview IFDs follow the
     GDAL convention: NewSubfileType=FILETYPE_REDUCEDIMAGE and NO geo
     tags (readers inherit and scale the full-res transform).
+
+    ``crs_epsg`` (default 4326) writes the CRS as a minimal
+    GeoKeyDirectoryTag (34735, GeoTIFF 1.1 §B.1.1) on the FULL-RES
+    IFD only (overviews inherit, the GDAL convention): a geographic
+    code (EPSG 4000–4999) emits GTModelType=2 + GeographicTypeGeoKey,
+    anything else GTModelType=1 + ProjectedCSTypeGeoKey; both carry
+    GTRasterType=1 (RasterPixelIsArea — pixel centers at +0.5, the
+    affine convention every query here already uses).  ``None`` omits
+    the tag (the pre-geokey layout).  Without this tag GDAL/QGIS open
+    the file as "unknown CRS" — the one reference-parity gap a GIS
+    consumer hits immediately (rasterio always writes it).
     """
     import numpy as np
 
@@ -278,6 +290,9 @@ def encode_geotiff(
         (33922, _T_DOUBLE, 6, list(tiepoint)),
         (42113, _T_ASCII, len(nodata_ascii), nodata_ascii),
     ]
+    if crs_epsg is not None:
+        geokeys = _geokey_directory(int(crs_epsg))
+        full_entries.append((34735, _T_SHORT, len(geokeys), geokeys))
     segments.append((full_entries, payloads))
     for k in range(1, overviews + 1):
         # each level derives from the FULL-RES image (2^k box means),
@@ -311,6 +326,28 @@ def encode_geotiff(
         seg, _ = _emit_segment(entries, pl, bases[i], next_off, bigtiff)
         out += seg
     return bytes(out), n_sparse
+
+
+def _geokey_directory(epsg: int) -> list[int]:
+    """Minimal GeoKeyDirectoryTag payload for one EPSG code: header
+    (KeyDirectoryVersion=1, KeyRevision=1.0, NumberOfKeys=3) + three
+    inline SHORT keys in ascending KeyID order (spec requirement).
+    EPSG 4000–4999 is the geographic-CRS block (GTModelType=2 +
+    GeographicTypeGeoKey 2048); everything else is written projected
+    (GTModelType=1 + ProjectedCSTypeGeoKey 3072) — the two layouts
+    GDAL emits for EPSG-coded rasters."""
+    if not 1 <= epsg <= 65535:
+        raise ValueError(f"crs_epsg {epsg} outside the SHORT-codable EPSG range")
+    geographic = 4000 <= epsg <= 4999
+    keys = [
+        (1024, 0, 1, 2 if geographic else 1),  # GTModelTypeGeoKey
+        (1025, 0, 1, 1),  # GTRasterTypeGeoKey: RasterPixelIsArea
+        (2048 if geographic else 3072, 0, 1, epsg),
+    ]
+    out = [1, 1, 0, len(keys)]
+    for k in keys:
+        out.extend(k)
+    return out
 
 
 def _box_mean(stack, width, height, factor, nodata, np_dt):
@@ -358,6 +395,7 @@ def write_geotiffs(
     bigtiff=False,
     overviews=0,
     predictor=1,
+    crs_epsg=4326,
 ):
     """Distributed GeoTIFF sink: one tiled file per ``file_id`` group.
 
@@ -447,6 +485,7 @@ def write_geotiffs(
             bigtiff=bigtiff,
             overviews=overviews,
             predictor=predictor,
+            crs_epsg=crs_epsg,
         )
         path = os.path.join(out_dir, f"{fid}.tif")
         tmp = path + ".tmp"

@@ -101,6 +101,7 @@ def _write_tiff(
     bigtiff=False,  # magic 43, 8-byte offsets, 20-byte IFD entries
     sparse=False,  # all-nodata blocks -> TileOffsets=0 (GDAL SPARSE_OK)
     mask_bits=None,  # row-major 0/1 list -> internal FILETYPE_MASK SubIFD
+    crs=4326,  # EPSG code -> GeoKeyDirectoryTag 34735; None omits it
 ):
     import zlib
 
@@ -241,6 +242,15 @@ def _write_tiff(
         long_array(279, counts)
     entry(33550, 12, 3, offset=extern("3d", [pixel_scale[0], pixel_scale[1], 0.0]))
     entry(33922, 12, 6, offset=extern("6d", list(tiepoint)))
+    if crs is not None:
+        # GeoKeyDirectoryTag: 4-SHORT header + 3 inline keys (model
+        # type, raster type = PixelIsArea, geographic/projected code)
+        geographic = 4000 <= crs <= 4999
+        gk = [1, 1, 0, 3,
+              1024, 0, 1, 2 if geographic else 1,
+              1025, 0, 1, 1,
+              (2048 if geographic else 3072), 0, 1, crs]
+        entry(34735, 3, len(gk), offset=extern(f"{len(gk)}H", gk))
     nd = nodata.encode() + b"\x00"
     # this writer always externalizes the ASCII value, so a short
     # string (e.g. "0" on a mask raster, or anything <= 8 B in
@@ -1871,3 +1881,39 @@ def test_minitiff_to_tiles_decimation_per_file(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="not both"):
         minitiff_to_tiles(spark, [pyr], overview_level=1, decimation=2.0)
+
+
+def test_raster2df_refuses_mixed_crs(spark, tmp_path):
+    """VERDICT r13 #2: the eager pre-flight refuses mixed-CRS inputs
+    the way it refuses mixed resolution — pixel grids in different
+    reference systems never co-tile."""
+    vals = [float(v) for v in range(8)]
+    p1 = str(tmp_path / "a.tif")
+    p2 = str(tmp_path / "b.tif")
+    _write_tiff(p1, vals, 4, 2, crs=4326)
+    _write_tiff(p2, vals, 4, 2, crs=32633)
+    from raster2points_spark.api import raster2df
+
+    with pytest.raises(ValueError, match="different CRSs"):
+        raster2df(spark, [p1, p2], bands=["b1", "b2"])
+    # CRS-unknown (no geokeys) does NOT conflict with a declared CRS
+    p3 = str(tmp_path / "c.tif")
+    _write_tiff(p3, vals, 4, 2, crs=None)
+    df = raster2df(spark, [p1, p3], bands=["b1", "b2"])
+    assert df.count() > 0
+
+
+def test_distributed_preflight_carries_crs(spark, tmp_path):
+    """The executor-side header pass must surface the same crs field
+    the driver loop does — mixed CRS refuses above the dispatch
+    threshold too."""
+    vals = [float(v) for v in range(8)]
+    paths = []
+    for i in range(4):
+        p = str(tmp_path / f"f{i}.tif")
+        _write_tiff(p, vals, 4, 2, crs=4326 if i < 3 else 32633)
+        paths.append(p)
+    from raster2points_spark.api import _paths_preflight
+
+    with pytest.raises(ValueError, match="different CRSs"):
+        _paths_preflight(paths, spark=spark, dist_threshold=2)

@@ -527,3 +527,70 @@ def test_cli_cogify_rejects_intra_band_transform_drift(spark, tmp_path, capsys):
         main([src, "/tmp/never_written", "--format", "geotiff",
               "--bands", "b1"])
     assert "more than one transform" in capsys.readouterr().err
+
+
+def test_geokey_directory_gdal_byte_layout():
+    """Pin the GDAL-convention byte layout of GeoKeyDirectoryTag
+    (VERDICT r13 #2): SHORT array, header (1,1,0,3), then ascending
+    KeyIDs — GTModelType, GTRasterType=1 (PixelIsArea), and the
+    geographic (2048) or projected (3072) EPSG code."""
+    data, _ = encode_geotiff([[1.0] * 256], 16, 16, tile=(16, 16))
+    # classic little-endian: walk the IFD for tag 34735
+    (ifd_off,) = struct.unpack_from("<I", data, 4)
+    (n,) = struct.unpack_from("<H", data, ifd_off)
+    tags = {}
+    for i in range(n):
+        tag, typ, cnt, off = struct.unpack_from("<HHII", data, ifd_off + 2 + 12 * i)
+        tags[tag] = (typ, cnt, off)
+    typ, cnt, off = tags[34735]
+    assert (typ, cnt) == (3, 16)  # SHORT x (4 header + 3 keys x 4)
+    vals = struct.unpack_from("<16H", data, off)
+    assert vals == (1, 1, 0, 3,
+                    1024, 0, 1, 2,    # GTModelType: geographic
+                    1025, 0, 1, 1,    # GTRasterType: RasterPixelIsArea
+                    2048, 0, 1, 4326)
+    # projected code flips to GTModelType=1 + ProjectedCSTypeGeoKey
+    data2, _ = encode_geotiff([[1.0] * 256], 16, 16, tile=(16, 16), crs_epsg=32633)
+    (ifd_off,) = struct.unpack_from("<I", data2, 4)
+    (n,) = struct.unpack_from("<H", data2, ifd_off)
+    for i in range(n):
+        tag, typ, cnt, off = struct.unpack_from("<HHII", data2, ifd_off + 2 + 12 * i)
+        if tag == 34735:
+            assert struct.unpack_from("<16H", data2, off) == (
+                1, 1, 0, 3, 1024, 0, 1, 1, 1025, 0, 1, 1, 3072, 0, 1, 32633)
+            break
+    else:
+        raise AssertionError("tag 34735 missing")
+    # crs_epsg=None omits the tag entirely (the pre-geokey layout)
+    data3, _ = encode_geotiff([[1.0] * 256], 16, 16, tile=(16, 16), crs_epsg=None)
+    assert read_header(_tmp_write(data3)).crs is None
+
+
+def _tmp_write(data: bytes) -> str:
+    import tempfile
+
+    f = tempfile.NamedTemporaryFile(suffix=".tif", delete=False)
+    f.write(data)
+    f.close()
+    return f.name
+
+
+def test_sink_crs_roundtrips_through_catalog(spark, tmp_path):
+    """write_geotiffs -> minitiff_catalog closes the CRS loop: the
+    catalog's crs column reads back exactly what the sink wrote."""
+    from pyspark.sql import functions as F
+
+    from raster2points_spark.sources.minitiff import minitiff_catalog
+
+    px = spark.range(256).select(
+        F.lit("c0").alias("file_id"), F.lit(1).alias("band"),
+        (F.col("id") / 16).cast("int").alias("row"),
+        (F.col("id") % 16).cast("int").alias("col"),
+        F.col("id").cast("double").alias("value"),
+    )
+    out = str(tmp_path / "crs")
+    write_geotiffs(
+        px, out, width=16, height=16, tile=(16, 16), crs_epsg=32633
+    ).collect()
+    row = minitiff_catalog(spark, [os.path.join(out, "c0.tif")]).collect()[0]
+    assert row.crs == "EPSG:32633"

@@ -100,7 +100,10 @@ def main() -> int:
     out = os.path.join(REPO, "fixtures", "tif")
     os.makedirs(out, exist_ok=True)
     _write_tiff(os.path.join(out, "elev.tif"), BAND1, W, H, compression=8)
-    _write_tiff(os.path.join(out, "slope.tif"), BAND2, W, H)
+    # slope.tif deliberately carries NO geokey directory (crs=None):
+    # the catalog's crs column must surface NULL for pre-geokey files,
+    # and the oracle VALUES pins both the present and absent paths
+    _write_tiff(os.path.join(out, "slope.tif"), BAND2, W, H, crs=None)
     _write_tiff(
         os.path.join(out, "stack2.tif"),
         None,
