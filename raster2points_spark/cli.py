@@ -79,6 +79,12 @@ def main(argv: list[str] | None = None) -> int:
         "2 horizontal diff (ints), 3 float byte shuffle",
     )
     ap.add_argument(
+        "--compression",
+        default="deflate",
+        choices=["deflate", "lzw"],
+        help="tile codec for --format geotiff output",
+    )
+    ap.add_argument(
         "--dtype",
         default="f8",
         choices=["f8", "f4", "i2", "u1"],
@@ -228,6 +234,7 @@ def main(argv: list[str] | None = None) -> int:
             origins=origins,
             nodata=args.nodata_out,
             dtype=args.dtype,
+            compression=args.compression,
             tile=(args.tile_size, args.tile_size),
             sparse=args.sparse,
             bigtiff=args.bigtiff,

@@ -20,72 +20,76 @@ SF0001 = "/root/testdata/sf0.001"
 # windows; after r10 362 of 363 then-registered keys had a driver
 # grade and no key was red.
 #
-# The r13 window (VERDICT r12 #1: keep draining the stale ledger —
+# The r14 window (VERDICT r13 #1: keep draining the stale ledger —
 # oldest grades first; tools/evidence_audit.py is the ordering
 # source):
-# - the 5 NEW r13 keys, never driver-graded: raster_overview_prune
-#   (VERDICT r12 #2), raster_mosaic_hetero (VERDICT r12 #3), the
-#   GeoTIFF write path sink_geotiff / sink_geotiff_pyramid, and the
-#   tile zone-map prune raster_tile_zonemap,
-# - the 2 keys whose plans changed this round (kmeans/NB, VERDICT #7),
-# - the 25 remaining r5-era stale keys (clears the r5 tail entirely),
-# - the 18 oldest r6-era stale keys.
-# r14+ walks the remaining r6/r7 tail (stale-<r9 after r13: ≤126).
+# - the 1 NEW r14 key (never driver-graded): sink_geotiff_lzw
+#   (VERDICT r13 #6 — write-side TIFF-LZW + predictor 3 + projected
+#   CRS, hash-gated through write→catalog→read),
+# - the 10 keys the CRS-geokey change (VERDICT r13 #2) touched:
+#   regenerated fixtures (scan_geotiff_* / raster_mosaic_hetero /
+#   raster_extent_prune), the extended catalog oracle
+#   (scan_raster_catalog), the geokey-emitting sinks
+#   (sink_geotiff / sink_geotiff_pyramid) and the level-pick
+#   dispatch rewrite (raster_overview_prune, VERDICT r13 #4),
+# - the 30 remaining r6-era stale keys (clears the r6 tail entirely),
+# - the 9 oldest r7-era stale keys.
+# r15+ walks the remaining r7/r8 tail.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- never graded (new this round) ---
+    "sink_geotiff_lzw",
+    # --- changed this round (CRS geokeys / fixtures / dispatch) ---
+    "scan_raster_catalog",
+    "scan_geotiff_mini",
+    "scan_geotiff_overview",
+    "scan_geotiff_mask1bit",
+    "scan_geotiff_sparse",
+    "raster_extent_prune",
     "raster_overview_prune",
     "raster_mosaic_hetero",
     "sink_geotiff",
     "sink_geotiff_pyramid",
-    "raster_tile_zonemap",
-    # --- changed this round (iterative-loop shave, VERDICT r12 #7) ---
-    "ml_kmeans_lloyd",
-    "ml_naive_bayes",
-    # --- the 25 remaining r5-era stale keys ---
-    "join_asof_forward",
-    "join_lateral",
-    "mm_features",
-    "mv_incremental",
-    "raster_band_math",
-    "raster_downsample",
-    "raster_fill_idw",
-    "raster_focal_mean",
-    "raster_slope",
-    "rfm_segments",
-    "sample_reservoir",
-    "sample_weighted",
-    "scan_binary_files",
-    "scan_pysource",
-    "scan_text_lines",
-    "sim_knn_label",
-    "source_vocab_overlap",
-    "spatial_join_grid",
-    "stream_join_static",
-    "stream_stream_join",
-    "text_heavy_hitters",
-    "text_url_domain",
-    "tpch_q18",
-    "win_ntile",
-    "win_rolling_z",
-    # --- the 18 oldest r6-era stale keys ---
-    "agg_any_all",
-    "agg_approx_percentile",
-    "agg_bitmap_distinct",
-    "agg_corr",
-    "agg_decimal_exact",
-    "agg_hll_partial_merge",
-    "agg_mode",
-    "agg_regression",
-    "agg_salted_twophase",
-    "agg_session_window",
-    "agg_weighted_avg",
-    "anomaly_mad",
-    "attribution_first_touch",
-    "basket_pairs",
-    "basket_rules",
-    "cohort_retention",
-    "concurrency_peak",
-    "dedup_edit_distance",
+    # --- the 30 remaining r6-era stale keys ---
+    "dedup_url_canonical",
+    "embed_gram_matrix",
+    "fn_binary",
+    "fn_map",
+    "funnel_batch",
+    "join_dpp",
+    "join_null_safe",
+    "pareto_customers",
+    "raster_hillshade",
+    "raster_reproject_nn",
+    "raster_zonal_stats",
+    "reshape_unpivot",
+    "rle_events",
+    "sample_temperature",
+    "scd2_asof_lookup",
+    "seq_markov",
+    "seq_pattern_detect",
+    "seq_transitions",
+    "sessionize_batch",
+    "sim_knn",
+    "stream_cdc_apply",
+    "stream_distinct_users",
+    "text_compression_ratio",
+    "text_context_windows",
+    "text_repetition_ratio",
+    "text_zipf_slope",
+    "ts_pct_change",
+    "ts_spike_detect",
+    "win_count_distinct",
+    "win_ratio_share",
+    # --- the 9 oldest r7-era stale keys ---
+    "ab_test_proportions",
+    "agg_benford_profile",
+    "agg_corr_matrix",
+    "agg_gini",
+    "agg_hll_oracle",
+    "agg_kmv_set_ops",
+    "agg_moments",
+    "corr_spearman",
+    "dq_expectations",
 )
 
 

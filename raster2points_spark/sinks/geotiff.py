@@ -7,7 +7,7 @@ tiled GeoTIFFs, one file per task.  This module provides
 
 * :func:`encode_geotiff` — a dependency-free (struct + zlib + numpy)
   encoder producing a classic little-endian TIFF: tiled layout,
-  deflate compression, multi-band chunky interleave, GeoTIFF
+  deflate or TIFF-LZW compression, multi-band chunky interleave, GeoTIFF
   ModelPixelScale/ModelTiepoint geo tags, GDAL_NODATA, and optional
   GDAL SPARSE_OK sparse tiles (all-nodata tiles stored with
   TileOffsets=0 — zero bytes on disk, exactly what
@@ -55,14 +55,69 @@ _DTYPES = {
 
 _TYPE_PACK = {_T_SHORT: ("H", 2), _T_LONG: ("I", 4), _T_DOUBLE: ("d", 8), _T_LONG8: ("Q", 8)}
 
+# compression= option -> TIFF tag 259 code
+_COMPRESSIONS = {"deflate": 8, "lzw": 5}
 
-def _tile_payloads(stack, width, height, tw, th, nodata, np_dt, sparse, predictor=1):
-    """Deflate-encode one sub-image's tiles (row-major tile order,
-    spec-padded with nodata to full tile size).  Sparse all-nodata
-    tiles encode as b"" (TileOffsets=0 on disk).  predictor=2 applies
-    per-row horizontal differencing (ints), predictor=3 the float
-    byte shuffle (plane-major big-endian bytes, byte-diffed) — both
-    exactly inverse to sources/minitiff._decode_block."""
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder (TIFF 6.0 §13): MSB-first bit packing,
+    CLEAR first, EARLY CHANGE (the code width bumps when the next free
+    code reaches 2^width - 1 from the DECODER's one-entry-lagged view,
+    i.e. encoder-side at 2^width), CLEAR again when the table fills at
+    4094.  Exactly inverse to sources/minitiff._lzw_decode — the
+    round-trip is hypothesis-swept in tests/test_sink_geotiff.py.
+    Pure Python on tile-sized blocks (the task's own payload), same
+    trade as the reader's decoder: correctness-first for the most
+    common GeoTIFF codec, with the rasterio seam as the accelerated
+    path on clusters that have one."""
+    CLEAR, EOI = 256, 257
+
+    def init():
+        return {bytes([i]): i for i in range(256)}, 258, 9
+
+    table, next_code, width = init()
+    emit = [(CLEAR, 9)]
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in table:
+            w += c
+            continue
+        emit.append((table[w], width))
+        table[w + c] = next_code
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1  # early change, encoder side
+        if next_code == 4094:
+            emit.append((CLEAR, width))
+            table, next_code, width = init()
+        w = c
+    if w:
+        emit.append((table[w], width))
+    emit.append((EOI, width))
+    acc = bitlen = 0
+    out = bytearray()
+    for code, wd in emit:
+        acc = (acc << wd) | code
+        bitlen += wd
+        while bitlen >= 8:
+            out.append((acc >> (bitlen - 8)) & 0xFF)
+            bitlen -= 8
+    if bitlen:
+        out.append((acc << (8 - bitlen)) & 0xFF)
+    return bytes(out)
+
+
+def _tile_payloads(
+    stack, width, height, tw, th, nodata, np_dt, sparse, predictor=1, compression=8
+):
+    """Compress one sub-image's tiles (row-major tile order,
+    spec-padded with nodata to full tile size) — deflate (8, zlib
+    level 6) or TIFF-LZW (5).  Sparse all-nodata tiles encode as b""
+    (TileOffsets=0 on disk).  predictor=2 applies per-row horizontal
+    differencing (ints), predictor=3 the float byte shuffle
+    (plane-major big-endian bytes, byte-diffed) — both exactly inverse
+    to sources/minitiff._decode_block."""
     import numpy as np
 
     payloads: list[bytes] = []
@@ -97,7 +152,9 @@ def _tile_payloads(stack, width, height, tw, th, nodata, np_dt, sparse, predicto
                 raw = d.tobytes()
             else:
                 raw = block.tobytes()
-            payloads.append(zlib.compress(raw, 6))
+            payloads.append(
+                _lzw_encode(raw) if compression == 5 else zlib.compress(raw, 6)
+            )
     return payloads, n_sparse
 
 
@@ -213,8 +270,9 @@ def encode_geotiff(
     overviews=0,
     predictor=1,
     crs_epsg=4326,
+    compression="deflate",
 ):
-    """Encode band arrays as tiled deflate GeoTIFF bytes.
+    """Encode band arrays as tiled compressed GeoTIFF bytes.
 
     ``bands`` — list of row-major numpy-coercible arrays (length
     width*height each); ``tile`` — (tile_width, tile_height), must be
@@ -256,6 +314,11 @@ def encode_geotiff(
         raise ValueError("predictor 2 (horizontal diff) is for integer dtypes")
     if predictor == 3 and dtype not in ("f8", "f4"):
         raise ValueError("predictor 3 (byte shuffle) is for float dtypes")
+    comp_code = _COMPRESSIONS.get(compression)
+    if comp_code is None:
+        raise ValueError(
+            f"unsupported compression {compression!r}; one of {sorted(_COMPRESSIONS)}"
+        )
     bits, sample_format, np_dt = _DTYPES[dtype]
     spp = len(bands)
     arrs = [np.asarray(b, dtype=np_dt).reshape(height, width) for b in bands]
@@ -268,7 +331,7 @@ def encode_geotiff(
             (256, _T_LONG, 1, w),
             (257, _T_LONG, 1, h),
             (258, _T_SHORT, spp, [bits] * spp),
-            (259, _T_SHORT, 1, 8),  # deflate
+            (259, _T_SHORT, 1, comp_code),
             (262, _T_SHORT, 1, 1),  # BlackIsZero
             (277, _T_SHORT, 1, spp),
             (284, _T_SHORT, 1, 1),  # chunky
@@ -283,7 +346,7 @@ def encode_geotiff(
     # ---- build every sub-image's entries + payloads ----
     segments: list[tuple[list, list]] = []
     payloads, n_sparse = _tile_payloads(
-        stack, width, height, tw, th, nodata, np_dt, sparse, predictor
+        stack, width, height, tw, th, nodata, np_dt, sparse, predictor, comp_code
     )
     full_entries = _common(width, height, len(payloads), [len(p) for p in payloads]) + [
         (33550, _T_DOUBLE, 3, [pixel_scale[0], pixel_scale[1], 0.0]),
@@ -300,7 +363,9 @@ def encode_geotiff(
         # edges and nodata-holed quads differently (mean-of-means !=
         # mean)
         lvl_stack, lw, lh = _box_mean(stack, width, height, 2**k, nodata, np_dt)
-        pl, ns = _tile_payloads(lvl_stack, lw, lh, tw, th, nodata, np_dt, sparse, predictor)
+        pl, ns = _tile_payloads(
+            lvl_stack, lw, lh, tw, th, nodata, np_dt, sparse, predictor, comp_code
+        )
         n_sparse += ns
         segments.append(
             (
@@ -396,6 +461,7 @@ def write_geotiffs(
     overviews=0,
     predictor=1,
     crs_epsg=4326,
+    compression="deflate",
 ):
     """Distributed GeoTIFF sink: one tiled file per ``file_id`` group.
 
@@ -486,6 +552,7 @@ def write_geotiffs(
             overviews=overviews,
             predictor=predictor,
             crs_epsg=crs_epsg,
+            compression=compression,
         )
         path = os.path.join(out_dir, f"{fid}.tif")
         tmp = path + ".tmp"

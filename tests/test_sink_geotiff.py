@@ -299,15 +299,21 @@ from hypothesis import strategies as st
     sparse=st.booleans(),
     bigtiff=st.booleans(),
     n_overviews=st.integers(min_value=0, max_value=2),
+    compression=st.sampled_from(["deflate", "lzw"]),
+    predictor_on=st.booleans(),
     seed=st.integers(min_value=0, max_value=2**31 - 1),
 )
 @settings(max_examples=60, deadline=None)
 def test_encode_decode_identity_property(
-    tmp_path_factory, width, height, tile_edge, dtype, sparse, bigtiff, n_overviews, seed
+    tmp_path_factory, width, height, tile_edge, dtype, sparse, bigtiff,
+    n_overviews, compression, predictor_on, seed
 ):
     import numpy as np
 
     rng = np.random.default_rng(seed)
+    # codec x predictor x dtype sweep (VERDICT r13 #6): predictor 3
+    # for floats, 2 for ints, 1 when off
+    predictor = (3 if dtype in ("f8", "f4") else 2) if predictor_on else 1
     nodata = 0 if dtype == "u1" else -99
     if dtype in ("f8", "f4"):
         vals = rng.integers(-50, 200, size=width * height).astype("f8")
@@ -330,6 +336,8 @@ def test_encode_decode_identity_property(
         sparse=sparse,
         bigtiff=bigtiff,
         overviews=n_overviews,
+        compression=compression,
+        predictor=predictor,
     )
     p = str(tmp_path_factory.mktemp("prop") / "x.tif")
     with open(p, "wb") as f:
@@ -337,6 +345,8 @@ def test_encode_decode_identity_property(
     hdr = read_header(p)
     assert (hdr.width, hdr.height) == (width, height)
     assert hdr.n_overviews == n_overviews
+    assert hdr.compression == (5 if compression == "lzw" else 8)
+    assert hdr.predictor == predictor
     assert read_window(hdr, 0, 0, width, height) == list(vals)
     if not sparse:
         assert n_sparse == 0 and 0 not in hdr.offsets
