@@ -23,9 +23,11 @@ SF0001 = "/root/testdata/sf0.001"
 # The r14 window (VERDICT r13 #1: keep draining the stale ledger —
 # oldest grades first; tools/evidence_audit.py is the ordering
 # source):
-# - the 1 NEW r14 key (never driver-graded): sink_geotiff_lzw
+# - the 2 NEW r14 keys (never driver-graded): sink_geotiff_lzw
 #   (VERDICT r13 #6 — write-side TIFF-LZW + predictor 3 + projected
-#   CRS, hash-gated through write→catalog→read),
+#   CRS, hash-gated through write→catalog→read) and
+#   raster_mosaic_crs_groups (per-CRS mosaic planning off the
+#   catalog's new crs column),
 # - the 10 keys the CRS-geokey change (VERDICT r13 #2) touched:
 #   regenerated fixtures (scan_geotiff_* / raster_mosaic_hetero /
 #   raster_extent_prune), the extended catalog oracle
@@ -33,11 +35,12 @@ SF0001 = "/root/testdata/sf0.001"
 #   (sink_geotiff / sink_geotiff_pyramid) and the level-pick
 #   dispatch rewrite (raster_overview_prune, VERDICT r13 #4),
 # - the 30 remaining r6-era stale keys (clears the r6 tail entirely),
-# - the 9 oldest r7-era stale keys.
+# - the 8 oldest r7-era stale keys.
 # r15+ walks the remaining r7/r8 tail.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- never graded (new this round) ---
     "sink_geotiff_lzw",
+    "raster_mosaic_crs_groups",
     # --- changed this round (CRS geokeys / fixtures / dispatch) ---
     "scan_raster_catalog",
     "scan_geotiff_mini",
@@ -80,7 +83,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ts_spike_detect",
     "win_count_distinct",
     "win_ratio_share",
-    # --- the 9 oldest r7-era stale keys ---
+    # --- the 8 oldest r7-era stale keys ---
     "ab_test_proportions",
     "agg_benford_profile",
     "agg_corr_matrix",
@@ -89,7 +92,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_kmv_set_ops",
     "agg_moments",
     "corr_spearman",
-    "dq_expectations",
 )
 
 

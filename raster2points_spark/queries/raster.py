@@ -2605,6 +2605,116 @@ def sink_geotiff_lzw(spark, sf_dir):
 
 
 @register(
+    "raster_mosaic_crs_groups",
+    oracle="""
+    SELECT crs, CAST(n_files AS bigint) AS n_files,
+           CAST(x0 AS double) AS x0, CAST(y0 AS double) AS y0,
+           CAST(x1 AS double) AS x1, CAST(y1 AS double) AS y1,
+           CAST(cols AS int) AS cols, CAST(rows AS int) AS rows
+    FROM (VALUES
+      ('EPSG:32633', 2, 500000.0, 4183984.0, 500032.0, 4184000.0, 32, 16),
+      ('EPSG:4326',  2, 10.0, 44.0, 26.0, 52.0, 32, 16)
+    ) AS t(crs, n_files, x0, y0, x1, y1, cols, rows)
+    """,
+)
+def raster_mosaic_crs_groups(spark, sf_dir):
+    """[r14] CRS-aware mosaic PLANNING off the catalog — the query
+    twin of the r14 pre-flight refusal (VERDICT r13 #2): a mixed-CRS
+    file set cannot mosaic as one grid, but it CAN mosaic per CRS
+    group, and the planning (which files group together, each group's
+    union extent, the target grid dims at the group's native
+    resolution) is pure catalog relational algebra — zero pixel I/O.
+    Four 16x16 rasters are written at query time through the
+    distributed sink (two EPSG:4326 at 0.5 deg/px side by side, two
+    EPSG:32633 at 1 m/px stacked), cataloged, and grouped by the crs
+    column: per group file count, union bounds, and ceil'd
+    cols/rows of the mosaic grid at the group's finest resolution.
+    Oracle = the hand-derived golden VALUES.  This is the GDAL
+    `gdalbuildvrt` per-SRS planning step as engine relational ops.
+
+    At 100 TB: the group-by runs over the HEADER catalog (one row per
+    file); the per-group mosaic jobs it plans are each
+    raster_mosaic_hetero/priority instances — planning cost ∝ files,
+    never pixels."""
+    import os as _os
+
+    from raster2points_spark.queries._util import SCRATCH
+    from raster2points_spark.sinks.geotiff import write_geotiffs
+    from raster2points_spark.sources.minitiff import minitiff_catalog
+
+    w = h = 16
+    out_dir = _os.path.join(SCRATCH, "mosaic_crs_groups")
+
+    def _pixels(file_ids):
+        ids = F.col("id")
+        n = len(file_ids)
+        return (
+            spark.range(n * w * h)
+            .select(
+                (ids / (w * h)).cast("int").alias("f"),
+                ((ids % (w * h)) / w).cast("int").alias("row"),
+                (ids % w).cast("int").alias("col"),
+            )
+            .select(
+                F.element_at(
+                    F.array(*[F.lit(x) for x in file_ids]), F.col("f") + 1
+                ).alias("file_id"),
+                F.lit(1).alias("band"),
+                "row",
+                "col",
+                (F.col("row") + F.col("col")).cast("double").alias("value"),
+            )
+        )
+
+    geo = spark.createDataFrame(
+        [("g0", 10.0, 52.0), ("g1", 18.0, 52.0)],
+        "file_id string, lon0 double, lat0 double",
+    )
+    m1 = write_geotiffs(
+        _pixels(["g0", "g1"]), out_dir, width=w, height=h,
+        pixel_scale=(0.5, 0.5), origins=geo, tile=(16, 16), crs_epsg=4326,
+    )
+    utm = spark.createDataFrame(
+        [("u0", 500000.0, 4184000.0), ("u1", 500016.0, 4184000.0)],
+        "file_id string, lon0 double, lat0 double",
+    )
+    m2 = write_geotiffs(
+        _pixels(["u0", "u1"]), out_dir, width=w, height=h,
+        pixel_scale=(1.0, 1.0), origins=utm, tile=(16, 16), crs_epsg=32633,
+    )
+    m1.unionByName(m2).write.format("noop").mode("overwrite").save()
+    paths = [_os.path.join(out_dir, f"{f}.tif") for f in ("g0", "g1", "u0", "u1")]
+    cat = minitiff_catalog(spark, paths)
+    res = ((F.col("x1") - F.col("x0")) / F.col("width")).alias("res")
+    return (
+        cat.select("crs", "x0", "y0", "x1", "y1", res)
+        .groupBy("crs")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.min("x0").alias("x0"),
+            F.min("y0").alias("y0"),
+            F.max("x1").alias("x1"),
+            F.max("y1").alias("y1"),
+            F.min("res").alias("fres"),
+        )
+        .select(
+            "crs",
+            "n_files",
+            "x0",
+            "y0",
+            "x1",
+            "y1",
+            F.ceil((F.col("x1") - F.col("x0")) / F.col("fres"))
+            .cast("int")
+            .alias("cols"),
+            F.ceil((F.col("y1") - F.col("y0")) / F.col("fres"))
+            .cast("int")
+            .alias("rows"),
+        )
+    )
+
+
+@register(
     "raster_tile_zonemap",
     oracle="""
     WITH px AS (
