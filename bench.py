@@ -434,6 +434,32 @@ def main() -> int:
             "duck_batched_passes": duck_batched_passes,
         }
     )
+    # Median-of-samples gate summary (VERDICT r13 #7): the BASELINE
+    # row quotes the MEDIAN sequential ratio across the round's
+    # samples (one lucky/unlucky co-tenant window can't flip the 2×
+    # gate) alongside the best batched pass as headline.  Per-sample
+    # ratios are medianed directly — a ratio of medians would pair
+    # numbers from different windows.
+    import statistics as _stats
+
+    _seqs = [s["sequential_sec"] for s in samples if s.get("sequential_sec")]
+    _ducks = [s["duck_total_sec"] for s in samples if s.get("duck_total_sec")]
+    _ratios = sorted(
+        s["sequential_sec"] / s["duck_total_sec"]
+        for s in samples
+        if s.get("sequential_sec") and s.get("duck_total_sec")
+    )
+    _batched_best = min(
+        (min(s["batched_passes"]) for s in samples if s.get("batched_passes")),
+        default=None,
+    )
+    sample_summary = {
+        "n_samples": len(samples),
+        "median_sequential_sec": round(_stats.median(_seqs), 3) if _seqs else None,
+        "median_duck_total_sec": round(_stats.median(_ducks), 3) if _ducks else None,
+        "median_seq_ratio": round(_stats.median(_ratios), 3) if _ratios else None,
+        "best_batched_sec": _batched_best,
+    }
     with open(detail_path, "w") as fh:
         json.dump(
             {
@@ -462,6 +488,9 @@ def main() -> int:
                 },
                 # every same-round sample incl. this one, oldest first
                 "same_day_samples": samples,
+                # median seq (+ ratio) across those samples — the
+                # BASELINE row's quoted gate number since r14
+                "same_day_median": sample_summary,
             },
             fh,
             indent=1,
