@@ -23,11 +23,14 @@ SF0001 = "/root/testdata/sf0.001"
 # The r14 window (VERDICT r13 #1: keep draining the stale ledger —
 # oldest grades first; tools/evidence_audit.py is the ordering
 # source):
-# - the 2 NEW r14 keys (never driver-graded): sink_geotiff_lzw
+# - the 5 NEW r14 keys (never driver-graded): sink_geotiff_lzw
 #   (VERDICT r13 #6 — write-side TIFF-LZW + predictor 3 + projected
-#   CRS, hash-gated through write→catalog→read) and
+#   CRS, hash-gated through write→catalog→read),
 #   raster_mosaic_crs_groups (per-CRS mosaic planning off the
-#   catalog's new crs column),
+#   catalog's new crs column), fn_utm_forward (Snyder transverse-
+#   Mercator forward series, zone 27N), raster_focal_gaussian_sep
+#   (separable 5×5 blur hash-proven against the direct 2-D oracle)
+#   and stat_ks_test (exact two-sample Kolmogorov–Smirnov),
 # - the 10 keys the CRS-geokey change (VERDICT r13 #2) touched:
 #   regenerated fixtures (scan_geotiff_* / raster_mosaic_hetero /
 #   raster_extent_prune), the extended catalog oracle
@@ -35,12 +38,15 @@ SF0001 = "/root/testdata/sf0.001"
 #   (sink_geotiff / sink_geotiff_pyramid) and the level-pick
 #   dispatch rewrite (raster_overview_prune, VERDICT r13 #4),
 # - the 30 remaining r6-era stale keys (clears the r6 tail entirely),
-# - the 8 oldest r7-era stale keys.
+# - the 5 oldest r7-era stale keys.
 # r15+ walks the remaining r7/r8 tail.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- never graded (new this round) ---
     "sink_geotiff_lzw",
     "raster_mosaic_crs_groups",
+    "fn_utm_forward",
+    "raster_focal_gaussian_sep",
+    "stat_ks_test",
     # --- changed this round (CRS geokeys / fixtures / dispatch) ---
     "scan_raster_catalog",
     "scan_geotiff_mini",
@@ -83,15 +89,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ts_spike_detect",
     "win_count_distinct",
     "win_ratio_share",
-    # --- the 8 oldest r7-era stale keys ---
+    # --- the 5 oldest r7-era stale keys ---
     "ab_test_proportions",
     "agg_benford_profile",
     "agg_corr_matrix",
     "agg_gini",
     "agg_hll_oracle",
-    "agg_kmv_set_ops",
-    "agg_moments",
-    "corr_spearman",
 )
 
 

@@ -2846,3 +2846,94 @@ def stat_bootstrap_se(spark, sf_dir):
         .crossJoin(F.broadcast(full))
         .select("mean_full", "boot_se", "n_replicates")
     )
+
+
+@register(
+    "stat_ks_test",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(l_extendedprice AS double) AS v, l_returnflag AS g
+      FROM lineitem WHERE l_returnflag IN ('R', 'N')
+    ),
+    per_v AS (
+      SELECT v,
+             sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS r,
+             sum(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS n
+      FROM s GROUP BY v
+    ),
+    cum AS (
+      SELECT sum(r) OVER (ORDER BY v) AS c1,
+             sum(n) OVER (ORDER BY v) AS c2
+      FROM per_v
+    ),
+    tot AS (
+      SELECT CAST(sum(r) AS bigint) AS n_r, CAST(sum(n) AS bigint) AS n_n
+      FROM per_v
+    )
+    SELECT n_r, n_n,
+           round(max(abs(CAST(c1 AS double) / n_r
+                         - CAST(c2 AS double) / n_n)), 9) AS d_stat,
+           round(max(abs(CAST(c1 AS double) / n_r
+                         - CAST(c2 AS double) / n_n))
+                 * sqrt(CAST(n_r AS double) * n_n / (n_r + n_n)), 6) AS ks_lambda
+    FROM cum CROSS JOIN tot
+    GROUP BY n_r, n_n
+    """,
+)
+def stat_ks_test(spark, sf_dir):
+    """[r14] Exact two-sample Kolmogorov–Smirnov statistic between the
+    price distributions of returned (R) vs delivered (N) line items —
+    the distribution-shift test a training-data pipeline runs between
+    corpus snapshots (profile_drift_psi's nonparametric sibling: PSI
+    needs binning choices, KS is binning-free and exact).
+
+    D = max_x |F_R(x) - F_N(x)| over the empirical CDFs, plus the
+    scaled statistic λ = D·√(n₁n₂/(n₁+n₂)) that feeds the asymptotic
+    p-value.  Computed exactly, never sampled: pre-aggregate to one
+    row per DISTINCT value (map-side-combined shuffle — at 100 TB the
+    distinct-price relation is orders of magnitude smaller than the
+    fact table), then ONE ordered window over that collapsed relation
+    accumulates both CDFs in a single pass, a broadcast cross join
+    pins the two totals, and a final max-aggregate reduces to one row.
+    The global window sorts |distinct| rows, not |rows|; if even that
+    outgrows one partition, the CDF is range-bucketable (per-bucket
+    partial counts + prefix-offset broadcast, the ts_gapfill
+    discipline) without changing semantics.  Integer counts divide as
+    doubles identically in both engines; D is exact rational
+    arithmetic rounded at 9 dp only as a hash formality.
+    """
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag").isin("R", "N"))
+    per_v = li.groupBy(F.col("l_extendedprice").cast("double").alias("v")).agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("r"),
+        F.sum(F.when(F.col("l_returnflag") == "N", 1).otherwise(0)).alias("n"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = per_v.select(
+        F.sum("r").over(w).alias("c1"), F.sum("n").over(w).alias("c2")
+    )
+    tot = per_v.agg(
+        F.sum("r").cast("bigint").alias("n_r"), F.sum("n").cast("bigint").alias("n_n")
+    )
+    diff = F.abs(
+        F.col("c1").cast("double") / F.col("n_r")
+        - F.col("c2").cast("double") / F.col("n_n")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n_r", "n_n")
+        .agg(
+            F.round(F.max(diff), 9).alias("d_stat"),
+            F.round(
+                F.max(diff)
+                * F.sqrt(
+                    F.col("n_r").cast("double")
+                    * F.col("n_n")
+                    / (F.col("n_r") + F.col("n_n"))
+                ),
+                6,
+            ).alias("ks_lambda"),
+        )
+        .select("n_r", "n_n", "d_stat", "ks_lambda")
+    )

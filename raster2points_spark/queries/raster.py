@@ -775,6 +775,90 @@ def raster_slope(spark, sf_dir):
 
 
 @register(
+    "raster_focal_gaussian_sep",
+    oracle=f"""
+    {_PX}
+    , valid AS (
+        SELECT col, row, value FROM pix
+        WHERE band_id = 'b2' AND value IS NOT NULL
+    ),
+    k AS (
+        SELECT unnest([-2, -1, 0, 1, 2]) AS d,
+               unnest([1.0, 4.0, 6.0, 4.0, 1.0]) AS w
+    ),
+    offs AS (
+        SELECT kc.d AS dc, kr.d AS dr, kc.w * kr.w AS w
+        FROM k kc CROSS JOIN k kr
+    ),
+    contrib AS (
+        SELECT v.col + o.dc AS col, v.row + o.dr AS row, o.w * v.value AS wv
+        FROM valid v CROSS JOIN offs o
+    )
+    SELECT col, row, round(sum(wv) / 256.0, 6) AS gauss
+    FROM contrib
+    GROUP BY col, row
+    HAVING count(*) = 25
+    """,
+)
+def raster_focal_gaussian_sep(spark, sf_dir):
+    """[r14] 5×5 binomial (Gaussian-approximating) blur computed as
+    two SEPARABLE 1-D passes — the convolution-separability
+    optimization every image pipeline relies on: kernel
+    [1,4,6,4,1]⊗[1,4,6,4,1]/256 applied as a horizontal
+    scatter-gather (5×|valid| rows) followed by a vertical one
+    (5×|complete| rows), so the shuffle carries 2·5× the pixels
+    instead of the direct form's 25× — at 100 TB that is 2.5× less
+    data movement for ANY 5-tap kernel, and the gap widens linearly
+    with kernel width (2k vs k²).
+
+    The ORACLE deliberately computes the DIRECT 25-term 2-D
+    convolution — the hash match is a machine-checked proof of the
+    separability identity Σ_r w_r Σ_c w_c v = Σ_{{r,c}} w_r w_c v on
+    real data, not just a replay of the same plan.  Completeness
+    gates (n=5 per pass) emit exactly the centers whose full 5×5
+    neighborhood is valid — identical to the oracle's HAVING
+    count(*)=25 — so nodata never biases the weighted mean.  Same
+    scatter-gather discipline as raster_focal_mean/raster_slope."""
+    px = nodata_filter(grid_unpivot(_tiles(spark, sf_dir).filter(F.col("band_id") == "b2")))
+    valid = px.select("col", "row", "value")
+    taps = F.expr(
+        "explode(arrays_zip(array(-2, -1, 0, 1, 2), "
+        "array(1.0D, 4.0D, 6.0D, 4.0D, 1.0D)))"
+    )
+    # pass 1 — horizontal: gather Σ w_c · v at (col+dc, row); only
+    # complete 5-tap rows survive (partial sums would leak through
+    # the second pass as silently under-weighted output)
+    h = (
+        valid.select("col", "row", "value", taps.alias("k"))
+        .select(
+            (F.col("col") + F.col("k.0")).alias("col"),
+            F.col("row"),
+            (F.col("k.1") * F.col("value")).alias("wv"),
+        )
+        .groupBy("col", "row")
+        .agg(F.sum("wv").alias("g1"), F.count("*").alias("n1"))
+        .filter(F.col("n1") == 5)
+    )
+    # pass 2 — vertical over the complete horizontal sums
+    return (
+        h.select("col", "row", "g1", taps.alias("k"))
+        .select(
+            F.col("col"),
+            (F.col("row") + F.col("k.0")).alias("row"),
+            (F.col("k.1") * F.col("g1")).alias("wg"),
+        )
+        .groupBy("col", "row")
+        .agg(F.sum("wg").alias("g2"), F.count("*").alias("n2"))
+        .filter(F.col("n2") == 5)
+        .select(
+            "col",
+            "row",
+            F.round(F.col("g2") / 256.0, 6).alias("gauss"),
+        )
+    )
+
+
+@register(
     "fn_haversine",
     oracle=f"""
     {_PX}
@@ -820,6 +904,116 @@ def fn_haversine(spark, sf_dir):
         "row",
         "col",
         F.round(2 * 6371.0088 * F.asin(F.sqrt(hav)), 3).alias("dist_km"),
+    )
+
+
+# WGS84 / transverse-Mercator constants for fn_utm_forward, computed
+# once in Python and injected as identical decimal literals into BOTH
+# engines' expressions (same parse → same doubles).  Snyder (1987),
+# "Map Projections — A Working Manual", eqs 8-9..8-13; UTM zone 27N
+# (central meridian 21°W) covers the fixture's 20-17°W pixel centers
+# (eastern pixels sit ~4.2° from the CM — standard UTM overedge; the
+# series stays sub-cm there).
+_UTM_A = 6378137.0
+_UTM_F = 1.0 / 298.257223563
+_UTM_E2 = _UTM_F * (2.0 - _UTM_F)
+_UTM_EP2 = _UTM_E2 / (1.0 - _UTM_E2)
+_UTM_K0 = 0.9996
+_UTM_LON0 = -21.0
+_UTM_M0 = 1.0 - _UTM_E2 / 4.0 - 3.0 * _UTM_E2**2 / 64.0 - 5.0 * _UTM_E2**3 / 256.0
+_UTM_M2 = 3.0 * _UTM_E2 / 8.0 + 3.0 * _UTM_E2**2 / 32.0 + 45.0 * _UTM_E2**3 / 1024.0
+_UTM_M4 = 15.0 * _UTM_E2**2 / 256.0 + 45.0 * _UTM_E2**3 / 1024.0
+_UTM_M6 = 35.0 * _UTM_E2**3 / 3072.0
+
+
+@register(
+    "fn_utm_forward",
+    oracle=f"""
+    {_PX}
+    , pts AS (
+        SELECT tile_id, row, col,
+               radians(transform[3] + (col + 0.5) * transform[1] + (row + 0.5) * transform[2]) AS lam,
+               radians(transform[6] + (col + 0.5) * transform[4] + (row + 0.5) * transform[5]) AS phi
+        FROM pix WHERE band_id = 'b1' AND value IS NOT NULL
+    ),
+    base AS (
+        SELECT tile_id, row, col, phi,
+               {_UTM_A!r} / sqrt(1.0 - {_UTM_E2!r} * sin(phi) * sin(phi)) AS nn,
+               tan(phi) * tan(phi) AS t,
+               {_UTM_EP2!r} * cos(phi) * cos(phi) AS c,
+               (lam - radians({_UTM_LON0!r})) * cos(phi) AS a,
+               {_UTM_A!r} * ({_UTM_M0!r} * phi - {_UTM_M2!r} * sin(2.0 * phi)
+                   + {_UTM_M4!r} * sin(4.0 * phi) - {_UTM_M6!r} * sin(6.0 * phi)) AS m
+        FROM pts
+    )
+    SELECT tile_id, row, col,
+           round(500000.0 + {_UTM_K0!r} * nn * (a
+               + (1.0 - t + c) * (a * a * a) / 6.0
+               + (5.0 - 18.0 * t + t * t + 72.0 * c - 58.0 * {_UTM_EP2!r})
+                 * (a * a * a * a * a) / 120.0), 3) AS easting,
+           round({_UTM_K0!r} * (m + nn * tan(phi) * ((a * a) / 2.0
+               + (5.0 - t + 9.0 * c + 4.0 * c * c) * (a * a * a * a) / 24.0
+               + (61.0 - 58.0 * t + t * t + 600.0 * c - 330.0 * {_UTM_EP2!r})
+                 * (a * a * a * a * a * a) / 720.0)), 3) AS northing
+    FROM base
+    """,
+)
+def fn_utm_forward(spark, sf_dir):
+    """[r14] WGS84 → UTM zone 27N forward projection of every masked
+    pixel center — REAL geodesy (Snyder 1987 eqs 8-9..8-13, the same
+    series PROJ/GDAL use for EPSG:32627), not an affine stand-in: the
+    reprojection math behind gdalwarp, completing the r14 CRS story
+    (the catalog now reads/writes projected-CRS geokeys; this key
+    computes the projected coordinates themselves).  Sub-mm series
+    accuracy within the zone; both engines evaluate the identical
+    double-precision expression tree from identical injected decimal
+    constants, rounded to mm (3 dp of m) to absorb last-ulp libm
+    divergence — same discipline as fn_haversine.
+
+    Scale shape: pure per-row trigonometry fused into the scan stage
+    (zero shuffles, whole-stage codegen JVM-side) — at 100 TB this is
+    the map-side projection step of every reproject/mosaic pipeline,
+    cost ∝ pixels with no data movement."""
+    px = nodata_filter(grid_unpivot(_tiles(spark, sf_dir).filter(F.col("band_id") == "b1")))
+    px = affine_coords(px)
+    phi = F.radians(F.col("lat"))
+    lam = F.radians(F.col("lon"))
+    sin_phi, cos_phi, tan_phi = F.sin(phi), F.cos(phi), F.tan(phi)
+    nn = F.lit(_UTM_A) / F.sqrt(F.lit(1.0) - F.lit(_UTM_E2) * sin_phi * sin_phi)
+    t_ = tan_phi * tan_phi
+    c = F.lit(_UTM_EP2) * cos_phi * cos_phi
+    a = (lam - F.radians(F.lit(_UTM_LON0))) * cos_phi
+    m = F.lit(_UTM_A) * (
+        F.lit(_UTM_M0) * phi
+        - F.lit(_UTM_M2) * F.sin(2.0 * phi)
+        + F.lit(_UTM_M4) * F.sin(4.0 * phi)
+        - F.lit(_UTM_M6) * F.sin(6.0 * phi)
+    )
+    easting = F.lit(500000.0) + F.lit(_UTM_K0) * nn * (
+        a
+        + (F.lit(1.0) - t_ + c) * (a * a * a) / 6.0
+        + (F.lit(5.0) - 18.0 * t_ + t_ * t_ + 72.0 * c - F.lit(58.0) * F.lit(_UTM_EP2))
+        * (a * a * a * a * a)
+        / 120.0
+    )
+    northing = F.lit(_UTM_K0) * (
+        m
+        + nn
+        * tan_phi
+        * (
+            (a * a) / 2.0
+            + (F.lit(5.0) - t_ + 9.0 * c + 4.0 * c * c) * (a * a * a * a) / 24.0
+            + (F.lit(61.0) - 58.0 * t_ + t_ * t_ + 600.0 * c - F.lit(330.0) * F.lit(_UTM_EP2))
+            * (a * a * a * a * a * a)
+            / 720.0
+        )
+    )
+    return px.select(
+        "tile_id",
+        "row",
+        "col",
+        F.round(easting, 3).alias("easting"),
+        F.round(northing, 3).alias("northing"),
     )
 
 

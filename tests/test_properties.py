@@ -402,3 +402,27 @@ def test_approx_percentile_rank_error_bound(spark, registry):
                 rank,
                 q * n,
             )
+
+
+def test_ks_statistic_matches_numpy_recompute(spark, registry):
+    """stat_ks_test vs a THIRD implementation: exact two-sample KS
+    recomputed with numpy ECDFs straight off the parquet — D and λ
+    must agree beyond the key's own rounding, and D ∈ (0, 1]."""
+    import numpy as np
+    import pandas as pd
+
+    sf = "/root/testdata/sf0.001"
+    row = registry["stat_ks_test"].fn(spark, sf).collect()[0]
+    li = pd.read_parquet(f"{sf}/lineitem.parquet",
+                         columns=["l_extendedprice", "l_returnflag"])
+    r = np.sort(li.loc[li.l_returnflag == "R", "l_extendedprice"].to_numpy())
+    n = np.sort(li.loc[li.l_returnflag == "N", "l_extendedprice"].to_numpy())
+    grid = np.union1d(r, n)
+    f1 = np.searchsorted(r, grid, side="right") / len(r)
+    f2 = np.searchsorted(n, grid, side="right") / len(n)
+    d = np.max(np.abs(f1 - f2))
+    assert row.n_r == len(r) and row.n_n == len(n)
+    assert 0 < row.d_stat <= 1
+    assert abs(row.d_stat - d) < 1e-9
+    lam = d * math.sqrt(len(r) * len(n) / (len(r) + len(n)))
+    assert abs(row.ks_lambda - lam) < 1e-6

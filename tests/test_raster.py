@@ -284,3 +284,76 @@ def test_overview_prune_dispatch_parity(spark):
     # 2x/4x levels, sparse_mask/elev have none
     assert dist["sparse_mask.tif"] == 0 and dist["elev.tif"] == 0
     assert dist["pyramid.tif"] in (1, 2)
+
+
+def test_utm_forward_matches_independent_python(spark, registry):
+    """fn_utm_forward vs a THIRD implementation of the Snyder series
+    (Python math module, independent libm path from both Spark's JVM
+    StrictMath and DuckDB): every pixel's easting/northing must agree
+    to the key's own mm rounding."""
+    from raster2points_spark.queries.raster import (
+        _UTM_A, _UTM_E2, _UTM_EP2, _UTM_K0, _UTM_LON0,
+        _UTM_M0, _UTM_M2, _UTM_M4, _UTM_M6, _tiles,
+    )
+    from raster2points_spark.operators.grid import (
+        affine_coords, grid_unpivot, nodata_filter,
+    )
+    import pyspark.sql.functions as F
+
+    def fwd(lat, lon):
+        phi, lam = math.radians(lat), math.radians(lon)
+        n = _UTM_A / math.sqrt(1 - _UTM_E2 * math.sin(phi) ** 2)
+        t_ = math.tan(phi) ** 2
+        c = _UTM_EP2 * math.cos(phi) ** 2
+        a = (lam - math.radians(_UTM_LON0)) * math.cos(phi)
+        m = _UTM_A * (
+            _UTM_M0 * phi - _UTM_M2 * math.sin(2 * phi)
+            + _UTM_M4 * math.sin(4 * phi) - _UTM_M6 * math.sin(6 * phi)
+        )
+        x = 500000 + _UTM_K0 * n * (
+            a + (1 - t_ + c) * a**3 / 6
+            + (5 - 18 * t_ + t_**2 + 72 * c - 58 * _UTM_EP2) * a**5 / 120
+        )
+        y = _UTM_K0 * (
+            m + n * math.tan(phi) * (
+                a * a / 2 + (5 - t_ + 9 * c + 4 * c * c) * a**4 / 24
+                + (61 - 58 * t_ + t_**2 + 600 * c - 330 * _UTM_EP2) * a**6 / 720
+            )
+        )
+        return x, y
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.tile_id, r.row, r.col): (r.easting, r.northing)
+        for r in registry["fn_utm_forward"].fn(spark, sf).collect()
+    }
+    pts = affine_coords(
+        nodata_filter(grid_unpivot(_tiles(spark, sf).filter(F.col("band_id") == "b1")))
+    ).select("tile_id", "row", "col", "lon", "lat").collect()
+    assert len(pts) == len(got) > 0
+    for p in pts:
+        x, y = fwd(p.lat, p.lon)
+        gx, gy = got[(p.tile_id, p.row, p.col)]
+        assert abs(gx - x) < 2e-3 and abs(gy - y) < 2e-3, (p, (x, y), (gx, gy))
+        # zone plausibility: the fixture sits east of the 21°W CM
+        assert 500000 < gx < 800000 and 6.2e6 < gy < 6.8e6
+
+
+def test_gaussian_sep_plan_is_two_pass(spark, registry):
+    """raster_focal_gaussian_sep must ship the SEPARABLE plan: exactly
+    two 5-tap Generate (explode) scatters and two hash-aggregate
+    gathers — never the direct 25-term cross join the oracle uses."""
+    import re
+
+    import pyspark.sql.functions as F
+
+    from raster2points_spark.plans import explain_formatted
+
+    df = registry["raster_focal_gaussian_sep"].fn(spark, "/root/testdata/sf0.001")
+    plan = explain_formatted(df)
+    # grid_unpivot contributes its own posexplode; the two kernel
+    # scatters add exactly two more Generate nodes
+    gens = re.findall(r"^\(\d+\) Generate", plan, re.M)
+    assert len(gens) == 3, f"expected unpivot + 2 kernel scatters, got {len(gens)}"
+    uniform = df.filter(F.col("gauss").isNotNull())
+    assert uniform.count() == 265  # pinned at the committed fixture
