@@ -62,6 +62,8 @@ RULES: dict[str, dict[str, str]] = {
         "ts_gapfill": "1-row global min/max bounds broadcast",
         "bpe_train": "1-row argmax pair broadcast per iteration",
         "subq_scalar": "1-row scalar aggregate broadcast",
+        "stat_ks_test": "1-row sample-totals (n_r, n_n) aggregate "
+        "broadcast onto the collapsed CDF relation",
         "tile_stats": "1-row global stats broadcast",
         "profile_columns": "constant-width stats unpivot join",
         "text_contamination": "broadcast eval-set n-gram list (constant size)",
@@ -180,6 +182,10 @@ GLOBAL_WINDOW_ALLOW: dict[str, str] = {
     "ml_auc_roc": "cumulative-negatives window over the |distinct "
     "scores| relation (Mann-Whitney pair counting) — thousands of "
     "rows where the corpus has billions",
+    "stat_ks_test": "ECDF cumsum window over the |distinct prices| "
+    "relation (one map-side-combined aggregate of the fact), never "
+    "the fact; docstring documents the range-bucket two-level CDF "
+    "swap when even the distinct axis outgrows one partition",
     "ml_decision_stump": "candidate-threshold window over the same "
     "collapsed |distinct scores| axis as ml_auc_roc",
     "skyline_pareto_front": "strict suffix-minimum window over the "
