@@ -779,7 +779,8 @@ def raster_slope(spark, sf_dir):
     oracle=f"""
     {_PX}
     , valid AS (
-        SELECT col, row, value FROM pix
+        SELECT col, row, floor(value * 1024.0 + 0.5) / 1024.0 AS value
+        FROM pix
         WHERE band_id = 'b2' AND value IS NOT NULL
     ),
     k AS (
@@ -818,9 +819,22 @@ def raster_focal_gaussian_sep(spark, sf_dir):
     gates (n=5 per pass) emit exactly the centers whose full 5×5
     neighborhood is valid — identical to the oracle's HAVING
     count(*)=25 — so nodata never biases the weighted mean.  Same
-    scatter-gather discipline as raster_focal_mean/raster_slope."""
+    scatter-gather discipline as raster_focal_mean/raster_slope.
+
+    Exactness device: inputs are quantized to 1/1024 (floor half-up,
+    identical on both engines) before the convolution, so every
+    weighted term is an exact binary fraction and the ≤25-term sums
+    fit in far fewer than 53 significand bits — the separability
+    identity then holds EXACTLY in floating point, in any summation
+    order, on any partitioning (the unquantized form diverged by one
+    ulp at a round(,6) boundary across partition counts —
+    determinism_r14)."""
     px = nodata_filter(grid_unpivot(_tiles(spark, sf_dir).filter(F.col("band_id") == "b2")))
-    valid = px.select("col", "row", "value")
+    valid = px.select(
+        "col",
+        "row",
+        (F.floor(F.col("value") * 1024.0 + 0.5) / 1024.0).alias("value"),
+    )
     taps = F.expr(
         "explode(arrays_zip(array(-2, -1, 0, 1, 2), "
         "array(1.0D, 4.0D, 6.0D, 4.0D, 1.0D)))"
