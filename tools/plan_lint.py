@@ -64,6 +64,8 @@ RULES: dict[str, dict[str, str]] = {
         "subq_scalar": "1-row scalar aggregate broadcast",
         "stat_ks_test": "1-row sample-totals (n_r, n_n) aggregate "
         "broadcast onto the collapsed CDF relation",
+        "sink_geotiff_lzw": "1-row written-file catalog row (codec "
+        "id, crs) crossed onto the 32-row per-lat readback aggregate",
         "tile_stats": "1-row global stats broadcast",
         "profile_columns": "constant-width stats unpivot join",
         "text_contamination": "broadcast eval-set n-gram list (constant size)",
