@@ -92,6 +92,15 @@ def main(argv: list[str] | None = None) -> int:
         "needs an integer dtype, predictor 3 a float one)",
     )
     ap.add_argument(
+        "--crs",
+        type=int,
+        default=4326,
+        metavar="EPSG",
+        help="EPSG code written to GeoKeyDirectoryTag for --format "
+        "geotiff output (gdal_translate -a_srs parity; geographic "
+        "codes get GTModelType geographic, others projected)",
+    )
+    ap.add_argument(
         "--max-block-size",
         type=int,
         default=None,
@@ -240,6 +249,7 @@ def main(argv: list[str] | None = None) -> int:
             bigtiff=args.bigtiff,
             overviews=args.overviews,
             predictor=args.predictor,
+            crs_epsg=args.crs,
         )
         for r in sorted(manifest.collect(), key=lambda r: r.file_id):
             print(

@@ -604,3 +604,30 @@ def test_sink_crs_roundtrips_through_catalog(spark, tmp_path):
     ).collect()
     row = minitiff_catalog(spark, [os.path.join(out, "c0.tif")]).collect()[0]
     assert row.crs == "EPSG:32633"
+
+
+def test_cli_cogify_crs_flag(spark, tmp_path):
+    """--crs writes the requested EPSG into GeoKeyDirectoryTag; the
+    catalog reads it back (gdal_translate -a_srs parity)."""
+    from raster2points_spark.cli import main
+    from raster2points_spark.sources.minitiff import minitiff_catalog
+
+    cog_dir = str(tmp_path / "cogs_crs")
+    rc = main(
+        ["fixtures/tif/elev.tif", cog_dir,
+         "--format", "geotiff", "--tile-size", "16", "--crs", "32633"]
+    )
+    assert rc == 0
+    path = os.path.join(cog_dir, "b1.tif")
+    (row,) = minitiff_catalog(spark, [path]).select("crs").collect()
+    assert row.crs == "EPSG:32633"
+    # default stays geographic WGS84
+    cog_dir2 = str(tmp_path / "cogs_default")
+    assert main(["fixtures/tif/elev.tif", cog_dir2,
+                 "--format", "geotiff", "--tile-size", "16"]) == 0
+    (row2,) = (
+        minitiff_catalog(spark, [os.path.join(cog_dir2, "b1.tif")])
+        .select("crs")
+        .collect()
+    )
+    assert row2.crs == "EPSG:4326"
