@@ -212,11 +212,13 @@ def _paths_preflight(
     return out
 
 
-def _as_tiles(spark: SparkSession, tiles) -> DataFrame:
+def _as_tiles(spark: SparkSession, tiles, overview_level: int = 0) -> DataFrame:
     if isinstance(tiles, (list, tuple)):
-        return tiles_from_rasters(spark, list(tiles))
+        return tiles_from_rasters(spark, list(tiles), overview_level=overview_level)
     if isinstance(tiles, str) and tiles.lower().endswith((".tif", ".tiff")):
-        return tiles_from_rasters(spark, [tiles])
+        return tiles_from_rasters(spark, [tiles], overview_level=overview_level)
+    if overview_level:
+        raise ValueError("overview_level is only valid for GeoTIFF path inputs")
     return read_tiles(spark, tiles) if isinstance(tiles, str) else tiles
 
 
@@ -229,6 +231,7 @@ def raster2df(
     max_block_size: int | None = None,
     validate: bool = True,
     dtypes: dict[str, str] | None = None,
+    overview_level: int = 0,
 ) -> DataFrame:
     """Convert raster bands to a point table: band 1 masks (NoData
     rows dropped), bands 2..N contribute nullable value columns,
@@ -249,7 +252,14 @@ def raster2df(
     each TASK handles ≈ max_block_size² pixels.  The pixel count comes
     from the tile METADATA columns (width·height) — a pruned scan that
     never touches the data arrays.  Default None = let Spark's file
-    splits decide (the right answer on a real cluster)."""
+    splits decide (the right answer on a real cluster).
+
+    ``overview_level=k`` (GeoTIFF path inputs only) extracts points
+    from the k-th COG pyramid level instead of full resolution —
+    1/4^k of the bytes read, transforms scaled to the level, the
+    gdal_translate-on-an-overview serving shape.  Alignment and dtype
+    pre-flight still run on the full-res headers (levels inherit
+    both)."""
     paths = None
     if isinstance(tiles, (list, tuple)):
         paths = list(tiles)
@@ -268,7 +278,7 @@ def raster2df(
                 )
             dtypes = {b: pre[b] for b in bands}
             validate = False  # already validated driver-side
-    tdf = _as_tiles(spark, tiles)
+    tdf = _as_tiles(spark, tiles, overview_level=overview_level)
     if validate:
         validate_band_alignment(tdf, bands)
     if max_block_size:
@@ -302,9 +312,19 @@ def raster2csv(
     separator: str = ",",
     max_block_size: int | None = None,
     validate: bool = True,
+    overview_level: int = 0,
 ) -> None:
     """CSV sink variant (the reference CLI's contract: ``,``/``;``/tab
     separators).  Writes a directory of part files — each task streams
     its partition; no driver-side concat."""
-    df = raster2df(spark, tiles, bands, col_names, calc_area, max_block_size, validate)
+    df = raster2df(
+        spark,
+        tiles,
+        bands,
+        col_names,
+        calc_area,
+        max_block_size,
+        validate,
+        overview_level=overview_level,
+    )
     df.write.mode("overwrite").option("sep", separator).option("header", "true").csv(output)

@@ -101,6 +101,15 @@ def main(argv: list[str] | None = None) -> int:
         "codes get GTModelType geographic, others projected)",
     )
     ap.add_argument(
+        "--overview-level",
+        type=int,
+        default=0,
+        metavar="K",
+        help="extract from the K-th COG pyramid level instead of full "
+        "resolution (1/4^K of the bytes; GeoTIFF inputs, csv/parquet "
+        "output only)",
+    )
+    ap.add_argument(
         "--max-block-size",
         type=int,
         default=None,
@@ -126,6 +135,11 @@ def main(argv: list[str] | None = None) -> int:
     tif_mode = all(p.lower().endswith((".tif", ".tiff")) for p in args.inputs)
     if len(args.inputs) > 1 and not tif_mode:
         ap.error("multiple inputs are only supported for GeoTIFF paths")
+    if args.overview_level and not tif_mode:
+        ap.error("--overview-level needs GeoTIFF inputs")
+    if args.overview_level and args.format == "geotiff":
+        ap.error("--overview-level applies to extraction (csv/parquet), "
+                 "not COG-ification; use --overviews to WRITE pyramids")
     tiles = args.inputs if tif_mode else args.inputs[0]
     bands = args.bands
     if bands is None and not tif_mode:
@@ -156,11 +170,13 @@ def main(argv: list[str] | None = None) -> int:
             spark, tiles, bands, args.output,
             col_names=args.col_names, calc_area=args.calc_area, separator=sep,
             max_block_size=args.max_block_size,
+            overview_level=args.overview_level,
         )
     elif args.format == "parquet":
         df = raster2df(
             spark, tiles, bands, col_names=args.col_names,
             calc_area=args.calc_area, max_block_size=args.max_block_size,
+            overview_level=args.overview_level,
         )
         df.write.mode("overwrite").parquet(args.output)
     else:

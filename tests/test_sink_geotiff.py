@@ -631,3 +631,49 @@ def test_cli_cogify_crs_flag(spark, tmp_path):
         .collect()
     )
     assert row2.crs == "EPSG:4326"
+
+
+def test_cli_overview_level_extraction(spark, tmp_path):
+    """--overview-level K extracts points from the K-th pyramid level:
+    1/4 of the rows at 2x the pixel scale — the serving shape for
+    downsampled exports (gdal_translate on an overview)."""
+    import csv
+    import glob
+
+    from raster2points_spark.cli import main
+
+    cog_dir = str(tmp_path / "cogs_ov")
+    assert main(
+        ["fixtures/tif/elev.tif", cog_dir,
+         "--format", "geotiff", "--tile-size", "16", "--overviews", "1"]
+    ) == 0
+    path = os.path.join(cog_dir, "b1.tif")
+    full = str(tmp_path / "full")
+    lvl1 = str(tmp_path / "lvl1")
+    assert main([path, full]) == 0
+    assert main([path, lvl1, "--overview-level", "1"]) == 0
+
+    def rows(d):
+        out = []
+        for f in glob.glob(f"{d}/part-*.csv"):
+            with open(f) as fh:
+                r = csv.DictReader(fh)
+                out.extend({k: float(v) for k, v in row.items()} for row in r)
+        return out
+
+    r_full, r_lvl = rows(full), rows(lvl1)
+    assert len(r_full) > len(r_lvl) > 0
+    # level-1 pixels are 2x coarser: the lon spacing between distinct
+    # centers doubles
+    lons_f = sorted({r["lon"] for r in r_full})
+    lons_l = sorted({r["lon"] for r in r_lvl})
+    if len(lons_f) > 1 and len(lons_l) > 1:
+        step_f = min(b - a for a, b in zip(lons_f, lons_f[1:]))
+        step_l = min(b - a for a, b in zip(lons_l, lons_l[1:]))
+        assert abs(step_l - 2 * step_f) < 1e-9
+    # parquet tile-table input refuses the flag with a usage error
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["fixtures/grid/grid4.parquet", str(tmp_path / "nope"),
+              "--bands", "b1", "--overview-level", "1"])
