@@ -868,3 +868,47 @@ def test_geotiff_ingest_joins_tiles_not_pixels(spark, registry):
             # formatted plans print the tree root-first, so an
             # operator ABOVE another prints EARLIER
             assert gen < pos, f"Generate must sit above the {join} (tile-level zip)"
+
+
+def test_utm_forward_zero_shuffle_codegen(spark, registry):
+    """fn_utm_forward: the whole Snyder series must stay ONE
+    codegen-fused map stage — no Exchange, no Python boundary — with
+    the band filter pushed to the scan."""
+    plan = _formatted_plan(spark, registry["fn_utm_forward"].fn(spark, SF001))
+    assert "Exchange" not in plan, "projection-only key must never shuffle"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "EqualTo(band_id,b1)" in plan, "band filter must push to the scan"
+
+
+def test_gaussian_sep_two_scatter_exchanges(spark, registry):
+    """raster_focal_gaussian_sep: exactly TWO partial-aggregated
+    scatter-gather shuffles (the separable passes) — the direct 25x
+    form would show one; each Exchange must sit between a partial and
+    a final HashAggregate (map-side combine)."""
+    plan = _formatted_plan(spark, registry["raster_focal_gaussian_sep"].fn(spark, SF001))
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(exchanges) == 2, f"expected the two separable passes, got {len(exchanges)}"
+    assert "SortAggregate" not in plan
+    # partial+final pairs: more HashAggregate nodes than Exchanges
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) == 4
+
+
+def test_ks_window_over_collapsed_axis(spark, registry):
+    """stat_ks_test: the ECDF window's input must be the per-distinct-
+    value aggregate (HashAggregate below the Window), the returnflag
+    filter must push to the scan, and the scan must read exactly the
+    two needed columns."""
+    plan = _formatted_plan(spark, registry["stat_ks_test"].fn(spark, SF001))
+    assert "In(l_returnflag, [N,R])" in plan
+    readschema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert readschema and "l_extendedprice" in readschema[0]
+    assert "l_orderkey" not in readschema[0] and "l_quantity" not in readschema[0]
+    w = re.search(r"^\(\d+\) Window", plan, re.M)
+    assert w, "ECDF window missing"
+    # the window's input must be the collapsing aggregate — formatted
+    # details print leaf-first, so the partial HashAggregate's detail
+    # block appears BEFORE the Window's
+    first_agg = re.search(r"^\(\d+\) HashAggregate", plan, re.M)
+    assert first_agg and first_agg.start() < w.start(), (
+        "window must run over the per-distinct-value aggregate, not the fact"
+    )
