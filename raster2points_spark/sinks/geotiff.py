@@ -94,6 +94,18 @@ def _lzw_encode(data: bytes) -> bytes:
         w = c
     if w:
         emit.append((table[w], width))
+        # Mirror the decoder's post-code bookkeeping (libtiff
+        # LZWPostEncode): the decoder adds a table entry for this final
+        # data code and early-changes its width BEFORE reading the next
+        # code, so when that entry lands on a width boundary
+        # (511/1023/2047 decoder-side) EOI must be emitted at the wider
+        # width or it is misparsed.  No CLEAR at the 4094 point here:
+        # end-of-stream emits no further data codes, and the decoder
+        # only resets on an explicit CLEAR, so both sides stay at the
+        # current width for the EOI.
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
     emit.append((EOI, width))
     acc = bitlen = 0
     out = bytearray()

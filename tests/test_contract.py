@@ -118,9 +118,20 @@ def test_committed_determinism_report_covers_oracle_keys():
     from raster2points_spark.registry import load_all
 
     # sort by ROUND NUMBER, not name: "determinism_r9_sf0.1.txt" sorts
-    # after "determinism_r10.txt" lexicographically (the 9->10 rollover)
+    # after "determinism_r10.txt" lexicographically (the 9->10 rollover).
+    # Only canonical full-sweep reports count (determinism_r<N>.txt /
+    # determinism_r<N>_sf<...>.txt); ad-hoc probe files with other
+    # suffixes (e.g. _thirdparts) cover key subsets and use their own
+    # summary wording.
+    canonical = re.compile(r"^determinism_r(\d+)(_sf[\d.]+)?\.txt$")
     reports = sorted(
-        (Path(__file__).resolve().parent.parent / "reports").glob("determinism_r*.txt"),
+        (
+            p
+            for p in (Path(__file__).resolve().parent.parent / "reports").glob(
+                "determinism_r*.txt"
+            )
+            if canonical.match(p.name)
+        ),
         key=lambda p: (int(re.search(r"_r(\d+)", p.name).group(1)), p.name),
     )
     assert reports, "no committed determinism report"

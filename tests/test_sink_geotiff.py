@@ -370,6 +370,27 @@ def test_encode_decode_identity_property(
             assert np.array_equal(got_arr, want)
 
 
+def test_lzw_incompressible_roundtrip_fuzz():
+    """Random (incompressible) byte blocks round-trip through the raw
+    _lzw_encode/_lzw_decode pair.  High-entropy input drives the code
+    table through width boundaries (511/1023/2047) right at
+    end-of-stream, which the small compressible rasters in the property
+    sweep above never reach: without the libtiff LZWPostEncode width
+    re-check after the final data code, EOI is emitted one bit too
+    narrow and the tail decodes as garbage (~0.3% of blocks)."""
+    import random
+
+    from raster2points_spark.sinks.geotiff import _lzw_encode
+    from raster2points_spark.sources.minitiff import _lzw_decode
+
+    rng = random.Random(0xC0DEC)
+    for _ in range(1500):
+        data = rng.randbytes(rng.randint(1, 1400))
+        assert _lzw_decode(_lzw_encode(data)) == data
+    for data in (b"", b"a", b"ab" * 4000, bytes(range(256)) * 20):
+        assert _lzw_decode(_lzw_encode(data)) == data
+
+
 def test_out_of_range_pixels_raise_clearly(spark, tmp_path):
     from pyspark.sql import functions as F
 
