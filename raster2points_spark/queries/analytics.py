@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from raster2points_spark.io import local_df
 from raster2points_spark.registry import register
 from raster2points_spark.queries._util import ORACLE_TSEC, t, unix_secs
 
@@ -1535,7 +1536,7 @@ def profile_drift_psi(spark, sf_dir):
         spark.range(10)
         .select(F.col("id").cast("int").alias("bucket"))
         .crossJoin(
-            spark.createDataFrame([("ref",), ("cur",)], ["era"])
+            local_df(spark, [("ref",), ("cur",)], "era string")
         )
     )
     dense = (

@@ -997,7 +997,10 @@ def join_phonetic(spark, sf_dir):
     dedup_edit_distance).  At 100 TB the catalog side's skeleton
     key is uniformly distributed (names), the probe side broadcast.
     """
-    probes = spark.createDataFrame(
+    from raster2points_spark.io import local_df
+
+    probes = local_df(
+        spark,
         [
             ("smal ring",),
             ("red widgit",),

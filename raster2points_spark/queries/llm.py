@@ -2808,8 +2808,10 @@ def _bpe_train_words(
     if stats is not None:
         stats["rounds"] = rounds
         stats["merges"] = len(rules)
-    return spark.createDataFrame(
-        rules, "rank int, sym_a string, sym_b string, pair_count bigint"
+    from raster2points_spark.io import local_df
+
+    return local_df(
+        spark, rules, "rank int, sym_a string, sym_b string, pair_count bigint"
     )
 
 

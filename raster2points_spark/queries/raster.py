@@ -20,6 +20,7 @@ from raster2points_spark.operators.grid import (
     nodata_filter,
     raster2points,
 )
+from raster2points_spark.io import local_df
 from raster2points_spark.registry import register
 from raster2points_spark.sources.tiles import ensure_grid_fixtures, read_tiles
 from raster2points_spark.queries._util import GRID_DIR
@@ -2091,30 +2092,48 @@ def spatial_point_in_polygon(spark, sf_dir):
     pts = px.select(
         (F.col("col") + 0.5).alias("x"), (F.col("row") + 0.5).alias("y"), "value"
     )
-    edges = spark.createDataFrame(
-        [
-            (32.0, 4.0, 56.0, 24.0),
-            (56.0, 24.0, 48.0, 56.0),
-            (48.0, 56.0, 16.0, 56.0),
-            (16.0, 56.0, 8.0, 24.0),
-            (8.0, 24.0, 32.0, 4.0),
-        ],
-        "x1 double, y1 double, x2 double, y2 double",
+    # The polygon is a CONSTANT 5-edge table, so the per-point crossing
+    # count folds IN-ROW over a literal edge array (one aggregate() per
+    # point, whole-stage codegen) instead of a broadcast nested-loop
+    # join + groupBy(x, y, value): that shape amplified the point
+    # stream |edges|x into an Exchange before re-collapsing it — two
+    # plan nodes and a shuffle for what is arithmetic on constants.
+    # The crossing predicate is the SAME float expression per
+    # (point, edge), and k is an exact integer either way, so the
+    # odd/even parity (and the oracle's join+count twin) is unchanged.
+    edges = [
+        (32.0, 4.0, 56.0, 24.0),
+        (56.0, 24.0, 48.0, 56.0),
+        (48.0, 56.0, 16.0, 56.0),
+        (16.0, 56.0, 8.0, 24.0),
+        (8.0, 24.0, 32.0, 4.0),
+    ]
+    edge_arr = F.array(
+        *[
+            F.struct(
+                F.lit(x1).alias("x1"),
+                F.lit(y1).alias("y1"),
+                F.lit(x2).alias("x2"),
+                F.lit(y2).alias("y2"),
+            )
+            for x1, y1, x2, y2 in edges
+        ]
     )
-    crossing = (
-        ((F.col("y1") > F.col("y")) != (F.col("y2") > F.col("y")))
+    crossing = lambda e: (
+        ((e["y1"] > F.col("y")) != (e["y2"] > F.col("y")))
         & (
             F.col("x")
-            < F.col("x1")
-            + (F.col("y") - F.col("y1"))
-            * (F.col("x2") - F.col("x1"))
-            / (F.col("y2") - F.col("y1"))
+            < e["x1"]
+            + (F.col("y") - e["y1"]) * (e["x2"] - e["x1"]) / (e["y2"] - e["y1"])
         )
     )
-    k = (
-        pts.join(F.broadcast(edges), crossing)
-        .groupBy("x", "y", "value")
-        .agg(F.count("*").alias("k"))
+    k = pts.withColumn(
+        "k",
+        F.aggregate(
+            edge_arr,
+            F.lit(0),
+            lambda acc, e: acc + F.when(crossing(e), 1).otherwise(0),
+        ),
     )
     # value is 3-dp data: accumulate EXACT integer milli-units so the
     # sum is partition-order-independent, divide once at the end (the
@@ -2874,7 +2893,8 @@ def raster_mosaic_crs_groups(spark, sf_dir):
             )
         )
 
-    geo = spark.createDataFrame(
+    geo = local_df(
+        spark,
         [("g0", 10.0, 52.0), ("g1", 18.0, 52.0)],
         "file_id string, lon0 double, lat0 double",
     )
@@ -2882,7 +2902,8 @@ def raster_mosaic_crs_groups(spark, sf_dir):
         _pixels(["g0", "g1"]), out_dir, width=w, height=h,
         pixel_scale=(0.5, 0.5), origins=geo, tile=(16, 16), crs_epsg=4326,
     )
-    utm = spark.createDataFrame(
+    utm = local_df(
+        spark,
         [("u0", 500000.0, 4184000.0), ("u1", 500016.0, 4184000.0)],
         "file_id string, lon0 double, lat0 double",
     )

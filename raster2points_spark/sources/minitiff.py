@@ -913,7 +913,10 @@ def minitiff_to_tiles(
                         int(hdr.is_mask),
                     )
                 )
-    meta_df = spark.createDataFrame(
+    from raster2points_spark.io import local_df
+
+    meta_df = local_df(
+        spark,
         meta,
         "band_id string, path string, sample int, overview int, tile_id long, "
         "col_off int, row_off int, width int, height int, transform array<double>, "
@@ -999,8 +1002,10 @@ def pick_overviews_distributed(spark: SparkSession, path_factors) -> DataFrame:
             ]
             yield pd.DataFrame(rows, columns=["path", "level"])
 
+    from raster2points_spark.io import local_df
+
     pairs = list(path_factors)
-    files = spark.createDataFrame(pairs, "path string, factor double")
+    files = local_df(spark, pairs, "path string, factor double")
     n_parts = max(1, min(len(pairs) // 1000 + 1, 256))
     return files.repartition(n_parts).mapInPandas(parse, "path string, level int")
 
@@ -1058,7 +1063,9 @@ def minitiff_catalog(spark: SparkSession, paths: list[str]) -> DataFrame:
                 ],
             )
 
-    files = spark.createDataFrame([(p,) for p in paths], "path string")
+    from raster2points_spark.io import local_df
+
+    files = local_df(spark, [(p,) for p in paths], "path string")
     # ~1k header parses per task: enough files per task to amortize
     # scheduling, enough tasks to spread thousands of COGs
     n_parts = max(1, min(len(paths) // 1000 + 1, 256))
