@@ -5939,61 +5939,54 @@ def embed_pq(spark, sf_dir):
     relation, ~64× smaller than the float corpus).  No all-pairs
     stage anywhere; both joins are broadcast-small.
     """
-    from pyspark.sql import Window
-
     emb = t_fanout(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    long = emb.select(
-        "vec_id", F.posexplode("e").alias("pos0", "v")
-    ).withColumn("m", (F.col("pos0") / 16).cast("int"))
-    anch = long.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("code"),
-        F.col("m").alias("am"),
-        F.col("pos0").alias("apos"),
-        F.col("v").alias("av"),
+    # r15: the codebook is CONSTANT-SIZE (M·K·D floats) and the probe
+    # is one row, so both encode and ADC fold IN-ROW over broadcast
+    # 1-row relations — the prior shape posexploded the corpus 64x,
+    # broadcast-joined the anchor cells (8x amplification -> ~2M
+    # intermediate rows), shuffled two aggregations and ran a window
+    # for the argmin: five plan phases for what is per-row arithmetic
+    # against constants.  Per (vector, subspace), distances to the 8
+    # codes are the same round(sum of 16 squared diffs, 6) values
+    # (zip_with over the pos-ascending slice — the exact order the
+    # exploded partial agg consumed), the argmin ties break by code
+    # via struct array_min (d2 asc, code asc — row_number's order),
+    # and ADC sums the probe's precomputed per-(m, code) distances
+    # over the 4 chosen codes.  One corpus scan, zero explode, zero
+    # aggregation exchanges: encode cost is now O(n·M·K·16) codegen
+    # arithmetic, and only the top-10 TakeOrderedAndProject remains.
+    anchors = emb.filter(F.col("vec_id") < 8).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("vec_id").alias("code"), F.col("e").alias("a")))
+        ).alias("anchors")
     )
-    d2 = (
-        long.join(
-            F.broadcast(anch),
-            (F.col("am") == F.col("m")) & (F.col("apos") == F.col("pos0")),
-        )
-        .groupBy("vec_id", "m", "code")
-        .agg(
-            F.round(
-                F.sum((F.col("v") - F.col("av")) * (F.col("v") - F.col("av"))), 6
-            ).alias("d2")
-        )
+    probe = emb.filter(F.col("vec_id") == 42).select(F.col("e").alias("p"))
+    sub_d2 = (
+        "round(aggregate(zip_with(slice({v}, m * 16 + 1, 16), "
+        "slice(an.a, m * 16 + 1, 16), (x, y) -> (x - y) * (x - y)), "
+        "cast(0.0 as double), (s, z) -> s + z), 6)"
     )
-    w_enc = Window.partitionBy("vec_id", "m").orderBy("d2", "code")
-    codes = (
-        d2.withColumn("rn", F.row_number().over(w_enc))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "code")
-    )
-    probe = long.filter(F.col("vec_id") == 42).select(
-        F.col("m").alias("pm"), F.col("pos0").alias("ppos"), F.col("v").alias("pv")
-    )
-    pd_tbl = (
-        anch.join(
-            F.broadcast(probe),
-            (F.col("pm") == F.col("am")) & (F.col("ppos") == F.col("apos")),
-        )
-        .groupBy(F.col("am").alias("tm"), F.col("code").alias("tcode"))
-        .agg(
-            F.round(
-                F.sum((F.col("pv") - F.col("av")) * (F.col("pv") - F.col("av"))), 6
-            ).alias("pd2")
-        )
+    per_m_pd = F.expr(
+        "transform(sequence(0, 3), m -> "
+        "array_min(transform(anchors, an -> struct("
+        + sub_d2.format(v="e")
+        + " as d2, an.code as code, "
+        + sub_d2.format(v="p")
+        + " as pd))).pd)"
     )
     return (
-        codes.join(
-            F.broadcast(pd_tbl),
-            (F.col("tm") == F.col("m")) & (F.col("tcode") == F.col("code")),
+        emb.filter(F.col("vec_id") != 42)
+        .crossJoin(F.broadcast(anchors))
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", per_m_pd.alias("pds"))
+        .select(
+            "vec_id",
+            F.round(
+                F.expr("aggregate(pds, cast(0.0 as double), (acc, x) -> acc + x)"), 4
+            ).alias("adc_dist"),
         )
-        .filter(F.col("vec_id") != 42)
-        .groupBy("vec_id")
-        .agg(F.round(F.sum("pd2"), 4).alias("adc_dist"))
         .orderBy("adc_dist", "vec_id")
         .limit(10)
     )

@@ -714,18 +714,22 @@ def test_sim_ivf_search_is_cluster_pruned_equi_join(spark, registry):
     )
 
 
-def test_embed_pq_encode_and_adc_are_broadcast_equi_joins(spark, registry):
-    # PQ's three joins — encode (corpus-long ⋈ 32-row codebook on
-    # (m, pos)), probe distance table build (codebook ⋈ 64-row probe),
-    # and the ADC scan (codes ⋈ 32-row distance table on (m, code)) —
-    # must all be BroadcastHashJoins: every build side is
-    # codebook-sized by construction (M·K rows), independent of corpus
-    # size.  Top-10 must be TakeOrderedAndProject, never a global sort.
+def test_embed_pq_encode_and_adc_fold_in_row(spark, registry):
+    # r15: encode and ADC fold IN-ROW against two broadcast 1-row
+    # relations (the sorted codebook array and the probe vector) — the
+    # corpus is never posexploded (no Generate), the per-(vec, m)
+    # argmin needs no Window, and the only joins are the two
+    # constant-size broadcast crossJoins.  Top-10 must stay
+    # TakeOrderedAndProject, never a global sort.
     plan = _formatted_plan(spark, registry["embed_pq"].fn(spark, SF001))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
-    assert plan.count("BroadcastHashJoin") >= 3
-    assert "Left keys [2]: [m#" in plan, "encode/ADC joins are 2-key equi"
+    assert "Generate" not in plan, "corpus must not be exploded for encode"
+    assert "Window" not in plan, "argmin folds in-row, no window shuffle"
+    # tree lines only (the numbered detail section repeats each node)
+    assert plan.count("BroadcastNestedLoopJoin Cross BuildRight") == 2, (
+        "exactly the two 1-row broadcasts (codebook array, probe vector)"
+    )
     assert "TakeOrderedAndProject" in plan
 
 

@@ -73,6 +73,8 @@ RULES: dict[str, dict[str, str]] = {
         "graph_triangle_count": "three 1-row scalar aggregates crossed "
         "into the single summary row",
         "text_bigram_ppl": "1-row vocabulary-size aggregate broadcast",
+        "embed_pq": "two 1-row broadcasts (sorted codebook array, "
+        "probe vector) folded in-row by encode/ADC (r15)",
         "ml_kmeans_lloyd": "k-row (8) centroid relation broadcast per "
         "assignment round",
         "embed_power_iteration": "1-row norm scalar broadcast per "
