@@ -2911,19 +2911,28 @@ def stat_ks_test(spark, sf_dir):
         F.sum(F.when(F.col("l_returnflag") == "N", 1).otherwise(0)).alias("n"),
     )
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = per_v.select(
-        F.sum("r").over(w).alias("c1"), F.sum("n").over(w).alias("c2")
+    # r15: the two totals come from an UNBOUNDED frame over the same
+    # (single-partition) window instead of a second aggregation of
+    # per_v — the prior shape read the unpersisted per_v twice (one
+    # full lineitem scan + shuffle per consumer) and crossJoined the
+    # 1-row totals back.  Same WindowExec sort serves both frames, the
+    # totals are exact integer sums either way, and the broadcast
+    # cross join disappears.
+    w_tot = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    tot = per_v.agg(
-        F.sum("r").cast("bigint").alias("n_r"), F.sum("n").cast("bigint").alias("n_n")
+    cum = per_v.select(
+        F.sum("r").over(w).alias("c1"),
+        F.sum("n").over(w).alias("c2"),
+        F.sum("r").over(w_tot).cast("bigint").alias("n_r"),
+        F.sum("n").over(w_tot).cast("bigint").alias("n_n"),
     )
     diff = F.abs(
         F.col("c1").cast("double") / F.col("n_r")
         - F.col("c2").cast("double") / F.col("n_n")
     )
     return (
-        cum.crossJoin(F.broadcast(tot))
-        .groupBy("n_r", "n_n")
+        cum.groupBy("n_r", "n_n")
         .agg(
             F.round(F.max(diff), 9).alias("d_stat"),
             F.round(

@@ -496,9 +496,19 @@ def concurrency_peak(spark, sf_dir):
     sessions = numbered.groupBy("user_id", "session_no").agg(
         F.min("tsec").alias("s"), F.max("tsec").alias("e")
     )
-    bounds = sessions.select(F.col("s").alias("t"), F.lit(1).alias("delta")).unionAll(
-        sessions.select((F.col("e") + 1).alias("t"), F.lit(-1).alias("delta"))
-    )
+    # both boundary rows (+1 at start, -1 after end) emit from ONE pass
+    # via an in-row 2-element explode: the prior unionAll of two
+    # selects over the unpersisted sessions relation re-ran the whole
+    # sessionization (two windows + groupBy) once per branch — Spark
+    # does not share physical subtrees across DataFrame refs (r15).
+    bounds = sessions.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("t"), F.lit(1).alias("delta")),
+                F.struct((F.col("e") + 1).alias("t"), F.lit(-1).alias("delta")),
+            )
+        ).alias("b")
+    ).select("b.t", "b.delta")
     per_t = bounds.groupBy("t").agg(F.sum("delta").alias("d"))
     sweep = per_t.select(
         F.sum("d").over(Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)).alias("concurrent")

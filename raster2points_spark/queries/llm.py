@@ -6782,7 +6782,12 @@ def dedup_near_recall(spark, sf_dir):
     Scale: both members are already bucketed/blocked; the final join
     is pair-key equi over two tiny pair relations.
     """
-    truth = _REG["dedup_jaccard"].fn(spark, sf_dir).select("doc_a", "doc_b")
+    # persisted: TWO consumers (the semi-join probe and the n_true
+    # count) would otherwise each re-run the full dedup_jaccard
+    # inverted-index plan — the truth is a tiny pair relation (r15)
+    truth = (
+        _REG["dedup_jaccard"].fn(spark, sf_dir).select("doc_a", "doc_b").persist()
+    )
     lsh = _REG["dedup_near"].fn(spark, sf_dir).select(
         F.col("doc_a").alias("la"), F.col("doc_b").alias("lb")
     )
@@ -6840,10 +6845,14 @@ def sim_ivf_recall(spark, sf_dir):
     member oracle SQLs as CTEs, so any drift in either member's twin
     shows here too.  Scale: both members are broadcast-probe shapes;
     the final semi-join is equi over two ≤25-row pair relations."""
+    # persisted: TWO consumers (the semi-join probe and the n_true
+    # count) would otherwise each re-run the full exhaustive sim_knn
+    # plan — the truth is a ≤25-row pair relation (r15)
     truth = (
         _REG["sim_knn"].fn(spark, sf_dir)
         .filter(F.col("rn") <= 5)
         .select("probe_id", "vec_id")
+        .persist()
     )
     ivf = _REG["sim_ivf"].fn(spark, sf_dir).select(
         F.col("probe_id").alias("ip"), F.col("vec_id").alias("iv")
