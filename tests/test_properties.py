@@ -426,3 +426,37 @@ def test_ks_statistic_matches_numpy_recompute(spark, registry):
     assert abs(row.d_stat - d) < 1e-9
     lam = d * math.sqrt(len(r) * len(n) / (len(r) + len(n)))
     assert abs(row.ks_lambda - lam) < 1e-6
+
+
+def test_zorder_magic_spread_equals_bit_fold(spark):
+    """sink_zorder's r15 magic-number Morton spread vs the original
+    explicit per-bit fold (still the DuckDB oracle's formulation):
+    identical bigint for random and boundary 16-bit inputs.  The
+    spread places each input bit at a disjoint output position, so
+    OR == the fold's +; this pins that identity in-engine."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from raster2points_spark.io import local_df
+    from raster2points_spark.queries.scans import _Z_SPARK
+
+    fold = (
+        "aggregate(sequence(0, 15), cast(0 as bigint), (acc, i) -> acc"
+        " + shiftleft(shiftright(a, i) & 1, 2*i)"
+        " + shiftleft(shiftright(b, i) & 1, 2*i + 1))"
+    )
+    rng = random.Random(150)
+    rows = [(0, 0), (65535, 65535), (65535, 0), (0, 65535), (1, 2)] + [
+        (rng.randrange(65536), rng.randrange(65536)) for _ in range(500)
+    ]
+    # bigint like the real query's (l_partkey % 65536): the fold's
+    # shiftleft must be 64-bit (an int column overflows at bit 31)
+    df = local_df(spark, rows, "a bigint, b bigint")
+    bad = (
+        df.withColumn("z1", F.expr(fold))
+        .withColumn("z2", F.expr(_Z_SPARK))
+        .filter("z1 <> z2")
+        .count()
+    )
+    assert bad == 0
