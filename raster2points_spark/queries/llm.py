@@ -2713,20 +2713,24 @@ def _bpe_pair_counts(words):
 
 def _bpe_apply_merge(words, a: str, b: str):
     """Greedy left-to-right merge of adjacent (a, b) → a||b inside each
-    word's symbol array — a per-row aggregate() fold, zero shuffles.
-    A merged symbol does not re-pair within the same pass (standard
-    BPE application)."""
-    merged = (
-        "aggregate(syms, struct(cast(array() as array<string>) as acc, "
-        "cast(null as string) as prev), "
-        "(s, x) -> case "
-        f" when s.prev is null then struct(s.acc as acc, x as prev) "
-        f" when s.prev = '{a}' and x = '{b}' then "
-        f"   struct(concat(s.acc, array('{a}{b}')) as acc, cast(null as string) as prev) "
-        " else struct(concat(s.acc, array(s.prev)) as acc, x as prev) end, "
-        "s -> case when s.prev is null then s.acc "
-        "     else concat(s.acc, array(s.prev)) end)"
-    )
+    word's symbol array — leftmost-non-overlapping string ``replace``
+    iterated to fixpoint (3 passes) over the space-joined symbol
+    string, exactly the oracle's ``_replace_fixpoint_sql``
+    formulation; fixpoint == greedy for pair merges (a merged symbol
+    does not re-pair within a pass), exhaustively pinned to |word|=12
+    and randomized to 40 in
+    tests/test_llm.py::test_bpe_apply_oracle_fixpoint_equals_greedy.
+    Zero shuffles, pure codegen string ops.
+
+    r15: the previous formulation was a per-symbol aggregate() fold
+    whose accumulator array was rebuilt via concat per element — an
+    interpreted O(|word|²)-copies path that cost bpe_apply 33.7 s at
+    sf0.1; native UTF8String replace does the same merge in ~0.5 s."""
+    s = "concat(' ', array_join(syms, ' '), ' ')"
+    pat, rep = f" {a} {b} ", f" {a}{b} "
+    for _ in range(3):
+        s = f"replace({s}, '{pat}', '{rep}')"
+    merged = f"case when size(syms) = 0 then syms else split(trim({s}), ' ') end"
     return words.select(F.expr(merged).alias("syms"), "n")
 
 
@@ -2920,6 +2924,15 @@ def bpe_apply(spark, sf_dir):
     )
     for a, b in BPE_APPLY_RULES:
         words = _bpe_apply_merge(words, a, b)
+    # persisted materialization BARRIER (r15): without it
+    # CollapseProject inlines the five chained merge expressions into
+    # the Generate(explode) stage and the final aggregate — one
+    # enormous codegen unit whose compilation alone cost ~19-30 s
+    # (31-row vocabulary!); materializing the merged vocabulary first
+    # keeps each codegen unit expression-sized (33.7 s → 4.2 s cold,
+    # 0.4 s warm).  The vocabulary is |distinct words| — tiny relative
+    # to the corpus at any scale.
+    words = words.persist()
     return (
         words.select(F.explode("syms").alias("token"), "n")
         .groupBy("token")
