@@ -20,81 +20,75 @@ SF0001 = "/root/testdata/sf0.001"
 # windows; after r10 362 of 363 then-registered keys had a driver
 # grade and no key was red.
 #
-# The r14 window (VERDICT r13 #1: keep draining the stale ledger —
-# oldest grades first; tools/evidence_audit.py is the ordering
-# source):
-# - the 5 NEW r14 keys (never driver-graded): sink_geotiff_lzw
-#   (VERDICT r13 #6 — write-side TIFF-LZW + predictor 3 + projected
-#   CRS, hash-gated through write→catalog→read),
-#   raster_mosaic_crs_groups (per-CRS mosaic planning off the
-#   catalog's new crs column), fn_utm_forward (Snyder transverse-
-#   Mercator forward series, zone 27N), raster_focal_gaussian_sep
-#   (separable 5×5 blur hash-proven against the direct 2-D oracle)
-#   and stat_ks_test (exact two-sample Kolmogorov–Smirnov),
-# - the 10 keys the CRS-geokey change (VERDICT r13 #2) touched:
-#   regenerated fixtures (scan_geotiff_* / raster_mosaic_hetero /
-#   raster_extent_prune), the extended catalog oracle
-#   (scan_raster_catalog), the geokey-emitting sinks
-#   (sink_geotiff / sink_geotiff_pyramid) and the level-pick
-#   dispatch rewrite (raster_overview_prune, VERDICT r13 #4),
-# - the 30 remaining r6-era stale keys (clears the r6 tail entirely),
-# - the 5 oldest r7-era stale keys.
-# r15+ walks the remaining r7/r8 tail.
+# The r15 window (VERDICT r14 #3: drain the full r7 cohort + 6 r8
+# keys; tools/evidence_audit.py is the ordering source).  After r14
+# the stale-<r9 tail is 91 keys (44×r7 + 47×r8); this window covers
+# all 44 r7 keys plus 6 r8 keys, leaving the tail at exactly 41.
+# Within the r8 six, the three keys RESTRUCTURED by the r15
+# optimization pass (spatial_point_in_polygon — in-row crossing fold;
+# embed_pq — in-row encode/ADC; dedup_near_recall — persisted truth)
+# take the slots first so the driver re-proves the rewritten plans
+# the same round they changed; the remaining three follow audit
+# order.  The r15 keys changed this round that are NOT in the window
+# (stat_ks_test r14, concurrency_peak r13, sim_ivf_recall r12,
+# sink_zorder r12, bpe_apply r11, fn_cast r10, join_phonetic r9 and
+# the local_df-touched raster keys, all r14) are covered by the
+# committed full-registry 3-SF oracle diffs
+# (reports/diff_oracle_r15_sf0.*.txt) and the r15 determinism sweeps;
+# r16's window picks them up next.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- never graded (new this round) ---
-    "sink_geotiff_lzw",
-    "raster_mosaic_crs_groups",
-    "fn_utm_forward",
-    "raster_focal_gaussian_sep",
-    "stat_ks_test",
-    # --- changed this round (CRS geokeys / fixtures / dispatch) ---
-    "scan_raster_catalog",
-    "scan_geotiff_mini",
-    "scan_geotiff_overview",
-    "scan_geotiff_mask1bit",
-    "scan_geotiff_sparse",
-    "raster_extent_prune",
-    "raster_overview_prune",
-    "raster_mosaic_hetero",
-    "sink_geotiff",
-    "sink_geotiff_pyramid",
-    # --- the 30 remaining r6-era stale keys ---
-    "dedup_url_canonical",
-    "embed_gram_matrix",
-    "fn_binary",
-    "fn_map",
-    "funnel_batch",
-    "join_dpp",
-    "join_null_safe",
-    "pareto_customers",
-    "raster_hillshade",
-    "raster_reproject_nn",
-    "raster_zonal_stats",
-    "reshape_unpivot",
-    "rle_events",
-    "sample_temperature",
-    "scd2_asof_lookup",
-    "seq_markov",
-    "seq_pattern_detect",
-    "seq_transitions",
-    "sessionize_batch",
-    "sim_knn",
-    "stream_cdc_apply",
-    "stream_distinct_users",
-    "text_compression_ratio",
-    "text_context_windows",
-    "text_repetition_ratio",
-    "text_zipf_slope",
-    "ts_pct_change",
-    "ts_spike_detect",
-    "win_count_distinct",
-    "win_ratio_share",
-    # --- the 5 oldest r7-era stale keys ---
-    "ab_test_proportions",
-    "agg_benford_profile",
-    "agg_corr_matrix",
-    "agg_gini",
-    "agg_hll_oracle",
+    # --- the full r7-era stale cohort (44 keys, audit order) ---
+    "agg_kmv_set_ops",
+    "agg_moments",
+    "corr_spearman",
+    "dq_expectations",
+    "hierarchy_rollup",
+    "ml_auc_roc",
+    "ml_calibration_bins",
+    "ml_decision_stump",
+    "ml_linreg_normal",
+    "ml_logreg_irls",
+    "pipeline_entity_resolution",
+    "pipeline_rag_index",
+    "profile_drift_psi",
+    "scan_pysource_stream",
+    "skyline_pareto_front",
+    "stat_bootstrap_se",
+    "tpch_q1",
+    "tpch_q2",
+    "tpch_q4",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "ts_autocorr",
+    "ts_backtest_naive",
+    "ts_cross_correlation",
+    "ts_cusum_changepoint",
+    "ts_ewma",
+    "ts_interpolate_linear",
+    "ts_ohlc",
+    "ts_seasonal_decompose",
+    "win_rolling_median",
+    # --- 6 r8-era stale keys: the three r15-restructured ones first ---
+    "spatial_point_in_polygon",
+    "embed_pq",
+    "dedup_near_recall",
+    "dedup_containment",
+    "dedup_embed",
+    "dedup_semantic_cluster",
 )
 
 
