@@ -175,20 +175,27 @@ def funnel_batch(spark, sf_dir):
     Stage tables are per-user minima (|users| rows each); every join
     is on user_id against the already-user_id-keyed event stream, so
     the big table's partitioning is reused and the stage tables
-    runtime-broadcast.  The streaming twin is ``stream_funnel`` —
-    same semantics, incremental.
+    runtime-broadcast.  s1/s2 each have TWO consumers (their own
+    stage count + the next stage's join); Spark shares no physical
+    subtrees across references, so unpersisted they re-ran their
+    whole upstream — six event scans for the three-row result.
+    Persisted (|users|-row relations), the stream is scanned once
+    per stage.  The streaming twin is ``stream_funnel`` — same
+    semantics, incremental.
     """
     e = _ev(spark, sf_dir).select("user_id", "event_type", "tsec")
     s1 = (
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("tsec").alias("t1"))
+        .persist()
     )
     s2 = (
         e.join(s1, "user_id")
         .filter((F.col("event_type") == "click") & (F.col("tsec") >= F.col("t1")))
         .groupBy("user_id")
         .agg(F.min("tsec").alias("t2"))
+        .persist()
     )
     s3 = (
         e.join(s2, "user_id")

@@ -897,6 +897,19 @@ def test_gaussian_sep_two_scatter_exchanges(spark, registry):
     assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) == 4
 
 
+def test_funnel_stage_tables_persisted_three_scans(spark, registry):
+    """funnel_batch: s1/s2 each feed two consumers (their own stage
+    count + the next stage's join); unpersisted they re-ran their
+    whole upstream — six event scans for a three-row result.  Pin the
+    persisted shape: stage tables come from InMemoryRelation and the
+    events parquet appears as exactly three distinct scan nodes (one
+    per funnel stage)."""
+    plan = _formatted_plan(spark, registry["funnel_batch"].fn(spark, SF001))
+    assert "InMemoryRelation" in plan, "stage tables must be persisted"
+    scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scans) == 3, f"expected 3 distinct event scans, got {sorted(scans)}"
+
+
 def test_ks_window_over_collapsed_axis(spark, registry):
     """stat_ks_test: the ECDF window's input must be the per-distinct-
     value aggregate (HashAggregate below the Window), the returnflag
