@@ -433,9 +433,13 @@ def ts_gapfill(spark, sf_dir):
         .select("event_type", unix_secs(F.col("ts")).alias("tsec"))
         .select("event_type", F.expr("cast(floor(tsec / 3600) AS bigint)").alias("h"))
     )
-    counts = ev.groupBy("event_type", "h").agg(F.count("*").alias("n"))
-    bounds = ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
-    types = ev.select("event_type").distinct()
+    # counts (|types|x|hours| rows) is the ONLY consumer of the event
+    # scan: bounds and the type list derive from it exactly (min/max
+    # over grouped h == over raw h; the distinct type set survives the
+    # groupBy), so the stream is scanned once, not three times (r15).
+    counts = ev.groupBy("event_type", "h").agg(F.count("*").alias("n")).persist()
+    bounds = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    types = counts.select("event_type").distinct()
     grid = types.crossJoin(F.broadcast(bounds)).select(
         "event_type", F.explode(F.sequence("h0", "h1")).alias("h")
     )
@@ -1136,12 +1140,17 @@ def agg_exact_median_twopass(spark, sf_dir):
     from pyspark.sql import Window
 
     v = t(spark, sf_dir, "lineitem").select(F.col("l_extendedprice").alias("x"))
-    stats = v.agg(
-        F.count("*").cast("bigint").alias("n_rows"),
-    ).withColumn("k", ((F.col("n_rows") + 1) / 2).cast("bigint"))
-    hist = v.groupBy(F.floor(F.col("x") / 1000).alias("bkt")).agg(
-        F.count("*").alias("bn")
+    # n_rows derives from the histogram (sum of bucket counts, exact
+    # integers) — the separate count scan was a third full pass on a
+    # two-pass algorithm (r15 audit).
+    hist = (
+        v.groupBy(F.floor(F.col("x") / 1000).alias("bkt"))
+        .agg(F.count("*").alias("bn"))
+        .persist()
     )
+    stats = hist.agg(
+        F.sum("bn").cast("bigint").alias("n_rows"),
+    ).withColumn("k", ((F.col("n_rows") + 1) / 2).cast("bigint"))
     w_cum = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.select(
         "bkt", "bn", F.sum("bn").over(w_cum).alias("cum")
@@ -1244,7 +1253,12 @@ def agg_hll_oracle(spark, sf_dir):
     the error is inspectable (agg_kmv_sketch's contract, different
     sketch).
     """
-    du = t(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    # du feeds the register build, the exact-count comparison AND (via
+    # its type projection) the register spine — persisted so the
+    # events scan + distinct shuffle run once, not three times (r15).
+    du = (
+        t(spark, sf_dir, "events").select("event_type", "user_id").distinct().persist()
+    )
     hashed = du.select(
         "event_type",
         F.expr(
@@ -1262,8 +1276,7 @@ def agg_hll_oracle(spark, sf_dir):
         F.when(w == 0, 55).otherwise(55 - F.length(F.bin(w))).alias("rho"),
     ).groupBy("event_type", "bucket").agg(F.max("rho").alias("rho"))
     spine = (
-        t(spark, sf_dir, "events")
-        .select("event_type")
+        du.select("event_type")
         .distinct()
         .select("event_type", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bucket"))
     )
@@ -1337,12 +1350,18 @@ def agg_exact_p99_grouped(spark, sf_dir):
     from pyspark.sql import Window
 
     v = t(spark, sf_dir, "events").select("event_type", F.col("value").alias("x"))
-    stats = v.groupBy("event_type").agg(
-        F.count("*").cast("bigint").alias("n_rows"),
-        F.ceil(0.99 * F.count("*")).cast("bigint").alias("k"),
+    # The per-group totals derive from the histogram (sum of bucket
+    # counts == count of rows, exact integers), so pass 1 is ONE scan
+    # feeding both stats and the cumulative window — the separate
+    # stats scan was a third full pass (r15 audit).
+    hist = (
+        v.groupBy("event_type", F.floor("x").alias("bkt"))
+        .agg(F.count("*").alias("bn"))
+        .persist()
     )
-    hist = v.groupBy("event_type", F.floor("x").alias("bkt")).agg(
-        F.count("*").alias("bn")
+    stats = hist.groupBy("event_type").agg(
+        F.sum("bn").cast("bigint").alias("n_rows"),
+        F.ceil(0.99 * F.sum("bn")).cast("bigint").alias("k"),
     )
     w_cum = (
         Window.partitionBy("event_type")

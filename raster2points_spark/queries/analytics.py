@@ -1453,10 +1453,15 @@ def agg_corr_matrix(spark, sf_dir):
                 ).alias(f"c{i}_{j}")
             )
     cents = centered.agg(*aggs)
-    out = None
-    for i in range(k):
-        for j in range(i + 1, k):
-            row = cents.select(
+    # The C(k,2) pair rows fan out IN-ROW from the single 1-row moment
+    # relation: a union of per-pair selects re-ran the ENTIRE two-pass
+    # computation once per pair (r15 audit: 12 lineitem scans for 6
+    # output rows — Spark shares no physical subtrees across DataFrame
+    # references).  One explode over a literal struct array evaluates
+    # the same expressions against the same moments, once.
+    pair_structs = F.array(
+        *[
+            F.struct(
                 F.lit(_CM_COLS[i][0]).alias("col_a"),
                 F.lit(_CM_COLS[j][0]).alias("col_b"),
                 F.round(
@@ -1465,8 +1470,11 @@ def agg_corr_matrix(spark, sf_dir):
                     6,
                 ).alias("r"),
             )
-            out = row if out is None else out.union(row)
-    return out
+            for i in range(k)
+            for j in range(i + 1, k)
+        ]
+    )
+    return cents.select(F.explode(pair_structs).alias("p")).select("p.*")
 
 
 @register(
@@ -1679,10 +1687,17 @@ def ts_backtest_naive(spark, sf_dir):
     discipline).
     """
     ev = t(spark, sf_dir, "events")
-    hr = ev.groupBy(
-        "event_type",
-        F.floor(unix_secs(F.col("ts")) / 3600).cast("bigint").alias("h"),
-    ).agg(F.sum(F.round(F.col("value") * 1000).cast("bigint")).alias("vm"))
+    # hr (|types|x|hours| rows) feeds THREE consumers (horizon, test,
+    # base) — persisted so the hourly rollup and its event scan run
+    # once, not three times (r15 audit).
+    hr = (
+        ev.groupBy(
+            "event_type",
+            F.floor(unix_secs(F.col("ts")) / 3600).cast("bigint").alias("h"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 1000).cast("bigint")).alias("vm"))
+        .persist()
+    )
     horizon = hr.groupBy(F.col("event_type").alias("h_type")).agg(
         F.max("h").alias("hmax")
     )
@@ -1874,6 +1889,9 @@ def dq_expectations(spark, sf_dir):
     total cost ≈ two scans + one key shuffle regardless of rule count.
     """
     o = t(spark, sf_dir, "orders")
+    # checks (1 row) feeds the stack() unpivot AND the n_checked
+    # column on the orphan/dup rows — persisted so the conditional-sum
+    # pass runs once, not twice (r15 audit: 4 orders scans → 3).
     checks = o.agg(
         F.count("*").alias("n_checked"),
         F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
@@ -1892,7 +1910,7 @@ def dq_expectations(spark, sf_dir):
         F.sum(
             F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0)
         ).alias("bad_status"),
-    )
+    ).persist()
     row_local = checks.selectExpr(
         """stack(4,
              'nonpositive_price', nonpositive_price,
@@ -2737,25 +2755,32 @@ def ml_logreg_irls(spark, sf_dir):
             F.sum(w * F.col("x") * F.col("x")).alias("dd"),
             F.sum(F.col("y") - F.col("p")).alias("u"),
             F.sum((F.col("y") - F.col("p")) * F.col("x")).alias("v"),
+            # n_obs rides the SAME aggregate pass — a separate
+            # d.agg(count) cost a third full scan (r15 audit)
+            F.count("*").cast("bigint").alias("n_obs"),
         )
         det = F.col("a") * F.col("dd") - F.col("b") * F.col("b")
         return s.select(
             ((F.col("dd") * F.col("u") - F.col("b") * F.col("v")) / det).alias("db0"),
             ((F.col("a") * F.col("v") - F.col("b") * F.col("u")) / det).alias("db1"),
+            "n_obs",
         )
 
-    # step 1: beta = (0,0) => p = 0.5 exactly
+    # step 1: beta = (0,0) => p = 0.5 exactly.  beta1 feeds BOTH the
+    # step-2 re-weighting broadcast and the final select — persisted
+    # (1 row) so step 1's scan runs once, not twice (r15 audit: the
+    # key was 4 scans for a 2-scan algorithm).
     step1 = newton_step(d.withColumn("p", F.lit(0.5)))
-    beta1 = step1.select(F.col("db0").alias("b0"), F.col("db1").alias("b1"))
+    beta1 = step1.select(
+        F.col("db0").alias("b0"), F.col("db1").alias("b1"), "n_obs"
+    ).persist()
     # step 2: re-weight with the broadcast beta
-    p2 = d.crossJoin(F.broadcast(beta1)).withColumn(
+    p2 = d.crossJoin(F.broadcast(beta1.select("b0", "b1"))).withColumn(
         "p", 1.0 / (1.0 + F.exp(-(F.col("b0") + F.col("b1") * F.col("x"))))
     )
     step2 = newton_step(p2)
-    n = d.agg(F.count("*").cast("bigint").alias("n_obs"))
     return (
-        beta1.crossJoin(F.broadcast(step2))
-        .crossJoin(F.broadcast(n))
+        beta1.crossJoin(F.broadcast(step2.select("db0", "db1")))
         .select(
             F.round(F.col("b0") + F.col("db0"), 4).alias("beta0"),
             F.round(F.col("b1") + F.col("db1"), 4).alias("beta1"),

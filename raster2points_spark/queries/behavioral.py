@@ -999,11 +999,16 @@ def ml_confusion_matrix(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("prev", F.col("nxt").alias("predicted"))
     )
+    # cm (≤|types|² rows) feeds THREE consumers (both marginals + the
+    # final join) — unpersisted, the whole train/model/test spine
+    # (two windows + a join over the event stream) re-ran per
+    # consumer: 6 event scans for a matrix-sized result (r15 audit).
     cm = (
         ordered.filter(F.col("next_id") % 5 == 0)
         .join(model, F.col("prev") == F.col("event_type"))
         .groupBy(F.col("nxt").alias("actual"), "predicted")
         .agg(F.count("*").alias("n"))
+        .persist()
     )
     atot = cm.groupBy(F.col("actual").alias("a2")).agg(F.sum("n").alias("na"))
     ptot = cm.groupBy(F.col("predicted").alias("p2")).agg(F.sum("n").alias("np"))

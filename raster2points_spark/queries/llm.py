@@ -2391,7 +2391,10 @@ def sample_mixture(spark, sf_dir):
     shuffled; the filter is a projection.
     """
     d = t(spark, sf_dir, "documents")
-    counts = d.groupBy("source").agg(F.count("*").alias("n_src"))
+    # counts (|sources| rows) feeds the broadcast join AND the n_min
+    # scalar — persisted so its corpus scan runs once (r15 audit:
+    # 3 scans → 2; the main keyed side still scans, as it must).
+    counts = d.groupBy("source").agg(F.count("*").alias("n_src")).persist()
     n_min = counts.agg(F.min("n_src").alias("n_min"))
     bkt = hash_bucket("mix#")
     keyed = (
@@ -2444,7 +2447,11 @@ def text_unigram_ppl(spark, sf_dir):
         t_fanout(spark, sf_dir, "documents")
         .select("doc_id", F.explode(F.expr(TOKS_SPARK)).alias("word"))
     )
-    vocab = toks.groupBy("word").agg(F.count("*").alias("n_w"))
+    # vocab (distinct words, map-side combined) feeds the corpus total
+    # AND the scoring join — persisted so the tokenize+count pass runs
+    # once, not twice (r15 audit: 3 corpus explodes → 2; the scoring
+    # pass over toks is the training/scoring second pass, inherent).
+    vocab = toks.groupBy("word").agg(F.count("*").alias("n_w")).persist()
     total = vocab.agg(F.sum("n_w").cast("bigint").alias("n_total"))
     scored = (
         toks.join(vocab, "word")
@@ -2594,10 +2601,15 @@ def pipeline_train_ready(spark, sf_dir):
         "doc_id", "source", "text", n.alias("n_tok")
     )
     w_dup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    # deduped feeds the mixture counts, the n_min scalar AND the main
+    # mixed branch — persisted (survivor ids + n_tok only, text
+    # projected away) so the tokenize+gate+dedup-window spine runs
+    # once, not three times (r15 audit: 3 corpus scans).
     deduped = (
         gated.withColumn("rn", F.row_number().over(w_dup))
         .filter(F.col("rn") == 1)
         .select("doc_id", "source", "n_tok")
+        .persist()
     )
     counts = deduped.groupBy("source").agg(F.count("*").alias("n_src"))
     n_min = counts.agg(F.min("n_src").alias("n_min"))
@@ -3139,13 +3151,20 @@ def sample_stratified(spark, sf_dir):
         .cast("int")
         .alias("pc")
     )
-    keyed = d.crossJoin(F.broadcast(cdf)).select(
-        "source",
-        "doc_id",
-        h.alias("h"),
-        F.expr("substring(md5(concat('strat#', cast(doc_id AS string))), 1, pc)").alias(
-            "bkt"
-        ),
+    # keyed (4 narrow cols) feeds THREE consumers (nstrat, bcnt, the
+    # ranked join) — unpersisted, the corpus scan + md5 keying re-ran
+    # per consumer (r15 audit: 6 documents scans for one sample pass).
+    keyed = (
+        d.crossJoin(F.broadcast(cdf))
+        .select(
+            "source",
+            "doc_id",
+            h.alias("h"),
+            F.expr(
+                "substring(md5(concat('strat#', cast(doc_id AS string))), 1, pc)"
+            ).alias("bkt"),
+        )
+        .persist()
     )
     nstrat = keyed.groupBy("source").agg(F.count("*").alias("n_strat"))
     bcnt = keyed.groupBy("source", "bkt").agg(F.count("*").alias("cnt"))
