@@ -5813,14 +5813,15 @@ def pipeline_release_gate(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     lb100 = F.floor(F.col("n_chars") / 100).cast("bigint")
     lb200 = F.floor(F.col("n_chars") / 200).cast("bigint")
-    ka = (
-        d.groupBy("lang", "source", lb100.alias("lb100"))
-        .agg(F.count("*").alias("kn"))
-    )
-    ld = (
-        d.groupBy("lang", lb200.alias("lb200"))
-        .agg(F.countDistinct("source").alias("ldiv"))
-    )
+    # Both class tables aggregate the SAME 4-col QI projection —
+    # persisted so the fact scan behind them runs once, not twice
+    # (r15 audit; base keeps its own scan: it needs text, which the
+    # cache deliberately excludes).
+    qi = d.select(
+        "lang", "source", lb100.alias("lb100"), lb200.alias("lb200")
+    ).persist()
+    ka = qi.groupBy("lang", "source", "lb100").agg(F.count("*").alias("kn"))
+    ld = qi.groupBy("lang", "lb200").agg(F.countDistinct("source").alias("ldiv"))
     base = d.select(
         "doc_id", "lang", "source", "text",
         lb100.alias("lb100"), lb200.alias("lb200"),
@@ -6124,8 +6125,17 @@ def dedup_semantic_cluster(spark, sf_dir):
     fine argmaxes order by 4-dp-rounded dots with id tiebreaks, so
     assignment — and therefore the cut — is engine-exact.
     """
-    emb = t_fanout(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    # emb feeds FIVE consumers (kdf, cent, the coarse scan, and both
+    # of assign's id-joins) — unpersisted, each re-ran the parquet
+    # scan + t_fanout repartition (r15 audit: 7 embeddings scans in
+    # one plan).  Unlike dedup_embed's self-join (where one AQE
+    # exchange is shared and a persist measured slower), these
+    # consumers join on DIFFERENT keys, so nothing is reused without
+    # the cache.
+    emb = (
+        t_fanout(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .persist()
     )
     kdf = (
         emb.agg(
@@ -6138,6 +6148,8 @@ def dedup_semantic_cluster(spark, sf_dir):
             F.ceil(F.col("kk") / F.ceil(F.sqrt(F.col("kk")))).cast("bigint"),
         )
     )
+    # cent (k rows) feeds reps and the fine-assign join — persisted so
+    # the kdf aggregate + codebook filter run once (r15).
     cent = (
         emb.crossJoin(F.broadcast(kdf))
         .filter(F.col("vec_id") < F.col("kk"))
@@ -6147,6 +6159,7 @@ def dedup_semantic_cluster(spark, sf_dir):
             (F.col("vec_id") % F.col("stride")).alias("slot"),
             F.col("e").alias("ce"),
         )
+        .persist()
     )
     adot = F.expr(
         "aggregate(zip_with(e, ce, (x, y) -> x * y), cast(0.0 AS double), (acc, v) -> acc + v)"
