@@ -181,6 +181,11 @@ HEADLINE = [
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+    # Core count this run executes at — recorded per sample (VERDICT
+    # r15 #2b): the driver also runs bench at a lower core count for
+    # scaling measurements, and those samples must not pollute the
+    # same-day gate median alongside full-core samples.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     registry = load_all()
     spark = get_spark("bench")
 
@@ -431,9 +436,25 @@ def main() -> int:
                 "batched_passes"
             ),
         }
+        if prev.get("cpus") is not None:
+            prev_summary["cpus"] = prev.get("cpus")
+
         # the prior file's own summary may already close its list
-        # (it appended itself on write) — don't record it twice
-        if prev_summary not in samples:
+        # (it appended itself on write) — don't record it twice.
+        # Compare on the four timing fields only: older files carry no
+        # cpus tag, so a dict-equality check would double-count them.
+        def _same_sample(a: dict, b: dict) -> bool:
+            return all(
+                a.get(k) == b.get(k)
+                for k in (
+                    "sequential_sec",
+                    "batched_passes",
+                    "duck_total_sec",
+                    "duck_batched_passes",
+                )
+            )
+
+        if not any(_same_sample(prev_summary, s) for s in samples):
             samples.append(prev_summary)
     except (OSError, ValueError):
         pass
@@ -443,6 +464,7 @@ def main() -> int:
             "batched_passes": batched_passes,
             "duck_total_sec": round(sum(duck_timings.values()), 3),
             "duck_batched_passes": duck_batched_passes,
+            "cpus": cpus,
         }
     )
     # Median-of-samples gate summary (VERDICT r13 #7): the BASELINE
@@ -453,19 +475,29 @@ def main() -> int:
     # numbers from different windows.
     import statistics as _stats
 
-    _seqs = [s["sequential_sec"] for s in samples if s.get("sequential_sec")]
-    _ducks = [s["duck_total_sec"] for s in samples if s.get("duck_total_sec")]
+    # CPU-clean median (VERDICT r15 #2b): the driver's low-core scaling
+    # runs land in the same detail file; a sample tagged with fewer
+    # cores than the round's full-core runs is excluded from the gate
+    # median (untagged samples predate the tag and were full-core runs).
+    _full_cpus = max(
+        (s["cpus"] for s in samples if s.get("cpus") is not None), default=cpus
+    )
+    _gate = [s for s in samples if s.get("cpus", _full_cpus) >= _full_cpus]
+    _seqs = [s["sequential_sec"] for s in _gate if s.get("sequential_sec")]
+    _ducks = [s["duck_total_sec"] for s in _gate if s.get("duck_total_sec")]
     _ratios = sorted(
         s["sequential_sec"] / s["duck_total_sec"]
-        for s in samples
+        for s in _gate
         if s.get("sequential_sec") and s.get("duck_total_sec")
     )
     _batched_best = min(
-        (min(s["batched_passes"]) for s in samples if s.get("batched_passes")),
+        (min(s["batched_passes"]) for s in _gate if s.get("batched_passes")),
         default=None,
     )
     sample_summary = {
         "n_samples": len(samples),
+        "n_gate_samples": len(_gate),
+        "gate_cpus": _full_cpus,
         "median_sequential_sec": round(_stats.median(_seqs), 3) if _seqs else None,
         "median_duck_total_sec": round(_stats.median(_ducks), 3) if _ducks else None,
         "median_seq_ratio": round(_stats.median(_ratios), 3) if _ratios else None,
@@ -478,6 +510,7 @@ def main() -> int:
                 "value": round(total, 3),
                 "unit": "sec",
                 "sf": sf_num,
+                "cpus": cpus,
                 "n_keys": len(timings),
                 "batched_wall_sec": batched_sec,
                 # both raw pass wall-clocks; [0] is the cold(er) pass —
@@ -485,6 +518,18 @@ def main() -> int:
                 "batched_passes": batched_passes,
                 "batched_err": batched_err,
                 "queries": timings,
+                # every pass's raw timing per key, pass order preserved
+                # (VERDICT r15 #2a): pass 1 is the cold number; keys
+                # that persist() intermediates run passes 2/3 warm via
+                # CacheManager plan matching (see the cache-hygiene
+                # note above), and this makes the cold/warm split
+                # durable instead of stderr-only.  The headline per-key
+                # number stays min(runs), unchanged since r1.
+                "query_runs": {
+                    k: [round(r, 3) for r in runs_by_key[k]]
+                    for k in timings
+                    if k in runs_by_key
+                },
                 "comparator": {
                     "engine": "duckdb",
                     "total_sec": round(sum(duck_timings.values()), 3),
