@@ -142,13 +142,14 @@ def fn_cast(spark, sf_dir):
     measured 4.5 s of this key's 5.4 s on 600k all-non-numeric rows),
     so only plausibly-numeric strings enter try_cast.  The guard
     pattern is a strict superset of castable strings — Spark's cast
-    trims [\\x00-\\x20] and accepts optional sign + digits only
-    (overflow still returns NULL from try_cast inside the match
-    branch) — probed against control-char/unicode/decimal/exponent
-    edge cases, so the result is identical to the unguarded try_cast
-    on any input."""
+    trims ISO control characters [\\x00-\\x20\\x7f] (UTF8String
+    trimAll includes DEL — ADVICE r15, verified in-engine) and
+    accepts optional sign + digits only (overflow still returns NULL
+    from try_cast inside the match branch) — probed against
+    control-char/unicode/decimal/exponent edge cases, so the result
+    is identical to the unguarded try_cast on any input."""
     li = t(spark, sf_dir, "lineitem")
-    numeric_shape = r"^[\x00-\x20]*[+-]?[0-9]+[\x00-\x20]*$"
+    numeric_shape = r"^[\x00-\x20\x7f]*[+-]?[0-9]+[\x00-\x20\x7f]*$"
     return li.select(
         "l_orderkey",
         "l_linenumber",

@@ -2725,19 +2725,45 @@ def _bpe_pair_counts(words):
 
 def _bpe_apply_merge(words, a: str, b: str):
     """Greedy left-to-right merge of adjacent (a, b) → a||b inside each
-    word's symbol array — leftmost-non-overlapping string ``replace``
-    iterated to fixpoint (3 passes) over the space-joined symbol
-    string, exactly the oracle's ``_replace_fixpoint_sql``
-    formulation; fixpoint == greedy for pair merges (a merged symbol
-    does not re-pair within a pass), exhaustively pinned to |word|=12
-    and randomized to 40 in
+    word's symbol array.
+
+    a != b (every committed rule, and almost every learned rule):
+    leftmost-non-overlapping string ``replace`` iterated to fixpoint
+    (3 passes) over the space-joined symbol string, exactly the
+    oracle's ``_replace_fixpoint_sql`` formulation; fixpoint == greedy
+    for non-self pair merges (a merged symbol does not re-pair within
+    a pass), exhaustively pinned to |word|=12 and randomized to 40 in
     tests/test_llm.py::test_bpe_apply_oracle_fixpoint_equals_greedy.
     Zero shuffles, pure codegen string ops.
+
+    a == b (r16, ADVICE r15): the replace path is NOT greedy for
+    self-pairs — on a run of >=5 identical symbols the patterns share
+    their delimiter space, so pass 1 merges alternating occurrences
+    and strands singles between merged pairs permanently (6x'a' under
+    ('a','a') → [aa, a, aa, a] vs greedy [aa, aa, aa]).  Self-pairs
+    take the original per-row aggregate() fold, which IS the greedy
+    scan (and needs no symbol escaping).  Learned rules can be
+    self-pairs on real corpora (letter runs), so the trainer's
+    bit-identity contract with the sequential reference depends on
+    this branch.
 
     r15: the previous formulation was a per-symbol aggregate() fold
     whose accumulator array was rebuilt via concat per element — an
     interpreted O(|word|²)-copies path that cost bpe_apply 33.7 s at
     sf0.1; native UTF8String replace does the same merge in ~0.5 s."""
+    if a == b:
+        merged = (
+            "aggregate(syms, struct(cast(array() as array<string>) as acc, "
+            "cast(null as string) as prev), "
+            "(s, x) -> case "
+            f" when s.prev is null then struct(s.acc as acc, x as prev) "
+            f" when s.prev = '{a}' and x = '{b}' then "
+            f"   struct(concat(s.acc, array('{a}{b}')) as acc, cast(null as string) as prev) "
+            " else struct(concat(s.acc, array(s.prev)) as acc, x as prev) end, "
+            "s -> case when s.prev is null then s.acc "
+            "     else concat(s.acc, array(s.prev)) end)"
+        )
+        return words.select(F.expr(merged).alias("syms"), "n")
     s = "concat(' ', array_join(syms, ' '), ' ')"
     pat, rep = f" {a} {b} ", f" {a}{b} "
     for _ in range(3):

@@ -2349,9 +2349,9 @@ def _pick_levels(spark, path_factors, dist_threshold=_LEVEL_PICK_DIST_THRESHOLD)
     mosaic parallelizes its header I/O.  Both paths share
     _pick_overview_header, so level choices are identical by
     construction (pinned by test_overview_prune_dispatch_parity).
-    Returns {basename: level}."""
-    import os as _os
-
+    Returns {path: level} keyed by the FULL input path (ADVICE r14:
+    basename keying silently collided same-named files in different
+    directories); callers that want basenames take them themselves."""
     from raster2points_spark.sources.minitiff import (
         pick_overview,
         pick_overviews_distributed,
@@ -2360,10 +2360,10 @@ def _pick_levels(spark, path_factors, dist_threshold=_LEVEL_PICK_DIST_THRESHOLD)
     pairs = list(path_factors)
     if len(pairs) > dist_threshold:
         return {
-            _os.path.basename(r.path): r.level
+            r.path: r.level
             for r in pick_overviews_distributed(spark, pairs).collect()
         }
-    return {_os.path.basename(p): pick_overview(p, f) for p, f in pairs}
+    return {p: pick_overview(p, f) for p, f in pairs}
 
 
 @register(
@@ -2425,9 +2425,12 @@ def raster_overview_prune(spark, sf_dir):
     # (b) cheapest sufficient level per survivor (header-only I/O) —
     # threshold-dispatched like api._paths_preflight: small survivor
     # lists pick on the driver, large ones executor-side
-    levels = _pick_levels(
-        spark, [(_os.path.join(d, r.file), target_res / r.res) for r in hit]
-    )
+    levels = {
+        _os.path.basename(p): lvl
+        for p, lvl in _pick_levels(
+            spark, [(_os.path.join(d, r.file), target_res / r.res) for r in hit]
+        ).items()
+    }
     # (c) one tile read per distinct level, union — each branch reads
     # only that level's blocks and tags rows with the level it chose
     out = None

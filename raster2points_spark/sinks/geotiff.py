@@ -405,17 +405,33 @@ def encode_geotiff(
     return bytes(out), n_sparse
 
 
-def _geokey_directory(epsg: int) -> list[int]:
+# Projected CRSs that live inside the mostly-geographic EPSG
+# 4000-4999 block (ADVICE r14): the world equidistant-cylindrical
+# pair, the WGS 84 TM zones, MOLDREF99 / Moldova TM and the Danish
+# DKTM zones.  The block heuristic misclassifies these without the
+# carve-out.
+_PROJECTED_IN_4XXX = frozenset({4026, 4037, 4038, 4087, 4088, 4093, 4094, 4095, 4096})
+
+
+def _geokey_directory(epsg: int, geographic: bool | None = None) -> list[int]:
     """Minimal GeoKeyDirectoryTag payload for one EPSG code: header
     (KeyDirectoryVersion=1, KeyRevision=1.0, NumberOfKeys=3) + three
     inline SHORT keys in ascending KeyID order (spec requirement).
-    EPSG 4000–4999 is the geographic-CRS block (GTModelType=2 +
-    GeographicTypeGeoKey 2048); everything else is written projected
-    (GTModelType=1 + ProjectedCSTypeGeoKey 3072) — the two layouts
-    GDAL emits for EPSG-coded rasters."""
+
+    ``geographic=None`` infers the CRS kind from the code: EPSG
+    4000–4999 is predominantly the geographic-CRS block (GTModelType=2
+    + GeographicTypeGeoKey 2048) minus the known projected carve-outs
+    (``_PROJECTED_IN_4XXX``, e.g. EPSG:4087/4088 World Equidistant
+    Cylindrical); everything else is written projected (GTModelType=1
+    + ProjectedCSTypeGeoKey 3072) — the two layouts GDAL emits for
+    EPSG-coded rasters.  The heuristic is not a full EPSG registry:
+    geographic 2D codes exist OUTSIDE 4000-4999 (e.g. 3819, 3824) and
+    would be written projected — pass ``geographic`` explicitly for
+    such codes (ADVICE r14 documents the limit)."""
     if not 1 <= epsg <= 65535:
         raise ValueError(f"crs_epsg {epsg} outside the SHORT-codable EPSG range")
-    geographic = 4000 <= epsg <= 4999
+    if geographic is None:
+        geographic = 4000 <= epsg <= 4999 and epsg not in _PROJECTED_IN_4XXX
     keys = [
         (1024, 0, 1, 2 if geographic else 1),  # GTModelTypeGeoKey
         (1025, 0, 1, 1),  # GTRasterTypeGeoKey: RasterPixelIsArea

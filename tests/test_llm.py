@@ -544,6 +544,36 @@ def test_bpe_apply_oracle_fixpoint_equals_greedy():
     for _ in range(2000):
         t_ = [rng.choice(["th", "e", "x"]) for _ in range(rng.randint(1, 30))]
         assert via_replace(t_, "th", "e", 3) == _greedy_merge(t_, "th", "e"), t_
+    # SELF-PAIR (a == b) counterexample that motivates the fold branch
+    # in _bpe_apply_merge (ADVICE r15): replace-to-fixpoint strands
+    # singles between merged pairs on runs of >= 5 identical symbols.
+    assert via_replace(["a"] * 6, "a", "a", 3) == ["aa", "a", "aa", "a"]
+    assert _greedy_merge(["a"] * 6, "a", "a") == ["aa", "aa", "aa"]
+
+
+def test_bpe_apply_merge_self_pair_is_greedy(spark):
+    """ADVICE r15 (medium): the in-engine _bpe_apply_merge must equal
+    greedy left-to-right merging when the rule is a SELF-PAIR (a == b)
+    — the replace-to-fixpoint path diverges on identical-symbol runs
+    (6x'a' under ('a','a') → [aa, a, aa, a] instead of greedy's
+    [aa, aa, aa]), so self-pairs take the aggregate() fold branch.
+    Exhaustive over {a,x} words to length 10, plus the run shapes."""
+    import itertools
+
+    from raster2points_spark.queries.llm import _bpe_apply_merge
+
+    words = [list(tup) for L in range(1, 11) for tup in itertools.product("ax", repeat=L)]
+    words += [["a"] * k for k in range(11, 16)]
+    # ride the word index in the n column (the helper only keeps syms, n)
+    df = spark.createDataFrame(
+        [(w, i) for i, w in enumerate(words)], "syms array<string>, n bigint"
+    )
+    got = {
+        r["n"]: list(r["syms"])
+        for r in _bpe_apply_merge(df, "a", "a").collect()
+    }
+    for i, w in enumerate(words):
+        assert got[i] == _greedy_merge(w, "a", "a"), (w, got[i])
 
 
 def test_bpe_apply_oracle_matches_spark_on_adversarial_corpus(spark):

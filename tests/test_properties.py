@@ -460,3 +460,33 @@ def test_zorder_magic_spread_equals_bit_fold(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_fn_cast_guard_superset_of_castable(spark):
+    """ADVICE r15 (low): fn_cast's numeric-shape guard must be a strict
+    superset of strings Spark's string->int cast accepts, or the
+    guarded expression diverges from plain try_cast.  Spark trims
+    [\\x00-\\x20] AND DEL (\\x7f) — '5\\x7f' casts to 5, so the guard
+    class includes \\x7f.  Probe the guarded vs unguarded expressions
+    in-engine over the edge cases."""
+    from raster2points_spark.io import local_df
+
+    probes = [
+        "5", "+5", "-5", " 5 ", "\x005\x00", "\x1f5\x1f", "5\x7f", "\x7f+5\x7f",
+        "", " ", "x", "5.0", "5e1", "٥", "  +  5", "99999999999999999999",
+        "2147483647", "2147483648", "-2147483648", "-2147483649", "+", "-",
+        "5 5", "\x7f", "5\x80", "①",
+    ]
+    df = local_df(spark, [(s,) for s in probes], "s string")
+    guard = r"^[\x00-\x20\x7f]*[+-]?[0-9]+[\x00-\x20\x7f]*$"
+    from pyspark.sql import functions as F
+
+    rows = df.select(
+        "s",
+        F.coalesce(
+            F.when(F.col("s").rlike(guard), F.col("s").try_cast("int")), F.lit(-1)
+        ).alias("guarded"),
+        F.coalesce(F.col("s").try_cast("int"), F.lit(-1)).alias("plain"),
+    ).collect()
+    for r in rows:
+        assert r["guarded"] == r["plain"], (repr(r["s"]), r["guarded"], r["plain"])

@@ -280,10 +280,14 @@ def test_overview_prune_dispatch_parity(spark):
     driver = _pick_levels(spark, pairs, dist_threshold=10**9)
     dist = _pick_levels(spark, pairs, dist_threshold=0)
     assert driver == dist
+    # keys are FULL paths (ADVICE r14: basename keying collided
+    # same-named files across directories)
+    assert set(dist) == {p for p, _ in pairs}
     # and the picks themselves are the GDAL rule: pyramid.tif has
     # 2x/4x levels, sparse_mask/elev have none
-    assert dist["sparse_mask.tif"] == 0 and dist["elev.tif"] == 0
-    assert dist["pyramid.tif"] in (1, 2)
+    assert dist[os.path.join(d, "sparse_mask.tif")] == 0
+    assert dist[os.path.join(d, "elev.tif")] == 0
+    assert dist[os.path.join(d, "pyramid.tif")] in (1, 2)
 
 
 def test_utm_forward_matches_independent_python(spark, registry):

@@ -597,6 +597,31 @@ def test_geokey_directory_gdal_byte_layout():
     assert read_header(_tmp_write(data3)).crs is None
 
 
+def test_geokey_directory_projected_carveout_in_4xxx():
+    """ADVICE r14 (low): EPSG 4087/4088 (World Equidistant Cylindrical)
+    are PROJECTED CRSs inside the mostly-geographic 4000-4999 block —
+    they must be written under ProjectedCSTypeGeoKey (3072) with
+    GTModelType=1, not as geographic; and an explicit ``geographic``
+    flag overrides the heuristic both ways."""
+    from raster2points_spark.sinks.geotiff import _geokey_directory
+
+    for code in (4087, 4088, 4026, 4037, 4038, 4093, 4096):
+        vals = _geokey_directory(code)
+        assert vals[4:8] == [1024, 0, 1, 1], code   # GTModelType: projected
+        assert vals[12:16] == [3072, 0, 1, code], code
+    # plain geographic codes keep the geographic layout
+    for code in (4326, 4269, 4258):
+        vals = _geokey_directory(code)
+        assert vals[4:8] == [1024, 0, 1, 2], code
+        assert vals[12:16] == [2048, 0, 1, code], code
+    # explicit flag wins over the heuristic (the documented escape
+    # hatch for geographic codes outside the block, e.g. 3819)
+    vals = _geokey_directory(3819, geographic=True)
+    assert vals[4:8] == [1024, 0, 1, 2] and vals[12:16] == [2048, 0, 1, 3819]
+    vals = _geokey_directory(4326, geographic=False)
+    assert vals[4:8] == [1024, 0, 1, 1] and vals[12:16] == [3072, 0, 1, 4326]
+
+
 def _tmp_write(data: bytes) -> str:
     import tempfile
 
