@@ -353,6 +353,11 @@ def graph_pagerank(spark, sf_dir):
         .distinct()
         .persist()
     )
+    # nodes' distinct and edges_w's join already leave their caches
+    # hash-partitioned on the per-round join keys (cached plans
+    # compile without AQE, so the partitioning is preserved — no
+    # repartition needed here, unlike graph_shortest_hops' UNION-
+    # shaped edge cache whose partitioning is unknown)
     nodes = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
@@ -896,33 +901,47 @@ def graph_shortest_hops(spark, sf_dir):
     degrees" graph queries.
 
     Spark shape: classic frontier BFS as DataFrames — per round ONE
-    frontier⋈edges join, then a LEFT ANTI against the visited set so
-    each node expands exactly once (the oracle's recursive CTE instead
-    dedups (id, hops) pairs per level and takes min(hops) at the end —
-    same answer, but the anti-join form is what scales: work is
-    O(edges touched), never O(paths)).  LAZY localCheckpoint truncates
-    the per-round lineage (fixed 4-round loop, no driver action in the
-    loop, so every level materializes inside the final job — unlike
-    dedup_components, whose convergence check forces eager); the edge
-    list is persisted once and reused all rounds.  The seed is a 1-row
-    min aggregate kept declarative (no driver collect anywhere in the
-    key).
+    frontier⋈edges join, then a LEFT ANTI against the LAST TWO levels
+    so each node expands exactly once (the oracle's recursive CTE
+    instead dedups (id, hops) pairs per level and takes min(hops) at
+    the end — same answer, but the anti-join form is what scales:
+    work is O(edges touched), never O(paths)).  Two levels suffice in
+    ANY graph (r16, guide §2.3 "shuffle fewer bytes"): a neighbor of
+    a distance-h node has distance >= h-1 by the triangle inequality
+    (if u at distance <= h-2 were adjacent to w in the frontier, then
+    dist(w) <= h-1 and w would not be in level h), so the candidate
+    set can only intersect levels h-1 and h — anti-joining the full
+    accumulated visited set shuffles O(|reachable|) per round for the
+    same result; the last-two form shuffles O(|frontier|).  LAZY
+    localCheckpoint truncates the per-round lineage (fixed 4-round
+    loop, no driver action in the loop, so every level materializes
+    inside the final job — unlike dedup_components, whose convergence
+    check forces eager); the edge list is persisted once and reused
+    all rounds.  The seed is a 1-row min aggregate kept declarative
+    (no driver collect anywhere in the key).
 
     At 100 TB: each round shuffles frontier-sized relations keyed by
-    node id; the visited set grows to |reachable| — for deeper
-    traversals you'd switch to the label-propagation form
-    (dedup_components) that keeps everything keyed and never holds a
-    frontier on the driver.  Nothing here does — both frontier and
-    visited stay distributed.
+    node id; with the two-level anti-join nothing in the loop grows
+    with the accumulated traversal — for deeper traversals you'd
+    switch to the label-propagation form (dedup_components) that
+    keeps everything keyed and never holds a frontier on the driver.
+    Nothing here does — both frontier and visited stay distributed.
     """
     li = t(spark, sf_dir, "lineitem")
     fwd = li.select(
         F.col("l_orderkey").alias("src"),
         (F.col("l_partkey") + 10000000).alias("dst"),
     ).distinct()
-    edges = fwd.union(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    # cache the edge list PRE-PARTITIONED on the join key: the cached
+    # partitioning satisfies every round's join requirement, so each
+    # round shuffles only the frontier — the old unpartitioned cache
+    # re-exchanged the full edge list all four rounds (guide §2.4:
+    # operations keyed the same way share one exchange)
+    edges = (
+        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition("src")
+        .persist()
+    )
     # The BFS source (smallest order node) IS a 1-row aggregate — keep
     # it declarative instead of collecting a literal to the driver
     # (r8; was the last removable driver action in query code).
@@ -931,24 +950,24 @@ def graph_shortest_hops(spark, sf_dir):
         .withColumn("hops", F.lit(0))
         .localCheckpoint(eager=False)
     )
-    # visited is the UNION of the per-round checkpointed frontiers —
-    # one checkpoint per round (on nxt only), not two: the union of
-    # already-materialized levels needs no re-checkpoint, which halves
-    # the per-round job count (was the probe's worst key at sf0.1).
+    # the anti-join right side is the union of the LAST TWO levels
+    # only (see docstring: candidates are at distance >= h-1 in any
+    # graph), so the per-round shuffle stays frontier-sized instead
+    # of re-shuffling the whole accumulated visited set every round
     levels = [seed]
-    visited = seed
+    prev = seed.select("id").limit(0)  # level -1: empty
     frontier = seed.select("id")
     for h in range(1, 5):
         nxt = (
             frontier.join(edges, frontier.id == edges.src)
             .select(F.col("dst").alias("id"))
             .distinct()
-            .join(visited, "id", "left_anti")
+            .join(prev.union(frontier), "id", "left_anti")
             .withColumn("hops", F.lit(h))
             .localCheckpoint(eager=False)
         )
         levels.append(nxt)
-        visited = visited.union(nxt)
+        prev = frontier
         frontier = nxt.select("id")
     out = levels[0]
     for lv in levels[1:]:

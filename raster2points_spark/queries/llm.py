@@ -380,11 +380,25 @@ def connected_components(pairs, max_rounds: int = 30):
     finishes in ~20 rounds, not 1M (the same trick the MapReduce
     connected-components literature uses to bound round counts).
     localCheckpoint per round truncates lineage — without it the plan
-    doubles every round and the driver chokes planning round 20."""
+    doubles every round and the driver chokes planning round 20.
+
+    r16 convergence check: the round's result carries the PREVIOUS
+    label alongside the new one, so "did anything change" is a
+    limit-1 scan of the just-checkpointed blocks — the old
+    formulation re-JOINED the old and new label relations (one full
+    doc-keyed shuffle of both sides per round) to compare columns the
+    round already had in hand (guide §1.2: don't recompute what you
+    know; §2.4: remove the exchange outright).  At 100 TB that join
+    shuffled 2x the label table per round for a boolean."""
+    # cached PRE-PARTITIONED on the per-round join key d (r16, guide
+    # §2.4): the union-shaped cache had no usable partitioning, so
+    # every propagation round re-exchanged the full edge list; the
+    # cached hash(d) layout satisfies the join requirement directly.
     edges = (
         pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
         .withColumnRenamed("doc_a", "s")
         .withColumnRenamed("doc_b", "d")
+        .repartition("d")
         .persist()
     )
     labels = edges.select(F.col("s").alias("doc")).distinct().withColumn("lab", F.col("doc"))
@@ -397,6 +411,7 @@ def connected_components(pairs, max_rounds: int = 30):
         )
         hopped = labels.join(nbr, labels.doc == nbr.s, "left").select(
             "doc",
+            F.col("lab").alias("lab_prev"),
             F.least(F.col("lab"), F.coalesce(F.col("nbr_lab"), F.col("lab"))).alias("lab"),
         )
         # pointer jump: follow the label one more step (labels only
@@ -406,18 +421,13 @@ def connected_components(pairs, max_rounds: int = 30):
             hopped.join(jump, "lab", "left")
             .select(
                 "doc",
+                "lab_prev",
                 F.least(F.col("lab"), F.coalesce(F.col("lab2"), F.col("lab"))).alias("lab"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            labels.alias("o")
-            .join(new_labels.alias("n"), "doc")
-            .filter(F.col("o.lab") != F.col("n.lab"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("lab") != F.col("lab_prev")).limit(1).count()
+        labels = new_labels.select("doc", "lab")
         if changed == 0:
             break
     return labels
@@ -4446,15 +4456,28 @@ def embed_power_iteration(spark, sf_dir):
     corpus size.  Iterating against raw data (the naive X·(Xᵀv)
     formulation) would rescan 100 TB per round.
 
-    Per round: one G⋈v equi-join on the column index + a partial-agg
-    groupBy(row index) = the matrix-vector product; the norm is a
-    1-row aggregate crossJoined back (broadcast).  A LAZY
-    localCheckpoint truncates the per-round lineage (pagerank
-    discipline, k×1-sized relation; fixed-count loop, no driver
-    action, so rounds fold into the final job — see ml_kmeans_lloyd).  Sign and order are deterministic: fixed v0, and both
-    engines state the identical fixpoint prefix; 4-dp round absorbs
-    1e-12 summation-order skew (verified: no component sits near a
-    rounding boundary at any shipped SF).
+    Iteration shape (r16): once the Gram exists it is a D×D = 4096-row
+    CONSTANT — the old form still ran every round as a G⋈v equi-join +
+    a groupBy(row) + a 1-row norm aggregate + a broadcast (≈6 Spark
+    jobs per round of sub-millisecond arithmetic, ~24 driver
+    round-trips per run at any corpus size).  Now the Gram collapses
+    ONCE into a single array-of-rows cell (sorted i-major, j-ascending
+    — the embed_pq trick) and every iteration is pure in-row
+    expression arithmetic on a 1-row DataFrame: matvec = per-row
+    zip_with/aggregate fold in ascending j, norm = fold in ascending
+    i, normalize = transform.  A lazy localCheckpoint per iteration
+    stops CollapseProject from inlining one iteration's expressions
+    into the next (the bpe_apply codegen lesson); the checkpoints add
+    NO jobs — the 1-row frame has no exchanges after the collapse.
+    Whole run: the corpus scan + Gram shuffle + one 2-stage collapse,
+    then everything folds into the final job (guide §1.2: the
+    distributed algorithm first — don't shuffle a constant 4 times).
+
+    Sign and order are deterministic: fixed v0, and both engines
+    state the identical fixpoint prefix; the in-row folds sum in
+    ascending index order (MORE deterministic than the old shuffle
+    merge order) and the 4-dp round absorbs 1e-12 summation-order
+    skew (re-verified at every shipped SF + shuffle-partition sweep).
     """
     e = t_fanout(spark, sf_dir, "embeddings")
     cells = e.select(
@@ -4467,30 +4490,52 @@ def embed_power_iteration(spark, sf_dir):
             )
         ).alias("c")
     )
-    g = (
-        cells.groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
-        .agg(F.sum("c.p").alias("gv"))
-        .persist()
+    # the Gram aggregation itself is untouched (FP-sensitive: feeds 4
+    # unrounded iterations — see the r15 note declining numpy here)
+    g = cells.groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j")).agg(
+        F.sum("c.p").alias("gv")
     )
-    v = spark.range(1, 65).select(
-        F.col("id").cast("int").alias("j"), F.lit(0.125).alias("val")
-    )
-    nrm = None
-    for _ in range(_PI_ITERS):
-        w = (
-            g.join(v, "j")
-            .groupBy(F.col("i").alias("j"))
-            .agg(F.sum(F.col("gv") * F.col("val")).alias("val"))
+    gmat = (
+        g.groupBy("i")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(j, gv))), s -> s.gv)").alias(
+                "garr"
+            )
         )
-        nrm = w.agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm"))
-        v = (
-            w.crossJoin(F.broadcast(nrm))
-            .select("j", (F.col("val") / F.col("nrm")).alias("val"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, garr))), s -> s.garr)"
+            ).alias("gm")
+        )
+    )
+    df = gmat.select(
+        "gm", F.expr("transform(sequence(1, 64), x -> cast(0.125 as double))").alias("v")
+    )
+    for _ in range(_PI_ITERS):
+        df = (
+            df.select(
+                "gm",
+                F.expr(
+                    "transform(gm, r -> aggregate(zip_with(r, v, (gx, vx) -> gx * vx), "
+                    "cast(0.0 as double), (a, z) -> a + z))"
+                ).alias("w"),
+            )
+            .select(
+                "gm",
+                "w",
+                F.expr(
+                    "sqrt(aggregate(transform(w, x -> x * x), "
+                    "cast(0.0 as double), (a, z) -> a + z))"
+                ).alias("nrm"),
+            )
+            .select("gm", F.expr("transform(w, x -> x / nrm)").alias("v"), "nrm")
             .localCheckpoint(eager=False)
         )
-    return v.crossJoin(F.broadcast(nrm)).select(
-        F.col("j").alias("pos"),
-        F.round("val", 4).alias("comp"),
+    return df.select(
+        F.posexplode("v").alias("pos0", "comp"), "nrm"
+    ).select(
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.round("comp", 4).alias("comp"),
         F.round("nrm", 4).alias("lambda_est"),
     )
 
