@@ -2937,15 +2937,19 @@ def stat_ks_test(spark, sf_dir):
     p-value.  Computed exactly, never sampled: pre-aggregate to one
     row per DISTINCT value (map-side-combined shuffle — at 100 TB the
     distinct-price relation is orders of magnitude smaller than the
-    fact table), then ONE ordered window over that collapsed relation
-    accumulates both CDFs in a single pass, a broadcast cross join
-    pins the two totals, and a final max-aggregate reduces to one row.
-    The global window sorts |distinct| rows, not |rows|; if even that
-    outgrows one partition, the CDF is range-bucketable (per-bucket
-    partial counts + prefix-offset broadcast, the ts_gapfill
-    discipline) without changing semantics.  Integer counts divide as
-    doubles identically in both engines; D is exact rational
-    arithmetic rounded at 9 dp only as a hash formality.
+    fact table), then a RANGE-PARTITIONED prefix sum over that
+    collapsed relation (r16, VERDICT r15 #6): repartitionByRange(v)
+    keeps the v-order across partitions, a per-partition window
+    accumulates both CDFs in parallel, and the per-partition totals
+    collapse into ONE broadcast sorted array from which every row
+    adds its preceding-partition offsets (and reads the two grand
+    totals) in-row.  Exact bigint additions are associative, so the
+    offset-corrected cumsums are bit-identical to the old
+    single-partition global window — whose WindowExec moved the
+    entire distinct-value relation to ONE task (the "No Partition
+    Defined" scale ceiling this rewrite removes).  Integer counts
+    divide as doubles identically in both engines; D is exact
+    rational arithmetic rounded at 9 dp only as a hash formality.
     """
     from pyspark.sql import Window
 
@@ -2954,22 +2958,46 @@ def stat_ks_test(spark, sf_dir):
         F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("r"),
         F.sum(F.when(F.col("l_returnflag") == "N", 1).otherwise(0)).alias("n"),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    # r15: the two totals come from an UNBOUNDED frame over the same
-    # (single-partition) window instead of a second aggregation of
-    # per_v — the prior shape read the unpersisted per_v twice (one
-    # full lineitem scan + shuffle per consumer) and crossJoined the
-    # 1-row totals back.  Same WindowExec sort serves both frames, the
-    # totals are exact integer sums either way, and the broadcast
-    # cross join disappears.
-    w_tot = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    # persisted AFTER the pid stamp: the cumsum pass and the offsets
+    # pass must see the SAME partition ids — re-executing the range
+    # exchange per consumer lets AQE lay the two instances out
+    # differently (measured: disagreeing pids → wrong offsets at
+    # sf0.1), and it would re-run the lineitem aggregation twice
+    pv = (
+        per_v.repartitionByRange("v")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
     )
-    cum = per_v.select(
-        F.sum("r").over(w).alias("c1"),
-        F.sum("n").over(w).alias("c2"),
-        F.sum("r").over(w_tot).cast("bigint").alias("n_r"),
-        F.sum("n").over(w_tot).cast("bigint").alias("n_n"),
+    wp = (
+        Window.partitionBy("pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_p = pv.select(
+        "pid",
+        F.sum("r").over(wp).alias("c1p"),
+        F.sum("n").over(wp).alias("c2p"),
+    )
+    offs = (
+        pv.groupBy("pid")
+        .agg(F.sum("r").alias("tr"), F.sum("n").alias("tn"))
+        .agg(F.expr("sort_array(collect_list(struct(pid, tr, tn)))").alias("a"))
+    )
+    cum = cum_p.crossJoin(F.broadcast(offs)).select(
+        (
+            F.col("c1p")
+            + F.expr(
+                "aggregate(filter(a, s -> s.pid < pid), 0L, (acc, s) -> acc + s.tr)"
+            )
+        ).alias("c1"),
+        (
+            F.col("c2p")
+            + F.expr(
+                "aggregate(filter(a, s -> s.pid < pid), 0L, (acc, s) -> acc + s.tn)"
+            )
+        ).alias("c2"),
+        F.expr("aggregate(a, 0L, (acc, s) -> acc + s.tr)").cast("bigint").alias("n_r"),
+        F.expr("aggregate(a, 0L, (acc, s) -> acc + s.tn)").cast("bigint").alias("n_n"),
     )
     diff = F.abs(
         F.col("c1").cast("double") / F.col("n_r")

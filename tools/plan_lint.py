@@ -148,6 +148,10 @@ RULES: dict[str, dict[str, str]] = {
     "rangepartitioning": {
         "sink_zorder": "repartitionByRange on zkey IS the clustering layout",
         "sink_sorted": "range layout for row-group min/max stats",
+        "stat_ks_test": "NOT a global sort: repartitionByRange(v) is "
+        "the bucketing step of the r16 range-partitioned prefix-sum "
+        "CDF (per-partition cumsum windows + broadcast per-partition "
+        "offsets) that replaced the single-partition global window",
     },
     # "Window over SinglePartition" is a STRUCTURAL rule (tree walk,
     # not substring) — see global_window_hits() + GLOBAL_WINDOW_ALLOW.
@@ -186,10 +190,9 @@ GLOBAL_WINDOW_ALLOW: dict[str, str] = {
     "ml_auc_roc": "cumulative-negatives window over the |distinct "
     "scores| relation (Mann-Whitney pair counting) — thousands of "
     "rows where the corpus has billions",
-    "stat_ks_test": "ECDF cumsum window over the |distinct prices| "
-    "relation (one map-side-combined aggregate of the fact), never "
-    "the fact; docstring documents the range-bucket two-level CDF "
-    "swap when even the distinct axis outgrows one partition",
+    # stat_ks_test left this list in r16: its ECDF now runs as a
+    # range-partitioned prefix sum (per-partition windows + broadcast
+    # offsets), no single-partition window remains in the plan.
     "ml_decision_stump": "candidate-threshold window over the same "
     "collapsed |distinct scores| axis as ml_auc_roc",
     "skyline_pareto_front": "strict suffix-minimum window over the "
