@@ -2228,12 +2228,17 @@ def ml_auc_roc(spark, sf_dir):
     the DISTRIBUTED way: AUC = P(s_pos > s_neg) + ½P(s_pos = s_neg),
     evaluated WITHOUT ranking individual rows.  Per-score (n_pos,
     n_neg) counts collapse the corpus in one map-side-combined
-    aggregate; the cumulative-negatives window then runs over the
-    |distinct scores| relation — thousands of rows where the corpus
-    has billions — so the "global sort" everyone fears in AUC touches
-    only the collapsed score axis (the text_zipf_slope pattern).
-    Counting pairs through cumulative sums is exact integer
-    arithmetic; the single division is rounded at 6 dp.
+    aggregate; the cumulative-negatives prefix sum then runs
+    RANGE-PARTITIONED over the |distinct scores| relation (r16, the
+    stat_ks_test discipline): repartitionByRange(s) keeps the score
+    order across buckets, a pid-partitioned window cumulates within
+    each bucket in parallel, and a 1-row broadcast of sorted
+    per-bucket negative totals adds the preceding-bucket offsets
+    in-row — exact bigint additions, bit-identical to the old
+    single-partition global window it replaces (that WindowExec
+    funneled the whole score axis through ONE task).  Counting pairs
+    through cumulative sums is exact integer arithmetic; the single
+    division is rounded at 6 dp.
     """
     from pyspark.sql import Window
 
@@ -2241,9 +2246,41 @@ def ml_auc_roc(spark, sf_dir):
         F.sum("y").alias("n_pos"),
         F.sum(1 - F.col("y")).alias("n_neg"),
     )
-    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
-    cum = per_score.select(
-        "n_pos", "n_neg", F.coalesce(F.sum("n_neg").over(w), F.lit(0)).alias("neg_below")
+    # persisted after the pid stamp: cumsum + offsets must see ONE
+    # range layout (see stat_ks_test)
+    pv = (
+        per_score.repartitionByRange("s")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    wp = (
+        Window.partitionBy("pid")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        pv.groupBy("pid")
+        .agg(F.sum("n_neg").alias("tn"))
+        .agg(F.expr("sort_array(collect_list(struct(pid, tn)))").alias("a"))
+    )
+    cum = (
+        pv.select(
+            "n_pos",
+            "n_neg",
+            "pid",
+            F.coalesce(F.sum("n_neg").over(wp), F.lit(0)).alias("nb_p"),
+        )
+        .crossJoin(F.broadcast(offs))
+        .select(
+            "n_pos",
+            "n_neg",
+            (
+                F.col("nb_p")
+                + F.expr(
+                    "aggregate(filter(a, s -> s.pid < pid), 0L, (acc, s) -> acc + s.tn)"
+                )
+            ).alias("neg_below"),
+        )
     )
     return cum.agg(
         F.round(

@@ -62,8 +62,10 @@ RULES: dict[str, dict[str, str]] = {
         "ts_gapfill": "1-row global min/max bounds broadcast",
         "bpe_train": "1-row argmax pair broadcast per iteration",
         "subq_scalar": "1-row scalar aggregate broadcast",
-        "stat_ks_test": "1-row sample-totals (n_r, n_n) aggregate "
-        "broadcast onto the collapsed CDF relation",
+        "stat_ks_test": "1-row per-bucket-totals array broadcast onto "
+        "the collapsed CDF relation (r16 range-partitioned prefix sum)",
+        "ml_auc_roc": "1-row per-bucket negative-totals array "
+        "broadcast onto the collapsed score axis (r16 prefix sum)",
         "sink_geotiff_lzw": "1-row written-file catalog row (codec "
         "id, crs) crossed onto the 32-row per-lat readback aggregate",
         "tile_stats": "1-row global stats broadcast",
@@ -152,6 +154,8 @@ RULES: dict[str, dict[str, str]] = {
         "the bucketing step of the r16 range-partitioned prefix-sum "
         "CDF (per-partition cumsum windows + broadcast per-partition "
         "offsets) that replaced the single-partition global window",
+        "ml_auc_roc": "same prefix-sum bucketing as stat_ks_test — "
+        "replaced the single-partition cumulative-negatives window",
     },
     # "Window over SinglePartition" is a STRUCTURAL rule (tree walk,
     # not substring) — see global_window_hits() + GLOBAL_WINDOW_ALLOW.
@@ -187,9 +191,8 @@ GLOBAL_WINDOW_ALLOW: dict[str, str] = {
     "agg_gini": "exact-rank window over the |customers| revenue "
     "aggregate; docstring documents the KMV/percentile swap at "
     "extreme entity cardinality",
-    "ml_auc_roc": "cumulative-negatives window over the |distinct "
-    "scores| relation (Mann-Whitney pair counting) — thousands of "
-    "rows where the corpus has billions",
+    # ml_auc_roc left this list in r16: its cumulative-negatives sum
+    # now runs as a range-partitioned prefix sum (stat_ks_test shape).
     # stat_ks_test left this list in r16: its ECDF now runs as a
     # range-partitioned prefix sum (per-partition windows + broadcast
     # offsets), no single-partition window remains in the plan.
