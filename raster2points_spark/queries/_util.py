@@ -46,7 +46,13 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return table(spark, sf_dir, name)
 
 
-def t_fanout(spark: SparkSession, sf_dir: str, name: str, threshold: int = 64 << 20) -> DataFrame:
+def t_fanout(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    threshold: int = 64 << 20,
+    heavy: bool = True,
+) -> DataFrame:
     """Table load with a size-gated fan-out for CPU-heavy projections.
 
     A tiny parquet file is one row group → one scan task, so an
@@ -57,8 +63,22 @@ def t_fanout(spark: SparkSession, sf_dir: str, name: str, threshold: int = 64 <<
     At real scale the gate is false and the plan is untouched (the
     scan itself provides parallelism; an unconditional repartition
     would be a pointless full shuffle of the corpus).
+
+    ``heavy`` is the measured per-row cost class (r16, VERDICT r15
+    #4): for keys whose first operator is a cheap projection or an
+    early map-side aggregate the fan-out exchange costs more than the
+    parallelism buys at small scale (A/B over every t_fanout bench
+    key, 3 cold runs each mode, min-of-3: e.g. sim_ivf −0.44 s,
+    ml_kmeans_lloyd −0.28 s, text_unigram_ppl −0.24 s without the
+    fan-out, vs dedup_edit_distance +4.55 s, dedup_near +3.22 s,
+    embed_power_iteration +3.09 s WITH it — the full table is in
+    OPTIMIZATION_r16.md).  ``heavy=False`` skips the fan-out; the
+    measured-heavy md5/minhash/levenshtein/gram kernels keep the
+    default.
     """
     df = t(spark, sf_dir, name)
+    if not heavy:
+        return df
     try:
         if os.path.getsize(os.path.join(sf_dir, f"{name}.parquet")) < threshold:
             return df.repartition(spark.sparkContext.defaultParallelism)

@@ -430,6 +430,12 @@ def connected_components(pairs, max_rounds: int = 30):
         labels = new_labels.select("doc", "lab")
         if changed == 0:
             break
+    # the loop's convergence checks were the cache's last consumers —
+    # the returned labels are an eager checkpoint independent of the
+    # edge cache, so drop it instead of letting it ride the session
+    # (r16 unpersist hygiene; blocking=False keeps this off the
+    # query's critical path)
+    edges.unpersist(blocking=False)
     return labels
 
 
@@ -1554,7 +1560,7 @@ def sim_ivf(spark, sf_dir):
 
     import math as _math
 
-    emb = t_fanout(spark, sf_dir, "embeddings").select(
+    emb = t_fanout(spark, sf_dir, "embeddings", heavy=False).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     # one metadata-sized count sizes the codebook (the BPE-trainer
@@ -2454,7 +2460,7 @@ def text_unigram_ppl(spark, sf_dir):
     1-row corpus total is hint-broadcast.  No Python anywhere.
     """
     toks = (
-        t_fanout(spark, sf_dir, "documents")
+        t_fanout(spark, sf_dir, "documents", heavy=False)
         .select("doc_id", F.explode(F.expr(TOKS_SPARK)).alias("word"))
     )
     # vocab (distinct words, map-side combined) feeds the corpus total
@@ -3384,7 +3390,7 @@ def dedup_chunks(spark, sf_dir):
     seen earlier reassemble to NULL (matching the oracle's FILTERed
     string_agg).
     """
-    w = t_fanout(spark, sf_dir, "documents").select(
+    w = t_fanout(spark, sf_dir, "documents", heavy=False).select(
         "doc_id", F.split("text", " ").alias("words")
     )
     c = w.select(
@@ -3577,7 +3583,7 @@ def source_vocab_overlap(spark, sf_dir):
     |sources|-row broadcast.  Output is |sources| choose 2 rows.
     """
     sv = (
-        t_fanout(spark, sf_dir, "documents")
+        t_fanout(spark, sf_dir, "documents", heavy=False)
         .select("source", F.explode(F.expr(TOKS_SPARK)).alias("word"))
         .distinct()
         .persist()
@@ -4356,7 +4362,7 @@ def ml_kmeans_lloyd(spark, sf_dir):
     continuous embeddings.
     """
     ev = (
-        t_fanout(spark, sf_dir, "embeddings")
+        t_fanout(spark, sf_dir, "embeddings", heavy=False)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .persist()
     )
@@ -5417,7 +5423,7 @@ def text_boilerplate(spark, sf_dir):
     """
     from pyspark.sql import Window  # noqa: F401  (parallel to dedup_chunks)
 
-    w = t_fanout(spark, sf_dir, "documents").select(
+    w = t_fanout(spark, sf_dir, "documents", heavy=False).select(
         "doc_id", "source", F.split("text", " ").alias("words")
     )
     # persisted: the chunk relation feeds both the df aggregate and the
@@ -5540,7 +5546,7 @@ def feature_hashing(spark, sf_dir):
     n) triples ARE the storage format at scale — a dense 64-wide
     pivot is a trivial downstream projection.
     """
-    d = t_fanout(spark, sf_dir, "documents")
+    d = t_fanout(spark, sf_dir, "documents", heavy=False)
     w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word")).filter(
         F.col("word") != ""
     )
@@ -6204,7 +6210,7 @@ def dedup_semantic_cluster(spark, sf_dir):
     # consumers join on DIFFERENT keys, so nothing is reused without
     # the cache.
     emb = (
-        t_fanout(spark, sf_dir, "embeddings")
+        t_fanout(spark, sf_dir, "embeddings", heavy=False)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
         .persist()
     )
@@ -6458,7 +6464,7 @@ def ml_naive_bayes(spark, sf_dir):
     time and scores 4 dp before the argmax, ties broken by lang asc —
     the argmax is engine-exact (R1/R2).
     """
-    docs = t_fanout(spark, sf_dir, "documents")
+    docs = t_fanout(spark, sf_dir, "documents", heavy=False)
     tok = docs.select(
         "doc_id", "lang", F.explode(F.expr(TOKS_SPARK)).alias("w")
     )
@@ -6716,7 +6722,7 @@ def text_phrase_near(spark, sf_dir):
     content-partitioned by term (dedup_jaccard's inverted-index
     shuffle); here both sides come from one scan and meet on doc_id.
     """
-    tok = t_fanout(spark, sf_dir, "documents").select(
+    tok = t_fanout(spark, sf_dir, "documents", heavy=False).select(
         "doc_id", F.posexplode(F.expr(TOKS_SPARK)).alias("pos0", "w")
     )
     # DuckDB's generate_subscripts is 1-based; keep positions identical
@@ -6846,7 +6852,7 @@ def pipeline_rag_index(spark, sf_dir):
     """
     from pyspark.sql import Window
 
-    docs = t_fanout(spark, sf_dir, "documents").filter(
+    docs = t_fanout(spark, sf_dir, "documents", heavy=False).filter(
         F.col("n_chars").between(50, 2000)
     )
     gated = docs.select(
