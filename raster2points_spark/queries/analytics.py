@@ -2258,10 +2258,22 @@ def ml_auc_roc(spark, sf_dir):
         .orderBy("s")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # per-pid offsets computed once and broadcast-joined on pid (the
+    # stat_ks_test discipline — never a per-row fold over the array)
     offs = (
         pv.groupBy("pid")
         .agg(F.sum("n_neg").alias("tn"))
         .agg(F.expr("sort_array(collect_list(struct(pid, tn)))").alias("a"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(a, (s, i) -> struct("
+                    "s.pid as pid, "
+                    "aggregate(slice(a, 1, i), 0L, (acc, x) -> acc + x.tn) as off_n))"
+                )
+            ).alias("o")
+        )
+        .select("o.*")
     )
     cum = (
         pv.select(
@@ -2270,16 +2282,11 @@ def ml_auc_roc(spark, sf_dir):
             "pid",
             F.coalesce(F.sum("n_neg").over(wp), F.lit(0)).alias("nb_p"),
         )
-        .crossJoin(F.broadcast(offs))
+        .join(F.broadcast(offs), "pid")
         .select(
             "n_pos",
             "n_neg",
-            (
-                F.col("nb_p")
-                + F.expr(
-                    "aggregate(filter(a, s -> s.pid < pid), 0L, (acc, s) -> acc + s.tn)"
-                )
-            ).alias("neg_below"),
+            (F.col("nb_p") + F.col("off_n")).alias("neg_below"),
         )
     )
     return cum.agg(
@@ -3015,26 +3022,35 @@ def stat_ks_test(spark, sf_dir):
         F.sum("r").over(wp).alias("c1p"),
         F.sum("n").over(wp).alias("c2p"),
     )
+    # per-pid offsets computed ONCE on the #partitions-sized totals
+    # (prefix folds over the sorted array, exploded back to a table)
+    # and broadcast-hash-joined on pid — a first cut evaluated the
+    # offset fold per ROW via a 1-row crossJoin, which re-ran four
+    # interpreted higher-order folds per cum row (measured 1.1→2.9 s
+    # at 392k distinct prices); the join form probes a hash table
     offs = (
         pv.groupBy("pid")
         .agg(F.sum("r").alias("tr"), F.sum("n").alias("tn"))
         .agg(F.expr("sort_array(collect_list(struct(pid, tr, tn)))").alias("a"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(a, (s, i) -> struct("
+                    "s.pid as pid, "
+                    "aggregate(slice(a, 1, i), 0L, (acc, x) -> acc + x.tr) as off_r, "
+                    "aggregate(slice(a, 1, i), 0L, (acc, x) -> acc + x.tn) as off_n, "
+                    "aggregate(a, 0L, (acc, x) -> acc + x.tr) as n_r, "
+                    "aggregate(a, 0L, (acc, x) -> acc + x.tn) as n_n))"
+                )
+            ).alias("o")
+        )
+        .select("o.*")
     )
-    cum = cum_p.crossJoin(F.broadcast(offs)).select(
-        (
-            F.col("c1p")
-            + F.expr(
-                "aggregate(filter(a, s -> s.pid < pid), 0L, (acc, s) -> acc + s.tr)"
-            )
-        ).alias("c1"),
-        (
-            F.col("c2p")
-            + F.expr(
-                "aggregate(filter(a, s -> s.pid < pid), 0L, (acc, s) -> acc + s.tn)"
-            )
-        ).alias("c2"),
-        F.expr("aggregate(a, 0L, (acc, s) -> acc + s.tr)").cast("bigint").alias("n_r"),
-        F.expr("aggregate(a, 0L, (acc, s) -> acc + s.tn)").cast("bigint").alias("n_n"),
+    cum = cum_p.join(F.broadcast(offs), "pid").select(
+        (F.col("c1p") + F.col("off_r")).alias("c1"),
+        (F.col("c2p") + F.col("off_n")).alias("c2"),
+        F.col("n_r").cast("bigint").alias("n_r"),
+        F.col("n_n").cast("bigint").alias("n_n"),
     )
     diff = F.abs(
         F.col("c1").cast("double") / F.col("n_r")
