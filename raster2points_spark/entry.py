@@ -20,75 +20,78 @@ SF0001 = "/root/testdata/sf0.001"
 # windows; after r10 362 of 363 then-registered keys had a driver
 # grade and no key was red.
 #
-# The r15 window (VERDICT r14 #3: drain the full r7 cohort + 6 r8
-# keys; tools/evidence_audit.py is the ordering source).  After r14
-# the stale-<r9 tail is 91 keys (44×r7 + 47×r8); this window covers
-# all 44 r7 keys plus 6 r8 keys, leaving the tail at exactly 41.
-# Within the r8 six, the three keys RESTRUCTURED by the r15
-# optimization pass (spatial_point_in_polygon — in-row crossing fold;
-# embed_pq — in-row encode/ADC; dedup_near_recall — persisted truth)
-# take the slots first so the driver re-proves the rewritten plans
-# the same round they changed; the remaining three follow audit
-# order.  The r15 keys changed this round that are NOT in the window
-# (stat_ks_test r14, concurrency_peak r13, sim_ivf_recall r12,
-# sink_zorder r12, bpe_apply r11, fn_cast r10, join_phonetic r9 and
-# the local_df-touched raster keys, all r14) are covered by the
-# committed full-registry 3-SF oracle diffs
-# (reports/diff_oracle_r15_sf0.*.txt) and the r15 determinism sweeps;
-# r16's window picks them up next.
+# The r16 window (VERDICT r15 #1: lead with every key whose PLAN was
+# rewritten this round or in r15 without a driver grade since).
+# Composition:
+#   - 22 keys restructured or re-planned in r16: the iterative-loop
+#     rewrites (embed_power_iteration, connected_components consumers,
+#     graph_shortest_hops), the range-partitioned prefix sums
+#     (stat_ks_test, ml_auc_roc — regraded even though r15-green,
+#     their plans changed this round), the bpe/fn_cast/raster
+#     correctness fixes, and the 11 heavy=False fan-out flips (plus
+#     sim_ivf_recall, which composes a flipped member);
+#   - 27 keys touched by r15 (local_df raster wave, wave-2 persists,
+#     sink_zorder, bpe_train, join_phonetic, concurrency_peak,
+#     funnel_batch) whose only r15 evidence is builder-committed
+#     3-SF diffs — the driver grades them now;
+#   - graph_pagerank (stale-r8, lightly touched r16) fills slot 50.
+# The remaining stale-r8/r9 tail is covered by the committed
+# full-registry 3-SF oracle diffs (reports/diff_oracle_r16_sf0.*.txt)
+# and determinism sweeps.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- the full r7-era stale cohort (44 keys, audit order) ---
-    "agg_kmv_set_ops",
-    "agg_moments",
-    "corr_spearman",
-    "dq_expectations",
-    "hierarchy_rollup",
-    "ml_auc_roc",
-    "ml_calibration_bins",
-    "ml_decision_stump",
-    "ml_linreg_normal",
-    "ml_logreg_irls",
+    # --- r16-restructured keys first ---
+    "embed_power_iteration",
+    "graph_shortest_hops",
+    "dedup_components",
+    "pipeline_dedup_full",
     "pipeline_entity_resolution",
-    "pipeline_rag_index",
-    "profile_drift_psi",
-    "scan_pysource_stream",
-    "skyline_pareto_front",
-    "stat_bootstrap_se",
-    "tpch_q1",
-    "tpch_q2",
-    "tpch_q4",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    "ts_autocorr",
-    "ts_backtest_naive",
-    "ts_cross_correlation",
-    "ts_cusum_changepoint",
-    "ts_ewma",
-    "ts_interpolate_linear",
-    "ts_ohlc",
-    "ts_seasonal_decompose",
-    "win_rolling_median",
-    # --- 6 r8-era stale keys: the three r15-restructured ones first ---
-    "spatial_point_in_polygon",
-    "embed_pq",
-    "dedup_near_recall",
-    "dedup_containment",
-    "dedup_embed",
+    "stat_ks_test",
+    "ml_auc_roc",
+    "bpe_apply",
+    "fn_cast",
+    "sim_ivf",
+    "ml_kmeans_lloyd",
     "dedup_semantic_cluster",
+    "text_unigram_ppl",
+    "ml_naive_bayes",
+    "pipeline_rag_index",
+    "text_boilerplate",
+    "source_vocab_overlap",
+    "dedup_chunks",
+    "text_phrase_near",
+    "feature_hashing",
+    "sim_ivf_recall",
+    "raster_overview_prune",
+    # --- r15-touched keys with builder-only evidence ---
+    "agg_corr_matrix",
+    "agg_exact_median_twopass",
+    "agg_exact_p99_grouped",
+    "agg_hll_oracle",
+    "bpe_train",
+    "concurrency_peak",
+    "funnel_batch",
+    "join_interval_bucketed",
+    "join_phonetic",
+    "ml_confusion_matrix",
+    "pipeline_release_gate",
+    "pipeline_train_ready",
+    "raster_extent_prune",
+    "raster_mosaic_crs_groups",
+    "raster_mosaic_hetero",
+    "sample_mixture",
+    "sample_stratified",
+    "scan_geotiff_mask1bit",
+    "scan_geotiff_mini",
+    "scan_geotiff_overview",
+    "scan_geotiff_sparse",
+    "scan_raster_catalog",
+    "sink_geotiff",
+    "sink_geotiff_lzw",
+    "sink_geotiff_pyramid",
+    "sink_zorder",
+    "ts_gapfill",
+    # --- slot 50 ---
+    "graph_pagerank",
 )
 
 
