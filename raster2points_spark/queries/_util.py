@@ -46,6 +46,13 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return table(spark, sf_dir, name)
 
 
+# fan-out floor for the measured-light per-row cost class: below this
+# the exchange's ~0.15-0.25 s fixed cost exceeds the serial compute it
+# saves (measured at sf0.1's 1-5 MB files); above it the serial scan
+# task dominates (measured at the 51 MB 100x embeddings slice)
+_LIGHT_FLOOR = 16 << 20
+
+
 def t_fanout(
     spark: SparkSession,
     sf_dir: str,
@@ -67,20 +74,26 @@ def t_fanout(
     ``heavy`` is the measured per-row cost class (r16, VERDICT r15
     #4): for keys whose first operator is a cheap projection or an
     early map-side aggregate the fan-out exchange costs more than the
-    parallelism buys at small scale (A/B over every t_fanout bench
-    key, 3 cold runs each mode, min-of-3: e.g. sim_ivf −0.44 s,
+    parallelism buys at TOY scale (A/B over every t_fanout bench key,
+    3 cold runs each mode, min-of-3: e.g. sim_ivf −0.44 s,
     ml_kmeans_lloyd −0.28 s, text_unigram_ppl −0.24 s without the
-    fan-out, vs dedup_edit_distance +4.55 s, dedup_near +3.22 s,
-    embed_power_iteration +3.09 s WITH it — the full table is in
-    OPTIMIZATION_r16.md).  ``heavy=False`` skips the fan-out; the
-    measured-heavy md5/minhash/levenshtein/gram kernels keep the
-    default.
+    fan-out at sf0.1's ~1-5 MB files, vs dedup_edit_distance +4.55 s,
+    dedup_near +3.22 s, embed_power_iteration +3.09 s WITH it — the
+    full table is in OPTIMIZATION_r16.md).  ``heavy=False`` keeps the
+    fan-out but raises its FLOOR: below ``_LIGHT_FLOOR`` the ~fixed
+    exchange cost exceeds the serial compute it saves; above it even
+    cheap-per-row work over millions of rows wants the cores (the
+    r16 100×-slice probe measured ml_kmeans_lloyd at 58 s on a 51 MB
+    single-split file with the fan-out skipped outright — one scan
+    task made every Lloyd round serial at ANY core count).  Serial
+    compute grows linearly with file size while the exchange cost is
+    ~fixed, so the class only moves the crossover, it never disables
+    the gate.
     """
     df = t(spark, sf_dir, name)
-    if not heavy:
-        return df
+    floor = 0 if heavy else _LIGHT_FLOOR
     try:
-        if os.path.getsize(os.path.join(sf_dir, f"{name}.parquet")) < threshold:
+        if floor <= os.path.getsize(os.path.join(sf_dir, f"{name}.parquet")) < threshold:
             return df.repartition(spark.sparkContext.defaultParallelism)
     except OSError:
         pass
