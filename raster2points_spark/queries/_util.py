@@ -100,6 +100,105 @@ def t_fanout(
     return df
 
 
+def bucketed_prefix_sums(
+    spark: SparkSession,
+    rel: DataFrame,
+    v: str,
+    cols: list[str],
+    carry: tuple[str, ...] = (),
+    preceding_only: bool = False,
+) -> DataFrame:
+    """Parallel exact prefix sums over a collapsed, orderable axis.
+
+    Replaces a single-partition global window (``sum(c) OVER (ORDER BY
+    v)``) — whose WindowExec funnels the whole axis through ONE task at
+    any scale — with a range-BUCKETED two-pass prefix sum (guide §2.5,
+    VERDICT r15 #6):
+
+    1. bucket ``_b`` = a DETERMINISTIC monotone function of ``v``
+       (linear interpolation between the axis min/max, broadcast as a
+       1-row aggregate).  Unlike ``repartitionByRange`` + pid stamping
+       (the first r16 cut), this needs NO RangePartitioner sampling
+       job (which re-executed the whole upstream aggregate once more
+       per run) and is immune to AQE laying two re-executions out
+       differently — the bucket is a row function, not a physical
+       partition id, so every consumer sees the same value by
+       construction.
+    2. a ``_b``-partitioned window cumulates within buckets in
+       parallel (one ~|axis|/nb sort per bucket, never a global one).
+    3. per-bucket totals collapse into ONE sorted nb-row array whose
+       prefix folds yield each bucket's preceding-bucket offset
+       (``off_<c>``) and the grand totals (``tot_<c>``), exploded back
+       to an nb-row table and broadcast-hash-joined on ``_b``.
+
+    All additions are exact integer arithmetic over associative sums,
+    so ``cum_<c> = window(cum) + off`` is bit-identical to the global
+    window at ANY bucketing; min/max interpolation only affects bucket
+    BALANCE (uniform-ish axes spread evenly; a skewed axis degrades
+    toward fewer effective buckets, never toward wrong results).
+
+    ``rel`` must be one row per distinct ``v`` (or at least: rows that
+    share a ``v`` may land in either order — pass ``preceding_only``
+    frames only over distinct axes).  ``rel`` is persisted (it feeds
+    the min/max probe, the cumsum pass and the totals pass; the bench
+    CacheManager note in bench.py applies).  Returns ``carry`` columns
+    plus ``cum_<c>`` and ``tot_<c>`` for each ``c`` in ``cols``.
+    ``preceding_only`` ends the frame at ``-1`` (exclusive cumsum,
+    empty-frame rows coalesce to 0L).
+    """
+    from pyspark.sql import Window
+
+    nb = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pv = rel.persist()
+    mm = pv.agg(F.min(v).alias("_mn"), F.max(v).alias("_mx"))
+    span = F.col("_mx") - F.col("_mn")
+    bucket = (
+        F.when(
+            span > 0,
+            F.least(F.lit(nb - 1), F.floor((F.col(v) - F.col("_mn")) / span * nb)),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    pb = pv.crossJoin(F.broadcast(mm)).withColumn("_b", bucket)
+    end = -1 if preceding_only else 0
+    wp = Window.partitionBy("_b").orderBy(v).rowsBetween(Window.unboundedPreceding, end)
+    cum = pb.select(
+        "_b",
+        *carry,
+        *[F.coalesce(F.sum(c).over(wp), F.lit(0)).alias(f"cum_{c}") for c in cols],
+    )
+    struct_expr = "struct(_b" + "".join(f", {c}" for c in cols) + ")"
+    offs = (
+        pb.groupBy("_b")
+        .agg(*[F.sum(c).alias(c) for c in cols])
+        .agg(F.expr(f"sort_array(collect_list({struct_expr}))").alias("a"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(a, (s, i) -> struct(s._b as _b"
+                    + "".join(
+                        f", aggregate(slice(a, 1, i), 0L, (acc, x) -> acc + x.{c})"
+                        f" as off_{c}"
+                        for c in cols
+                    )
+                    + "".join(
+                        f", aggregate(a, 0L, (acc, x) -> acc + x.{c}) as tot_{c}"
+                        for c in cols
+                    )
+                    + "))"
+                )
+            ).alias("o")
+        )
+        .select("o.*")
+    )
+    return cum.join(F.broadcast(offs), "_b").select(
+        *carry,
+        *[(F.col(f"cum_{c}") + F.col(f"off_{c}")).alias(f"cum_{c}") for c in cols],
+        *[F.col(f"tot_{c}") for c in cols],
+    )
+
+
 def unix_secs(col: Column) -> Column:
     """Epoch seconds as BIGINT from a (possibly NTZ) timestamp column.
 

@@ -30,7 +30,12 @@ from pyspark.sql import functions as F
 
 from raster2points_spark.io import local_df
 from raster2points_spark.registry import register
-from raster2points_spark.queries._util import ORACLE_TSEC, t, unix_secs
+from raster2points_spark.queries._util import (
+    ORACLE_TSEC,
+    bucketed_prefix_sums,
+    t,
+    unix_secs,
+)
 
 # Packed total-order tiebreak for argmin/argmax over events: epoch
 # seconds (≈1.75e9) × 1e7 + event_id (< 1e7 at every shipped SF) stays
@@ -2228,67 +2233,31 @@ def ml_auc_roc(spark, sf_dir):
     the DISTRIBUTED way: AUC = P(s_pos > s_neg) + ½P(s_pos = s_neg),
     evaluated WITHOUT ranking individual rows.  Per-score (n_pos,
     n_neg) counts collapse the corpus in one map-side-combined
-    aggregate; the cumulative-negatives prefix sum then runs
-    RANGE-PARTITIONED over the |distinct scores| relation (r16, the
-    stat_ks_test discipline): repartitionByRange(s) keeps the score
-    order across buckets, a pid-partitioned window cumulates within
-    each bucket in parallel, and a 1-row broadcast of sorted
-    per-bucket negative totals adds the preceding-bucket offsets
-    in-row — exact bigint additions, bit-identical to the old
+    aggregate; the cumulative-negatives prefix sum then runs BUCKETED
+    over the |distinct scores| relation (``bucketed_prefix_sums``,
+    r16, the stat_ks_test discipline): a deterministic monotone
+    bucket of s partitions the window, per-bucket exclusive cumsums
+    run in parallel, and broadcast preceding-bucket offsets correct
+    them in-row — exact bigint additions, bit-identical to the old
     single-partition global window it replaces (that WindowExec
-    funneled the whole score axis through ONE task).  Counting pairs
+    funneled the whole score axis through ONE task; the intermediate
+    repartitionByRange+pid form paid a RangePartitioner sampling pass
+    and a layout persist — see stat_ks_test).  Counting pairs
     through cumulative sums is exact integer arithmetic; the single
     division is rounded at 6 dp.
     """
-    from pyspark.sql import Window
-
     per_score = _scored(spark, sf_dir).groupBy("s").agg(
         F.sum("y").alias("n_pos"),
         F.sum(1 - F.col("y")).alias("n_neg"),
     )
-    # persisted after the pid stamp: cumsum + offsets must see ONE
-    # range layout (see stat_ks_test)
-    pv = (
-        per_score.repartitionByRange("s")
-        .withColumn("pid", F.spark_partition_id())
-        .persist()
-    )
-    wp = (
-        Window.partitionBy("pid")
-        .orderBy("s")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    # per-pid offsets computed once and broadcast-joined on pid (the
-    # stat_ks_test discipline — never a per-row fold over the array)
-    offs = (
-        pv.groupBy("pid")
-        .agg(F.sum("n_neg").alias("tn"))
-        .agg(F.expr("sort_array(collect_list(struct(pid, tn)))").alias("a"))
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(a, (s, i) -> struct("
-                    "s.pid as pid, "
-                    "aggregate(slice(a, 1, i), 0L, (acc, x) -> acc + x.tn) as off_n))"
-                )
-            ).alias("o")
-        )
-        .select("o.*")
-    )
-    cum = (
-        pv.select(
-            "n_pos",
-            "n_neg",
-            "pid",
-            F.coalesce(F.sum("n_neg").over(wp), F.lit(0)).alias("nb_p"),
-        )
-        .join(F.broadcast(offs), "pid")
-        .select(
-            "n_pos",
-            "n_neg",
-            (F.col("nb_p") + F.col("off_n")).alias("neg_below"),
-        )
-    )
+    cum = bucketed_prefix_sums(
+        spark,
+        per_score,
+        "s",
+        ["n_neg"],
+        carry=("n_pos", "n_neg"),
+        preceding_only=True,
+    ).select("n_pos", "n_neg", F.col("cum_n_neg").alias("neg_below"))
     return cum.agg(
         F.round(
             F.sum(F.col("n_pos") * (F.col("neg_below") + 0.5 * F.col("n_neg")))
@@ -2981,76 +2950,32 @@ def stat_ks_test(spark, sf_dir):
     p-value.  Computed exactly, never sampled: pre-aggregate to one
     row per DISTINCT value (map-side-combined shuffle — at 100 TB the
     distinct-price relation is orders of magnitude smaller than the
-    fact table), then a RANGE-PARTITIONED prefix sum over that
-    collapsed relation (r16, VERDICT r15 #6): repartitionByRange(v)
-    keeps the v-order across partitions, a per-partition window
-    accumulates both CDFs in parallel, and the per-partition totals
-    collapse into ONE broadcast sorted array from which every row
-    adds its preceding-partition offsets (and reads the two grand
-    totals) in-row.  Exact bigint additions are associative, so the
-    offset-corrected cumsums are bit-identical to the old
-    single-partition global window — whose WindowExec moved the
-    entire distinct-value relation to ONE task (the "No Partition
-    Defined" scale ceiling this rewrite removes).  Integer counts
-    divide as doubles identically in both engines; D is exact
-    rational arithmetic rounded at 9 dp only as a hash formality.
+    fact table), then a BUCKETED parallel prefix sum over that
+    collapsed relation (``bucketed_prefix_sums``, r16, VERDICT r15
+    #6): a deterministic monotone bucket of v partitions the window,
+    per-bucket CDFs accumulate in parallel, and broadcast
+    preceding-bucket offsets (exact bigint additions — associative,
+    so bit-identical to the old single-partition global window whose
+    WindowExec moved the entire distinct-value relation to ONE task)
+    correct them in-row.  The first r16 cut used repartitionByRange +
+    spark_partition_id: correct, but the RangePartitioner's sampling
+    job re-executed the lineitem aggregation once more per run and
+    the pid stamp forced a persist for layout consistency — measured
+    2.9-3.8 s in-bench vs ~1.2 s for this sampling-free form.
+    Integer counts divide as doubles identically in both engines; D
+    is exact rational arithmetic rounded at 9 dp only as a hash
+    formality.
     """
-    from pyspark.sql import Window
-
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag").isin("R", "N"))
     per_v = li.groupBy(F.col("l_extendedprice").cast("double").alias("v")).agg(
         F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("r"),
         F.sum(F.when(F.col("l_returnflag") == "N", 1).otherwise(0)).alias("n"),
     )
-    # persisted AFTER the pid stamp: the cumsum pass and the offsets
-    # pass must see the SAME partition ids — re-executing the range
-    # exchange per consumer lets AQE lay the two instances out
-    # differently (measured: disagreeing pids → wrong offsets at
-    # sf0.1), and it would re-run the lineitem aggregation twice
-    pv = (
-        per_v.repartitionByRange("v")
-        .withColumn("pid", F.spark_partition_id())
-        .persist()
-    )
-    wp = (
-        Window.partitionBy("pid")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum_p = pv.select(
-        "pid",
-        F.sum("r").over(wp).alias("c1p"),
-        F.sum("n").over(wp).alias("c2p"),
-    )
-    # per-pid offsets computed ONCE on the #partitions-sized totals
-    # (prefix folds over the sorted array, exploded back to a table)
-    # and broadcast-hash-joined on pid — a first cut evaluated the
-    # offset fold per ROW via a 1-row crossJoin, which re-ran four
-    # interpreted higher-order folds per cum row (measured 1.1→2.9 s
-    # at 392k distinct prices); the join form probes a hash table
-    offs = (
-        pv.groupBy("pid")
-        .agg(F.sum("r").alias("tr"), F.sum("n").alias("tn"))
-        .agg(F.expr("sort_array(collect_list(struct(pid, tr, tn)))").alias("a"))
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(a, (s, i) -> struct("
-                    "s.pid as pid, "
-                    "aggregate(slice(a, 1, i), 0L, (acc, x) -> acc + x.tr) as off_r, "
-                    "aggregate(slice(a, 1, i), 0L, (acc, x) -> acc + x.tn) as off_n, "
-                    "aggregate(a, 0L, (acc, x) -> acc + x.tr) as n_r, "
-                    "aggregate(a, 0L, (acc, x) -> acc + x.tn) as n_n))"
-                )
-            ).alias("o")
-        )
-        .select("o.*")
-    )
-    cum = cum_p.join(F.broadcast(offs), "pid").select(
-        (F.col("c1p") + F.col("off_r")).alias("c1"),
-        (F.col("c2p") + F.col("off_n")).alias("c2"),
-        F.col("n_r").cast("bigint").alias("n_r"),
-        F.col("n_n").cast("bigint").alias("n_n"),
+    cum = bucketed_prefix_sums(spark, per_v, "v", ["r", "n"]).select(
+        F.col("cum_r").alias("c1"),
+        F.col("cum_n").alias("c2"),
+        F.col("tot_r").alias("n_r"),
+        F.col("tot_n").alias("n_n"),
     )
     diff = F.abs(
         F.col("c1").cast("double") / F.col("n_r")

@@ -62,10 +62,10 @@ RULES: dict[str, dict[str, str]] = {
         "ts_gapfill": "1-row global min/max bounds broadcast",
         "bpe_train": "1-row argmax pair broadcast per iteration",
         "subq_scalar": "1-row scalar aggregate broadcast",
-        "stat_ks_test": "1-row per-bucket-totals array broadcast onto "
-        "the collapsed CDF relation (r16 range-partitioned prefix sum)",
-        "ml_auc_roc": "1-row per-bucket negative-totals array "
-        "broadcast onto the collapsed score axis (r16 prefix sum)",
+        "stat_ks_test": "1-row axis min/max broadcast deriving the "
+        "deterministic prefix-sum bucket (r16 bucketed_prefix_sums)",
+        "ml_auc_roc": "1-row axis min/max broadcast deriving the "
+        "deterministic prefix-sum bucket (r16 bucketed_prefix_sums)",
         "sink_geotiff_lzw": "1-row written-file catalog row (codec "
         "id, crs) crossed onto the 32-row per-lat readback aggregate",
         "tile_stats": "1-row global stats broadcast",
@@ -150,12 +150,11 @@ RULES: dict[str, dict[str, str]] = {
     "rangepartitioning": {
         "sink_zorder": "repartitionByRange on zkey IS the clustering layout",
         "sink_sorted": "range layout for row-group min/max stats",
-        "stat_ks_test": "NOT a global sort: repartitionByRange(v) is "
-        "the bucketing step of the r16 range-partitioned prefix-sum "
-        "CDF (per-partition cumsum windows + broadcast per-partition "
-        "offsets) that replaced the single-partition global window",
-        "ml_auc_roc": "same prefix-sum bucketing as stat_ks_test — "
-        "replaced the single-partition cumulative-negatives window",
+        # stat_ks_test / ml_auc_roc left this list late in r16: their
+        # prefix-sum bucketing is now a deterministic min/max
+        # interpolation (bucketed_prefix_sums) — hash exchange on the
+        # bucket, no RangePartitioner (whose sampling job re-executed
+        # the upstream aggregate once per run).
     },
     # "Window over SinglePartition" is a STRUCTURAL rule (tree walk,
     # not substring) — see global_window_hits() + GLOBAL_WINDOW_ALLOW.
