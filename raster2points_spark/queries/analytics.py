@@ -1628,15 +1628,18 @@ def agg_gini(spark, sf_dir):
     Determinism: revenues are exact integer cents and the rank is
     total-ordered (cents, custkey), so Σ(i·xᵢ) is an exact bigint
     (max i·x ≈ 1.5e3·1.5e9 ≈ 2e12, summed ≈ 3e15 < 2⁶³) and the final
-    expression is one identical double evaluation.  Scale note: the
-    global sort here is over the |customers| AGGREGATE (not the fact
-    table); at extreme cardinality you'd swap the exact rank for a
-    fixed-grid Lorenz approximation (the profile_drift_psi bucket
-    discipline) — the fact-table pass is one map-side-combined
-    groupBy either way.
+    expression is one identical double evaluation.  The rank runs as
+    the BUCKETED parallel prefix count (``bucketed_prefix_sums``,
+    r16): i = inclusive running count of 1s in cents order, n and
+    Σcents ride the same offsets broadcast.  Rows tied on cents may
+    permute across/within buckets, but tied rows share the SAME
+    cents, so Σ(i·xᵢ) is invariant under any tie permutation — the
+    exact-bigint result is bit-identical to the oracle's
+    (cents, custkey) row_number formulation.  The former
+    single-partition window funneled the |customers| aggregate
+    through one task (the fact-table pass is one map-side-combined
+    groupBy either way).
     """
-    from pyspark.sql import Window
-
     rev = (
         t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -1646,20 +1649,19 @@ def agg_gini(spark, sf_dir):
             .alias("cents")
         )
     )
-    w = Window.orderBy("cents", "o_custkey")
-    wall = Window.partitionBy()
-    ranked = rev.select(
+    ranked = bucketed_prefix_sums(
+        spark,
+        rev.select("cents", F.lit(1).alias("one")),
         "cents",
-        F.row_number().over(w).alias("i"),
-        F.count("*").over(wall).alias("n"),
-        F.sum("cents").over(wall).alias("tot"),
+        ["one", "cents"],
+        carry=("cents",),
     )
     return ranked.agg(
-        F.max("n").cast("bigint").alias("n_cust"),
+        F.max("tot_one").cast("bigint").alias("n_cust"),
         F.round(
-            2.0 * F.sum(F.col("i") * F.col("cents"))
-            / (F.max("n").cast("double") * F.max("tot"))
-            - (F.max("n") + 1.0) / F.max("n"),
+            2.0 * F.sum(F.col("cum_one") * F.col("cents"))
+            / (F.max("tot_one").cast("double") * F.max("tot_cents"))
+            - (F.max("tot_one") + 1.0) / F.max("tot_one"),
             6,
         ).alias("gini"),
     )
@@ -2313,24 +2315,26 @@ def ml_decision_stump(spark, sf_dir):
 
     The same collapsed-axis pattern as ml_auc_roc: corpus → per-score
     integer counts (one aggregate), candidate evaluation over
-    |distinct scores| rows.  Gini terms are ratios of exact integers
+    |distinct scores| rows — cumulated by the BUCKETED parallel
+    prefix sum (``bucketed_prefix_sums``, r16: exact bigint offsets,
+    bit-identical to the former single-partition global window that
+    funneled the whole score axis through one task; the grand totals
+    ride the same offsets broadcast, retiring the separate 1-row
+    crossJoin).  Gini terms are ratios of exact integers
     rounded at 6 dp before the argmin, so the winning split is
     engine-identical; the empty-right-branch edge (thr = max score) is
     CASE-guarded identically in both engines.
     """
-    from pyspark.sql import Window
-
     per_score = _scored(spark, sf_dir).groupBy("s").agg(
         F.count("*").alias("n"), F.sum("y").alias("pos")
     )
-    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
-    splits = per_score.select(
+    j = bucketed_prefix_sums(spark, per_score, "s", ["n", "pos"], carry=("s",)).select(
         F.col("s").alias("thr"),
-        F.sum("n").over(w).alias("n_l"),
-        F.sum("pos").over(w).alias("pos_l"),
+        F.col("cum_n").alias("n_l"),
+        F.col("cum_pos").alias("pos_l"),
+        F.col("tot_n").alias("nt"),
+        F.col("tot_pos").alias("post"),
     )
-    tot = per_score.agg(F.sum("n").alias("nt"), F.sum("pos").alias("post"))
-    j = splits.join(F.broadcast(tot))
     n_l, pos_l = F.col("n_l"), F.col("pos_l")
     nt, post = F.col("nt"), F.col("post")
     p_l = pos_l / n_l

@@ -36,7 +36,12 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from raster2points_spark.registry import register
-from raster2points_spark.queries._util import ORACLE_TSEC, t, unix_secs
+from raster2points_spark.queries._util import (
+    ORACLE_TSEC,
+    bucketed_prefix_sums,
+    t,
+    unix_secs,
+)
 
 _TSEC = ORACLE_TSEC.format(c="ts")
 _GAP_S = 1800  # 30-minute session timeout, both engines
@@ -484,9 +489,15 @@ def concurrency_peak(spark, sf_dir):
     favourite number).
 
     The sweep compresses to |2·sessions| boundary rows, pre-summed per
-    timestamp map-side; only that tiny boundary relation passes
-    through the ordered cumsum.  Sessionization itself reuses the
-    single-exchange gaps-and-islands shape of sessionize_batch.
+    timestamp map-side; only that boundary relation passes through
+    the ordered cumsum — which runs as the BUCKETED parallel prefix
+    sum (``bucketed_prefix_sums``, r16: deterministic monotone bucket
+    of t + exact bigint preceding-bucket offsets, bit-identical to
+    the former single-partition global window; the boundary axis
+    grows with |sessions|, so the one-task WindowExec was a real
+    scale ceiling, unlike the constant-width allowlisted axes).
+    Sessionization itself reuses the single-exchange
+    gaps-and-islands shape of sessionize_batch.
     """
     w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
     flagged = _ev(spark, sf_dir).withColumn(
@@ -517,8 +528,8 @@ def concurrency_peak(spark, sf_dir):
         ).alias("b")
     ).select("b.t", "b.delta")
     per_t = bounds.groupBy("t").agg(F.sum("delta").alias("d"))
-    sweep = per_t.select(
-        F.sum("d").over(Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)).alias("concurrent")
+    sweep = bucketed_prefix_sums(spark, per_t, "t", ["d"]).select(
+        F.col("cum_d").alias("concurrent")
     )
     return sweep.agg(
         F.max("concurrent").cast("bigint").alias("peak_concurrent"),

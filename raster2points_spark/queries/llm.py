@@ -3680,6 +3680,16 @@ def text_zipf_slope(spark, sf_dir):
     window and the regr_* fit run over the |vocab|-row count relation
     (tiny next to the corpus).  Deterministic rank ties via the word
     tiebreak (R2).
+
+    Scale note (why this key did NOT get the r16 bucketed_prefix_sums
+    conversion): a Zipfian count axis concentrates ~half the vocab at
+    n = 1, and any value-monotone bucketing must keep all ties of one
+    value in one bucket — the hot block would stay a single task, so
+    the conversion buys nothing here.  The genuine scale swap is to
+    collapse ties FIRST (group by n → |distinct counts| ≈ O(√vocab)
+    rows), prefix-count the block offsets, and regenerate each
+    block's consecutive rank range with sequence() — block-parallel,
+    and rank ties need no ordering at all since tied rows share n.
     """
     from pyspark.sql import Window
 

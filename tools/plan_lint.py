@@ -99,8 +99,12 @@ RULES: dict[str, dict[str, str]] = {
         "in the perplexity leg",
         "dq_expectations": "1-row n_checked scalar broadcast onto the "
         "two 1-row RI/uniqueness branches",
-        "ml_decision_stump": "1-row class-totals aggregate broadcast "
-        "into the per-threshold Gini projection",
+        "ml_decision_stump": "1-row axis min/max broadcast deriving "
+        "the deterministic prefix-sum bucket (r16 bucketed_prefix_sums)",
+        "concurrency_peak": "1-row axis min/max broadcast deriving "
+        "the deterministic prefix-sum bucket (r16 bucketed_prefix_sums)",
+        "agg_gini": "1-row axis min/max broadcast deriving the "
+        "deterministic prefix-sum bucket (r16 bucketed_prefix_sums)",
         "ml_ndcg": "probe set (5 rows) broadcast against the corpus "
         "scan (sim_knn spine)",
         "profile_key_skew": "1-row totals (nt, nkeys, nmax) broadcast "
@@ -187,22 +191,28 @@ GLOBAL_WINDOW_ALLOW: dict[str, str] = {
     "agg_exact_median_twopass": "running-total window over the "
     "|value-buckets| histogram (pass 1 of the rank search), never "
     "the fact — the bucket count is fixed by the value domain",
-    "agg_gini": "exact-rank window over the |customers| revenue "
-    "aggregate; docstring documents the KMV/percentile swap at "
-    "extreme entity cardinality",
+    # agg_gini left this list late in r16: its exact rank now runs as
+    # a bucketed_prefix_sums prefix count (tie permutation provably
+    # cancels in the exact-bigint Σ(i·cents)).
     # ml_auc_roc left this list in r16: its cumulative-negatives sum
     # now runs as a range-partitioned prefix sum (stat_ks_test shape).
     # stat_ks_test left this list in r16: its ECDF now runs as a
     # range-partitioned prefix sum (per-partition windows + broadcast
     # offsets), no single-partition window remains in the plan.
-    "ml_decision_stump": "candidate-threshold window over the same "
-    "collapsed |distinct scores| axis as ml_auc_roc",
+    # ml_decision_stump left this list late in r16: its candidate-
+    # threshold cumsum now runs as a bucketed_prefix_sums prefix sum.
+    # concurrency_peak left this list late in r16: the |2*sessions|
+    # boundary sweep now runs as a bucketed_prefix_sums prefix sum
+    # (the boundary axis grows with the corpus).
     "skyline_pareto_front": "strict suffix-minimum window over the "
     "<=|sizes| per-size minima relation, never the part fact",
-    "concurrency_peak": "ordered cumsum over the |2*sessions| "
-    "boundary relation, pre-summed per timestamp map-side",
     "text_zipf_slope": "log-log rank window over the |vocab| token "
-    "counts (one map-side-combined aggregate of the corpus)",
+    "counts (one map-side-combined aggregate of the corpus).  NOT "
+    "convertible to bucketed_prefix_sums: a Zipfian count axis puts "
+    "~half the vocab at n=1, and any value-monotone bucketing keeps "
+    "ties of one value in one bucket — the hot block stays one task. "
+    "The scale swap is collapse-to-per-count + sequence() rank "
+    "regeneration per block (documented in the docstring)",
     "sample_temperature": "largest-remainder allocation windows over "
     "the |sources| count relation — constant size at any corpus scale",
     "rfm_segments": "ntile quartiles over the |customers| RFM rollup; "
