@@ -30,10 +30,14 @@ SF0001 = "/root/testdata/sf0.001"
 #     their plans changed this round), the bpe/fn_cast/raster
 #     correctness fixes, and the 11 heavy=False fan-out flips (plus
 #     sim_ivf_recall, which composes a flipped member);
-#   - 27 keys touched by r15 (local_df raster wave, wave-2 persists,
+#   - 25 keys touched by r15 (local_df raster wave, wave-2 persists,
 #     sink_zorder, bpe_train, join_phonetic, concurrency_peak,
 #     funnel_batch) whose only r15 evidence is builder-committed
-#     3-SF diffs — the driver grades them now;
+#     3-SF diffs — the driver grades them now (sample_mixture and
+#     ts_gapfill, the least-stale of that cohort with last driver
+#     grades at r12 and persist-only r15 changes, yielded their slots
+#     to the late-r16 prefix-sum rewrites agg_gini/ml_decision_stump;
+#     both stay covered by the committed full-registry 3-SF diffs);
 #   - graph_pagerank (stale-r8, lightly touched r16) fills slot 50.
 # The remaining stale-r8/r9 tail is covered by the committed
 # full-registry 3-SF oracle diffs (reports/diff_oracle_r16_sf0.*.txt)
@@ -47,6 +51,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "pipeline_entity_resolution",
     "stat_ks_test",
     "ml_auc_roc",
+    "agg_gini",
+    "ml_decision_stump",
     "bpe_apply",
     "fn_cast",
     "sim_ivf",
@@ -78,7 +84,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "raster_extent_prune",
     "raster_mosaic_crs_groups",
     "raster_mosaic_hetero",
-    "sample_mixture",
     "sample_stratified",
     "scan_geotiff_mask1bit",
     "scan_geotiff_mini",
@@ -89,7 +94,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sink_geotiff_lzw",
     "sink_geotiff_pyramid",
     "sink_zorder",
-    "ts_gapfill",
     # --- slot 50 ---
     "graph_pagerank",
 )

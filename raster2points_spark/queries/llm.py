@@ -6497,13 +6497,20 @@ def ml_naive_bayes(spark, sf_dir):
     vocab = model.agg(F.countDistinct("m_w").alias("v"))
     # corpus size enters the prior as a broadcast 1-row aggregate, not
     # a driver-side count() action (same double division bitwise:
-    # bigint/bigint and bigint/double both promote to double)
-    n_docs = docs.agg(F.count("*").cast("double").alias("nd"))
-    priors = (
+    # bigint/bigint and bigint/double both promote to double).  The
+    # total derives from the per-lang rollup (Σ per-lang counts == the
+    # corpus count, exact bigint) instead of its own corpus scan — the
+    # |langs|-row rollup is persisted so its two consumers (total,
+    # priors) cost ONE documents pass, not two (r16: 3 → 2 corpus
+    # scans for the whole key; the r16 rescan audit flagged the 3rd).
+    nl_tab = (
         docs.groupBy(F.col("lang").alias("p_lang"))
         .agg(F.count("*").alias("nl"))
-        .crossJoin(F.broadcast(n_docs))
-        .select("p_lang", F.log(F.col("nl") / F.col("nd")).alias("prior"))
+        .persist()
+    )
+    n_docs = nl_tab.agg(F.sum("nl").cast("double").alias("nd"))
+    priors = nl_tab.crossJoin(F.broadcast(n_docs)).select(
+        "p_lang", F.log(F.col("nl") / F.col("nd")).alias("prior")
     )
     # The model is re-keyed per WORD as a lang→count map, and the lang
     # axis (tot, prior per lang, sorted) is collapsed to a broadcast

@@ -910,6 +910,18 @@ def test_funnel_stage_tables_persisted_three_scans(spark, registry):
     assert len(scans) == 3, f"expected 3 distinct event scans, got {sorted(scans)}"
 
 
+def test_naive_bayes_two_corpus_scans(spark, registry):
+    """ml_naive_bayes: the corpus is read exactly twice — the tokenize/
+    explode pass and ONE per-lang prior rollup (persisted; its two
+    consumers, the priors and the corpus total, share it).  A third
+    scan (the r16 rescan audit's finding: a separate count(*) pass for
+    the prior denominator) must not reappear."""
+    plan = _formatted_plan(spark, registry["ml_naive_bayes"].fn(spark, SF001))
+    assert "InMemoryRelation" in plan, "per-lang rollup must be persisted"
+    scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scans) == 2, f"expected 2 distinct corpus scans, got {sorted(scans)}"
+
+
 def test_ks_window_over_collapsed_axis(spark, registry):
     """stat_ks_test: the ECDF window's input must be the per-distinct-
     value aggregate (HashAggregate below the Window), the returnflag
